@@ -1,0 +1,63 @@
+"""Table catalog over the driver's parquet test data.
+
+Mirrors memvid's track model (SURVEY §1.2): one core content table plus
+derived side tables, all rebuildable from the core table. Here the driver's
+synthetic star schema + ``documents``/``embeddings``/``events`` stand in.
+
+Scale posture: each accessor returns a *lazy* DataFrame straight off
+parquet so Catalyst keeps predicate pushdown / column pruning; nothing is
+cached or collected at load time. On a real deployment these would be
+partitioned tables (documents by ingest date, events by event date) and the
+loaders would be unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLE_NAMES:
+                raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+            self._cache[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, prefix: str = "") -> None:
+        for name in TABLE_NAMES:
+            self.table(name).createOrReplaceTempView(prefix + name)
+
+
+def load(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Configure the session (runtime confs incl. nanos-as-long) and
+    return a lazy catalog over ``sf_dir``."""
+    configure(spark)
+    return Catalog(spark=spark, sf_dir=sf_dir.rstrip("/"))

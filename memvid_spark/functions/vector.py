@@ -1,0 +1,60 @@
+"""Vector math as JVM-side Column expressions.
+
+The reference's SIMD L2/cosine kernels (src/simd.rs:13-70,
+src/memvid/ask.rs:815-830) map to Catalyst higher-order functions:
+``zip_with`` + ``aggregate`` stay inside whole-stage codegen, which for
+16–1024-dim float arrays beats Python round-trips by a wide margin and
+needs no UDF. All math in double precision for cross-engine determinism.
+
+For very wide vectors / heavy batch scoring there is a NumPy pandas-UDF
+path in operators/knn.py; the expressions here are the correctness tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, functions as F
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def lit_vector(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """Sequential-fold dot product (same accumulation order as a scalar
+    loop, so DuckDB's list fold reproduces it bit-for-bit).
+
+    Twin SQL: list_sum(list_transform(range... — see registry oracles.
+    """
+    av = _as_double_array(a)
+    bv = lit_vector(b) if isinstance(b, (list, tuple)) else _as_double_array(b)
+    return F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """cosine similarity; NULL when either norm is 0."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def l2(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    av = _as_double_array(a)
+    bv = lit_vector(b) if isinstance(b, (list, tuple)) else _as_double_array(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(av, bv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

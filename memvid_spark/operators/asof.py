@@ -1,0 +1,106 @@
+"""Temporal state operators: current-view, as-of lookup, sessionization.
+
+Reference lineage:
+- ``get_current_memory``: latest non-retracted card per entity:slot
+  (src/memvid/memory.rs:222-224, supersedes logic
+  src/types/memory_card.rs:248-283)
+- ``get_memory_at_time``: latest card with effective_ts ≤ t — the as-of
+  join (src/memvid/memory.rs:236-243)
+- timeline since/until (src/memvid/timeline.rs:20-145)
+
+Here the driver's ``events`` table plays the role of the fact stream:
+(user_id, event_type) ≍ (entity, slot), value ≍ card value, ts ≍
+effective timestamp. ``ts`` arrives as long nanos (parquet ns read with
+nanosAsLong).
+
+Scale: every operator is one window keyed by the entity — a single
+uniform shuffle; no driver-side state. Partition-prune by event date at
+the source when an as-of bound exists (Catalyst pushes ``ts <= t`` to
+parquet row-group min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+GAP_30_MIN_NS = 30 * 60 * 1_000_000_000
+
+
+def current_state(
+    events: DataFrame,
+    keys: list[str] = ["user_id", "event_type"],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Latest row per key — the get_current_memory analogue.
+
+    Total order inside each key: (ts desc, event_id desc).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def as_of(
+    events: DataFrame,
+    ts_upper: int,
+    keys: list[str] = ["user_id", "event_type"],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """State as of ``ts_upper`` (exclusive): latest row with ts < bound
+    per key — time-travel / as-of-join primitive
+    (src/types/search.rs:61-65, memory.rs:236-243)."""
+    return current_state(
+        events.filter(F.col(ts_col) < F.lit(ts_upper)), keys, ts_col, tiebreak_col
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_ns: int = GAP_30_MIN_NS,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign session ids per key with an inactivity-gap rule: a new
+    session starts when the gap to the previous event exceeds ``gap_ns``.
+
+    Classic lag + conditional cumsum — two stacked windows over ONE
+    partitioning (single shuffle). Output: input + ``session_id``
+    (1-based per key).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_ns), 1).otherwise(0)
+    return events.withColumn("session_id", F.sum(is_new).over(w))
+
+
+def timeline(
+    events: DataFrame,
+    since: int | None = None,
+    until: int | None = None,
+    reverse: bool = True,
+    limit: int = 100,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-ordered scan with since/until/reverse/limit
+    (src/memvid/timeline.rs:20-145). Bounds are pushed to the parquet
+    scan; the limit compiles to TakeOrderedAndProject."""
+    d = events
+    if since is not None:
+        d = d.filter(F.col(ts_col) >= F.lit(since))
+    if until is not None:
+        d = d.filter(F.col(ts_col) < F.lit(until))
+    order: list[Column] = (
+        [F.col(ts_col).desc(), F.col(tiebreak_col).desc()]
+        if reverse
+        else [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    )
+    return d.orderBy(*order).limit(limit)

@@ -1,0 +1,582 @@
+"""Query inventory: every operator exposed through the driver contract.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame pipeline with its exact
+ANSI-SQL twin for the DuckDB oracle (the driver's correctness gate —
+row-count + schema + order-insensitive value-hash at sf0.01). Rules that
+keep the two in lockstep:
+
+- identical output column NAMES on both sides (driver sorts columns by
+  name before hashing);
+- float aggregates rounded identically on both sides (sum→2dp for money,
+  scores→6dp) — double arithmetic is deterministic per engine but
+  summation order differs across engines;
+- timestamps surfaced as epoch micros (``ts div 1000`` on the Spark side
+  where ``ts`` is parquet-ns read as long; ``epoch_us(ts)`` in DuckDB);
+- every ordering carries a total order (tie-break on the id column).
+
+SQL-side tokenizer twin of functions/text.py::tokens:
+    list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t<>'')
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import catalog
+from .functions import text as T
+from .operators import asof, dedup, knn, rrf, search, topk
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return wrap
+
+
+SQL_TOKS = "list_filter(string_split_regex(lower({x}),'[^a-z0-9]+'), t -> t<>'')"
+
+
+# =========================================================================
+# Relational surface (SURVEY §2.2-§2.7): filters, joins, aggs, windows,
+# set ops, top-k, pagination — the M1 layer the retrieval pipelines stand on.
+# =========================================================================
+
+
+@spec(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity),2) AS sum_qty,
+           round(sum(l_extendedprice),2) AS sum_base_price,
+           round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+           round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+           round(avg(l_quantity),4) AS avg_qty,
+           round(avg(l_extendedprice),4) AS avg_price,
+           round(avg(l_discount),4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H-Q1-style pricing summary: stats() analogue (SURVEY §2.4)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("2000-01-01")))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@spec(
+    "q02_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total,
+           strftime(o_orderdate,'%Y-%m-%d') AS order_date
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "global top-k with total order → TakeOrderedAndProject (SURVEY §2.6)",
+)
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@spec(
+    "q03_star_join_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "star-schema join: broadcast dims, one fact shuffle (SURVEY §2.3)",
+)
+def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    # dims are broadcast — the fact table shuffles once for the final agg
+    return (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@spec(
+    "q04_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+    "top-k per group window — diversification primitive (ask.rs:1300-1334)",
+)
+def q04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return topk.topk_per_group(
+        t.orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", "rnk")
+
+
+@spec(
+    "q05_filter_pushdown_revenue",
+    """
+    SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H-Q6-style selective scan: all predicates pushed to parquet",
+)
+def q05_filter_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@spec(
+    "q06_rollup",
+    """
+    SELECT c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal),2) AS sum_bal, round(avg(c_acctbal),4) AS avg_bal
+    FROM customer GROUP BY ROLLUP(c_mktsegment)
+    """,
+    "grouping-sets surface Spark exposes beyond the reference (SURVEY §2.4)",
+)
+def q06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.customer.rollup("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@spec(
+    "q07_pagination",
+    """
+    SELECT rn, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS order_date,
+           round(o_totalprice,2) AS total
+    FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn > 20 AND rn <= 30
+    """,
+    "offset cursor pagination with stable total order (tantivy.rs:274-281)",
+)
+def q07_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return topk.paginate(
+        t.orders, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], 20, 10
+    ).select(
+        "rn",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@spec(
+    "q08_set_ops",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "set ops (SURVEY §2.7): nations having both customers and suppliers",
+)
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    cust = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    supp = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+# =========================================================================
+# Lexical search (SURVEY §2.2, §2.5, §3.1)
+# =========================================================================
+
+
+@spec(
+    "q10_lex_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), occ AS (
+      SELECT doc_id, count(*)::double AS n FROM toks
+      WHERE tok IN ('hash','join') GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             coalesce(o.n, 0)
+             + CASE WHEN contains(lower(d.text), 'hash join') THEN 1000.0 ELSE 0 END AS score
+      FROM documents d LEFT JOIN occ o USING (doc_id)
+    )
+    SELECT doc_id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "legacy lex scoring: occurrences + 1000 phrase bonus (src/lex.rs:264-296)",
+)
+def q10_lex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return search.lex_topk(t.documents, ["hash", "join"], phrase="hash join", k=10)
+
+
+@spec(
+    "q11_implicit_and",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE list_contains({SQL_TOKS.format(x='text')}, 'vector')
+      AND list_contains({SQL_TOKS.format(x='text')}, 'merge')
+      AND list_contains({SQL_TOKS.format(x='text')}, 'scan')
+    """,
+    "implicit-AND semantics (src/search/parser.rs:286-299, tests/test_implicit_and.rs)",
+)
+def q11_implicit_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return search.implicit_and_match(t.documents, ["vector", "merge", "scan"])
+
+
+@spec(
+    "q12_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('hash','join','vector') GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, len({SQL_TOKS.format(x='text')}) AS dl FROM documents
+    ), stats AS (SELECT count(*)::double AS n_docs FROM documents),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT tok, count(*)::double AS df FROM post GROUP BY tok),
+    weights AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS w
+      FROM post p
+      JOIN dft f USING (tok)
+      JOIN dl l USING (doc_id), stats s, avgdl a
+    )
+    SELECT doc_id, round(sum(w),6) AS score FROM weights
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "exact BM25 top-k over derived postings (engine.rs:265-290 analogue)",
+)
+def q12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return search.bm25_topk(t.documents, ["hash", "join", "vector"], k=10)
+
+
+@spec(
+    "q13_phrase_stats",
+    """
+    SELECT count(*) AS n_docs,
+           sum((length(lower(text)) - length(replace(lower(text), 'sort merge', '')))
+               / length('sort merge')) AS n_occurrences
+    FROM documents WHERE contains(lower(text), 'sort merge')
+    """,
+    "phrase match + occurrence count (snippet-ranking building block)",
+)
+def q13_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    ph = "sort merge"
+    lower = F.lower(F.col("text"))
+    occ = (F.length(lower) - F.length(F.replace(lower, F.lit(ph), F.lit("")))) / F.length(
+        F.lit(ph)
+    )
+    return (
+        t.documents.filter(lower.contains(ph))
+        .agg(F.count("*").alias("n_docs"), F.sum(occ).alias("n_occurrences"))
+    )
+
+
+@spec(
+    "q14_field_filter_search",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE source = 'src3' AND lang = 'en'
+      AND list_contains({SQL_TOKS.format(x='text')}, 'filter')
+    """,
+    "field filters (uri:/track:/tag: analogue — parser.rs:124-125) + term",
+)
+def q14_field_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.documents.filter(
+            (F.col("source") == "src3")
+            & (F.col("lang") == "en")
+            & F.array_contains(T.tokens("text"), "filter")
+        ).select("doc_id", "n_chars")
+    )
+
+
+@spec(
+    "q15_recency_boost",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), occ AS (
+      SELECT doc_id, count(*)::double AS score FROM toks
+      WHERE tok = 'stream' GROUP BY doc_id
+    ), ages AS (
+      SELECT doc_id, score, doc_id % 730 AS ts_days,
+             max(doc_id % 730) OVER () AS max_ts FROM occ
+    )
+    SELECT doc_id,
+           round(0.4 * score + 0.6 * score * exp(-0.6931471805599453 / 30.0 * (max_ts - ts_days)), 6)
+             AS combined
+    FROM ages ORDER BY combined DESC, doc_id LIMIT 15
+    """,
+    "recency boost 0.4·s + 0.6·s·2^(-age/halflife) (tantivy.rs:201-238)",
+)
+def q15_recency_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    toks = T.tokens("text")
+    hits = t.documents.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x == F.lit("stream"))).cast("double").alias("score"),
+        (F.col("doc_id") % 730).alias("ts_days"),
+    ).filter(F.col("score") > 0)
+    boosted = search.recency_boosted(hits, half_life_days=30.0)
+    return (
+        boosted.select("doc_id", "combined")
+        .orderBy(F.col("combined").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+@spec(
+    "q16_rrf_fusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, count(*)::double AS score FROM toks
+      WHERE tok IN ('hash','join') GROUP BY doc_id
+    ),
+    l1 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s1 ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    s2 AS (
+      SELECT doc_id, count(*)::double AS score FROM toks
+      WHERE tok IN ('vector','scan') GROUP BY doc_id
+    ),
+    l2 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s2 ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    unioned AS (
+      SELECT doc_id, 1.0/(60 + rank) AS c FROM l1
+      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM l2
+    )
+    SELECT doc_id, round(sum(c),6) AS rrf, count(*) AS n_lists
+    FROM unioned GROUP BY doc_id
+    ORDER BY rrf DESC, n_lists DESC, doc_id LIMIT 10
+    """,
+    "reciprocal-rank fusion k=60 of two hit lists (ask.rs:1381-1432)",
+)
+def q16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    l1 = rrf.with_rank(
+        search.lex_topk(t.documents, ["hash", "join"], k=20),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    l2 = rrf.with_rank(
+        search.lex_topk(t.documents, ["vector", "scan"], k=20),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    return rrf.rrf_fuse([l1, l2], k=10)
+
+
+# =========================================================================
+# Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
+# =========================================================================
+
+
+@spec(
+    "q50_timeline",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+    "timeline since/until/reverse/limit (src/memvid/timeline.rs:20-145)",
+)
+def q50_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    t = catalog.load(spark, sf_dir)
+    ns = lambda y, m, d: int(datetime(y, m, d, tzinfo=timezone.utc).timestamp()) * 1_000_000_000
+    tl = asof.timeline(t.events, since=ns(2024, 1, 10), until=ns(2024, 1, 20), reverse=True, limit=50)
+    return tl.select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+@spec(
+    "q51_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS n, round(sum(value),2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling-window rollup (streaming-shaped agg; SURVEY §2.11)",
+)
+def q51_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    hour = F.date_format(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))),
+        "yyyy-MM-dd HH:00:00",
+    )
+    return (
+        t.events.groupBy(hour.alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@spec(
+    "q52_current_state",
+    """
+    SELECT user_id, event_type, round(value,2) AS last_value, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    "get_current_memory: latest fact per entity:slot (memory.rs:222-224)",
+)
+def q52_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    cur = asof.current_state(t.events, keys=["user_id", "event_type"])
+    return cur.select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("last_value"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+
+@spec(
+    "q53_asof_state",
+    """
+    SELECT user_id, event_type, round(value,2) AS value_asof, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1
+    """,
+    "get_memory_at_time: as-of point-in-time state (memory.rs:236-243)",
+)
+def q53_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    t = catalog.load(spark, sf_dir)
+    bound = int(datetime(2024, 1, 15, tzinfo=timezone.utc).timestamp()) * 1_000_000_000
+    st = asof.as_of(t.events, bound, keys=["user_id"])
+    return st.select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value_asof"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+
+@spec(
+    "q54_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    "inactivity-gap sessionization: lag + conditional cumsum, one shuffle",
+)
+def q54_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    s = asof.sessionize(t.events, key="user_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.fn for s in SPECS}
+
+
+def all_oracles() -> dict[str, str]:
+    return {s.name: s.oracle for s in SPECS if s.oracle is not None}

@@ -1,0 +1,66 @@
+"""SparkSession helpers.
+
+The engine is designed for a large multi-executor cluster (100 TB posture):
+AQE on for runtime re-planning and skew-join handling, shuffle partitions
+sized to the cluster (here: local core count), UTC session timezone so
+timestamp semantics are stable across engines, Arrow enabled for the few
+pandas-UDF kernels.
+
+All confs set in :func:`configure` are runtime-settable, so they also apply
+when the caller hands us an externally created SparkSession (e.g. the
+correctness driver's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every entry point applies to whatever session it is given.
+RUNTIME_CONFS = {
+    # deterministic timestamp rendering / truncation across engines
+    "spark.sql.session.timeZone": "UTC",
+    # the driver's events table is parquet TIMESTAMP(NANOS); Spark reads it
+    # as long nanos with this legacy flag (Spark has no ns timestamp type)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # runtime re-planning: partition coalescing + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas-UDF kernels (vector ops fall back to these at scale)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-supplied or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in some deployment; keep going
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "memvid-spark") -> SparkSession:
+    """Create (or get) a local session sized from SPARK_GRAFT_CPUS.
+
+    On a real cluster the builder master/resources come from spark-submit;
+    everything here is local-mode test scaffolding.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle is None:
+        shuffle = str(os.cpu_count() or 32) if cpus == "*" else cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
