@@ -17,40 +17,40 @@ from collections.abc import Sequence
 from pyspark.sql import Column, functions as F
 
 
-def _as_double_array(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("array<double>")
+VecLike = "Column | str | Sequence[float]"
 
 
 def lit_vector(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
-def dot(a: Column | str, b: Column | str | Sequence[float]) -> Column:
-    """Sequential-fold dot product (same accumulation order as a scalar
-    loop, so DuckDB's list fold reproduces it bit-for-bit).
+def _as_double_array(col) -> Column:
+    if isinstance(col, (list, tuple)):
+        return lit_vector(col)
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
 
-    Twin SQL: list_sum(list_transform(range... — see registry oracles.
-    """
-    av = _as_double_array(a)
-    bv = lit_vector(b) if isinstance(b, (list, tuple)) else _as_double_array(b)
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product (same accumulation order as a scalar
+    loop, so DuckDB's list_dot_product reproduces it)."""
+    av, bv = _as_double_array(a), _as_double_array(b)
     return F.aggregate(
         F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column | str) -> Column:
+def norm(a) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+def cosine(a, b) -> Column:
     """cosine similarity; NULL when either norm is 0."""
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
-def l2(a: Column | str, b: Column | str | Sequence[float]) -> Column:
-    av = _as_double_array(a)
-    bv = lit_vector(b) if isinstance(b, (list, tuple)) else _as_double_array(b)
+def l2(a, b) -> Column:
+    av, bv = _as_double_array(a), _as_double_array(b)
     return F.sqrt(
         F.aggregate(
             F.zip_with(av, bv, lambda x, y: (x - y) * (x - y)),

@@ -574,6 +574,322 @@ def q54_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Vector / similarity (SURVEY §2.8): exact kNN is the correctness tier —
+# the reference itself validates ANN against brute force (src/vec.rs:587-651)
+# =========================================================================
+
+SQL_COS = (
+    "list_dot_product({a}, {b}) / nullif("
+    "sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 0)"
+)
+
+
+@spec(
+    "q30_knn_cosine",
+    f"""
+    WITH q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, round({SQL_COS.format(a='embedding::double[]', b='qv')}, 6) AS score
+      FROM embeddings, q WHERE vec_id <> 0
+    ), top AS (
+      SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    )
+    SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+    FROM top
+    """,
+    "exact cosine top-k (brute-force kNN, src/vec.rs:237-255)",
+)
+def q30_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in t.embeddings.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    return knn.knn(t.embeddings, qvec, k=10, exclude_id=0)
+
+
+@spec(
+    "q31_knn_join",
+    f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding::double[] AS qv FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({SQL_COS.format(a='e.embedding::double[]', b='q.qv')}, 6) AS score
+      FROM embeddings e, queries q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    "similarity join: top-k per query, broadcast query side (SURVEY §2.8)",
+)
+def q31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn.knn_join(t.embeddings, queries, k=5)
+
+
+@spec(
+    "q32_embedding_quality",
+    f"""
+    WITH s AS (SELECT vec_id, embedding::double[] AS v FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+      SELECT {SQL_COS.format(a='a.v', b='b.v')} AS sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) AS n_pairs, round(avg(sim),6) AS mean_sim,
+           round(stddev_samp(sim),6) AS std_sim
+    FROM pairs
+    """,
+    "embedding_quality distribution stats (api.rs:638-661)",
+)
+def q32_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return knn.embedding_quality(t.embeddings, sample_ids=100)
+
+
+# =========================================================================
+# Deduplication family (training-data-pipeline surface; BASELINE.json)
+# =========================================================================
+
+
+@spec(
+    "q20_exact_dup_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT sha256, n_docs, keeper FROM (
+      SELECT sha256(text) AS sha256, count(*) AS n_docs, min(doc_id) AS keeper
+      FROM corpus GROUP BY sha256(text)) WHERE n_docs > 1
+    """,
+    "exact content dedup groups — blake3-skip analogue (mutation.rs:3302-3316)",
+)
+def q20_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    copies = (
+        t.documents.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    corpus = t.documents.select("doc_id", "text").unionByName(copies)
+    return dedup.exact_duplicate_groups(corpus)
+
+
+@spec(
+    "q24_dedup_insert",
+    """
+    WITH new_docs AS (
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text || ' novel suffix' AS text
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT n.doc_id FROM new_docs n
+    WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE sha256(d.text) = sha256(n.text))
+    """,
+    "dedup-on-insert anti-join: only novel content survives (mutation.rs:3302-3316)",
+)
+def q24_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    base = t.documents.filter(F.col("doc_id") < 50)
+    new_docs = base.select((F.col("doc_id") + 2000000).alias("doc_id"), "text").unionByName(
+        base.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" novel suffix")).alias("text"),
+        )
+    )
+    return dedup.dedup_insert(new_docs, t.documents).select("doc_id")
+
+
+SQL_SIMHASH_32 = """
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t<>'')) AS tok
+      FROM documents
+    ), post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), hashed AS (
+      SELECT doc_id, tf, ('0x'||substr(md5(tok),1,15))::bigint AS h FROM post
+    ), votes AS (
+      SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS v
+      FROM hashed, unnest(generate_series(0,31)) AS t(j) GROUP BY doc_id, j
+    ), sh AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN cast(pow(2,j) AS bigint) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@spec(
+    "q21_simhash_near_dups",
+    f"""
+    WITH {SQL_SIMHASH_32},
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS band_val
+      FROM sh, unnest(generate_series(0,3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sh_a, r.simhash AS sh_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.band_val = r.band_val
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT a, b, bit_count(xor(sh_a, sh_b)::bigint) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)::bigint) <= 3
+    """,
+    "SimHash LSH near-dup pairs, hamming ≤ 3 (sketch_track.rs:549-580, sketch.rs:169-281)",
+)
+def q21_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return dedup.simhash_near_dup_pairs(t.documents, max_hamming=3)
+
+
+@spec(
+    "q22_minhash_lsh",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x<>'') AS toks
+      FROM documents
+    ), shingle AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)
+    ), sig AS (
+      SELECT doc_id, seed, min(('0x'||substr(md5(shingle || '#' || seed),1,15))::bigint) AS minhash
+      FROM shingle, unnest(generate_series(0,7)) AS s(seed)
+      GROUP BY doc_id, seed
+    ), band_key AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minhash::varchar, ',' ORDER BY seed) AS bk
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band_key l JOIN band_key r ON l.band = r.band AND l.bk = r.bk
+      WHERE l.doc_id < r.doc_id
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN shingle x ON x.doc_id = c.a
+      JOIN shingle y ON y.doc_id = c.b AND y.shingle = x.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.inter / (sa.sz + sb.sz - i.inter)::double, 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+    WHERE i.inter / (sa.sz + sb.sz - i.inter)::double >= 0.2
+    """,
+    "MinHash-LSH candidates (8 hashes, 4 bands) + exact Jaccard verify",
+)
+def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t.documents, min_jaccard=0.2)
+
+
+@spec(
+    "q23_token_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x<>'')) AS tok
+      FROM documents WHERE doc_id < 150
+    ), d AS (SELECT DISTINCT doc_id, tok FROM t),
+    sz AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+    i AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM d x JOIN d y USING (tok) WHERE x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, round(inter/(sa.sz + sb.sz - inter)::double, 6) AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+    WHERE inter/(sa.sz + sb.sz - inter)::double >= 0.9
+    """,
+    "exact token-set Jaccard via equi-join (n-gram near-dup baseline)",
+)
+def q23_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return dedup.token_jaccard_pairs(t.documents, min_jaccard=0.9, id_upper=150)
+
+
+# =========================================================================
+# Text analysis (training-data-pipeline surface)
+# =========================================================================
+
+
+@spec(
+    "q40_token_stats",
+    f"""
+    SELECT source, count(*) AS n_docs,
+           sum(len({SQL_TOKS.format(x='text')})) AS total_tokens,
+           round(avg(len({SQL_TOKS.format(x='text')})), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    "token counting per source (tokenizer surface, SURVEY §2.9)",
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_QUALITY = f"""
+      round(
+        least(len({SQL_TOKS.format(x='text')})::double / 100.0, 1.0) * 0.5
+        + (1.0 - coalesce(
+            len(list_filter({SQL_TOKS.format(x='text')}, t -> list_contains({T.SQL_STOPWORDS_LIST}, t)))
+              / nullif(len({SQL_TOKS.format(x='text')})::double, 0.0), 0.0)) * 0.3
+        + (1.0 - coalesce(
+            length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+              / nullif(length(text), 0.0), 0.0)) * 0.2
+      , 6)
+"""
+
+
+@spec(
+    "q41_quality_scores",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           round(avg({SQL_QUALITY}), 6) AS avg_quality
+    FROM documents GROUP BY lang
+    """,
+    "doc-quality heuristic (length/stopword/punct mix) per language",
+)
+def q41_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+    )
+
+
+@spec(
+    "q42_lang_heuristic",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN coalesce(
+                 len(list_filter({SQL_TOKS.format(x='text')}, t -> list_contains({T.SQL_STOPWORDS_LIST}, t)))
+                   / nullif(len({SQL_TOKS.format(x='text')})::double, 0.0), 0.0) >= 0.05
+               THEN 1 ELSE 0 END) AS n_pred_en
+    FROM documents GROUP BY lang
+    """,
+    "stopword-density language-ID heuristic vs labeled lang column",
+)
+def q42_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    pred_en = (T.lang_guess("text") == "en").cast("int")
+    return t.documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(pred_en).alias("n_pred_en")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.fn for s in SPECS}
 
