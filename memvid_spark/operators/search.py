@@ -35,15 +35,28 @@ BM25_B = 0.75
 
 
 def build_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: Sequence[str] | None = None,
 ) -> DataFrame:
     """(doc_id, token, tf) term-frequency postings derived from the corpus.
 
     Rebuildable from the content table exactly as memvid rebuilds its
     Tantivy index from the TOC (src/memvid/search/api.rs:1038-1106).
+
+    ``vocab`` restricts to a term set *inside the array before explode* —
+    for a query-time scoring pass only the query terms ever leave the
+    tokenizer, so the exploded row count is O(matches), not O(corpus
+    tokens). (Catalyst cannot push a post-explode filter back through
+    the generator, so we do it structurally.)
     """
+    toks = tokens(text_col)
+    if vocab is not None:
+        vset = F.array(*[F.lit(v) for v in sorted({t.lower() for t in vocab})])
+        toks = F.filter(toks, lambda x: F.array_contains(vset, x))
     return (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        docs.select(F.col(id_col), F.explode(toks).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )
@@ -112,9 +125,8 @@ def bm25_topk(
     join broadcast df/N stats → per-doc sum (1 small shuffle) → top-k.
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson/Lucene form]
     """
-    spark = docs.sparkSession
     terms_lc = sorted({t.lower() for t in terms})
-    post = build_postings(docs, id_col, text_col).filter(F.col("token").isin(terms_lc))
+    post = build_postings(docs, id_col, text_col, vocab=terms_lc)
     dl = doc_lengths(docs, id_col, text_col)
     stats = docs.agg(
         F.count("*").alias("n_docs"),

@@ -707,7 +707,7 @@ def q24_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_insert(new_docs, t.documents).select("doc_id")
 
 
-SQL_SIMHASH_32 = """
+SQL_SIMHASH = """
     toks AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t<>'')) AS tok
       FROM documents
@@ -717,7 +717,7 @@ SQL_SIMHASH_32 = """
       SELECT doc_id, tf, ('0x'||substr(md5(tok),1,15))::bigint AS h FROM post
     ), votes AS (
       SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS v
-      FROM hashed, unnest(generate_series(0,31)) AS t(j) GROUP BY doc_id, j
+      FROM hashed, unnest(generate_series(0,59)) AS t(j) GROUP BY doc_id, j
     ), sh AS (
       SELECT doc_id, sum(CASE WHEN v > 0 THEN cast(pow(2,j) AS bigint) ELSE 0 END) AS simhash
       FROM votes GROUP BY doc_id
@@ -728,9 +728,9 @@ SQL_SIMHASH_32 = """
 @spec(
     "q21_simhash_near_dups",
     f"""
-    WITH {SQL_SIMHASH_32},
+    WITH {SQL_SIMHASH},
     bands AS (
-      SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS band_val
+      SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS band_val
       FROM sh, unnest(generate_series(0,3)) AS t(b)
     ),
     cand AS (
