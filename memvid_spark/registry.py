@@ -450,6 +450,126 @@ def q16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf.rrf_fuse([l1, l2], k=10)
 
 
+@spec(
+    "q17_parsed_query",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE list_contains({SQL_TOKS.format(x='text')}, 'merge')
+      AND (list_contains({SQL_TOKS.format(x='text')}, 'vector')
+           OR contains(lower(text), 'hash join'))
+      AND NOT list_contains({SQL_TOKS.format(x='text')}, 'slow')
+      AND lang = 'en'
+      AND len(list_filter({SQL_TOKS.format(x='text')}, t -> t LIKE 'str%')) > 0
+    """,
+    "query-language front door: boolean/phrase/field/wildcard compiled to "
+    "one Catalyst predicate (src/search/parser.rs grammar)",
+)
+def q17_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.parser import search_filter
+
+    t = catalog.load(spark, sf_dir)
+    q = 'merge AND (vector OR "hash join") NOT slow lang:en str*'
+    return search_filter(t.documents, q).select("doc_id", "n_chars")
+
+
+ASK_TERMS = "('hash','join','merge','performance')"
+
+@spec(
+    "q18_ask_fused",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN {ASK_TERMS} GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, len({SQL_TOKS.format(x='text')}) AS dl FROM documents
+    ), stats AS (SELECT count(*)::double AS n_docs FROM documents),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT tok, count(*)::double AS df FROM post GROUP BY tok),
+    weights AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS w
+      FROM post p JOIN dft f USING (tok) JOIN dl l USING (doc_id), stats s, avgdl a
+    ),
+    bm_top AS (
+      SELECT doc_id, round(sum(w),6) AS score FROM weights GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    bm_list AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm_top
+    ),
+    lex_scores AS (
+      SELECT doc_id, count(*)::double AS score FROM toks
+      WHERE tok IN {ASK_TERMS} GROUP BY doc_id
+    ),
+    lex_top AS (
+      SELECT doc_id, score FROM lex_scores WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    lex_list AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex_top
+    ),
+    unioned AS (
+      SELECT doc_id, 1.0/(60 + rank) AS c FROM bm_list
+      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM lex_list
+    ),
+    fused AS (
+      SELECT doc_id, round(sum(c),6) AS rrf, count(*) AS n_lists
+      FROM unioned GROUP BY doc_id
+      ORDER BY rrf DESC, n_lists DESC, doc_id LIMIT 10
+    ),
+    pres AS (
+      SELECT doc_id,
+             list_contains({SQL_TOKS.format(x='text')}, 'hash')::int
+           + list_contains({SQL_TOKS.format(x='text')}, 'join')::int
+           + list_contains({SQL_TOKS.format(x='text')}, 'merge')::int
+           + list_contains({SQL_TOKS.format(x='text')}, 'performance')::int AS n_present
+      FROM documents
+    )
+    SELECT f.doc_id, f.rrf, f.n_lists, coalesce(p.n_present, 0) AS n_present
+    FROM fused f LEFT JOIN pres p USING (doc_id)
+    ORDER BY n_present DESC, rrf DESC, doc_id LIMIT 5
+    """,
+    "ask() deterministic core: sanitize → BM25+lex lists → RRF k=60 → "
+    "token-presence reorder → top-k (src/memvid/ask.rs:23-420)",
+)
+def q18_ask_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ask as ask_mod
+
+    t = catalog.load(spark, sf_dir)
+    terms = ask_mod.sanitize_question(
+        "what about the hash join merge performance?"
+    )
+    lists = ask_mod.retrieve_lists(t.documents, terms, k=20)
+    fused = rrf.rrf_fuse(lists, k=10)
+    reordered = ask_mod.token_presence_reorder(fused, t.documents, terms)
+    return reordered.select("doc_id", "rrf", "n_lists", "n_present").limit(5)
+
+
+@spec(
+    "q19_snippets",
+    """
+    SELECT doc_id, strpos(lower(text), 'sort merge') AS pos,
+           substr(lower(text), greatest(strpos(lower(text), 'sort merge') - 30, 1), 70) AS snip
+    FROM documents WHERE strpos(lower(text), 'sort merge') > 0
+    """,
+    "snippet slices around match occurrences (src/lex.rs "
+    "compute_snippet_slices; used at tantivy.rs:185-190)",
+)
+def q19_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ask import snippet
+
+    t = catalog.load(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    pos = F.locate("sort merge", lower)
+    return (
+        t.documents.filter(pos > 0)
+        .select("doc_id", pos.alias("pos"), snippet(F.col("text"), "sort merge").alias("snip"))
+    )
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -1,0 +1,69 @@
+"""ask() pipeline unit tests: classification, sanitization, end-to-end."""
+
+from memvid_spark.operators import ask
+
+
+def test_sanitize_question():
+    assert ask.sanitize_question("What about the hash join performance?") == [
+        "hash",
+        "join",
+        "performance",
+    ]
+    assert ask.sanitize_question("Why is it slow??") == ["slow"]
+
+
+def test_classify_question():
+    assert ask.classify_question("list all the vector indexes") == "aggregation"
+    assert ask.classify_question("what is the latest batch status") == "recency"
+    assert ask.classify_question("has the plan changed") == "update"
+    assert ask.classify_question("why is the merge slow") == "analytical"
+    assert ask.classify_question("hash join performance") == "plain"
+
+
+def test_effective_top_k():
+    assert ask.effective_top_k("aggregation", 5) == 25
+    assert ask.effective_top_k("analytical", 5) == 15
+    assert ask.effective_top_k("recency", 5) == 10
+    assert ask.effective_top_k("plain", 5) == 5
+
+
+def test_ask_end_to_end(spark):
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = ask.ask(docs, "what about the hash join merge?", top_k=5)
+    assert res.kind == "plain"
+    assert res.terms == ["hash", "join", "merge"]
+    rows = res.hits.collect()
+    assert 0 < len(rows) <= 5
+    assert res.answer  # extractive answer non-empty
+    assert res.citations
+    cols = set(res.hits.columns)
+    assert {"doc_id", "rrf", "n_lists", "n_present", "snippet"} <= cols
+
+
+def test_ask_aggregation_diversifies(spark):
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = ask.ask(
+        docs, "list all hash join merge docs", top_k=8, group_col="source"
+    )
+    assert res.kind == "aggregation"
+    rows = res.hits.collect()
+    # diversification: at most 2 hits per source group survive
+    from collections import Counter
+
+    src = {
+        r.doc_id: s
+        for r, s in zip(rows, [None] * len(rows))
+    }
+    # join back to source for the check
+    got = {r.doc_id for r in rows}
+    src_map = {
+        r.doc_id: r.source
+        for r in docs.select("doc_id", "source").collect()
+        if r.doc_id in got
+    }
+    counts = Counter(src_map[d] for d in got)
+    assert all(c <= 2 for c in counts.values())
