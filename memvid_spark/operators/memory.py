@@ -1,0 +1,162 @@
+"""Memory-card (fact-track) operators: version semantics, slot
+aggregation, occurrence counts, schema inference.
+
+Reference lineage:
+- MemoryCard: (entity, slot, value, version_relation ∈
+  Updates|Extends|Retracts, effective ts) — src/types/memory_card.rs:176-240
+- current view excludes slots whose LATEST card is a retraction
+  (supersedes logic, memory_card.rs:248-283; get_current_memory
+  memory.rs:222-224)
+- aggregate_memory_slot / count_memory_occurrences (memory.rs:269-293)
+- schema inference: per-slot value-type histogram + cardinality vote
+  (src/types/schema.rs:478-520, src/memvid/memory.rs:434-530)
+
+The engine treats any (entity, slot, value, relation, ts, seq) DataFrame
+as a card stream. ``cards_from_events`` derives a deterministic demo
+stream from the driver's events table.
+
+Scale: everything is one window or one groupBy keyed on (entity, slot) —
+a single uniform shuffle; schema inference is a two-level aggregation
+with map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+NUMBER_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+BOOL_RE = r"^(true|false)$"
+
+
+def cards_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic card stream over the events table:
+    entity=user, slot=event_type, mixed-type values, version relations.
+
+    Twin SQL lives in registry.py (SQL_CARDS).
+    """
+    value = (
+        F.when(F.col("event_id") % 4 == 0, F.col("value").cast("string"))
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"),
+        )
+        .when(F.col("event_id") % 4 == 2, F.col("props"))
+        .otherwise(F.col("event_type"))
+    )
+    relation = (
+        F.when(F.col("value") < 10.0, F.lit("Retracts"))
+        .when(F.col("event_id") % 3 == 0, F.lit("Updates"))
+        .otherwise(F.lit("Extends"))
+    )
+    return events.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("entity"),
+        F.col("event_type").alias("slot"),
+        value.alias("value"),
+        relation.alias("version_relation"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def current_cards(cards: DataFrame) -> DataFrame:
+    """Latest card per (entity, slot); slots whose latest card is a
+    retraction disappear from the current view (memory.rs:222-224)."""
+    w = Window.partitionBy("entity", "slot").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        cards.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("version_relation") != "Retracts"))
+        .drop("_rn")
+    )
+
+
+def memory_at_time(cards: DataFrame, ts_upper: int) -> DataFrame:
+    """As-of view: same semantics evaluated on cards with ts < bound
+    (memory.rs:236-243)."""
+    return current_cards(cards.filter(F.col("ts") < F.lit(ts_upper)))
+
+
+def aggregate_memory_slot(cards: DataFrame) -> DataFrame:
+    """Distinct-value summary per (entity would be too wide — per slot):
+    n_cards, n_entities, n_distinct_values, min/max value
+    (aggregate_memory_slot, memory.rs:269-271)."""
+    return cards.groupBy("slot").agg(
+        F.count("*").alias("n_cards"),
+        F.countDistinct("entity").alias("n_entities"),
+        F.countDistinct("value").alias("n_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def count_memory_occurrences(
+    cards: DataFrame, entity_prefix: str | None = None, value_contains: str | None = None
+) -> DataFrame:
+    """Card counts per (entity, slot), optional value-substring filter
+    (memory.rs:285-293)."""
+    d = cards
+    if entity_prefix:
+        d = d.filter(F.col("entity").startswith(entity_prefix))
+    if value_contains:
+        d = d.filter(F.col("value").contains(value_contains))
+    return d.groupBy("entity", "slot").agg(F.count("*").alias("n"))
+
+
+def infer_schemas(cards: DataFrame) -> DataFrame:
+    """Per-slot predicate schema: majority value type (number | date |
+    boolean | string, ties broken by that order), cardinality
+    (Single iff no entity ever holds >1 distinct value), counts.
+
+    schema.rs:478-520 votes over observed values; Spark: two aggregations
+    with a CASE-WHEN type classifier.
+    """
+    typed = cards.withColumn(
+        "vtype",
+        F.when(F.col("value").rlike(NUMBER_RE), "number")
+        .when(F.col("value").rlike(DATE_RE), "date")
+        .when(F.lower(F.col("value")).rlike(BOOL_RE), "boolean")
+        .otherwise("string"),
+    )
+    votes = typed.groupBy("slot").agg(
+        F.count("*").alias("n_cards"),
+        F.sum((F.col("vtype") == "number").cast("long")).alias("n_number"),
+        F.sum((F.col("vtype") == "date").cast("long")).alias("n_date"),
+        F.sum((F.col("vtype") == "boolean").cast("long")).alias("n_boolean"),
+        F.sum((F.col("vtype") == "string").cast("long")).alias("n_string"),
+    )
+    inferred = votes.withColumn(
+        "value_type",
+        F.when(
+            (F.col("n_number") >= F.col("n_date"))
+            & (F.col("n_number") >= F.col("n_boolean"))
+            & (F.col("n_number") >= F.col("n_string")),
+            "number",
+        )
+        .when(
+            (F.col("n_date") >= F.col("n_boolean"))
+            & (F.col("n_date") >= F.col("n_string")),
+            "date",
+        )
+        .when(F.col("n_boolean") >= F.col("n_string"), "boolean")
+        .otherwise("string"),
+    )
+    per_entity = (
+        cards.groupBy("slot", "entity")
+        .agg(F.countDistinct("value").alias("nv"))
+        .groupBy("slot")
+        .agg(F.max("nv").alias("max_per_entity"))
+    )
+    return inferred.join(per_entity, "slot").select(
+        "slot",
+        "n_cards",
+        "value_type",
+        F.when(F.col("max_per_entity") <= 1, "Single")
+        .otherwise("Multiple")
+        .alias("cardinality"),
+        "n_number",
+        "n_date",
+        "n_boolean",
+        "n_string",
+    )

@@ -1,0 +1,143 @@
+"""Logic-Mesh graph operators: typed entity graph + bounded-hop traversal.
+
+Reference lineage:
+- MeshNode / MeshEdge with typed links (src/types/logic_mesh.rs:27-80,
+  135-178); adjacency + traversal `follow(start, link, hops)`
+  (logic_mesh.rs:427-441, 459-514)
+- hybrid_search planner: keyword patterns → VectorOnly/GraphOnly/Hybrid
+  (src/graph_search.rs:94-141, 311-440)
+
+Representation: ``nodes(node_id, name, kind)`` and
+``edges(src, dst, link_type)`` DataFrames. ``mesh_from_tpch`` derives a
+deterministic demo graph from the driver's star schema (customers and
+suppliers LOCATED_IN nations, nations PART_OF regions).
+
+Scale: traversal is ≤N broadcast-joins of a (small) frontier against the
+edge table — the frontier is broadcast, the edge table never moves; at
+100 TB the edge table is bucketed by ``src`` so each hop is a pruned
+scan. No driver-side adjacency map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def mesh_from_tpch(customer, supplier, nation, region) -> tuple[DataFrame, DataFrame]:
+    nodes = (
+        customer.select(
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("node_id"),
+            F.col("c_name").alias("name"),
+            F.lit("Person").alias("kind"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias(
+                    "node_id"
+                ),
+                F.col("s_name").alias("name"),
+                F.lit("Org").alias("kind"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias(
+                    "node_id"
+                ),
+                F.col("n_name").alias("name"),
+                F.lit("Location").alias("kind"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias(
+                    "node_id"
+                ),
+                F.col("r_name").alias("name"),
+                F.lit("Location").alias("kind"),
+            )
+        )
+    )
+    edges = (
+        customer.select(
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+            F.lit("LOCATED_IN").alias("link_type"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("nation:"), F.col("s_nationkey").cast("string")).alias("dst"),
+                F.lit("LOCATED_IN").alias("link_type"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+                F.lit("PART_OF").alias("link_type"),
+            )
+        )
+    )
+    return nodes, edges
+
+
+def follow(
+    edges: DataFrame,
+    start_ids: DataFrame,
+    hops: int,
+    link_type: str | None = None,
+    direction: str = "out",
+) -> DataFrame:
+    """Nodes reachable from ``start_ids(node_id)`` in 1..hops steps.
+
+    Iterative frontier-broadcast join (logic_mesh.rs:459-514 walks an
+    adjacency list; relationally each hop is one equi-join). Output:
+    (node_id, hop) with the MINIMUM hop per node.
+    """
+    e = edges
+    if link_type is not None:
+        e = e.filter(F.col("link_type") == link_type)
+    if direction == "in":
+        e = e.select(F.col("dst").alias("_from"), F.col("src").alias("_to"))
+    else:
+        e = e.select(F.col("src").alias("_from"), F.col("dst").alias("_to"))
+
+    frontier = start_ids.select(F.col("node_id").alias("_from")).distinct()
+    reached: DataFrame | None = None
+    for hop in range(1, hops + 1):
+        step = (
+            e.join(F.broadcast(frontier), "_from")
+            .select(F.col("_to").alias("node_id"))
+            .distinct()
+            .withColumn("hop", F.lit(hop))
+        )
+        reached = step if reached is None else reached.unionByName(step)
+        frontier = step.select(F.col("node_id").alias("_from"))
+    assert reached is not None
+    return reached.groupBy("node_id").agg(F.min("hop").alias("hop"))
+
+
+@dataclass
+class QueryPlan:
+    mode: str  # vector_only | graph_only | hybrid
+    graph_link: str | None = None
+
+
+GRAPH_KEYWORDS = {"related", "connected", "linked", "who", "knows", "network"}
+VECTOR_KEYWORDS = {"similar", "like", "about", "semantic"}
+
+
+def plan_query(question: str) -> QueryPlan:
+    """Keyword-pattern planner (graph_search.rs:94-141): graph cues →
+    GraphOnly, similarity cues → VectorOnly, both → Hybrid."""
+    toks = set(question.lower().split())
+    g = bool(toks & GRAPH_KEYWORDS)
+    v = bool(toks & VECTOR_KEYWORDS)
+    if g and v:
+        return QueryPlan("hybrid", "LOCATED_IN")
+    if g:
+        return QueryPlan("graph_only", "LOCATED_IN")
+    return QueryPlan("vector_only")

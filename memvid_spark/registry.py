@@ -1010,6 +1010,231 @@ def q42_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Memory cards, schema inference, mesh graph, adaptive cutoff (SURVEY §2.4,
+# §2.5, M5) + corpus stats
+# =========================================================================
+
+SQL_CARDS = """
+    cards AS (
+      SELECT 'user:' || user_id::varchar AS entity,
+             event_type AS slot,
+             CASE WHEN event_id % 4 = 0 THEN value::varchar
+                  WHEN event_id % 4 = 1 THEN strftime(ts, '%Y-%m-%d')
+                  WHEN event_id % 4 = 2 THEN props
+                  ELSE event_type END AS value,
+             CASE WHEN value < 10.0 THEN 'Retracts'
+                  WHEN event_id % 3 = 0 THEN 'Updates'
+                  ELSE 'Extends' END AS version_relation,
+             ts, event_id AS seq
+      FROM events
+    )
+"""
+
+
+@spec(
+    "q09_corpus_stats",
+    """
+    SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+           round(avg(n_chars),4) AS avg_chars,
+           count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+    "stats(): corpus-level counts/sums/ratios (frame.rs:92-145)",
+)
+def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.documents.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@spec(
+    "q55_memory_current",
+    f"""
+    WITH {SQL_CARDS}
+    SELECT entity, slot, value, version_relation, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY entity, slot
+                                   ORDER BY ts DESC, seq DESC) AS rn
+      FROM cards)
+    WHERE rn = 1 AND version_relation <> 'Retracts'
+    """,
+    "current memory view: latest non-retracted card per entity:slot "
+    "(memory.rs:222-224, memory_card.rs:248-283)",
+)
+def q55_memory_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    cur = memory.current_cards(memory.cards_from_events(t.events))
+    return cur.select(
+        "entity", "slot", "value", "version_relation", F.expr("ts div 1000").alias("ts_us")
+    )
+
+
+@spec(
+    "q56_memory_slot_agg",
+    f"""
+    WITH {SQL_CARDS}
+    SELECT slot, count(*) AS n_cards, count(DISTINCT entity) AS n_entities,
+           count(DISTINCT value) AS n_values, min(value) AS min_value,
+           max(value) AS max_value
+    FROM cards GROUP BY slot
+    """,
+    "aggregate_memory_slot: distinct-value summary (memory.rs:269-271)",
+)
+def q56_memory_slot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    return memory.aggregate_memory_slot(memory.cards_from_events(t.events))
+
+
+@spec(
+    "q57_schema_inference",
+    f"""
+    WITH {SQL_CARDS},
+    typed AS (
+      SELECT *, CASE WHEN regexp_matches(value, '^-?[0-9]+(\\.[0-9]+)?$') THEN 'number'
+                     WHEN regexp_matches(value, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 'date'
+                     WHEN regexp_matches(lower(value), '^(true|false)$') THEN 'boolean'
+                     ELSE 'string' END AS vtype
+      FROM cards
+    ),
+    votes AS (
+      SELECT slot, count(*) AS n_cards,
+             sum(CASE WHEN vtype='number' THEN 1 ELSE 0 END) AS n_number,
+             sum(CASE WHEN vtype='date' THEN 1 ELSE 0 END) AS n_date,
+             sum(CASE WHEN vtype='boolean' THEN 1 ELSE 0 END) AS n_boolean,
+             sum(CASE WHEN vtype='string' THEN 1 ELSE 0 END) AS n_string
+      FROM typed GROUP BY slot
+    ),
+    per_entity AS (
+      SELECT slot, max(nv) AS max_per_entity FROM (
+        SELECT slot, entity, count(DISTINCT value) AS nv FROM cards GROUP BY slot, entity)
+      GROUP BY slot
+    )
+    SELECT v.slot, v.n_cards,
+           CASE WHEN n_number >= n_date AND n_number >= n_boolean AND n_number >= n_string THEN 'number'
+                WHEN n_date >= n_boolean AND n_date >= n_string THEN 'date'
+                WHEN n_boolean >= n_string THEN 'boolean'
+                ELSE 'string' END AS value_type,
+           CASE WHEN p.max_per_entity <= 1 THEN 'Single' ELSE 'Multiple' END AS cardinality,
+           n_number, n_date, n_boolean, n_string
+    FROM votes v JOIN per_entity p ON v.slot = p.slot
+    """,
+    "schema inference: per-slot type histogram + cardinality vote "
+    "(schema.rs:478-520, memory.rs:434-530)",
+)
+def q57_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    return memory.infer_schemas(memory.cards_from_events(t.events))
+
+
+@spec(
+    "q58_memory_occurrences",
+    f"""
+    WITH {SQL_CARDS}
+    SELECT entity, slot, count(*) AS n FROM cards
+    WHERE entity LIKE 'user:1%' AND contains(value, '"k"')
+    GROUP BY entity, slot
+    """,
+    "count_memory_occurrences with entity prefix + value substring "
+    "(memory.rs:285-293)",
+)
+def q58_memory_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    return memory.count_memory_occurrences(
+        memory.cards_from_events(t.events), entity_prefix="user:1", value_contains='"k"'
+    )
+
+
+@spec(
+    "q60_mesh_follow",
+    """
+    WITH e AS (
+      SELECT 'customer:'||c_custkey::varchar AS src,
+             'nation:'||c_nationkey::varchar AS dst FROM customer
+      UNION ALL
+      SELECT 'supplier:'||s_suppkey::varchar, 'nation:'||s_nationkey::varchar FROM supplier
+      UNION ALL
+      SELECT 'nation:'||n_nationkey::varchar, 'region:'||n_regionkey::varchar FROM nation
+    ),
+    starts AS (
+      SELECT 'customer:'||c_custkey::varchar AS node_id FROM customer WHERE c_custkey < 20
+    ),
+    h1 AS (SELECT DISTINCT e.dst AS node_id FROM e JOIN starts s ON e.src = s.node_id),
+    h2 AS (SELECT DISTINCT e.dst AS node_id FROM e JOIN h1 ON e.src = h1.node_id)
+    SELECT node_id, min(hop) AS hop FROM (
+      SELECT node_id, 1 AS hop FROM h1 UNION ALL SELECT node_id, 2 AS hop FROM h2)
+    GROUP BY node_id
+    """,
+    "bounded-hop mesh traversal follow(start, 2 hops) as iterative "
+    "frontier-broadcast joins (logic_mesh.rs:459-514)",
+)
+def q60_mesh_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mesh
+
+    t = catalog.load(spark, sf_dir)
+    _, edges = mesh.mesh_from_tpch(t.customer, t.supplier, t.nation, t.region)
+    starts = t.customer.filter(F.col("c_custkey") < 20).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("node_id")
+    )
+    return mesh.follow(edges, starts, hops=2)
+
+
+@spec(
+    "q61_adaptive_cutoff",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('vector','stream') GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, len({SQL_TOKS.format(x='text')}) AS dl FROM documents
+    ), stats AS (SELECT count(*)::double AS n_docs FROM documents),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT tok, count(*)::double AS df FROM post GROUP BY tok),
+    weights AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS w
+      FROM post p JOIN dft f USING (tok) JOIN dl l USING (doc_id), stats s, avgdl a
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(w),6) AS score FROM weights GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    r AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             lag(score) OVER (ORDER BY score DESC, doc_id) AS prev
+      FROM bm
+    ),
+    c AS (SELECT min(rank) FILTER (WHERE prev IS NOT NULL AND score < 0.9 * prev) AS cliff FROM r)
+    SELECT doc_id, score, rank FROM r, c WHERE c.cliff IS NULL OR rank < c.cliff
+    """,
+    "adaptive cutoff ScoreCliff: dynamic k from the score curve "
+    "(types/adaptive.rs:27-33, api.rs:492-628)",
+)
+def q61_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import adaptive
+
+    t = catalog.load(spark, sf_dir)
+    hits = search.bm25_topk(t.documents, ["vector", "stream"], k=20)
+    return adaptive.score_cliff(hits, drop_ratio=0.9).select("doc_id", "score", "rank")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.fn for s in SPECS}
 

@@ -1,0 +1,106 @@
+"""Semantic unit tests on crafted inputs — reference-behavior checks that
+the synthetic-corpus oracles can't pin down."""
+
+from pyspark.sql import functions as F
+
+
+def test_current_cards_retraction_hides_slot(spark):
+    from memvid_spark.operators.memory import current_cards
+
+    cards = spark.createDataFrame(
+        [
+            ("u1", "color", "red", "Updates", 100, 1),
+            ("u1", "color", "blue", "Updates", 200, 2),
+            ("u1", "city", "paris", "Updates", 100, 3),
+            ("u1", "city", "paris", "Retracts", 300, 4),
+            ("u2", "color", "green", "Extends", 100, 5),
+        ],
+        "entity string, slot string, value string, version_relation string, ts long, seq long",
+    )
+    cur = {(r.entity, r.slot): r.value for r in current_cards(cards).collect()}
+    assert cur == {("u1", "color"): "blue", ("u2", "color"): "green"}
+    # ("u1","city") absent: latest card retracts the slot
+
+
+def test_memory_at_time_sees_pre_retraction_state(spark):
+    from memvid_spark.operators.memory import cards_from_events, memory_at_time  # noqa: F401
+    from memvid_spark.operators.memory import current_cards, memory_at_time
+
+    cards = spark.createDataFrame(
+        [
+            ("u1", "city", "paris", "Updates", 100, 1),
+            ("u1", "city", "paris", "Retracts", 300, 2),
+        ],
+        "entity string, slot string, value string, version_relation string, ts long, seq long",
+    )
+    asof = {(r.entity, r.slot): r.value for r in memory_at_time(cards, 200).collect()}
+    assert asof == {("u1", "city"): "paris"}
+    assert current_cards(cards).count() == 0
+
+
+def test_score_cliff_cuts_before_first_cliff(spark):
+    from memvid_spark.operators.adaptive import score_cliff
+
+    hits = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.5), (4, 2.0), (5, 1.9)],
+        "doc_id long, score double",
+    )
+    kept = sorted(r.doc_id for r in score_cliff(hits, drop_ratio=0.5).collect())
+    assert kept == [1, 2, 3]  # 2.0 < 0.5*8.5 → cliff at rank 4
+
+
+def test_score_cliff_no_cliff_keeps_all(spark):
+    from memvid_spark.operators.adaptive import score_cliff
+
+    hits = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0)], "doc_id long, score double"
+    )
+    assert score_cliff(hits, drop_ratio=0.5).count() == 3
+
+
+def test_relative_threshold(spark):
+    from memvid_spark.operators.adaptive import relative_threshold
+
+    hits = spark.createDataFrame(
+        [(1, 10.0), (2, 6.0), (3, 4.0)], "doc_id long, score double"
+    )
+    kept = sorted(r.doc_id for r in relative_threshold(hits, frac=0.5).collect())
+    assert kept == [1, 2]
+
+
+def test_mesh_follow_min_hop_and_direction(spark):
+    from memvid_spark.operators.mesh import follow
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "L"),
+            ("b", "c", "L"),
+            ("a", "c", "L"),  # c reachable at hop 1 AND hop 2 → min 1
+            ("x", "a", "L"),
+        ],
+        "src string, dst string, link_type string",
+    )
+    starts = spark.createDataFrame([("a",)], "node_id string")
+    got = {r.node_id: r.hop for r in follow(edges, starts, hops=2).collect()}
+    assert got == {"b": 1, "c": 1}
+    got_in = {r.node_id: r.hop for r in follow(edges, starts, hops=2, direction="in").collect()}
+    assert got_in == {"x": 1}
+
+
+def test_plan_query_modes():
+    from memvid_spark.operators.mesh import plan_query
+
+    assert plan_query("who is connected to acme").mode == "graph_only"
+    assert plan_query("docs similar to this report").mode == "vector_only"
+    assert plan_query("who is connected to something similar").mode == "hybrid"
+
+
+def test_dimension_contract(spark):
+    """Embedding dimension enforced at write (mutation.rs:3329-3349)."""
+    from memvid_spark.operators.knn import knn
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    top = knn(emb, [1.0, 0.0], k=1)
+    assert top.collect()[0].vec_id == 1
