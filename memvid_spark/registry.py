@@ -1235,6 +1235,208 @@ def q61_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.score_cliff(hits, drop_ratio=0.9).select("doc_id", "score", "rank")
 
 
+# =========================================================================
+# Ingestion surface (SURVEY §2.10, M6): chunking, enrichment extraction,
+# PII masking, versioning/tombstones/time-travel/vacuum
+# =========================================================================
+
+SQL_FRAMES = """
+    frames AS (
+      SELECT doc_id AS frame_id, text,
+             CASE WHEN doc_id % 25 = 0 THEN 'deleted' ELSE 'active' END AS status,
+             CASE WHEN doc_id % 10 = 0 AND doc_id > 0 THEN doc_id - 1 END AS supersedes
+      FROM documents
+    )
+"""
+
+
+@spec(
+    "q70_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             (1 + ceil(greatest(len(toks) - 40, 0) / 30.0))::int AS chunk_count
+      FROM t
+    )
+    SELECT doc_id AS parent_id, i::int AS chunk_index, chunk_count,
+           array_to_string(toks[i*30 + 1 : i*30 + 40], ' ') AS chunk_text,
+           least(n - i*30, 40)::int AS n_tokens
+    FROM sized, unnest(generate_series(0, chunk_count - 1)) AS g(i)
+    """,
+    "token-budget window chunker with overlap + lineage — the UDTF "
+    "surface (structure/chunker.rs, planner.rs:17-73, frame.rs:205-213)",
+)
+def q70_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    t = catalog.load(spark, sf_dir)
+    return chunk_documents(t.documents, chunk_tokens=40, stride=30)
+
+
+@spec(
+    "q71_auto_tags",
+    None,  # oracle inlined below via sql_auto_tags (computed)
+    "auto-tagging rule catalog at ingest (analysis/auto_tag.rs; "
+    "PutOptions.auto_tag, lib.rs:873-894)",
+)
+def q71_auto_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.extract import auto_tags
+
+    t = catalog.load(spark, sf_dir)
+    tags = auto_tags("text")
+    return t.documents.select(
+        "doc_id",
+        F.concat_ws(",", tags).alias("tags"),
+        F.size(tags).alias("n_tags"),
+    )
+
+
+@spec(
+    "q72_pii_masking",
+    None,  # oracle inlined below (computed from shared regexes)
+    "PII masking: email/SSN/phone regex chain (src/pii.rs:30-71)",
+)
+def q72_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.extract import mask_pii
+
+    t = catalog.load(spark, sf_dir)
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com call 555-123-4567 ssn 123-45-6789 re: "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return t.documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", mask_pii(synth).alias("masked")
+    )
+
+
+@spec(
+    "q73_uri_titles",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'mv2://docs/intro-to-' || lang || '_' || doc_id || '.md' AS uri
+      FROM documents
+    )
+    SELECT doc_id, uri,
+           array_to_string(
+             list_transform(
+               string_split(regexp_replace(regexp_replace(
+                 string_split(uri, '/')[-1], '\\.[A-Za-z0-9]+$', ''),
+                 '[-_]+', ' ', 'g'), ' '),
+               w -> upper(w[1]) || w[2:]),
+             ' ') AS title
+    FROM u
+    """,
+    "default_uri + infer_title_from_uri (src/lib.rs:481-537)",
+)
+def q73_uri_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.extract import infer_title_from_uri
+
+    t = catalog.load(spark, sf_dir)
+    uri = F.concat(
+        F.lit("mv2://docs/intro-to-"),
+        F.col("lang"),
+        F.lit("_"),
+        F.col("doc_id").cast("string"),
+        F.lit(".md"),
+    )
+    return t.documents.select(
+        "doc_id", uri.alias("uri"), infer_title_from_uri(uri).alias("title")
+    )
+
+
+@spec(
+    "q74_active_view",
+    f"""
+    WITH {SQL_FRAMES}
+    SELECT frame_id FROM frames
+    WHERE status = 'active'
+      AND frame_id NOT IN (SELECT supersedes FROM frames WHERE supersedes IS NOT NULL)
+    """,
+    "live rows under append-only versioning: tombstones + supersedes "
+    "chains excluded (mutation.rs:3150-3287)",
+)
+def q74_active_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioning import active_view, frames_from_documents
+
+    t = catalog.load(spark, sf_dir)
+    return active_view(frames_from_documents(t.documents)).select("frame_id")
+
+
+@spec(
+    "q75_time_travel",
+    f"""
+    WITH {SQL_FRAMES}, pre AS (SELECT * FROM frames WHERE frame_id <= 200)
+    SELECT frame_id FROM pre
+    WHERE status = 'active'
+      AND frame_id NOT IN (SELECT supersedes FROM pre WHERE supersedes IS NOT NULL)
+    """,
+    "as-of-frame time travel: active view at an id cut (search.rs:61-65, "
+    "api.rs:663-695)",
+)
+def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioning import as_of_frame, frames_from_documents
+
+    t = catalog.load(spark, sf_dir)
+    return as_of_frame(frames_from_documents(t.documents), 200).select("frame_id")
+
+
+@spec(
+    "q76_vacuum",
+    f"""
+    WITH {SQL_FRAMES}
+    SELECT count(*) AS n_live, count(supersedes) AS n_chain_refs,
+           sum(length(text)) AS live_bytes
+    FROM (
+      SELECT frame_id, text, CAST(NULL AS BIGINT) AS supersedes FROM frames
+      WHERE status = 'active'
+        AND frame_id NOT IN (SELECT supersedes FROM frames WHERE supersedes IS NOT NULL)
+    )
+    """,
+    "vacuum/compaction: rewrite live rows, clear chain bookkeeping "
+    "(mutation.rs:2999-3084)",
+)
+def q76_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioning import frames_from_documents, vacuum
+
+    t = catalog.load(spark, sf_dir)
+    v = vacuum(frames_from_documents(t.documents))
+    return v.agg(
+        F.count("*").alias("n_live"),
+        F.count("supersedes").alias("n_chain_refs"),
+        F.sum(F.length("text")).alias("live_bytes"),
+    )
+
+
+def _computed_oracles() -> None:
+    """Fill in oracles that are assembled from shared Python constants
+    (regex/rule catalogs) so engine and oracle can't drift."""
+    from .functions.extract import sql_auto_tags, sql_mask_pii
+
+    by_name = {s.name: s for s in SPECS}
+    by_name["q71_auto_tags"].oracle = f"""
+    SELECT doc_id,
+           array_to_string({sql_auto_tags('text')}, ',') AS tags,
+           len({sql_auto_tags('text')}) AS n_tags
+    FROM documents
+    """
+    synth = (
+        "'contact user' || doc_id || '@corp.example.com call 555-123-4567 "
+        "ssn 123-45-6789 re: ' || substr(text, 1, 40)"
+    )
+    by_name["q72_pii_masking"].oracle = f"""
+    SELECT doc_id, {sql_mask_pii(synth)} AS masked
+    FROM documents WHERE doc_id < 100
+    """
+
+
+_computed_oracles()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.fn for s in SPECS}
 
