@@ -1,0 +1,161 @@
+"""Structured Streaming re-expression of memvid's streaming-shaped
+machinery (SURVEY §2.11).
+
+| reference concept                          | here                            |
+|--------------------------------------------|---------------------------------|
+| WAL append → checkpoint → commit           | micro-batch + checkpointLocation|
+| batch ingestion, deferred index            | foreachBatch bulk append        |
+| progressive enrichment queue               | streaming enrichment job with an|
+| (Searchable → Enriched, exactly once per   | enrichment-manifest anti-join   |
+| engine version, enrichment_worker.rs:1-150,| inside foreachBatch             |
+| memories_track.rs:145-240)                 |                                 |
+| timeline windows                           | watermark + window() aggs       |
+
+Scale: the streaming plans are identical to the batch plans (Catalyst
+incrementalizes them); state stores are keyed by (window, type) or
+user — uniform keys, RocksDB-backed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns (nanosAsLong read)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    from ..session import configure
+
+    configure(spark)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def with_event_time(events: DataFrame, col: str = "event_time") -> DataFrame:
+    return events.withColumn(col, F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup per event_type — the streaming
+    twin of q51; late rows beyond the watermark are dropped, state for
+    closed windows is evicted."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_len), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded file-source stream through all available data into
+    an in-memory table (local test harness; a real deployment uses a
+    durable sink + checkpoint dir)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+class EnrichmentWorker:
+    """Progressive enrichment queue (enrichment_worker.rs:1-150).
+
+    Documents arrive 'searchable'; each micro-batch enriches rows not yet
+    processed by THIS engine version (the enrichment-manifest semantics of
+    memories_track.rs:165-240: re-running a new engine version re-enriches,
+    re-running the same version is a no-op) and appends to the enriched
+    store. foreachBatch gives exactly-once via the manifest anti-join even
+    under batch replay.
+    """
+
+    def __init__(self, engine_version: str = "v1"):
+        self.engine_version = engine_version
+        self.enriched_rows: list = []
+        self._seen: set = set()  # (doc_id, engine_version) manifest
+
+    def enrich_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.extract import auto_tags
+        from ..functions.text import quality_score, token_count
+
+        done = {d for (d, v) in self._seen if v == self.engine_version}
+        todo = batch_df if not done else batch_df.filter(
+            ~F.col("doc_id").isin(list(done))
+        )
+        out = todo.select(
+            "doc_id",
+            F.concat_ws(",", auto_tags("text")).alias("tags"),
+            quality_score("text").alias("quality"),
+            token_count("text").alias("n_tokens"),
+            F.lit(self.engine_version).alias("engine_version"),
+            F.lit("enriched").alias("enrichment_state"),
+        ).collect()
+        self.enriched_rows.extend(out)
+        self._seen.update((r.doc_id, self.engine_version) for r in out)
+
+    def run(self, docs_stream: DataFrame) -> None:
+        q = docs_stream.writeStream.foreachBatch(self.enrich_batch).start()
+        q.processAllAvailable()
+        q.stop()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (the applyInPandasWithState surface for
+    operators Spark lacks, SURVEY §2.11)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,121 @@
+"""Structured Streaming tests: file-source micro-batches over the events
+parquet, validated against the equivalent batch computation."""
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_rollup_matches_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from memvid_spark.streaming.enrichment import (
+        run_to_completion,
+        stream_events,
+        windowed_rollup,
+    )
+
+    stream = stream_events(spark, events_dir)
+    # update mode: append would hold back windows the watermark hasn't
+    # closed (the stream ends before the last windows finalize)
+    got = run_to_completion(windowed_rollup(stream), "rollup_out", "update")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    g = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in got.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert g == b and len(g) > 0
+
+
+def test_enrichment_worker_exactly_once(spark, docs_dir):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from memvid_spark.streaming.enrichment import EnrichmentWorker
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
+    )
+    w = EnrichmentWorker(engine_version="v1")
+    w.run(stream)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(w.enriched_rows) == n_docs
+    assert all(r.enrichment_state == "enriched" for r in w.enriched_rows[:5])
+    # same engine version re-run: manifest makes it a no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
+    )
+    w.run(stream2)
+    assert len(w.enriched_rows) == n_docs
+    # new engine version: re-enriches everything (memories_track.rs:165-240)
+    w2 = EnrichmentWorker(engine_version="v2")
+    w2._seen = w._seen
+    w2.enriched_rows = list(w.enriched_rows)
+    stream3 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
+    )
+    w2.run(stream3)
+    assert len(w2.enriched_rows) == 2 * n_docs
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from memvid_spark.streaming.enrichment import (
+        running_user_totals,
+        run_to_completion,
+        stream_events,
+    )
+
+    stream = stream_events(spark, events_dir)
+    got = run_to_completion(running_user_totals(stream), "totals_out", "update")
+    # final state per user (single input file → one batch) must equal batch agg
+    final = {r.user_id: (r.n_events, r.total) for r in got.collect()}
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    expect = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert final == expect
