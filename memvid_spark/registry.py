@@ -1235,6 +1235,142 @@ def q61_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.score_cliff(hits, drop_ratio=0.9).select("doc_id", "score", "rank")
 
 
+@spec(
+    "q59_temporal_phrase",
+    None,  # oracle computed below (bounds come from the shared resolver)
+    "NL temporal phrase → pushed-down bounds: timeline('last week') "
+    "anchored at 2024-01-17 (src/analysis/temporal.rs:92-240)",
+)
+def q59_temporal_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from .plans.temporal import resolve_ns
+
+    t = catalog.load(spark, sf_dir)
+    lo, hi = resolve_ns("last week", datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc))
+    tl = asof.timeline(t.events, since=lo, until=hi, reverse=False, limit=100)
+    return tl.select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+@spec(
+    "q62_hybrid_search",
+    f"""
+    WITH e AS (
+      SELECT 'supplier:'||s_suppkey::varchar AS src,
+             'nation:'||s_nationkey::varchar AS dst FROM supplier
+      UNION ALL
+      SELECT 'nation:'||n_nationkey::varchar, 'region:'||n_regionkey::varchar FROM nation
+    ),
+    region_nations AS (
+      SELECT e.src AS node_id FROM e WHERE e.dst = 'region:0'
+    ),
+    graph_suppliers AS (
+      SELECT e.src AS node_id FROM e JOIN region_nations rn ON e.dst = rn.node_id
+    ),
+    doc_entities AS (
+      SELECT doc_id, 'supplier:'||(doc_id % 10)::varchar AS entity FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ),
+    lex AS (
+      SELECT doc_id, count(*)::double AS score FROM toks
+      WHERE tok IN ('vector','index') GROUP BY doc_id
+    )
+    SELECT l.doc_id, d.entity, l.score
+    FROM lex l
+    JOIN doc_entities d USING (doc_id)
+    WHERE d.entity IN (SELECT node_id FROM graph_suppliers)
+    ORDER BY l.score DESC, l.doc_id LIMIT 10
+    """,
+    "hybrid search: graph pattern match semi-joined into lexical "
+    "retrieval (src/graph_search.rs:285-307,369-437)",
+)
+def q62_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mesh
+
+    t = catalog.load(spark, sf_dir)
+    _, edges = mesh.mesh_from_tpch(t.customer, t.supplier, t.nation, t.region)
+    # graph side: suppliers located in nations of region 0 (2 hops inbound)
+    starts = spark.createDataFrame([("region:0",)], "node_id string")
+    reached = mesh.follow(edges, starts, hops=2, direction="in")
+    graph_suppliers = reached.filter(F.col("node_id").startswith("supplier:"))
+    # text side: lexical hits, each doc linked to a supplier entity
+    doc_entities = t.documents.select(
+        "doc_id",
+        F.concat(F.lit("supplier:"), (F.col("doc_id") % 10).cast("string")).alias(
+            "entity"
+        ),
+    )
+    lex = search.lex_topk(t.documents, ["vector", "index"], k=1_000_000)
+    return (
+        lex.join(doc_entities, "doc_id")
+        .join(
+            F.broadcast(graph_suppliers.select(F.col("node_id").alias("entity"))),
+            "entity",
+            "left_semi",
+        )
+        .select("doc_id", "entity", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@spec(
+    "q77_acl_enforce",
+    """
+    WITH framed AS (
+      SELECT doc_id,
+             'tenant' || (doc_id % 3)::varchar AS acl_tenant,
+             CASE WHEN doc_id % 5 = 0 THEN 'private' ELSE 'public' END AS acl_visibility,
+             CASE WHEN doc_id % 2 = 0 THEN 'analyst' ELSE 'admin' END AS acl_role
+      FROM documents
+    )
+    SELECT doc_id, acl_tenant, acl_visibility, acl_role FROM framed
+    WHERE acl_tenant = 'tenant1'
+      AND (acl_visibility = 'public' OR acl_role IN ('analyst'))
+    """,
+    "ACL enforce: tenant+visibility+role predicate pushed into the scan "
+    "(src/memvid/acl.rs, applied search/mod.rs:266-274)",
+)
+def q77_acl_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.acl import AclContext, acl_columns_from_doc_id, enforce
+
+    t = catalog.load(spark, sf_dir)
+    framed = t.documents.select("doc_id", *acl_columns_from_doc_id(F.col("doc_id")))
+    ctx = AclContext(tenant="tenant1", principal="alice", roles=["analyst"])
+    return enforce(framed, ctx)
+
+
+@spec(
+    "q78_acl_audit",
+    """
+    WITH framed AS (
+      SELECT doc_id,
+             'tenant' || (doc_id % 3)::varchar AS acl_tenant,
+             CASE WHEN doc_id % 5 = 0 THEN 'private' ELSE 'public' END AS acl_visibility,
+             CASE WHEN doc_id % 2 = 0 THEN 'analyst' ELSE 'admin' END AS acl_role
+      FROM documents
+    )
+    SELECT doc_id,
+           (acl_tenant = 'tenant1'
+            AND (acl_visibility = 'public' OR acl_role IN ('analyst'))) AS acl_allowed
+    FROM framed
+    """,
+    "ACL audit mode: annotate instead of filter (acl.rs Audit vs Enforce)",
+)
+def q78_acl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.acl import AclContext, acl_columns_from_doc_id, audit
+
+    t = catalog.load(spark, sf_dir)
+    framed = t.documents.select("doc_id", *acl_columns_from_doc_id(F.col("doc_id")))
+    ctx = AclContext(tenant="tenant1", principal="alice", roles=["analyst"])
+    return audit(framed, ctx).select("doc_id", "acl_allowed")
+
+
 # =========================================================================
 # Ingestion surface (SURVEY §2.10, M6): chunking, enrichment extraction,
 # PII masking, versioning/tombstones/time-travel/vacuum
@@ -1431,6 +1567,17 @@ def _computed_oracles() -> None:
     by_name["q72_pii_masking"].oracle = f"""
     SELECT doc_id, {sql_mask_pii(synth)} AS masked
     FROM documents WHERE doc_id < 100
+    """
+    from datetime import datetime, timezone
+
+    from .plans.temporal import resolve_ns
+
+    lo, hi = resolve_ns("last week", datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc))
+    by_name["q59_temporal_phrase"].oracle = f"""
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
+    FROM events
+    WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
+    ORDER BY ts, event_id LIMIT 100
     """
 
 
