@@ -94,6 +94,52 @@ def knn_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_pandas(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k via a NumPy mapInPandas kernel — the Arrow-
+    batched analogue of the reference's SIMD scan (src/simd.rs:13-70):
+    each partition scores its Arrow batches as one matrix-vector product
+    and pre-truncates to its local top-k before the global merge.
+
+    Same results as :func:`knn` (same rounding/tie-break); preferable at
+    high dims where one BLAS call beats per-element codegen.
+    """
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(m) == 0:
+                continue
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1)) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(norms == 0, np.nan, dots / norms)
+            out = pd.DataFrame({id_col: pdf[id_col], "score": np.round(sims, 6)})
+            out = out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+            yield out
+
+    d = emb
+    if exclude_id is not None:
+        d = d.filter(F.col(id_col) != exclude_id)
+    local = d.select(id_col, vec_col).mapInPandas(score, f"{id_col} long, score double")
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    hits = local.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return hits.withColumn("rank", F.row_number().over(w))
+
+
 def embedding_quality(
     emb: DataFrame,
     sample_ids: int = 100,

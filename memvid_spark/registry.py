@@ -772,6 +772,66 @@ def q32_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.embedding_quality(t.embeddings, sample_ids=100)
 
 
+@spec(
+    "q33_knn_pandas_kernel",
+    f"""
+    WITH q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, round({SQL_COS.format(a='embedding::double[]', b='qv')}, 6) AS score
+      FROM embeddings, q WHERE vec_id <> 0
+    ), top AS (
+      SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    )
+    SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+    FROM top
+    """,
+    "NumPy mapInPandas kNN kernel (SIMD-scan analogue, src/simd.rs:13-70) "
+    "— must be bit-identical to the codegen path, same oracle as q30",
+)
+def q33_knn_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x) for x in t.embeddings.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    return knn.knn_pandas(t.embeddings, qvec, k=10, exclude_id=0)
+
+
+@spec(
+    "q34_pq_recall",
+    None,  # KMeans codebooks are not SQL-expressible → rows-only check
+    "product quantization: subspace KMeans + ADC search, recall@10 vs "
+    "exact ground truth (src/vec_pq.rs:1-175, validation vec.rs:587-651)",
+)
+def q34_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_recall
+
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x) for x in t.embeddings.filter(F.col("vec_id") == 1).head().embedding
+    ]
+    r = pq_recall(t.embeddings, qvec, k=10, n_sub=8, n_centroids=64)
+    return spark.createDataFrame(
+        [(10, float(r), 8, 64)], "k int, recall double, n_sub int, n_centroids int"
+    )
+
+
+@spec(
+    "q35_ivf_knn",
+    None,  # KMeans cell assignment not SQL-expressible → rows-only check
+    "IVF approximate kNN: probe n_probe nearest cells only — the 100 TB "
+    "scan-reduction path (HNSW-threshold analogue, src/vec.rs:22-28)",
+)
+def q35_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import ivf_knn, train_centroids
+
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x) for x in t.embeddings.filter(F.col("vec_id") == 2).head().embedding
+    ]
+    centroids = train_centroids(t.embeddings, n_cells=8)
+    return ivf_knn(t.embeddings, centroids, qvec, k=10, n_probe=3)
+
+
 # =========================================================================
 # Deduplication family (training-data-pipeline surface; BASELINE.json)
 # =========================================================================
@@ -1546,6 +1606,41 @@ def q76_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("supersedes").alias("n_chain_refs"),
         F.sum(F.length("text")).alias("live_bytes"),
     )
+
+
+@spec(
+    "q80_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           length(text)::bigint AS n_bytes,
+           sha256(text) AS checksum,
+           length(text)::double AS f0,
+           (list_sum(list_transform(generate_series(1, least(length(text), 64)),
+                                    i -> ord(text[i]))) % 251)::double AS f1,
+           ord(text[1])::double AS f2,
+           ord(text[-1])::double AS f3,
+           ('0x' || substr(md5(text), 1, 2))::int::double AS f4,
+           ('0x' || substr(md5(text), 3, 2))::int::double AS f5,
+           (('0x' || substr(md5(text), 5, 4))::int % 997)::double AS f6,
+           length(CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END)::double AS f7
+    FROM documents
+    """,
+    "multimodal pipeline: binary payload + typed metadata → mapInPandas "
+    "feature extraction (deterministic stand-in decode; metadata.rs, "
+    "lib.rs:1251-1313) — every byte of the Arrow round-trip oracle-checked",
+)
+def q80_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.multimodal import extract_features, media_from_documents
+
+    t = catalog.load(spark, sf_dir)
+    feats = extract_features(media_from_documents(t.documents))
+    cols = [F.element_at("feat", i + 1).cast("double").alias(f"f{i}") for i in range(8)]
+    return feats.select("media_id", "mime", "n_bytes", "checksum", *cols)
 
 
 def _computed_oracles() -> None:

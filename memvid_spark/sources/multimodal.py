@@ -1,0 +1,133 @@
+"""Multimodal columns: binary payloads with typed metadata, decode /
+feature-extraction plumbing over mapInPandas.
+
+Reference: media frames carry DocMetadata (mime, bytes, width/height,
+exif, audio, MediaManifest — src/types/metadata.rs, exercised
+src/lib.rs:1251-1313); blob retrieval by URI (blob_reader_by_uri).
+
+Container constraint: no image/audio libraries are installed, so the
+DECODE step is stubbed — ``decode_image`` raises NotImplementedError
+unless a decoder is injected, and ``fake_decode`` provides a
+deterministic stand-in so the Spark-side plumbing (schema, Arrow batch
+shape, partitioning) is real and tested. A deployment swaps
+``fake_decode`` for PIL/ffmpeg without touching the pipeline.
+
+Scale: payloads are opaque BINARY columns (or object-store path columns
+for >row-group-sized media); extraction runs in mapInPandas so each
+Arrow batch is decoded in one Python call; the output is columnar
+features, never re-serialized media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, mime string, payload binary, width int, height int, "
+    "n_frames int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, checksum string, "
+    "feat array<float>"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic demo media table: payload bytes derived from the
+    text, typed metadata derived from doc_id."""
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mime.alias("mime"),
+        F.encode(F.col("text"), "utf-8").cast("binary").alias("payload"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 24 + 1).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes, mime: str):
+    """Real decoder injection point. The container has no codec libs."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; inject a decoder or use fake_decode"
+    )
+
+
+def fake_decode(payload: bytes, mime: str) -> list[float]:
+    """Deterministic stand-in 'decoder': 8 features from byte statistics.
+    Keeps the Arrow pipeline honest (shape, dtype, batching) without
+    codec libraries."""
+    import hashlib
+
+    n = max(len(payload), 1)
+    h = hashlib.md5(payload).digest()
+    return [
+        float(len(payload)),
+        float(sum(payload[:64]) % 251),
+        float(payload[0] if payload else 0),
+        float(payload[-1] if payload else 0),
+        float(h[0]),
+        float(h[1]),
+        float(int.from_bytes(h[2:4], "big") % 997),
+        float(len(mime)),
+    ]
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes, str], list[float]] = fake_decode,
+    batch_note: str = "arrow",
+) -> DataFrame:
+    """mapInPandas feature extraction: one Python call per Arrow batch,
+    output strictly columnar (FEATURE_SCHEMA)."""
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, checks, nbytes = [], [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                b = bytes(payload) if payload is not None else b""
+                feats.append(decode(b, mime))
+                checks.append(hashlib.sha256(b).hexdigest())
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": nbytes,
+                    "checksum": checks,
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per sampled
+    frame index (explode of a sequence — no Python, no shuffle)."""
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1)
+    sampled = F.filter(frames, lambda i: i % every_nth == F.lit(0))
+    return (
+        media.filter(F.col("mime").startswith("video/"))
+        .select(
+            "media_id",
+            "n_frames",
+            F.explode(sampled).alias("frame_index"),
+        )
+        .withColumn(
+            "frame_ts_ms",
+            (F.col("frame_index") * F.lit(1000) / F.lit(24)).cast("int"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""PQ / IVF / pandas-kernel tests: approximate paths validated against
+exact ground truth (the reference's own method, src/vec.rs:587-651)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _qvec(spark, vid=0):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return emb, [float(x) for x in emb.filter(F.col("vec_id") == vid).head().embedding]
+
+
+def test_knn_pandas_matches_codegen(spark):
+    from memvid_spark.operators.knn import knn, knn_pandas
+
+    emb, q = _qvec(spark)
+    a = [(r.vec_id, r.score, r.rank) for r in knn(emb, q, k=10, exclude_id=0).collect()]
+    b = [
+        (r.vec_id, r.score, r.rank)
+        for r in knn_pandas(emb, q, k=10, exclude_id=0).collect()
+    ]
+    assert a == b
+
+
+def test_pq_recall_bound(spark):
+    from memvid_spark.operators.pq import pq_recall
+
+    emb, q = _qvec(spark, 1)
+    r = pq_recall(emb, q, k=10, n_sub=8, n_centroids=64)
+    # vec_pq.rs:3-10 claims ~95% at 384d/256 centroids; the 16-d test
+    # vectors are hash-random (hardest case) — assert a conservative floor
+    assert 0.4 <= r <= 1.0
+
+
+def test_ivf_probe_subset_of_exact_when_all_cells(spark):
+    from memvid_spark.operators.knn import ivf_knn, knn, train_centroids
+
+    emb, q = _qvec(spark, 2)
+    cents = train_centroids(emb, n_cells=4)
+    # probing ALL cells must reproduce the exact result
+    approx = ivf_knn(emb, cents, q, k=10, n_probe=4)
+    exact = knn(emb, q, k=10)
+    assert [(r.vec_id, r.score) for r in approx.collect()] == [
+        (r.vec_id, r.score) for r in exact.collect()
+    ]
+
+
+def test_pq_encode_shape(spark):
+    from memvid_spark.operators.pq import encode, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = train_pq(emb, n_sub=4, k=16)
+    codes = encode(model, emb)
+    row = codes.head()
+    assert len(row.code) == 4
+    assert all(0 <= c < 16 for c in row.code)
+    assert codes.count() == emb.count()
+
+
+def test_multimodal_pipeline(spark):
+    from memvid_spark.sources.multimodal import (
+        extract_features,
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = media_from_documents(docs)
+    feats = extract_features(media)
+    row = feats.head()
+    assert len(row.feat) == 8 and row.n_bytes > 0 and len(row.checksum) == 64
+    assert feats.count() == docs.count()
+    frames = sample_frames(media, every_nth=4)
+    r = frames.head()
+    assert r.frame_index % 4 == 0 and r.frame_ts_ms >= 0
+    # decode stub is explicit about the missing capability
+    import pytest
+
+    from memvid_spark.sources.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", "image/png")
