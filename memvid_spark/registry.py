@@ -1643,6 +1643,138 @@ def q80_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "n_bytes", "checksum", *cols)
 
 
+# =========================================================================
+# Structure detection & structural chunking (SURVEY §2.10;
+# src/structure/detector.rs, src/structure/chunker.rs)
+# =========================================================================
+
+# DuckDB twin of structure.demo_structured_lines + detect_structure:
+# render deterministic structured lines, classify (code-fence parity,
+# heading/table prefixes), gaps-and-islands into blocks.
+SQL_STRUCT_BLOCKS = """
+    wds AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    rendered AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN list_concat(base, extra) ELSE base END AS ls
+      FROM (
+        SELECT doc_id,
+          ['# doc ' || doc_id,
+           array_to_string(w[1:8], ' '),
+           '## details',
+           '| key | value |',
+           '| w1 | ' || coalesce(w[9], 'pad9') || ' |',
+           '| w2 | ' || coalesce(w[10], 'pad10') || ' |',
+           '| w3 | ' || coalesce(w[11], 'pad11') || ' |',
+           '```',
+           'let x = "' || coalesce(w[12], 'pad12') || '"',
+           '```',
+           coalesce(array_to_string(w[13:20], ' '), '')] AS base,
+          ['### extra', '| k | v |',
+           '| e | ' || coalesce(w[21], 'pad21') || ' |'] AS extra
+        FROM wds)
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ls)))::int - 1 AS line_no, ls
+      FROM rendered
+    ),
+    lines2 AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lines),
+    fenced AS (
+      SELECT doc_id, line_no, line,
+        sum(CASE WHEN line = '```' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY line_no
+                ROWS UNBOUNDED PRECEDING) AS fcnt
+      FROM lines2
+    ),
+    kinds AS (
+      SELECT doc_id, line_no, line,
+        CASE WHEN line = '```' OR fcnt % 2 = 1 THEN 'code'
+             WHEN line LIKE '#%' THEN 'heading'
+             WHEN line LIKE '|%' THEN 'table'
+             WHEN trim(line) = '' THEN 'blank'
+             ELSE 'para' END AS kind
+      FROM fenced
+    ),
+    ctx AS (
+      SELECT doc_id, line_no, line, kind,
+        last_value(CASE WHEN kind = 'heading' THEN line END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY line_no
+                ROWS UNBOUNDED PRECEDING) AS heading_ctx,
+        line_no - row_number()
+          OVER (PARTITION BY doc_id, kind ORDER BY line_no) AS grp
+      FROM kinds
+    ),
+    blocks AS (
+      SELECT doc_id, kind,
+             min(line_no)::int AS block_start,
+             count(*)::bigint AS n_lines,
+             string_agg(line, chr(10) ORDER BY line_no) AS content,
+             min_by(heading_ctx, line_no) AS heading_ctx
+      FROM ctx WHERE kind <> 'blank'
+      GROUP BY doc_id, kind, grp
+    )
+"""
+
+
+@spec(
+    "q81_structure_blocks",
+    f"""
+    WITH {SQL_STRUCT_BLOCKS}
+    SELECT doc_id, kind, block_start, n_lines, content, heading_ctx
+    FROM blocks
+    """,
+    "structure detection: line classification (code-fence parity, "
+    "heading/table prefixes) + gaps-and-islands block assembly "
+    "(src/structure/detector.rs; SURVEY §2.10) — two windows + one "
+    "groupBy, zero Python",
+)
+def q81_structure_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.structure import demo_structured_lines, detect_structure
+
+    t = catalog.load(spark, sf_dir)
+    return detect_structure(demo_structured_lines(t.documents))
+
+
+@spec(
+    "q82_structural_chunks",
+    f"""
+    WITH {SQL_STRUCT_BLOCKS},
+    parts AS (
+      SELECT doc_id, block_start, kind, heading_ctx,
+        str_split(content, chr(10)) AS ls
+      FROM blocks
+    ),
+    chunked AS (
+      SELECT doc_id, block_start, kind, heading_ctx,
+        CASE WHEN kind = 'table' AND len(ls) - 1 > 2 THEN
+          list_transform(
+            generate_series(0, (ceil((len(ls) - 1) / 2.0))::int - 1),
+            i -> ls[1] || chr(10) ||
+                 array_to_string(ls[i * 2 + 2 : i * 2 + 3], chr(10)))
+        ELSE [array_to_string(ls, chr(10))] END AS chunks
+      FROM parts
+    )
+    SELECT doc_id, block_start, kind, heading_ctx,
+           unnest(generate_series(1, len(chunks)))::int - 1 AS chunk_index,
+           chunks[unnest(generate_series(1, len(chunks)))] AS chunk_text
+    FROM chunked
+    """,
+    "structural chunker: tables split between rows with the header row "
+    "propagated per chunk, code/headings/paragraphs kept whole, heading "
+    "context carried (src/structure/chunker.rs:1-60) — pure projection",
+)
+def q82_structural_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.structure import (
+        demo_structured_lines,
+        detect_structure,
+        structural_chunks,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    blocks = detect_structure(demo_structured_lines(t.documents))
+    return structural_chunks(blocks, max_table_rows=2)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
