@@ -1775,6 +1775,111 @@ def q82_structural_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structural_chunks(blocks, max_table_rows=2)
 
 
+# =========================================================================
+# Reader registry & structured sheet extraction (SURVEY §2.1;
+# src/reader/mod.rs, src/reader/xlsx_table_detect.rs)
+# =========================================================================
+
+
+@spec(
+    "q83_format_sniffing",
+    """
+    SELECT doc_id,
+           'mv2://docs/' || doc_id ||
+             CASE doc_id % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.pdf'
+                             WHEN 2 THEN '.docx' ELSE '.xlsx' END AS uri,
+           CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'pdf'
+                           WHEN 2 THEN 'docx' ELSE 'xlsx' END AS fmt,
+           text,
+           length(text)::bigint AS n_chars
+    FROM documents
+    """,
+    "reader registry: magic-bytes + extension format sniffing, per-format "
+    "dispatch over Arrow batches (src/reader/mod.rs:28-39,177-217; "
+    "mutation.rs:229-321) — extraction round-trips the demo containers",
+)
+def q83_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import demo_payloads, extract_documents
+
+    t = catalog.load(spark, sf_dir)
+    return extract_documents(demo_payloads(t.documents))
+
+
+@spec(
+    "q84_sheet_tables",
+    """
+    WITH wds AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sheet AS (
+      SELECT doc_id,
+        ['name,qty,price']
+        || list_transform(generate_series(1, (doc_id % 3 + 2)::int),
+             i -> coalesce(w[1], 'pad1') || ',' || (doc_id + i) || ','
+                  || (doc_id % 90 + i) || '.5')
+        || ['', 'city,code']
+        || [coalesce(w[2], 'pad2') || ',' || (doc_id * 7)] AS ls
+      FROM wds
+    ),
+    rows_ AS (
+      SELECT doc_id, unnest(generate_series(1, len(ls)))::int - 1 AS row_no, ls
+      FROM sheet
+    ),
+    r2 AS (SELECT doc_id, row_no, ls[row_no + 1] AS row FROM rows_),
+    isl AS (
+      SELECT doc_id, row_no, row, trim(row) = '' AS blank,
+        row_no - row_number()
+          OVER (PARTITION BY doc_id, trim(row) = '' ORDER BY row_no) AS grp
+      FROM r2
+    ),
+    tab AS (
+      SELECT doc_id, row_no, row,
+        (dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1)::int
+          AS table_index
+      FROM isl WHERE NOT blank
+    ),
+    numbered AS (
+      SELECT *, row_number()
+        OVER (PARTITION BY doc_id, table_index ORDER BY row_no) AS rn
+      FROM tab
+    ),
+    cells AS (
+      SELECT doc_id, table_index, rn, str_split(row, ',') AS cs,
+        unnest(generate_series(1, len(str_split(row, ','))))::int - 1
+          AS col_index
+      FROM numbered
+    ),
+    c2 AS (
+      SELECT doc_id, table_index, rn, col_index, cs[col_index + 1] AS cell
+      FROM cells
+    ),
+    hdr AS (
+      SELECT doc_id, table_index, col_index, cell AS header
+      FROM c2 WHERE rn = 1
+    ),
+    typed AS (
+      SELECT doc_id, table_index, col_index, count(*)::bigint AS n_rows,
+        min(CASE WHEN regexp_matches(cell, '^-?[0-9]+$')
+                 THEN 1 ELSE 0 END) AS all_int,
+        min(CASE WHEN regexp_matches(cell, '^-?[0-9]+(\\.[0-9]+)?$')
+                 THEN 1 ELSE 0 END) AS all_num
+      FROM c2 WHERE rn > 1 GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, table_index, col_index, header,
+           CASE WHEN all_int = 1 THEN 'int'
+                WHEN all_num = 1 THEN 'double' ELSE 'str' END AS dtype,
+           n_rows
+    FROM hdr JOIN typed USING (doc_id, table_index, col_index)
+    """,
+    "XLSX-style structured extraction: blank-row islands → tables, row 1 "
+    "→ header, strictest-type column vote int ⊂ double ⊂ str "
+    "(src/reader/xlsx_table_detect.rs; tests/xlsx_structured.rs:60-529)",
+)
+def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import demo_sheets, sheet_tables
+
+    t = catalog.load(spark, sf_dir)
+    return sheet_tables(demo_sheets(t.documents))
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

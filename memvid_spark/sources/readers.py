@@ -1,0 +1,240 @@
+"""Document reader registry: format sniffing + per-format extraction.
+
+Reference: the DocumentReader trait + registry dispatch on mime /
+extension / magic bytes (src/reader/mod.rs:28-39,177-217), format
+inference at put time (src/memvid/mutation.rs:229-321), and the XLSX
+structured extractor — multi-table detection per sheet, header
+propagation, column type inference (src/reader/xlsx_table_detect.rs,
+src/reader/xlsx_chunker.rs; tests/xlsx_structured.rs:60-529).
+
+Container constraint: pypdf / python-docx / openpyxl are not installed,
+so binary-format extractors try the real library first and otherwise
+fall back to a clearly-marked demo-container parse (magic prefix +
+UTF-8 body) used by the deterministic test payloads; a genuinely binary
+payload without its library raises NotImplementedError. The sniffing,
+dispatch, Arrow batching, and output schema are all real.
+
+Sheet-table detection is NOT stubbed: it runs on Spark columns (split
+rows, gaps-and-islands on blank lines, regexp type votes) — the same
+relational pattern as operators/structure.py, so it scales with zero
+Python in the path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PDF_MAGIC = b"%PDF"
+ZIP_MAGIC = b"PK\x03\x04"
+
+READ_SCHEMA = "doc_id long, uri string, fmt string, text string, n_chars long"
+
+
+def sniff_format(payload: bytes, uri: str = "") -> str:
+    """Magic-bytes + extension inference (mutation.rs:229-321): PDF by
+    %PDF; OOXML containers by ZIP magic disambiguated on extension;
+    UTF-8 decodable → text; else binary."""
+    if payload.startswith(PDF_MAGIC):
+        return "pdf"
+    if payload.startswith(ZIP_MAGIC):
+        ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
+        if ext in ("docx", "xlsx", "xls", "pptx"):
+            return ext
+        return "zip"
+    try:
+        payload.decode("utf-8")
+        return "text"
+    except UnicodeDecodeError:
+        return "binary"
+
+
+def _demo_container_text(payload: bytes, magic: bytes) -> str | None:
+    """Parse the deterministic test container: magic prefix + UTF-8 body."""
+    if payload.startswith(magic):
+        try:
+            return payload[len(magic):].decode("utf-8").lstrip("\n")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _read_text(payload: bytes) -> str:
+    return payload.decode("utf-8")
+
+
+def _read_pdf(payload: bytes) -> str:
+    try:
+        import pypdf  # noqa: F401  — real extractor when available
+    except ImportError:
+        text = _demo_container_text(payload, b"%PDF-1.4")
+        if text is not None:
+            return text
+        raise NotImplementedError("pdf extraction requires pypdf")
+    import io
+
+    return "\n".join(
+        p.extract_text() or "" for p in pypdf.PdfReader(io.BytesIO(payload)).pages
+    )
+
+
+def _read_ooxml(payload: bytes) -> str:
+    # real path would go through python-docx / openpyxl / python-pptx
+    text = _demo_container_text(payload, ZIP_MAGIC)
+    if text is not None:
+        return text
+    raise NotImplementedError("OOXML extraction requires its format library")
+
+
+READERS: dict[str, Callable[[bytes], str]] = {
+    "text": _read_text,
+    "pdf": _read_pdf,
+    "docx": _read_ooxml,
+    "xlsx": _read_ooxml,
+    "xls": _read_ooxml,
+    "pptx": _read_ooxml,
+}
+
+
+def register_reader(fmt: str, fn: Callable[[bytes], str]) -> None:
+    """Plugin point — the DocumentReader registry (reader/mod.rs:177-217)."""
+    READERS[fmt] = fn
+
+
+def demo_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic test payloads cycling through the formats."""
+    m = F.col("doc_id") % 4
+    uri = F.concat(
+        F.lit("mv2://docs/"),
+        F.col("doc_id"),
+        F.when(m == 0, ".txt").when(m == 1, ".pdf").when(m == 2, ".docx").otherwise(".xlsx"),
+    )
+    prefix = (
+        F.when(m == 1, F.lit("%PDF-1.4\n"))
+        .when(m >= 2, F.lit("PK\x03\x04"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        uri.alias("uri"),
+        F.encode(F.concat(prefix, F.col("text")), "utf-8").alias("payload"),
+    )
+
+
+def extract_documents(payloads: DataFrame) -> DataFrame:
+    """Sniff + dispatch + extract over Arrow batches (one Python call per
+    batch). Output is READ_SCHEMA; unknown binary formats surface as
+    fmt='binary' with NULL text rather than failing the batch."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fmts, texts, ns = [], [], []
+            for payload, uri in zip(pdf["payload"], pdf["uri"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = sniff_format(b, uri or "")
+                reader = READERS.get(fmt)
+                if reader is None:
+                    fmts.append(fmt)
+                    texts.append(None)
+                    ns.append(0)
+                    continue
+                try:
+                    text = reader(b)
+                except NotImplementedError:
+                    text = None
+                fmts.append(fmt)
+                texts.append(text)
+                ns.append(len(text) if text is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": pdf["uri"],
+                    "fmt": fmts,
+                    "text": texts,
+                    "n_chars": ns,
+                }
+            )
+
+    return payloads.mapInPandas(run, READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sheet-table structured extraction (xlsx_table_detect.rs semantics)
+# ---------------------------------------------------------------------------
+
+INT_RE = r"^-?[0-9]+$"
+NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def demo_sheets(docs: DataFrame) -> DataFrame:
+    """Deterministic CSV-ish sheet per doc: two tables separated by a
+    blank row; the first table's row count varies with doc_id."""
+    wds = F.split(F.col("text"), " ")
+    w1 = F.coalesce(F.try_element_at(wds, F.lit(1)), F.lit("pad1"))
+    w2 = F.coalesce(F.try_element_at(wds, F.lit(2)), F.lit("pad2"))
+    data_rows = F.transform(
+        F.sequence(F.lit(1), F.col("doc_id") % 3 + 2),
+        lambda i: F.concat_ws(
+            ",", w1, (F.col("doc_id") + i).cast("string"),
+            F.concat((F.col("doc_id") % 90 + i).cast("string"), F.lit(".5")),
+        ),
+    )
+    sheet = F.concat(
+        F.array(F.lit("name,qty,price")),
+        data_rows,
+        F.array(F.lit(""), F.lit("city,code")),
+        F.array(F.concat_ws(",", w2, (F.col("doc_id") * 7).cast("string"))),
+    )
+    return docs.select("doc_id", F.array_join(sheet, "\n").alias("sheet_text"))
+
+
+def sheet_tables(sheets: DataFrame, text_col: str = "sheet_text") -> DataFrame:
+    """Multi-table detection per sheet + per-column type inference —
+    blank-row islands become tables, row 1 of each island is the header,
+    and each column's type is the strictest satisfied by every cell
+    (int ⊂ double ⊂ str), mirroring xlsx_table_detect.rs's column
+    voting. Pure column expressions + two groupBys.
+
+    Output: (doc_id, table_index, col_index, header, dtype, n_rows).
+    """
+    rows = sheets.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("row_no", "row"),
+    )
+    wkind = Window.partitionBy("doc_id", "blank").orderBy("row_no")
+    islands = (
+        rows.withColumn("blank", F.trim(F.col("row")) == "")
+        .withColumn("grp", F.col("row_no") - F.row_number().over(wkind))
+        .filter(~F.col("blank"))
+    )
+    wgrp = Window.partitionBy("doc_id").orderBy("grp")
+    tables = islands.withColumn("table_index", F.dense_rank().over(wgrp) - 1)
+    wtab = Window.partitionBy("doc_id", "table_index").orderBy("row_no")
+    cells = (
+        tables.withColumn("rn", F.row_number().over(wtab))
+        .select(
+            "doc_id", "table_index", "rn",
+            F.posexplode(F.split(F.col("row"), ",")).alias("col_index", "cell"),
+        )
+    )
+    headers = cells.filter(F.col("rn") == 1).select(
+        "doc_id", "table_index", "col_index", F.col("cell").alias("header")
+    )
+    body = cells.filter(F.col("rn") > 1)
+    typed = body.groupBy("doc_id", "table_index", "col_index").agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.col("cell").rlike(INT_RE).cast("int")).alias("all_int"),
+        F.min(F.col("cell").rlike(NUM_RE).cast("int")).alias("all_num"),
+    )
+    dtype = (
+        F.when(F.col("all_int") == 1, "int")
+        .when(F.col("all_num") == 1, "double")
+        .otherwise("str")
+    )
+    return headers.join(typed, ["doc_id", "table_index", "col_index"]).select(
+        "doc_id", "table_index", "col_index", "header",
+        dtype.alias("dtype"), "n_rows",
+    )

@@ -1,0 +1,51 @@
+"""Reader registry: sniffing rules, dispatch fallbacks, sheet-table
+type inference (reader/mod.rs, xlsx_table_detect.rs semantics)."""
+
+from memvid_spark.sources.readers import (
+    demo_sheets,
+    extract_documents,
+    register_reader,
+    sheet_tables,
+    sniff_format,
+)
+
+
+def test_sniff_format_rules():
+    assert sniff_format(b"%PDF-1.7 blah") == "pdf"
+    assert sniff_format(b"PK\x03\x04...", "mv2://a/report.XLSX") == "xlsx"
+    assert sniff_format(b"PK\x03\x04...", "mv2://a/deck.pptx") == "pptx"
+    assert sniff_format(b"PK\x03\x04...", "mv2://a/archive.zip") == "zip"
+    assert sniff_format("plain text".encode()) == "text"
+    assert sniff_format(b"\xff\xfe\x00\x80") == "binary"
+
+
+def test_extract_binary_and_custom_reader(spark):
+    payloads = spark.createDataFrame(
+        [(1, "a.bin", bytearray(b"\xff\xfe\x00\x80")),
+         (2, "b.txt", bytearray(b"hello"))],
+        "doc_id long, uri string, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_documents(payloads).collect()}
+    assert rows[1].fmt == "binary" and rows[1].text is None
+    assert rows[2].fmt == "text" and rows[2].text == "hello"
+    # plugin registration (DocumentReader registry analogue)
+    register_reader("binary", lambda b: f"<{len(b)} bytes>")
+    try:
+        rows = {r.doc_id: r for r in extract_documents(payloads).collect()}
+        assert rows[1].text == "<4 bytes>"
+    finally:
+        del __import__("memvid_spark.sources.readers", fromlist=["READERS"]).READERS[
+            "binary"
+        ]
+
+
+def test_sheet_table_types(spark):
+    docs = spark.createDataFrame([(7, "alpha beta")], "doc_id long, text string")
+    out = sheet_tables(demo_sheets(docs)).collect()
+    t0 = {r.col_index: r for r in out if r.table_index == 0}
+    assert [t0[i].header for i in range(3)] == ["name", "qty", "price"]
+    assert [t0[i].dtype for i in range(3)] == ["str", "int", "double"]
+    assert t0[0].n_rows == 7 % 3 + 2
+    t1 = {r.col_index: r for r in out if r.table_index == 1}
+    assert [t1[i].header for i in range(2)] == ["city", "code"]
+    assert t1[1].dtype == "int"
