@@ -1643,6 +1643,64 @@ def q80_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "n_bytes", "checksum", *cols)
 
 
+@spec(
+    "q25_embedding_near_dups",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::double[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::double[], x -> x * 1.001)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    bk AS (
+      SELECT vec_id, v,
+        array_to_string(list_transform(v[1:8],
+          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM base
+    )
+    SELECT a, b, cos FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round({SQL_COS.format(a='x.v', b='y.v')}, 6) AS cos
+      FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ) WHERE cos >= 0.999
+    """,
+    "embedding-cosine near-dup via sign-pattern LSH buckets (planted "
+    "scaled copies as ground truth) — bucketed join, never O(n²); the "
+    "training-data dedup family's embedding tier",
+)
+def q25_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    planted = dedup.plant_near_dups(t.embeddings, every=10)
+    return dedup.embedding_near_dup_pairs(planted, threshold=0.999, n_sign_bits=8)
+
+
+@spec(
+    "q43_rolling_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(gram), 1, 15))::bigint AS fingerprint
+      FROM grams
+    )
+    SELECT doc_id, fingerprint FROM fp WHERE fingerprint % 4 = 0
+    """,
+    "document fingerprinting: token 3-gram rolling hashes, mod-4 sampled "
+    "(Broder 0-mod-p selection) — overlap detection becomes a fingerprint "
+    "equi-join; text-analysis family",
+)
+def q43_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return dedup.rolling_fingerprints(t.documents, k=3, p=4)
+
+
 # =========================================================================
 # Structure detection & structural chunking (SURVEY §2.10;
 # src/structure/detector.rs, src/structure/chunker.rs)
