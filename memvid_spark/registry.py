@@ -1938,6 +1938,138 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sheet_tables(demo_sheets(t.documents))
 
 
+# =========================================================================
+# Replay track & doctor audits (src/replay/types.rs, src/replay/engine.rs,
+# src/memvid/doctor.rs; SURVEY §1.2, §3.3)
+# =========================================================================
+
+SQL_REPLAY_FP = (
+    "('0x' || substr(md5(action_type || chr(31) || coalesce(params, '') "
+    "|| chr(31) || coalesce(round(value * 100)::bigint::varchar, '')), "
+    "1, 15))::bigint"
+)
+
+SQL_REPLAY_ACTS = """
+    acts AS (
+      SELECT user_id AS session_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+        event_type AS action_type, props AS params, value
+      FROM events
+    ),
+    fp AS (
+      SELECT session_id, seq, action_type, {f} AS f FROM acts
+    )
+""".format(f=SQL_REPLAY_FP)
+
+
+@spec(
+    "q85_replay_divergence",
+    f"""
+    WITH {SQL_REPLAY_ACTS},
+    a AS (SELECT seq, action_type AS a_type, f AS a_fp FROM fp WHERE session_id = 1),
+    b AS (SELECT seq, action_type AS b_type, f AS b_fp FROM fp WHERE session_id = 2)
+    SELECT seq,
+      CASE WHEN a_fp IS NULL THEN 'only_b' WHEN b_fp IS NULL THEN 'only_a'
+           WHEN a_fp = b_fp THEN 'same' ELSE 'diverged' END AS status,
+      coalesce(a_type, '') AS a_type, coalesce(b_type, '') AS b_type
+    FROM a FULL OUTER JOIN b USING (seq)
+    """,
+    "replay divergence diff: seq-aligned full outer join of two recorded "
+    "sessions, statuses same/diverged/only_a/only_b "
+    "(src/replay/engine.rs:118-637)",
+)
+def q85_replay_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import replay
+
+    t = catalog.load(spark, sf_dir)
+    acts = replay.actions_from_events(t.events)
+    return replay.divergence_diff(
+        replay.session_log(acts, 1), replay.session_log(acts, 2)
+    )
+
+
+@spec(
+    "q86_replay_checkpoints",
+    f"""
+    WITH {SQL_REPLAY_ACTS},
+    cum AS (
+      SELECT session_id, seq,
+        count(*) OVER w AS n_actions,
+        ('0x' || substr(md5(string_agg(f::varchar, '|') OVER w), 1, 15))::bigint
+          AS state_hash
+      FROM fp
+      WINDOW w AS (PARTITION BY session_id ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT session_id, seq, n_actions, state_hash FROM cum WHERE seq % 5 = 0
+    """,
+    "replay checkpoints: every 5th action per session carries the "
+    "cumulative state hash (fold of action fingerprints) — a re-run "
+    "whose checkpoints match replayed deterministically "
+    "(StateSnapshot, src/replay/types.rs:21-275)",
+)
+def q86_replay_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import replay
+
+    t = catalog.load(spark, sf_dir)
+    return replay.replay_checkpoints(replay.actions_from_events(t.events), every=5)
+
+
+@spec(
+    "q87_doctor_report",
+    """
+    WITH docs_k AS (SELECT DISTINCT doc_id AS k FROM documents),
+    emb_k AS (
+      SELECT DISTINCT vec_id AS k FROM embeddings WHERE vec_id % 7 <> 3
+    ),
+    sk_k AS (
+      SELECT DISTINCT CASE WHEN vec_id % 50 = 0 THEN vec_id + 10000
+                           ELSE vec_id END AS k
+      FROM embeddings
+    )
+    SELECT 'duplicate_key' AS check, 'frames' AS table_name,
+           (SELECT count(*) FROM (SELECT doc_id FROM documents
+             GROUP BY doc_id HAVING count(*) > 1))::bigint AS n_affected
+    UNION ALL
+    SELECT 'missing', 'embeddings',
+           (SELECT count(*) FROM docs_k
+             WHERE k NOT IN (SELECT k FROM emb_k))::bigint
+    UNION ALL
+    SELECT 'orphaned', 'embeddings',
+           (SELECT count(*) FROM emb_k
+             WHERE k NOT IN (SELECT k FROM docs_k))::bigint
+    UNION ALL
+    SELECT 'missing', 'sketches',
+           (SELECT count(*) FROM docs_k
+             WHERE k NOT IN (SELECT k FROM sk_k))::bigint
+    UNION ALL
+    SELECT 'orphaned', 'sketches',
+           (SELECT count(*) FROM sk_k
+             WHERE k NOT IN (SELECT k FROM docs_k))::bigint
+    """,
+    "doctor/verify audit: anti-join checks of derived tables against "
+    "frames — missing (stale index), orphaned (tombstone leak), "
+    "duplicate-key invariant (src/memvid/doctor.rs; audit.rs:44-224). "
+    "Demo corrupts the derived tables deterministically",
+)
+def q87_doctor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.doctor import doctor_report
+
+    t = catalog.load(spark, sf_dir)
+    stale_emb = t.embeddings.filter(F.col("vec_id") % 7 != 3)
+    drifted_sketches = t.embeddings.select(
+        F.when(F.col("vec_id") % 50 == 0, F.col("vec_id") + 10000)
+        .otherwise(F.col("vec_id"))
+        .alias("vec_id")
+    )
+    return doctor_report(
+        t.documents,
+        {"embeddings": stale_emb, "sketches": drifted_sketches},
+        frame_key="doc_id",
+        derived_keys={"embeddings": "vec_id", "sketches": "vec_id"},
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

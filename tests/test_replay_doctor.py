@@ -1,0 +1,63 @@
+"""Replay determinism / divergence and doctor audit semantics
+(replay/engine.rs divergence diff, doctor.rs heal plan)."""
+
+from pyspark.sql import functions as F
+
+from memvid_spark.operators.doctor import doctor_report, heal_plan
+from memvid_spark.operators.replay import (
+    as_of_cut,
+    divergence_diff,
+    replay_checkpoints,
+)
+
+ACT_SCHEMA = (
+    "session_id long, seq int, action_type string, params string, value double"
+)
+
+
+def _acts(spark, rows):
+    return spark.createDataFrame(rows, ACT_SCHEMA)
+
+
+def test_divergence_statuses(spark):
+    a = _acts(spark, [(1, 1, "search", "{}", 1.0), (1, 2, "put", "{}", 2.0),
+                      (1, 3, "ask", "{}", 3.0)])
+    b = _acts(spark, [(1, 1, "search", "{}", 1.0), (1, 2, "put", "{}", 9.9)])
+    d = {r.seq: r for r in divergence_diff(a, b).collect()}
+    assert d[1].status == "same"
+    assert d[2].status == "diverged"
+    assert d[3].status == "only_a" and d[3].b_type == ""
+
+
+def test_replay_is_deterministic(spark):
+    rows = [(1, i, "act", '{"k":1}', float(i)) for i in range(1, 11)]
+    a, b = _acts(spark, rows), _acts(spark, rows)
+    cp_a = {r.seq: r.state_hash for r in replay_checkpoints(a).collect()}
+    cp_b = {r.seq: r.state_hash for r in replay_checkpoints(b).collect()}
+    assert cp_a == cp_b and set(cp_a) == {5, 10}
+    # prefix property: as-of cut re-execution reproduces the prefix hash
+    cut = as_of_cut(a, 1, 5)
+    assert replay_checkpoints(cut).collect()[0].state_hash == cp_a[5]
+    # any change before a checkpoint changes it
+    mut = _acts(spark, rows[:4] + [(1, 5, "act", '{"k":2}', 5.0)] + rows[5:])
+    assert replay_checkpoints(mut).collect()[0].state_hash != cp_a[5]
+
+
+def test_doctor_and_heal(spark):
+    frames = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(3,)], "doc_id long"
+    )
+    emb = spark.createDataFrame(
+        [(i,) for i in range(8)] + [(99,)], "vec_id long"
+    )
+    rep = doctor_report(
+        frames, {"embeddings": emb}, derived_keys={"embeddings": "vec_id"}
+    )
+    r = {(x.check, x.table_name): x.n_affected for x in rep.collect()}
+    assert r[("duplicate_key", "frames")] == 1
+    assert r[("missing", "embeddings")] == 2  # ids 8, 9
+    assert r[("orphaned", "embeddings")] == 1  # id 99
+    plan = {(x.table_name, x.check): x.action for x in heal_plan(rep).collect()}
+    assert plan[("embeddings", "missing")] == "rebuild_derived_table"
+    assert plan[("embeddings", "orphaned")] == "vacuum_derived_table"
+    assert plan[("frames", "duplicate_key")] == "dedup_frames"
