@@ -148,6 +148,76 @@ def diversify(
     )
 
 
+def promote_corrections(
+    hits: DataFrame,
+    uri_col: str = "uri",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Correction promotion (ask.rs:1437-1494): hits whose uri lives
+    under ``mv2://correction/`` float to the top — newest correction
+    first (corr_ts from the uri), then everything else by score. Runs
+    LAST in the rerank stack because corrections override everything.
+
+    Output keeps all input columns + is_correction, corr_ts, final_rank.
+    """
+    is_corr = F.col(uri_col).startswith("mv2://correction/").cast("int")
+    corr_ts = F.when(
+        is_corr == 1,
+        F.regexp_extract(F.col(uri_col), r"mv2://correction/(\d+)", 1).cast("long"),
+    ).otherwise(F.lit(-1))
+    w = Window.orderBy(
+        F.col("is_correction").desc(),
+        F.col("corr_ts").desc(),
+        F.col(score_col).desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        hits.withColumn("is_correction", is_corr)
+        .withColumn("corr_ts", corr_ts)
+        .withColumn("final_rank", F.row_number().over(w))
+    )
+
+
+def promote_extremes(
+    hits: DataFrame,
+    pool: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal-extremes promotion (ask.rs:1500+): guarantee the
+    earliest and latest documents of the candidate pool appear in the
+    hit set for update/recency questions. The extremes are two global
+    min/max rows (computed with one tiny aggregate, broadcast back);
+    existing hits keep their columns, promoted rows join with
+    is_extreme = 1.
+
+    Output: hits' columns + is_extreme.
+    """
+    bounds = pool.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    )
+    extremes = (
+        pool.join(bounds)
+        .filter((F.col(ts_col) == F.col("lo")) | (F.col(ts_col) == F.col("hi")))
+        .drop("lo", "hi")
+        .select(*hits.columns)
+    )
+    tagged = hits.withColumn("is_extreme", F.lit(0))
+    promoted = extremes.withColumn("is_extreme", F.lit(1))
+    return (
+        tagged.unionByName(promoted)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("is_extreme").desc())
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def snippet(text_col, phrase: str, radius: int = 30):
     """Window around the first phrase occurrence (compute_snippet_slices
     analogue, src/lex.rs; used at tantivy.rs:185-190)."""

@@ -35,7 +35,7 @@ def actions_from_events(events: DataFrame) -> DataFrame:
         F.col("event_type").alias("action_type"),
         F.col("props").alias("params"),
         F.col("value"),
-        (F.col("ts") / 1000).cast("long").alias("ts_us"),
+        F.expr("ts div 1000").alias("ts_us"),  # integer div: ns→µs lossless
     )
 
 

@@ -1938,6 +1938,154 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sheet_tables(demo_sheets(t.documents))
 
 
+@spec(
+    "q27_bloom_prefilter",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok
+      FROM documents
+    ),
+    probes AS (
+      SELECT doc_id, tok, 0 AS s FROM toks
+      UNION ALL SELECT doc_id, tok, 1 FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(tok || '#' || s), 1, 15))::bigint AS hv
+      FROM probes
+    ),
+    bl AS (
+      SELECT doc_id,
+        bit_or(CASE WHEN hv % 2 = 0
+               THEN (1::bigint << ((hv // 2) % 60)) ELSE 0 END) AS w0,
+        bit_or(CASE WHEN hv % 2 = 1
+               THEN (1::bigint << ((hv // 2) % 60)) ELSE 0 END) AS w1
+      FROM h GROUP BY doc_id
+    ),
+    qh AS (
+      SELECT ('0x' || substr(md5(t || '#' || s), 1, 15))::bigint AS hv
+      FROM (VALUES ('spark'), ('join')) AS q(t), (VALUES (0), (1)) AS pr(s)
+    ),
+    qm AS (
+      SELECT
+        bit_or(CASE WHEN hv % 2 = 0
+               THEN (1::bigint << ((hv // 2) % 60)) ELSE 0 END) AS m0,
+        bit_or(CASE WHEN hv % 2 = 1
+               THEN (1::bigint << ((hv // 2) % 60)) ELSE 0 END) AS m1
+      FROM qh
+    ),
+    ver AS (
+      SELECT doc_id, count(DISTINCT tok) AS n FROM toks
+      WHERE tok IN ('spark', 'join') GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.w0, b.w1,
+           CASE WHEN coalesce(ver.n, 0) = 2 THEN 1 ELSE 0 END AS has_all
+    FROM bl b CROSS JOIN qm LEFT JOIN ver ON b.doc_id = ver.doc_id
+    WHERE (b.w0 & qm.m0) = qm.m0 AND (b.w1 & qm.m1) = qm.m1
+    """,
+    "term Bloom prefilter: 120-bit filter as two 60-bit words, 2 "
+    "md5 probes/token; candidates = docs with every probe bit set — "
+    "no false negatives, has_all exposes the false-positive rate "
+    "(sketch_track.rs:607-648; wired as pre-filter mod.rs:189-230)",
+)
+def q27_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens as tok_fn
+
+    t = catalog.load(spark, sf_dir)
+    blooms = dedup.term_bloom_table(t.documents)
+    cands = dedup.bloom_prefilter(blooms, ["spark", "join"])
+    has_all = (
+        F.array_contains(tok_fn("text"), "spark")
+        & F.array_contains(tok_fn("text"), "join")
+    ).cast("int")
+    return cands.join(
+        t.documents.select("doc_id", has_all.alias("has_all")), "doc_id"
+    )
+
+
+@spec(
+    "q63_correction_promotion",
+    r"""
+    WITH hits AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 20 = 0 THEN 'mv2://correction/' || doc_id
+             ELSE 'mv2://docs/' || doc_id END AS uri,
+        n_chars::double AS score
+      FROM documents ORDER BY score DESC, doc_id LIMIT 30
+    ),
+    p AS (
+      SELECT *,
+        CASE WHEN uri LIKE 'mv2://correction/%' THEN 1 ELSE 0 END
+          AS is_correction,
+        CASE WHEN uri LIKE 'mv2://correction/%'
+             THEN regexp_extract(uri, 'mv2://correction/(\d+)', 1)::bigint
+             ELSE -1 END AS corr_ts
+      FROM hits
+    )
+    SELECT doc_id, uri, score, is_correction, corr_ts,
+      row_number() OVER (ORDER BY is_correction DESC, corr_ts DESC,
+                         score DESC, doc_id) AS final_rank
+    FROM p
+    """,
+    "correction promotion: mv2://correction/* hits float to the top, "
+    "newest first, over the score order — runs last in the rerank stack "
+    "because corrections override everything (ask.rs:1437-1494)",
+)
+def q63_correction_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ask import promote_corrections
+
+    t = catalog.load(spark, sf_dir)
+    uri = (
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.lit("mv2://correction/"), F.col("doc_id")),
+        ).otherwise(F.concat(F.lit("mv2://docs/"), F.col("doc_id")))
+    )
+    hits = (
+        t.documents.select(
+            "doc_id", uri.alias("uri"), F.col("n_chars").cast("double").alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(30)
+    )
+    return promote_corrections(hits)
+
+
+@spec(
+    "q64_extremes_promotion",
+    """
+    WITH pool AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, round(value, 2) AS value
+      FROM events WHERE event_type = 'click'
+    ),
+    hits AS (SELECT * FROM pool ORDER BY value DESC, event_id LIMIT 10),
+    u AS (
+      SELECT *, 0 AS is_extreme FROM hits
+      UNION ALL
+      SELECT p.*, 1
+      FROM pool p, (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM pool) b
+      WHERE p.ts_us = b.lo OR p.ts_us = b.hi
+    )
+    SELECT event_id, ts_us, value, max(is_extreme) AS is_extreme
+    FROM u GROUP BY event_id, ts_us, value
+    """,
+    "temporal-extremes promotion: earliest+latest candidate rows are "
+    "guaranteed into the hit set for update/recency questions "
+    "(ask.rs:1500+) — one tiny min/max aggregate, no extra scan of hits",
+)
+def q64_extremes_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ask import promote_extremes
+
+    t = catalog.load(spark, sf_dir)
+    pool = t.events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round("value", 2).alias("value"),
+    )
+    hits = pool.orderBy(F.col("value").desc(), F.col("event_id")).limit(10)
+    return promote_extremes(hits, pool, ts_col="ts_us", id_col="event_id")
+
+
 # =========================================================================
 # Replay track & doctor audits (src/replay/types.rs, src/replay/engine.rs,
 # src/memvid/doctor.rs; SURVEY §1.2, §3.3)

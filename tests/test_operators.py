@@ -3,6 +3,8 @@ the synthetic-corpus oracles can't pin down."""
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 
 def test_current_cards_retraction_hides_slot(spark):
     from memvid_spark.operators.memory import current_cards
@@ -104,3 +106,40 @@ def test_dimension_contract(spark):
     )
     top = knn(emb, [1.0, 0.0], k=1)
     assert top.collect()[0].vec_id == 1
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every doc truly containing the query tokens must pass the filter
+    (sketch_track.rs contract: Bloom filters never miss)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.functions.text import tokens
+    from memvid_spark.operators.dedup import bloom_prefilter, term_bloom_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    blooms = term_bloom_table(docs)
+    passed = {r.doc_id for r in bloom_prefilter(blooms, ["spark", "join"]).collect()}
+    truth = {
+        r.doc_id
+        for r in docs.filter(
+            F.array_contains(tokens("text"), "spark")
+            & F.array_contains(tokens("text"), "join")
+        ).collect()
+    }
+    assert truth <= passed
+
+
+def test_promote_extremes_guarantees_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.ask import promote_extremes
+
+    pool = spark.createDataFrame(
+        [(i, 1000 + i, float(i % 7)) for i in range(50)],
+        "doc_id long, ts long, value double",
+    )
+    hits = pool.orderBy(F.col("value").desc(), "doc_id").limit(5)
+    out = promote_extremes(hits, pool, ts_col="ts", id_col="doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 49 in ids  # earliest + latest guaranteed
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
