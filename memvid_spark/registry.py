@@ -1938,6 +1938,62 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sheet_tables(demo_sheets(t.documents))
 
 
+def _sql_cap(i: int) -> str:
+    w = f"coalesce(w[{i}], 'pad{i}')"
+    return f"(upper(substr({w}, 1, 1)) || substr({w}, 2))"
+
+
+SQL_SENTENCES = f"""
+    wds AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+        {_sql_cap(1)} || ' works at ' || {_sql_cap(2)} || 'Corp. '
+        || {_sql_cap(3)} || ' lives in ' || {_sql_cap(4)} || '. '
+        || {_sql_cap(5)} || ' likes ' || {_sql_cap(6)} || '.' AS sentence
+      FROM wds
+    )
+"""
+
+
+def _sql_triplet_arm(pat: str, pred: str) -> str:
+    return f"""
+    SELECT doc_id,
+           coalesce(regexp_extract(m, '{pat}', 1), '') AS subject,
+           '{pred}' AS predicate,
+           coalesce(regexp_extract(m, '{pat}', 2), '') AS object
+    FROM (SELECT doc_id, unnest(regexp_extract_all(sentence, '{pat}', 0)) AS m
+          FROM s)
+    """
+
+
+@spec(
+    "q44_spo_triplets",
+    None,  # filled by _computed_oracles from the shared pattern catalog
+    "SPO triplet extraction: regex pattern catalog, all matches per doc "
+    "(src/triplet/extractor.rs:20-150, src/enrich/rules.rs rules tier) — "
+    "the catalog constant feeds BOTH engines",
+)
+def q44_spo_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.enrich import render_person_sentences, spo_triplets
+
+    t = catalog.load(spark, sf_dir)
+    return spo_triplets(render_person_sentences(t.documents))
+
+
+@spec(
+    "q45_ner_entities",
+    None,  # filled by _computed_oracles from the shared rule constants
+    "rule-tier NER: proper-case tokens → ORG (suffix / 'at X'), LOC "
+    "('in X'), PER default, graded confidence (src/analysis/ner.rs:1-55 "
+    "hybrid mode with the model absent)",
+)
+def q45_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.enrich import ner_entities, render_person_sentences
+
+    t = catalog.load(spark, sf_dir)
+    return ner_entities(render_person_sentences(t.documents))
+
+
 @spec(
     "q27_bloom_prefilter",
     f"""
@@ -2248,6 +2304,43 @@ def _computed_oracles() -> None:
     FROM events
     WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
     ORDER BY ts, event_id LIMIT 100
+    """
+
+    from .functions.enrich import (
+        NER_CONF_CONTEXT,
+        NER_CONF_DEFAULT,
+        ORG_SUFFIX_RE,
+        TRIPLET_PATTERNS,
+        ENTITY,
+    )
+
+    arms = " UNION ALL ".join(
+        _sql_triplet_arm(pat, pred) for pat, pred in TRIPLET_PATTERNS
+    )
+    by_name["q44_spo_triplets"].oracle = f"WITH {SQL_SENTENCES} {arms}"
+
+    ctx = (
+        f"regexp_matches(entity, '{ORG_SUFFIX_RE}') "
+        "OR contains(sentence, 'at ' || entity) "
+        "OR contains(sentence, 'in ' || entity)"
+    )
+    by_name["q45_ner_entities"].oracle = f"""
+    WITH {SQL_SENTENCES},
+    tk AS (SELECT doc_id, sentence, unnest(str_split(sentence, ' ')) AS raw
+           FROM s),
+    cand AS (
+      SELECT doc_id, sentence,
+        coalesce(regexp_extract(raw, '^({ENTITY})', 1), '') AS entity
+      FROM tk
+    )
+    SELECT DISTINCT doc_id, entity,
+      CASE WHEN regexp_matches(entity, '{ORG_SUFFIX_RE}') THEN 'ORG'
+           WHEN contains(sentence, 'at ' || entity) THEN 'ORG'
+           WHEN contains(sentence, 'in ' || entity) THEN 'LOC'
+           ELSE 'PER' END AS kind,
+      CASE WHEN {ctx} THEN {NER_CONF_CONTEXT}
+           ELSE {NER_CONF_DEFAULT} END AS confidence
+    FROM cand WHERE entity <> ''
     """
 
 

@@ -143,3 +143,25 @@ def test_promote_extremes_guarantees_bounds(spark):
     ids = {r.doc_id for r in out.collect()}
     assert 0 in ids and 49 in ids  # earliest + latest guaranteed
     assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_triplets_feed_mesh_follow(spark):
+    """Extraction → mesh edges → bounded-hop traversal end to end
+    (extractor.rs output feeding logic_mesh.rs adjacency)."""
+    from memvid_spark.functions.enrich import edges_from_triplets, spo_triplets
+    from memvid_spark.operators.mesh import follow
+
+    docs = spark.createDataFrame(
+        [(1, "Alice works at AcmeCorp. Bob lives in Paris. Carol likes Bob.")],
+        "doc_id long, sentence string",
+    )
+    trips = spo_triplets(docs)
+    got = {(r.subject, r.predicate, r.object) for r in trips.collect()}
+    assert ("Alice", "WorksAt", "AcmeCorp") in got
+    assert ("Bob", "LivesIn", "Paris") in got
+    assert ("Carol", "Likes", "Bob") in got
+    edges = edges_from_triplets(trips)
+    starts = spark.createDataFrame([("Carol",)], "node_id string")
+    # Carol -likes-> Bob -lives in-> Paris: 2 hops
+    reached = {r.node_id: r.hop for r in follow(edges, starts, hops=2).collect()}
+    assert reached == {"Bob": 1, "Paris": 2}
