@@ -1,0 +1,132 @@
+"""Embedding providers: the pluggable VecEmbedder surface.
+
+Reference: the ``VecEmbedder`` trait decouples the engine from any model
+(src/lib.rs:211, used src/memvid/ask.rs:23); local ONNX models
+(BGE-small-384 etc., src/text_embed.rs:9-12,171-210) and remote API
+embeddings (src/api_embed.rs) are providers behind it; dimension is
+enforced at write (src/memvid/mutation.rs:3329-3349) and query
+(src/memvid/search/api.rs:150-156), with model binding via
+``set_vec_model`` (api.rs:110-127).
+
+Here the correctness-tier provider is :class:`HashEmbedder` — a
+deterministic token-hash projection (the reference's own tests pin
+hash-based embeddings rather than model output; SURVEY non-goals). It is
+*portable column algebra*: dimension j of a document is
+``Σ_tokens ((hash64(tok ⊕ j) mod 2001) − 1000)/1000``, L2-normalized —
+reproducible bit-for-bit in the DuckDB oracle. Model-backed providers
+(sentence-transformers / HTTP batch) plug in behind the same protocol
+with mapInPandas, gated on their libraries being present.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import hash64
+from .text import tokens
+
+
+class VecEmbedder(Protocol):
+    """Provider protocol (VecEmbedder trait analogue)."""
+
+    dim: int
+    model: str
+
+    def embed_df(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """→ (id_col, embedding array<double>)"""
+        ...
+
+    def embed_query(self, text: str) -> list[float]:
+        ...
+
+
+def _component(tok_col: Column, j: int) -> Column:
+    return (
+        (hash64(F.concat(tok_col, F.lit(f"#d{j}"))) % 2001 - 1000) / 1000.0
+    )
+
+
+class HashEmbedder:
+    """Deterministic bag-of-tokens hash projection, unit-normalized.
+    Same token → same direction in every engine; cosine of overlapping
+    texts grows with shared vocabulary, which is all the retrieval
+    pipeline needs for correctness testing."""
+
+    def __init__(self, dim: int = 8, model: str = "hash-v1"):
+        self.dim = dim
+        self.model = model
+
+    def embed_df(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        tok = docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        sums = tok.groupBy(id_col).agg(
+            *[
+                F.sum(_component(F.col("tok"), j)).alias(f"c{j}")
+                for j in range(self.dim)
+            ]
+        )
+        vec = F.array(*[F.col(f"c{j}") for j in range(self.dim)])
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        unit = F.transform(vec, lambda x: F.round(x / nrm, 6))
+        return sums.select(F.col(id_col), unit.alias("embedding"))
+
+    def embed_query(self, text: str) -> list[float]:
+        """Driver-side twin of the column arithmetic (md5 is portable)."""
+        import hashlib
+        import math
+        import re
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        comps = [0.0] * self.dim
+        for t in toks:
+            for j in range(self.dim):
+                hv = int(
+                    hashlib.md5(f"{t}#d{j}".encode()).hexdigest()[:15], 16
+                )
+                comps[j] += (hv % 2001 - 1000) / 1000.0
+        n = math.sqrt(sum(c * c for c in comps)) or 1.0
+        return [round(c / n, 6) for c in comps]
+
+
+def sql_hash_embedding(text_expr: str, dim: int = 8) -> str:
+    """DuckDB twin of HashEmbedder.embed_df for oracle assembly."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )
+    comp = (
+        "list_sum(list_transform({toks}, t -> "
+        "(('0x' || substr(md5(t || '#d{j}'), 1, 15))::bigint % 2001 - 1000)"
+        " / 1000.0))"
+    )
+    comps = ", ".join(comp.format(toks=toks, j=j) for j in range(dim))
+    vec = f"[{comps}]"
+    return (
+        f"list_transform({vec}, x -> round(x / "
+        f"sqrt(list_dot_product({vec}, {vec})), 6))"
+    )
+
+
+def assert_dimension(emb: DataFrame, expected: int, vec_col: str = "embedding"):
+    """Write/query-time dimension contract (mutation.rs:3329-3349):
+    raises if any row deviates. Runs as one aggregate, no collect of
+    data rows."""
+    bad = emb.filter(F.size(F.col(vec_col)) != expected).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"embedding dimension contract violated: expected {expected}"
+        )
+    return True
+
+
+def model_binding(emb: DataFrame, embedder) -> DataFrame:
+    """set_vec_model analogue: stamp provider identity on the table so
+    mixed-model spaces are detectable (api.rs:110-127)."""
+    return emb.withColumn("model", F.lit(embedder.model))

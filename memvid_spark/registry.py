@@ -1938,6 +1938,47 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sheet_tables(demo_sheets(t.documents))
 
 
+@spec(
+    "q36_hash_embeddings",
+    None,  # filled by _computed_oracles via sql_hash_embedding
+    "pluggable VecEmbedder surface: deterministic token-hash projection, "
+    "unit-normalized — portable column algebra on both engines "
+    "(VecEmbedder trait lib.rs:211; dim contract mutation.rs:3329-3349)",
+)
+def q36_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embed import HashEmbedder, assert_dimension
+
+    t = catalog.load(spark, sf_dir)
+    e = HashEmbedder(dim=8)
+    emb = e.embed_df(t.documents.filter(F.col("doc_id") < 200))
+    assert_dimension(emb, 8)
+    comps = [
+        F.element_at("embedding", j + 1).alias(f"e{j}") for j in range(8)
+    ]
+    return emb.select("doc_id", *comps)
+
+
+@spec(
+    "q37_clip_crossmodal",
+    None,  # filled by _computed_oracles via sql_hash_embedding
+    "CLIP second embedding space: image-mime frames carry their own "
+    "vectors (clip.rs:99-102); text→image search = embed the query in "
+    "the same space, cosine top-k (api.rs:165-257, clip.rs:297-380)",
+)
+def q37_clip_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embed import HashEmbedder
+    from .operators.knn import knn
+
+    t = catalog.load(spark, sf_dir)
+    e = HashEmbedder(dim=8, model="clip-hash-v1")
+    images = t.documents.filter(F.col("doc_id") % 3 == 0)  # image frames
+    clip = e.embed_df(images).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    qvec = e.embed_query("spark join merge")
+    return knn(clip, qvec, k=10)
+
+
 def _sql_cap(i: int) -> str:
     w = f"coalesce(w[{i}], 'pad{i}')"
     return f"(upper(substr({w}, 1, 1)) || substr({w}, 2))"
@@ -2304,6 +2345,33 @@ def _computed_oracles() -> None:
     FROM events
     WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
     ORDER BY ts, event_id LIMIT 100
+    """
+
+    from .functions.embed import HashEmbedder, sql_hash_embedding
+
+    emb_sql = sql_hash_embedding("text", dim=8)
+    comps = ", ".join(f"v[{j + 1}] AS e{j}" for j in range(8))
+    by_name["q36_hash_embeddings"].oracle = f"""
+    WITH e AS (SELECT doc_id, {emb_sql} AS v FROM documents WHERE doc_id < 200)
+    SELECT doc_id, {comps} FROM e
+    """
+
+    qv = HashEmbedder(dim=8, model="clip-hash-v1").embed_query("spark join merge")
+    qv_lit = "[" + ", ".join(repr(x) for x in qv) + "]::double[]"
+    by_name["q37_clip_crossmodal"].oracle = f"""
+    WITH clip AS (
+      SELECT doc_id AS vec_id, {emb_sql} AS emb
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    scored AS (
+      SELECT vec_id, round({SQL_COS.format(a='emb', b=qv_lit)}, 6) AS score
+      FROM clip
+    ),
+    top AS (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id
+            LIMIT 10)
+    SELECT vec_id, score,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+    FROM top
     """
 
     from .functions.enrich import (

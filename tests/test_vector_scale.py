@@ -81,3 +81,31 @@ def test_multimodal_pipeline(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"x", "image/png")
+
+
+def test_hash_embedder_driver_twin_matches_df(spark):
+    """embed_query (driver md5 math) must equal embed_df (column algebra)
+    for the same text — the index/query analyzer-parity contract applied
+    to the embedding space."""
+    from memvid_spark.functions.embed import HashEmbedder
+
+    e = HashEmbedder(dim=8)
+    docs = spark.createDataFrame(
+        [(1, "spark join merge window")], "doc_id long, text string"
+    )
+    df_vec = e.embed_df(docs).collect()[0].embedding
+    q_vec = e.embed_query("spark join merge window")
+    assert [round(x, 6) for x in df_vec] == q_vec
+
+
+def test_dimension_contract_raises(spark):
+    import pytest
+
+    from memvid_spark.functions.embed import HashEmbedder, assert_dimension
+
+    e = HashEmbedder(dim=8)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    emb = e.embed_df(docs)
+    assert assert_dimension(emb, 8)
+    with pytest.raises(ValueError, match="dimension contract"):
+        assert_dimension(emb, 16)
