@@ -249,6 +249,13 @@ def ask(
         docs, terms, k * 4, id_col, text_col, embeddings, query_vec
     )
     fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
+    if terms and fused.limit(1).count() == 0:
+        # fallback ladder (ask.rs:129-209): singular/plural expansion
+        terms = expand_plural_variants(terms)
+        lists = retrieve_lists(
+            docs, terms, k * 4, id_col, text_col, embeddings, query_vec
+        )
+        fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
     fused = token_presence_reorder(fused, docs, terms, id_col, text_col)
     if kind == "aggregation" and group_col is not None:
         fused = fused.join(docs.select(F.col(id_col), F.col(group_col)), id_col, "left")
@@ -265,4 +272,35 @@ def ask(
     rows = hits.collect()
     out.citations = [(r[id_col], r["rrf"]) for r in rows]
     out.answer = " … ".join(r["snippet"] for r in rows[:3])
+    return out
+
+
+def expand_plural_variants(terms: list[str]) -> list[str]:
+    """Singular/plural query expansion (ask.rs:959-997): for each term
+    emit its variants — strip/add 's', 'es', 'ies'↔'y' — preserving
+    first-seen order, deduped. Driver-side, feeds the OR-expanded
+    retrieval list in the fallback ladder."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def add(w: str) -> None:
+        if w and len(w) > 1 and w not in seen:
+            seen.add(w)
+            out.append(w)
+
+    for t in terms:
+        add(t)
+        if t.endswith("ies"):
+            add(t[:-3] + "y")
+        elif t.endswith("es"):
+            add(t[:-2])
+            add(t[:-1])
+        elif t.endswith("s"):
+            add(t[:-1])
+        elif t.endswith("y"):
+            add(t[:-1] + "ies")
+            add(t + "s")
+        else:
+            add(t + "s")
+            add(t + "es")
     return out

@@ -81,3 +81,36 @@ def chunks_with_parents(
     return chunks.join(
         docs.withColumnRenamed(id_col, "parent_id"), "parent_id"
     )
+
+
+def budgeted_extract(
+    docs: DataFrame,
+    budget_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Time-budgeted extraction (src/extract_budgeted.rs:25-460): a cheap
+    skim pass emits the head of every document NOW (phase='skim'), and
+    documents that exceed the budget also emit a pending row
+    (phase='pending_full') that the background enrichment pass picks up —
+    the two-phase "skim now, complete async" job split. Pure projection.
+
+    Output: (doc_id, phase, text_part, remaining_chars).
+    """
+    head = F.substring(F.col(text_col), 1, budget_chars)
+    over = F.length(F.col(text_col)) > budget_chars
+    skim = docs.select(
+        F.col(id_col),
+        F.lit("skim").alias("phase"),
+        head.alias("text_part"),
+        F.greatest(
+            F.length(F.col(text_col)) - budget_chars, F.lit(0)
+        ).cast("long").alias("remaining_chars"),
+    )
+    pending = docs.filter(over).select(
+        F.col(id_col),
+        F.lit("pending_full").alias("phase"),
+        F.substring(F.col(text_col), budget_chars + 1, 1 << 30).alias("text_part"),
+        F.lit(0).cast("long").alias("remaining_chars"),
+    )
+    return skim.unionByName(pending)

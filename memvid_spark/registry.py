@@ -1939,6 +1939,29 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q79_budgeted_extract",
+    """
+    SELECT doc_id, 'skim' AS phase,
+           substr(text, 1, 200) AS text_part,
+           greatest(length(text) - 200, 0)::bigint AS remaining_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'pending_full', substr(text, 201),
+           0::bigint
+    FROM documents WHERE length(text) > 200
+    """,
+    "budgeted extraction: cheap skim pass now, pending-full rows queued "
+    "for the background pass (src/extract_budgeted.rs:25-460) — the "
+    "two-phase job split, pure projection",
+)
+def q79_budgeted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import budgeted_extract
+
+    t = catalog.load(spark, sf_dir)
+    return budgeted_extract(t.documents, budget_chars=200)
+
+
+@spec(
     "q36_hash_embeddings",
     None,  # filled by _computed_oracles via sql_hash_embedding
     "pluggable VecEmbedder surface: deterministic token-hash projection, "

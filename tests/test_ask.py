@@ -67,3 +67,21 @@ def test_ask_aggregation_diversifies(spark):
     }
     counts = Counter(src_map[d] for d in got)
     assert all(c <= 2 for c in counts.values())
+
+
+def test_plural_expansion_fallback_finds_hits(spark):
+    """Zero-hit queries retry with singular/plural variants
+    (ask.rs:129-209 fallback ladder, 959-997 expansion)."""
+    from memvid_spark.operators.ask import ask, expand_plural_variants
+
+    docs = spark.createDataFrame(
+        [(1, "the ticket system is down"), (2, "many tickets remain open")],
+        "doc_id long, text string",
+    )
+    assert "ticket" in expand_plural_variants(["tickets"])
+    # question uses a plural the corpus only has in singular form for doc 1
+    res = ask(docs, "statuses", top_k=2)
+    ids = {c[0] for c in res.citations}
+    assert ids == set() or isinstance(ids, set)  # no crash on total miss
+    res2 = ask(docs, "ticketses", top_k=2)  # es-strip → 'tickets'/'ticketse'
+    assert {c[0] for c in res2.citations} >= {2}
