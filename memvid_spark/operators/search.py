@@ -126,6 +126,10 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson/Lucene form]
     """
     terms_lc = sorted({t.lower() for t in terms})
+    # postings feed both the df stats and the scoring join; doc lengths
+    # feed both avgdl and the per-posting join. Recompute per consumer
+    # stays inside codegen (vocab-filtered explode is O(matches)); at
+    # warehouse scale these are the materialized postings/lengths tables.
     post = build_postings(docs, id_col, text_col, vocab=terms_lc)
     dl = doc_lengths(docs, id_col, text_col)
     stats = docs.agg(
