@@ -130,3 +130,50 @@ def model_binding(emb: DataFrame, embedder) -> DataFrame:
     """set_vec_model analogue: stamp provider identity on the table so
     mixed-model spaces are detectable (api.rs:110-127)."""
     return emb.withColumn("model", F.lit(embedder.model))
+
+
+class ApiEmbedder:
+    """Remote batch-embedding provider (src/api_embed.rs, 596 LoC):
+    mapInPandas with one HTTP batch per Arrow batch. The network call is
+    an injection point (`transport`); without one this raises rather
+    than silently producing fake vectors — remote embeddings are out of
+    the correctness tier (tests pin HashEmbedder instead, SURVEY
+    non-goals)."""
+
+    def __init__(self, dim: int = 384, model: str = "api-remote",
+                 transport=None, batch_size: int = 128):
+        self.dim = dim
+        self.model = model
+        self.transport = transport  # Callable[[list[str]], list[list[float]]]
+        self.batch_size = batch_size
+
+    def embed_df(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        if self.transport is None:
+            raise NotImplementedError(
+                "ApiEmbedder needs a transport callable (no network "
+                "access assumed); inject one or use HashEmbedder"
+            )
+        transport, dim, bs = self.transport, self.dim, self.batch_size
+        schema = f"{id_col} long, embedding array<double>"
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                texts = list(pdf[text_col])
+                vecs: list[list[float]] = []
+                for i in range(0, len(texts), bs):
+                    out = transport(texts[i : i + bs])
+                    if any(len(v) != dim for v in out):
+                        raise ValueError("embedding dimension contract violated")
+                    vecs.extend(out)
+                yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+        return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+    def embed_query(self, text: str) -> list[float]:
+        if self.transport is None:
+            raise NotImplementedError("ApiEmbedder needs a transport callable")
+        return self.transport([text])[0]

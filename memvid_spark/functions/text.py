@@ -97,3 +97,86 @@ def lang_guess(col: Column | str) -> Column:
 
 SQL_TOKENS = "list_filter(string_split_regex(lower({x}),'[^a-z0-9]+'), t -> t<>'')"
 SQL_STOPWORDS_LIST = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+
+# ---------------------------------------------------------------------------
+# SymSpell-style token repair (src/symspell_cleanup.rs, 496 LoC)
+# ---------------------------------------------------------------------------
+
+# delete-1 variant set of a token column named `tok` (the word itself plus
+# every single-character deletion) — shared shape with the SQL twin below.
+DEL1_EXPR = (
+    "array_union(array(tok), transform(sequence(1, length(tok)), "
+    "i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1))))"
+)
+
+SQL_DEL1 = (
+    "list_distinct(list_concat([tok], "
+    "list_transform(generate_series(1, length(tok)), "
+    "i -> substr(tok, 1, i - 1) || substr(tok, i + 1))))"
+)
+
+
+def corpus_dictionary(docs, id_col="doc_id", text_col="text", min_freq=2):
+    """(word, freq) frequency dictionary derived from the corpus itself
+    (the reference ships a static 82k-word list; same role)."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+
+
+def symspell_repair(queries, dictionary):
+    """SymSpell edit-distance-1 repair, entirely relational.
+
+    Classic SymSpell: precompute DELETE-1 variants of every dictionary
+    word; a token matches a word iff their variant sets intersect
+    (covers one substitution, insertion, or deletion). Variant
+    generation is transform+explode, matching is an equi-join on the
+    variant, candidate ranking is (freq DESC, word ASC). In-dictionary
+    tokens repair to themselves.
+
+    ``queries``: (doc_id, tok); ``dictionary``: (word, freq).
+    Output: (doc_id, tok, repaired, matched) — matched=1 when a
+    dictionary candidate (or exact hit) was found.
+
+    Scale: |dict|×len variant table is built once (a derived table at
+    warehouse scale); the probe side only explodes query tokens. Both
+    joins are equi-joins — the dictionary side broadcasts when small.
+    """
+    from pyspark.sql import Window, functions as F
+
+    dv = (
+        dictionary.select(
+            F.col("word").alias("tok"), F.col("word"), F.col("freq")
+        )
+        .select(F.explode(F.expr(DEL1_EXPR)).alias("variant"), "word", "freq")
+        .distinct()
+    )
+    qv = queries.select(
+        "doc_id", "tok", F.explode(F.expr(DEL1_EXPR)).alias("variant")
+    ).distinct()
+    cands = qv.join(dv, "variant").select("doc_id", "tok", "word", "freq")
+    w = Window.partitionBy("doc_id", "tok").orderBy(
+        F.col("exact").desc(), F.col("freq").desc(), F.col("word").asc()
+    )
+    best = (
+        cands.withColumn("exact", (F.col("word") == F.col("tok")).cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", F.col("word").alias("repaired"))
+    )
+    return (
+        queries.join(best, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "tok",
+            F.coalesce("repaired", F.col("tok")).alias("repaired"),
+            F.col("repaired").isNotNull().cast("int").alias("matched"),
+        )
+    )

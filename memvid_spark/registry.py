@@ -576,6 +576,29 @@ def q19_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q46_symspell_repair",
+    None,  # filled by _computed_oracles from the shared DEL1 shape
+    "SymSpell edit-distance-1 token repair via delete-variant equi-joins "
+    "(src/symspell_cleanup.rs; corpus-derived frequency dictionary) — "
+    "exact hit wins, then max freq, alphabetical tie-break",
+)
+def q46_symspell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import corpus_dictionary, symspell_repair, tokens
+
+    t = catalog.load(spark, sf_dir)
+    t1 = F.element_at(tokens("text"), 1)
+    corrupted = F.concat(
+        t1.substr(F.lit(1), F.lit(1)),
+        t1.substr(F.lit(3), F.greatest(F.length(t1) - 2, F.lit(0))),
+    )
+    q = t.documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, corrupted).otherwise(t1).alias("tok"),
+    )
+    return symspell_repair(q, corpus_dictionary(t.documents, min_freq=2))
+
+
+@spec(
     "q50_timeline",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
@@ -2395,6 +2418,53 @@ def _computed_oracles() -> None:
     SELECT vec_id, score,
            row_number() OVER (ORDER BY score DESC, vec_id) AS rank
     FROM top
+    """
+
+    from .functions.text import SQL_DEL1
+
+    dict_del1 = SQL_DEL1.replace("tok", "word")
+    by_name["q46_symspell_repair"].oracle = f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+                  FROM documents),
+    q0 AS (SELECT doc_id, ts[1] AS t1 FROM toks),
+    q AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN substr(t1, 1, 1) || substr(t1, 3)
+             ELSE t1 END AS tok
+      FROM q0
+    ),
+    dic AS (
+      SELECT word, count(*)::bigint AS freq
+      FROM (SELECT unnest(ts) AS word FROM toks)
+      GROUP BY word HAVING count(*) >= 2
+    ),
+    dv AS (
+      SELECT DISTINCT variant, word, freq FROM (
+        SELECT unnest({dict_del1}) AS variant, word, freq FROM dic
+      )
+    ),
+    qv AS (
+      SELECT DISTINCT doc_id, tok, variant FROM (
+        SELECT doc_id, tok, unnest({SQL_DEL1}) AS variant FROM q
+      )
+    ),
+    cands AS (
+      SELECT qv.doc_id, qv.tok, dv.word, dv.freq
+      FROM qv JOIN dv USING (variant)
+    ),
+    best AS (
+      SELECT doc_id, tok, word AS repaired FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id, tok
+          ORDER BY (CASE WHEN word = tok THEN 1 ELSE 0 END) DESC,
+                   freq DESC, word ASC) AS rn
+        FROM cands
+      ) WHERE rn = 1
+    )
+    SELECT q.doc_id, q.tok,
+           coalesce(best.repaired, q.tok) AS repaired,
+           (best.repaired IS NOT NULL)::int AS matched
+    FROM q LEFT JOIN best USING (doc_id, tok)
     """
 
     from .functions.enrich import (

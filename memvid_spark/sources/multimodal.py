@@ -131,3 +131,38 @@ def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
             (F.col("frame_index") * F.lit(1000) / F.lit(24)).cast("int"),
         )
     )
+
+
+def transcribe_audio(
+    media: DataFrame,
+    transcriber: Callable[[bytes], list[tuple[float, float, str]]] | None = None,
+) -> DataFrame:
+    """Whisper-shaped transcription plumbing (src/whisper.rs:49-116:
+    audio → timed text segments). The model is an injection point — the
+    container has no audio stack — but the Spark side is real: audio
+    rows only, one model call per payload inside an Arrow batch, output
+    exploded to one row per segment.
+
+    Output: (media_id, seg_index, t_start, t_end, text).
+    """
+    if transcriber is None:
+        raise NotImplementedError(
+            "transcription requires an audio model; inject a transcriber "
+            "callable (payload -> [(t_start, t_end, text), ...])"
+        )
+    schema = "media_id long, seg_index int, t_start double, t_end double, text string"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                segs = transcriber(bytes(payload) if payload is not None else b"")
+                for i, (t0, t1, txt) in enumerate(segs):
+                    rows.append((mid, i, t0, t1, txt))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "seg_index", "t_start", "t_end", "text"]
+            )
+
+    return media.filter(F.col("mime").startswith("audio/")).mapInPandas(run, schema)

@@ -165,3 +165,23 @@ def test_triplets_feed_mesh_follow(spark):
     # Carol -likes-> Bob -lives in-> Paris: 2 hops
     reached = {r.node_id: r.hop for r in follow(edges, starts, hops=2).collect()}
     assert reached == {"Bob": 1, "Paris": 2}
+
+
+def test_symspell_repairs_known_corruptions(spark):
+    from memvid_spark.functions.text import symspell_repair
+
+    dic = spark.createDataFrame(
+        [("table", 50), ("tables", 10), ("cable", 5)], "word string, freq long"
+    )
+    q = spark.createDataFrame(
+        [(1, "tble"),    # deletion of 'a' → table (freq beats cable path)
+         (2, "table"),   # exact: repairs to itself even though tables exists
+         (3, "tablex"),  # insertion → table
+         (4, "zzz")],    # no candidate → unchanged, matched=0
+        "doc_id long, tok string",
+    )
+    out = {r.doc_id: (r.repaired, r.matched) for r in symspell_repair(q, dic).collect()}
+    assert out[1] == ("table", 1)
+    assert out[2] == ("table", 1)
+    assert out[3] == ("table", 1)
+    assert out[4] == ("zzz", 0)

@@ -49,3 +49,37 @@ def test_sheet_table_types(spark):
     t1 = {r.col_index: r for r in out if r.table_index == 1}
     assert [t1[i].header for i in range(2)] == ["city", "code"]
     assert t1[1].dtype == "int"
+
+
+def test_transcribe_requires_model_and_plumbs_segments(spark):
+    import pytest
+
+    from memvid_spark.sources.multimodal import media_from_documents, transcribe_audio
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (4, "gamma delta")], "doc_id long, text string"
+    )
+    media = media_from_documents(docs)  # doc 1 and 4 → audio/wav (id%3==1)
+    with pytest.raises(NotImplementedError):
+        transcribe_audio(media)
+    fake = lambda payload: [(0.0, 1.5, f"<{len(payload)}b>"), (1.5, 3.0, "end")]
+    segs = transcribe_audio(media, fake).collect()
+    assert {r.media_id for r in segs} == {1, 4}
+    assert all(r.t_end > r.t_start for r in segs)
+    assert sorted(r.seg_index for r in segs if r.media_id == 1) == [0, 1]
+
+
+def test_api_embedder_transport_injection(spark):
+    import pytest
+
+    from memvid_spark.functions.embed import ApiEmbedder
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        ApiEmbedder().embed_df(docs)
+    e = ApiEmbedder(dim=3, transport=lambda texts: [[1.0, 0.0, 0.0]] * len(texts))
+    out = e.embed_df(docs).collect()
+    assert out[0].embedding == [1.0, 0.0, 0.0]
+    bad = ApiEmbedder(dim=4, transport=lambda texts: [[1.0]] * len(texts))
+    with pytest.raises(Exception, match="dimension"):
+        bad.embed_df(docs).collect()
