@@ -180,3 +180,42 @@ def symspell_repair(queries, dictionary):
             F.col("repaired").isNotNull().cast("int").alias("matched"),
         )
     )
+
+
+def normalize_text(col):
+    """normalize_text (src/text.rs): lowercase, trim, collapse internal
+    whitespace runs — pure column expressions."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def truncate_graphemes(col, n: int):
+    """Grapheme-safe truncation (src/text.rs grapheme clusters;
+    src/lib.rs:193): never split a base character from its combining
+    marks. Arrow-batched pandas UDF using unicodedata — byte/codepoint
+    `substring` would cut 'e' off its accent; this walks cluster
+    boundaries (combining-class 0 starts a cluster)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def cut(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            out, clusters = [], 0
+            for ch in x:
+                if unicodedata.combining(ch) == 0:
+                    clusters += 1
+                    if clusters > n:
+                        break
+                out.append(ch)
+            return "".join(out)
+
+        return s.map(one)
+
+    cut_udf = pandas_udf(cut, "string")
+    return cut_udf(F.col(col) if isinstance(col, str) else col)

@@ -599,6 +599,73 @@ def q46_symspell_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q47_normalize_truncate",
+    r"""
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40)
+             AS norm_head,
+           length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))::bigint
+             AS n_chars_norm
+    FROM documents
+    """,
+    "normalize_text (lower/trim/collapse-whitespace, src/text.rs) + "
+    "grapheme-safe truncation (clusters never split from combining "
+    "marks; ASCII corpus ⇒ oracle is substr, combining-mark behavior "
+    "pinned in tests)",
+)
+def q47_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text, truncate_graphemes
+
+    t = catalog.load(spark, sf_dir)
+    norm = t.documents.select("doc_id", normalize_text("text").alias("norm"))
+    return norm.select(
+        "doc_id",
+        truncate_graphemes("norm", 40).alias("norm_head"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+@spec(
+    "q88_track_stats",
+    """
+    SELECT 'frames' AS track, count(*)::bigint AS n_rows,
+           count(DISTINCT doc_id)::bigint AS n_keys,
+           sum(length(text))::bigint AS n_bytes
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', count(*)::bigint,
+           count(DISTINCT vec_id)::bigint, 0::bigint FROM embeddings
+    UNION ALL
+    SELECT 'events', count(*)::bigint,
+           count(DISTINCT event_id)::bigint, 0::bigint FROM events
+    """,
+    "per-track stats() — counts, key cardinalities, byte sums across "
+    "the store's tracks (frame.rs:92-145, sketch.rs:87-91, "
+    "logic_mesh.rs:298-320)",
+)
+def q88_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+
+    def one(df: DataFrame, track: str, key: str, with_bytes: bool) -> DataFrame:
+        nb = (
+            F.sum(F.length("text")).cast("long")
+            if with_bytes
+            else F.lit(0).cast("long")
+        )
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct(F.col(key)).cast("long").alias("n_keys"),
+            nb.alias("n_bytes"),
+        ).select(F.lit(track).alias("track"), "n_rows", "n_keys", "n_bytes")
+
+    return (
+        one(t.documents, "frames", "doc_id", True)
+        .unionByName(one(t.embeddings, "embeddings", "vec_id", False))
+        .unionByName(one(t.events, "events", "event_id", False))
+    )
+
+
+@spec(
     "q50_timeline",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value

@@ -159,3 +159,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows over the event stream: Spark-native
+    session_window with watermarked state eviction (SURVEY §2.11 — the
+    reference has no session windows; we expose Spark's as engine
+    surface, matching the batch gap-sessionize of q54)."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

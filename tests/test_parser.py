@@ -134,3 +134,16 @@ def test_compiled_filter_end_to_end(spark):
     assert got("source:src1 NOT vector") == [1, 3]
     assert got("ha*") == [1, 3]
     assert got("m?rge") == [2]
+
+
+def test_grapheme_truncation_keeps_combining_marks(spark):
+    """'e' + COMBINING ACUTE is ONE grapheme: truncating at 2 clusters
+    must keep the accent with its base (src/text.rs grapheme safety)."""
+    from memvid_spark.functions.text import normalize_text, truncate_graphemes
+
+    s = "éabc"  # é (2 codepoints) + abc
+    docs = spark.createDataFrame([(1, s)], "doc_id long, t string")
+    out = docs.select(truncate_graphemes("t", 2).alias("x")).collect()[0].x
+    assert out == "éa"  # 2 clusters = é + a, accent kept
+    norm = docs.select(normalize_text("t").alias("x")).collect()[0].x
+    assert norm == s  # already lowercase, no whitespace runs

