@@ -219,3 +219,62 @@ def truncate_graphemes(col, n: int):
 
     cut_udf = pandas_udf(cut, "string")
     return cut_udf(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# Stemming (index AND query side — src/search/tantivy/schema.rs:7-14,
+# query side src/memvid/search/tantivy.rs:38-46)
+# ---------------------------------------------------------------------------
+
+# Porter-style first-match suffix rules: (suffix, replacement, min_stem_len).
+# The "ss" identity rule stops the chain so the bare "s" rule cannot
+# mangle 'less' → 'les'. ONE constant drives the Column expression, the
+# SQL twin, and the driver-side query stemmer — parity by construction.
+STEM_RULES: list[tuple[str, str, int]] = [
+    ("ational", "ate", 2),
+    ("tional", "tion", 2),
+    ("ization", "ize", 2),
+    ("fulness", "ful", 2),
+    ("sses", "ss", 1),
+    ("ies", "i", 1),
+    ("ss", "ss", 0),
+    ("ing", "", 3),
+    ("edly", "", 3),
+    ("ed", "", 3),
+    ("s", "", 3),
+]  # step-1a shape: a bare 'es' rule would over-strip ('tables'→'tabl')
+
+
+def stem(col):
+    """First-matching-rule stemmer as a nested CASE chain (codegen,
+    no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = c  # default: unchanged
+    for suffix, repl, min_len in reversed(STEM_RULES):
+        keep = F.length(c) - len(suffix)
+        cond = c.endswith(suffix) & (keep >= min_len)
+        expr = F.when(cond, F.concat(c.substr(F.lit(1), keep), F.lit(repl))).otherwise(
+            expr
+        )
+    return expr
+
+
+def sql_stem(e: str) -> str:
+    """DuckDB twin of :func:`stem` (same rule order)."""
+    out = e
+    for suffix, repl, min_len in reversed(STEM_RULES):
+        n = len(suffix)
+        cond = (
+            f"(({e}) LIKE '%{suffix}' AND length({e}) - {n} >= {min_len})"
+        )
+        then = f"substr({e}, 1, length({e}) - {n}) || '{repl}'"
+        out = f"CASE WHEN {cond} THEN {then} ELSE {out} END"
+    return out
+
+
+def stem_py(word: str) -> str:
+    """Driver-side twin for query-term stemming."""
+    for suffix, repl, min_len in STEM_RULES:
+        if word.endswith(suffix) and len(word) - len(suffix) >= min_len:
+            return word[: len(word) - len(suffix)] + repl
+    return word

@@ -666,6 +666,28 @@ def q88_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q48_stemmed_search",
+    None,  # filled by _computed_oracles from the shared STEM_RULES chain
+    "stemmed implicit-AND search: the SAME rule-chain stemmer runs on "
+    "the index side (column CASE chain), the oracle (SQL twin), and the "
+    "query side (driver twin) — analyzer parity by construction "
+    "(schema.rs:7-14 + tantivy.rs:38-46)",
+)
+def q48_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import stem, stem_py, tokens
+
+    t = catalog.load(spark, sf_dir)
+    query_terms = ["tables", "windows"]  # stems: table, window
+    stoks = F.array_distinct(F.transform(tokens("text"), lambda x: stem(x)))
+    d = t.documents.withColumn("stems", stoks)
+    pred = None
+    for term in query_terms:
+        this = F.array_contains("stems", stem_py(term.lower()))
+        pred = this if pred is None else pred & this
+    return d.filter(pred).select("doc_id", F.size("stems").alias("n_stems"))
+
+
+@spec(
     "q50_timeline",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
@@ -2458,6 +2480,20 @@ def _computed_oracles() -> None:
     FROM events
     WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
     ORDER BY ts, event_id LIMIT 100
+    """
+
+    from .functions.text import sql_stem, stem_py
+
+    stems_sql = (
+        f"list_distinct(list_transform({SQL_TOKS.format(x='text')}, "
+        f"t -> {sql_stem('t')}))"
+    )
+    want = " AND ".join(
+        f"list_contains(stems, '{stem_py(w)}')" for w in ["tables", "windows"]
+    )
+    by_name["q48_stemmed_search"].oracle = f"""
+    WITH s AS (SELECT doc_id, {stems_sql} AS stems FROM documents)
+    SELECT doc_id, len(stems) AS n_stems FROM s WHERE {want}
     """
 
     from .functions.embed import HashEmbedder, sql_hash_embedding

@@ -147,3 +147,21 @@ def test_grapheme_truncation_keeps_combining_marks(spark):
     assert out == "éa"  # 2 clusters = é + a, accent kept
     norm = docs.select(normalize_text("t").alias("x")).collect()[0].x
     assert norm == s  # already lowercase, no whitespace runs
+
+
+def test_stemmer_parity_and_conflation(spark):
+    """Index-side column stemmer and query-side driver twin must agree
+    (SURVEY §7 'stemmer parity'); plural/gerund forms conflate."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.functions.text import stem, stem_py
+
+    words = ["tables", "table", "windows", "caresses", "ponies", "less",
+             "joined", "merging", "relational", "dup"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    spark_side = {r.w: r.s for r in df.select("w", stem("w").alias("s")).collect()}
+    for w in words:
+        assert spark_side[w] == stem_py(w), w
+    assert stem_py("tables") == stem_py("table") == "table"
+    assert stem_py("less") == "less"  # ss guard
+    assert stem_py("relational") == "relate"
