@@ -148,6 +148,49 @@ def diversify(
     )
 
 
+def semantic_rerank(
+    hits: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    blend: float = 0.5,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic rerank (reorder_hits_with_semantic_scores,
+    ask.rs:712-830): blend the lexical score with cosine(query, doc)
+    and re-sort. The lexical score is min-max normalized within the hit
+    set first (window over k rows — tiny) so the two signals share a
+    scale; hits without an embedding keep their normalized score.
+
+    combined = (1-blend)·norm_score + blend·cos;
+    output: hits + cos, combined, re-ranked.
+    """
+    from ..functions.vector import cosine
+
+    w = Window.partitionBy()
+    lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+    norm = F.when(hi == lo, F.lit(1.0)).otherwise(
+        (F.col(score_col) - lo) / (hi - lo)
+    )
+    emb = embeddings.select(
+        F.col(vec_id_col).alias(id_col),
+        F.round(cosine("embedding", query_vec), 6).alias("cos"),
+    )
+    combined = F.round(
+        (1 - blend) * F.col("norm_score")
+        + blend * F.coalesce(F.col("cos"), F.col("norm_score")),
+        6,
+    )
+    out = (
+        hits.withColumn("norm_score", F.round(norm, 6))
+        .join(emb, id_col, "left")
+        .withColumn("combined", combined)
+    )
+    wr = Window.orderBy(F.col("combined").desc(), F.col(id_col).asc())
+    return out.withColumn("sem_rank", F.row_number().over(wr))
+
+
 def promote_corrections(
     hits: DataFrame,
     uri_col: str = "uri",

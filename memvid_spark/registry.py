@@ -2235,6 +2235,86 @@ def q27_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bm25_cte(terms: list[str], k: int) -> str:
+    """BM25 CTE chain ending in relation `bm25hits(doc_id, score)` —
+    shared by q12-style scoring and downstream rerank oracles."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok FROM documents
+    ), post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, len({SQL_TOKS.format(x='text')}) AS dl FROM documents
+    ), stats AS (SELECT count(*)::double AS n_docs FROM documents),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT tok, count(*)::double AS df FROM post GROUP BY tok),
+    weights AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS w
+      FROM post p
+      JOIN dft f USING (tok)
+      JOIN dl l USING (doc_id), stats s, avgdl a
+    ),
+    bm25hits AS (
+      SELECT doc_id, round(sum(w),6) AS score FROM weights
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
+    )
+    """
+
+
+@spec(
+    "q65_diversification",
+    """
+    WITH hits AS (
+      SELECT doc_id, source, n_chars::double AS rrf FROM documents
+      ORDER BY rrf DESC, doc_id LIMIT 30
+    )
+    SELECT doc_id, source, rrf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY rrf DESC, doc_id) AS dr
+      FROM hits
+    ) WHERE dr <= 2
+    """,
+    "aggregation diversification: cap hits per group (session/uri-prefix) "
+    "so one source cannot dominate the answer (ask.rs:1300-1334)",
+)
+def q65_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ask import diversify
+
+    t = catalog.load(spark, sf_dir)
+    hits = (
+        t.documents.select(
+            "doc_id", "source", F.col("n_chars").cast("double").alias("rrf")
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(30)
+    )
+    return diversify(hits, "source", cap=2)
+
+
+@spec(
+    "q66_semantic_rerank",
+    None,  # filled by _computed_oracles (needs the hash-embedding twin)
+    "semantic rerank: lexical score min-max normalized within the hit "
+    "set, blended 50/50 with cosine(query, doc) and re-sorted "
+    "(reorder_hits_with_semantic_scores, ask.rs:712-830)",
+)
+def q66_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embed import HashEmbedder
+    from .operators.ask import semantic_rerank
+
+    t = catalog.load(spark, sf_dir)
+    e = HashEmbedder(dim=8)
+    hits = search.bm25_topk(t.documents, ["table", "window", "merge"], k=20)
+    emb = e.embed_df(t.documents)
+    qvec = e.embed_query("table window merge")
+    return semantic_rerank(hits, emb, qvec, blend=0.5, vec_id_col="doc_id")
+
+
 @spec(
     "q63_correction_promotion",
     r"""
@@ -2503,6 +2583,33 @@ def _computed_oracles() -> None:
     by_name["q36_hash_embeddings"].oracle = f"""
     WITH e AS (SELECT doc_id, {emb_sql} AS v FROM documents WHERE doc_id < 200)
     SELECT doc_id, {comps} FROM e
+    """
+
+    sem_qv = HashEmbedder(dim=8).embed_query("table window merge")
+    sem_qv_lit = "[" + ", ".join(repr(x) for x in sem_qv) + "]::double[]"
+    by_name["q66_semantic_rerank"].oracle = f"""
+    WITH {_sql_bm25_cte(['table', 'window', 'merge'], 20)},
+    nrm AS (
+      SELECT doc_id, score,
+        round(CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ())
+                   / (max(score) OVER () - min(score) OVER ()) END, 6)
+          AS norm_score
+      FROM bm25hits
+    ),
+    emb AS (
+      SELECT doc_id, round({SQL_COS.format(a='v', b=sem_qv_lit)}, 6) AS cos
+      FROM (SELECT doc_id, {emb_sql} AS v FROM documents)
+    ),
+    c AS (
+      SELECT n.doc_id, n.score, n.norm_score, e.cos,
+        round(0.5 * n.norm_score + 0.5 * coalesce(e.cos, n.norm_score), 6)
+          AS combined
+      FROM nrm n LEFT JOIN emb e USING (doc_id)
+    )
+    SELECT doc_id, score, norm_score, cos, combined,
+           row_number() OVER (ORDER BY combined DESC, doc_id) AS sem_rank
+    FROM c
     """
 
     qv = HashEmbedder(dim=8, model="clip-hash-v1").embed_query("spark join merge")
