@@ -141,3 +141,26 @@ def plan_query(question: str) -> QueryPlan:
     if g:
         return QueryPlan("graph_only", "LOCATED_IN")
     return QueryPlan("vector_only")
+
+
+def nodes_from_entities(ents: DataFrame) -> DataFrame:
+    """Aggregate per-doc entity mentions into MeshNodes carrying their
+    frame_ids (logic_mesh.rs:27-80: MeshNode.frame_ids) — the bridge
+    from NER output to the graph."""
+    return ents.groupBy("entity", "kind").agg(
+        F.sort_array(F.collect_set(F.col("doc_id"))).alias("frame_ids"),
+        F.count("*").cast("long").alias("support"),
+    )
+
+
+def decorate_hits(hits: DataFrame, nodes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Logic-Mesh entity enrichment of search hits (search/mod.rs:277-279,
+    mesh.rs:181): explode node frame_ids, equi-join against the hit set.
+    The node side is tiny after aggregation → broadcast; the hit set is
+    k rows — this never touches the corpus."""
+    exploded = nodes.select(
+        "entity", "kind", F.explode("frame_ids").alias(id_col)
+    )
+    return hits.join(F.broadcast(exploded), id_col).select(
+        id_col, "entity", "kind"
+    )

@@ -2316,6 +2316,28 @@ def q66_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q67_entity_decoration",
+    None,  # filled by _computed_oracles (reuses the NER rule SQL)
+    "Logic-Mesh entity enrichment of hits: NER mentions aggregate into "
+    "MeshNodes carrying frame_ids; hits decorate by explode+broadcast "
+    "join (search/mod.rs:277-279, mesh.rs:181)",
+)
+def q67_entity_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.enrich import ner_entities, render_person_sentences
+    from .operators.mesh import decorate_hits, nodes_from_entities
+
+    t = catalog.load(spark, sf_dir)
+    ents = ner_entities(render_person_sentences(t.documents))
+    nodes = nodes_from_entities(ents)
+    hits = (
+        t.documents.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .select("doc_id")
+        .limit(10)
+    )
+    return decorate_hits(hits, nodes)
+
+
+@spec(
     "q63_correction_promotion",
     r"""
     WITH hits AS (
@@ -2695,23 +2717,36 @@ def _computed_oracles() -> None:
         "OR contains(sentence, 'at ' || entity) "
         "OR contains(sentence, 'in ' || entity)"
     )
-    by_name["q45_ner_entities"].oracle = f"""
-    WITH {SQL_SENTENCES},
+    ner_core = f"""
+    {SQL_SENTENCES},
     tk AS (SELECT doc_id, sentence, unnest(str_split(sentence, ' ')) AS raw
            FROM s),
     cand AS (
       SELECT doc_id, sentence,
         coalesce(regexp_extract(raw, '^({ENTITY})', 1), '') AS entity
       FROM tk
+    ),
+    ents AS (
+      SELECT DISTINCT doc_id, entity,
+        CASE WHEN regexp_matches(entity, '{ORG_SUFFIX_RE}') THEN 'ORG'
+             WHEN contains(sentence, 'at ' || entity) THEN 'ORG'
+             WHEN contains(sentence, 'in ' || entity) THEN 'LOC'
+             ELSE 'PER' END AS kind,
+        CASE WHEN {ctx} THEN {NER_CONF_CONTEXT}
+             ELSE {NER_CONF_DEFAULT} END AS confidence
+      FROM cand WHERE entity <> ''
     )
-    SELECT DISTINCT doc_id, entity,
-      CASE WHEN regexp_matches(entity, '{ORG_SUFFIX_RE}') THEN 'ORG'
-           WHEN contains(sentence, 'at ' || entity) THEN 'ORG'
-           WHEN contains(sentence, 'in ' || entity) THEN 'LOC'
-           ELSE 'PER' END AS kind,
-      CASE WHEN {ctx} THEN {NER_CONF_CONTEXT}
-           ELSE {NER_CONF_DEFAULT} END AS confidence
-    FROM cand WHERE entity <> ''
+    """
+    by_name["q45_ner_entities"].oracle = f"""
+    WITH {ner_core}
+    SELECT doc_id, entity, kind, confidence FROM ents
+    """
+    by_name["q67_entity_decoration"].oracle = f"""
+    WITH {ner_core},
+    hits AS (SELECT doc_id FROM documents
+             ORDER BY n_chars DESC, doc_id LIMIT 10)
+    SELECT h.doc_id, e.entity, e.kind
+    FROM hits h JOIN ents e USING (doc_id)
     """
 
 
