@@ -1,0 +1,73 @@
+"""Skew tools: salted two-phase aggregation and partitioned table writes.
+
+The 100 TB posture (SURVEY §7): skewed keys — a boilerplate document
+duplicated millions of times, one hot tenant, one hot token — turn a
+single reducer into the job's critical path. AQE's skew-join splitting
+covers joins; for *aggregations* the classic fix is salting: phase 1
+aggregates on (key, salt) so the hot key's rows spread over N reducers,
+phase 2 merges the N partials per key. Results are identical to the
+direct aggregation (floating-point sums excepted — we round at the
+boundary like everywhere else in the engine).
+
+``write_partitioned`` is the layout half of the posture: derived tables
+land partitioned by a low-cardinality column (event date, track, format)
+so every time/track-filtered query prunes partitions at plan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: count + sum of ``value_col`` per
+    ``key_col``. Phase 1 groups on (key, salt = crc32(row-identity) %
+    n_salts) — deterministic, no rand() so re-execution of a lost
+    partition reproduces the same salt; phase 2 merges partials.
+
+    Output: (key_col, n_rows, total 2dp) — identical to the direct
+    groupBy, proven by the oracle.
+    """
+    salt = F.crc32(F.col(value_col).cast("string")) % n_salts
+    phase1 = (
+        df.select(F.col(key_col), F.col(value_col), salt.alias("_salt"))
+        .groupBy(key_col, "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(value_col).alias("_s"),
+        )
+    )
+    return (
+        phase1.groupBy(key_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.round(F.sum("_s"), 2).alias("total"),
+        )
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned Parquet layout for derived tables — the scan side of
+    partition pruning. Callers pick a low-cardinality column (a date
+    bucket, track, format); high-cardinality partitioning would create
+    a small-files problem instead."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_pruned(spark, path: str, **partition_filters):
+    """Read back with partition-pruning filters applied before the scan
+    (verifiable via PushedFilters/PartitionFilters in explain)."""
+    df = spark.read.parquet(path)
+    for col, val in partition_filters.items():
+        df = df.filter(F.col(col) == val)
+    return df

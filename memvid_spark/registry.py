@@ -2171,6 +2171,25 @@ def q45_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q28_salted_agg",
+    """
+    SELECT event_type, count(*)::bigint AS n_rows,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+    "skew-safe two-phase salted aggregation: phase 1 on (key, "
+    "deterministic salt), phase 2 merges partials — identical result to "
+    "the direct groupBy (the hot-key half of the AQE skew story; "
+    "SURVEY §7 100 TB posture)",
+)
+def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    t = catalog.load(spark, sf_dir)
+    return salted_agg(t.events, "event_type", "value", n_salts=8)
+
+
+@spec(
     "q27_bloom_prefilter",
     f"""
     WITH toks AS (

@@ -1,0 +1,110 @@
+"""Physical-plan contracts: the scale properties README claims are
+pinned here so a regression that silently de-optimizes a plan fails CI.
+
+These mirror the reference's optimizer guarantees (SURVEY §4): predicate
+pushdown to the scan, broadcast of small join sides, top-k as
+TakeOrderedAndProject (per-partition heaps, no full sort), and no
+cartesian products anywhere in the inventory.
+"""
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q05_filter_pushdown_revenue"]
+    df = q(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in scan
+    # the pushed filter list must not be empty
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no filters pushed: {optimized}"
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q03_star_join_revenue"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q02_top_orders"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_plan_is_scan_project_topk(spark):
+    """Exact kNN must be one scan + projection + top-k — no joins, no
+    extra shuffles (the SIMD-scan analogue)."""
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q30_knn_cosine"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_no_cartesian_products_in_inventory(spark):
+    """Every registry query must avoid CartesianProduct — similarity
+    joins must stay LSH-bucketed / broadcast (O(n^2) guards)."""
+    from memvid_spark import registry
+
+    skip = {"q34_pq_recall"}  # driver-side recall harness, not one plan
+    offenders = []
+    for s in registry.SPECS:
+        if s.name in skip:
+            continue
+        try:
+            plan = _plan(s.fn(spark, SF_DIR))
+        except Exception as e:  # pragma: no cover - surface as failure
+            offenders.append((s.name, f"plan build failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((s.name, "CartesianProduct"))
+    assert not offenders, offenders
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned + filtered read must show PartitionFilters at
+    the scan (plan-time pruning, not post-scan filtering)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.skew import read_pruned, write_partitioned
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "bucket", F.col("doc_id") % 4
+    )
+    out = str(tmp_path / "parts")
+    write_partitioned(docs, out, ["bucket"])
+    pruned = read_pruned(spark, out, bucket=2)
+    scan = pruned._jdf.queryExecution().sparkPlan().toString()
+    assert "PartitionFilters: [" in scan
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert pruned.count() == docs.filter("bucket = 2").count()
+
+
+def test_salted_agg_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {r.event_type: (r.n_rows, r.total) for r in
+           salted_agg(ev, "event_type", "value").collect()}
+    want = {r.event_type: (r.n, r.t) for r in
+            ev.groupBy("event_type")
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+              .collect()}
+    assert got == want
