@@ -160,3 +160,39 @@ def infer_schemas(cards: DataFrame) -> DataFrame:
         "n_boolean",
         "n_string",
     )
+
+
+def validate_cards(cards: DataFrame, schemas: DataFrame) -> DataFrame:
+    """Strict-mode insert validation (memory.rs:367-430): a card is
+    rejected when its slot has no registered schema (``unknown_slot``)
+    or its value's detected type deviates from the slot's registered
+    type (``type_mismatch``). Uses the SAME classifier as inference so
+    a freshly-inferred registry accepts exactly the data it was
+    inferred from, minus drift.
+
+    ``schemas``: (slot, value_type) — e.g. from :func:`infer_schemas`.
+    Output: (entity, slot, value, vtype, expected, violation) —
+    violating cards only.
+    """
+    typed = cards.withColumn(
+        "vtype",
+        F.when(F.col("value").rlike(NUMBER_RE), "number")
+        .when(F.col("value").rlike(DATE_RE), "date")
+        .when(F.lower(F.col("value")).rlike(BOOL_RE), "boolean")
+        .otherwise("string"),
+    )
+    reg = schemas.select("slot", F.col("value_type").alias("expected"))
+    joined = typed.join(F.broadcast(reg), "slot", "left")
+    violation = (
+        F.when(F.col("expected").isNull(), "unknown_slot")
+        .when(F.col("vtype") != F.col("expected"), "type_mismatch")
+    )
+    return (
+        joined.withColumn("violation", violation)
+        .filter(F.col("violation").isNotNull())
+        .select(
+            "entity", "slot", "value", "vtype",
+            F.coalesce("expected", F.lit("")).alias("expected"),
+            "violation",
+        )
+    )

@@ -1311,6 +1311,64 @@ def q57_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q68_schema_validation",
+    f"""
+    WITH {SQL_CARDS},
+    typed AS (
+      SELECT *, CASE WHEN regexp_matches(value, '^-?[0-9]+(\\.[0-9]+)?$')
+                     THEN 'number'
+                     WHEN regexp_matches(value,
+                          '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                     THEN 'date'
+                     WHEN regexp_matches(lower(value), '^(true|false)$')
+                     THEN 'boolean'
+                     ELSE 'string' END AS vtype
+      FROM cards
+    ),
+    votes AS (
+      SELECT slot,
+             sum(CASE WHEN vtype='number' THEN 1 ELSE 0 END) AS n_number,
+             sum(CASE WHEN vtype='date' THEN 1 ELSE 0 END) AS n_date,
+             sum(CASE WHEN vtype='boolean' THEN 1 ELSE 0 END) AS n_boolean,
+             sum(CASE WHEN vtype='string' THEN 1 ELSE 0 END) AS n_string
+      FROM typed GROUP BY slot
+    ),
+    registry AS (
+      SELECT slot,
+        CASE WHEN n_number >= n_date AND n_number >= n_boolean
+                  AND n_number >= n_string THEN 'number'
+             WHEN n_date >= n_boolean AND n_date >= n_string THEN 'date'
+             WHEN n_boolean >= n_string THEN 'boolean'
+             ELSE 'string' END AS expected
+      FROM votes WHERE slot <> 'error'
+    )
+    SELECT t.entity, t.slot, t.value, t.vtype,
+           coalesce(r.expected, '') AS expected,
+           CASE WHEN r.expected IS NULL THEN 'unknown_slot'
+                ELSE 'type_mismatch' END AS violation
+    FROM typed t LEFT JOIN registry r USING (slot)
+    WHERE r.expected IS NULL OR t.vtype <> r.expected
+    """,
+    "strict-mode schema validation (memory.rs:367-430): cards rejected "
+    "for unknown slots (one slot dropped from the registry to exercise "
+    "it) or value-type drift from the inferred registry — the same "
+    "classifier as inference, so registry and data can't disagree "
+    "spuriously",
+)
+def q68_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    cards = memory.cards_from_events(t.events)
+    registry_tbl = (
+        memory.infer_schemas(cards)
+        .filter(F.col("slot") != "error")
+        .select("slot", "value_type")
+    )
+    return memory.validate_cards(cards, registry_tbl)
+
+
+@spec(
     "q58_memory_occurrences",
     f"""
     WITH {SQL_CARDS}
