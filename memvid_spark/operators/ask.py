@@ -347,3 +347,28 @@ def expand_plural_variants(terms: list[str]) -> list[str]:
             add(t + "s")
             add(t + "es")
     return out
+
+
+# Reranker registry (RerankerKind / Reranker pluggability, lib.rs:260-268):
+# retrieval pipelines look rerankers up by kind; deployments register
+# their own with register_reranker.
+RERANKERS: dict[str, object] = {}
+
+
+def register_reranker(kind: str, fn) -> None:
+    RERANKERS[kind] = fn
+
+
+def get_reranker(kind: str):
+    if kind not in RERANKERS:
+        raise KeyError(
+            f"unknown reranker kind {kind!r}; registered: {sorted(RERANKERS)}"
+        )
+    return RERANKERS[kind]
+
+
+register_reranker("semantic", semantic_rerank)
+register_reranker("corrections", promote_corrections)
+register_reranker("extremes", promote_extremes)
+register_reranker("diversify", diversify)
+register_reranker("token_presence", token_presence_reorder)

@@ -71,3 +71,24 @@ def read_pruned(spark, path: str, **partition_filters):
     for col, val in partition_filters.items():
         df = df.filter(F.col(col) == val)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed layout for co-located joins: both sides of a recurring
+    equi-join written with the same bucket spec join WITHOUT a shuffle
+    (SortMergeJoin with no Exchange) — the join half of the 100 TB
+    posture. Hive-style bucketing via saveAsTable (bucket metadata needs
+    a catalog table, not a bare path)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

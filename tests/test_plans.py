@@ -108,3 +108,45 @@ def test_salted_agg_matches_direct(spark):
               .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
               .collect()}
     assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with zero
+    Exchange operators (co-located join — the recurring-join layout)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.skew import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_emb")
+    write_bucketed(docs, "b_docs", "doc_id", 8)
+    write_bucketed(emb, "b_emb", "doc_id", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+
+
+def test_reranker_registry_dispatch():
+    import pytest
+
+    from memvid_spark.operators.ask import get_reranker, semantic_rerank
+
+    assert get_reranker("semantic") is semantic_rerank
+    with pytest.raises(KeyError, match="unknown reranker"):
+        get_reranker("nope")
