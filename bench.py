@@ -29,9 +29,13 @@ HEADLINE = [
     "q22_minhash_lsh",
     "q30_knn_cosine",
     "q31_knn_join",
+    "q33_knn_pandas_kernel",
     "q51_hourly_rollup",
     "q52_current_state",
     "q54_sessionize",
+    "q66_semantic_rerank",
+    "q81_structure_blocks",
+    "q84_sheet_tables",
 ]
 
 
