@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): invariants the golden corpus
+can't pin — these hold for ALL inputs, not just the synthetic tables.
+The reference has no property testing (SURVEY §5); these strengthen the
+operators whose contracts are algebraic.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from memvid_spark.functions.text import stem_py
+from memvid_spark.operators.ask import expand_plural_variants
+
+words = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words)
+def test_stem_is_idempotent_enough(w):
+    """Stemming a stem must never grow the token and must terminate at a
+    fixed point within two applications (rule chain applies one rule)."""
+    s1 = stem_py(w)
+    assert len(s1) <= len(w)
+    s2 = stem_py(s1)
+    assert len(s2) <= len(s1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(words, min_size=1, max_size=6))
+def test_plural_expansion_preserves_and_dedups(terms):
+    out = expand_plural_variants(terms)
+    # originals (len>1) survive, order of first appearance kept, no dups
+    assert len(out) == len(set(out))
+    survivors = [t for t in terms if len(t) > 1]
+    idx = [out.index(t) for t in dict.fromkeys(survivors)]
+    assert idx == sorted(idx)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=50))
+def test_sanitize_question_never_crashes_and_lowercases(q):
+    from memvid_spark.operators.ask import sanitize_question
+
+    terms = sanitize_question(q)
+    assert all(t == t.lower() and t for t in terms)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+                min_size=2, max_size=16))
+def test_hash_embedder_query_is_unit_norm_or_zero(vec):
+    """embed_query output is unit-L2 (or all-zero for empty token sets)
+    regardless of input text."""
+    import math
+
+    from memvid_spark.functions.embed import HashEmbedder
+
+    text = " ".join(f"w{abs(int(x))}" for x in vec)
+    e = HashEmbedder(dim=8)
+    out = e.embed_query(text)
+    n = math.sqrt(sum(c * c for c in out))
+    assert abs(n - 1.0) < 1e-3 or n == 0.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(words, st.integers(min_value=0, max_value=1))
+def test_bloom_masks_deterministic_and_nonzero(tok, _seed):
+    from memvid_spark.operators.dedup import _bloom_masks
+
+    m0a, m1a = _bloom_masks(tok)
+    m0b, m1b = _bloom_masks(tok)
+    assert (m0a, m1a) == (m0b, m1b)
+    assert m0a | m1a  # at least one probe bit set
+    assert m0a < (1 << 60) and m1a < (1 << 60)  # portable signed-64 range
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abc XYZ.,!?", max_size=60), st.integers(1, 10))
+def test_grapheme_truncation_is_prefix_and_bounded(s, n):
+    """Driver-side twin of the truncation walk: output is a prefix and
+    has at most n grapheme clusters."""
+    import unicodedata
+
+    def walk(x, n):
+        out, clusters = [], 0
+        for ch in x:
+            if unicodedata.combining(ch) == 0:
+                clusters += 1
+                if clusters > n:
+                    break
+            out.append(ch)
+        return "".join(out)
+
+    t = walk(s, n)
+    assert s.startswith(t)
+    starts = sum(1 for ch in t if unicodedata.combining(ch) == 0)
+    assert starts <= n
