@@ -2229,6 +2229,41 @@ def q45_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q29_candidate_intersection",
+    f"""
+    WITH toks AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS tok
+        FROM documents
+      ) WHERE tok = 'spark' GROUP BY doc_id
+    ),
+    recent AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    quality AS (SELECT doc_id FROM documents WHERE n_chars >= 200)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM toks)
+      AND d.doc_id IN (SELECT doc_id FROM recent)
+      AND d.doc_id IN (SELECT doc_id FROM quality)
+    """,
+    "candidate-set intersection before scoring: chained left_semi joins "
+    "of independent pruners with driver-side empty-short-circuit "
+    "(src/memvid/search/mod.rs:84-230; SURVEY §3.1 step 3)",
+)
+def q29_candidate_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+    from .operators.candidates import intersect_candidates
+
+    t = catalog.load(spark, sf_dir)
+    has_tok = t.documents.filter(
+        F.array_contains(tokens("text"), "spark")
+    ).select("doc_id")
+    recent = t.documents.filter(F.col("doc_id") < 400).select("doc_id")
+    quality = t.documents.filter(F.col("n_chars") >= 200).select("doc_id")
+    return intersect_candidates(
+        t.documents.select("doc_id", "n_chars"), has_tok, recent, quality
+    )
+
+
+@spec(
     "q28_salted_agg",
     """
     SELECT event_type, count(*)::bigint AS n_rows,

@@ -185,3 +185,20 @@ def test_symspell_repairs_known_corruptions(spark):
     assert out[2] == ("table", 1)
     assert out[3] == ("table", 1)
     assert out[4] == ("zzz", 0)
+
+
+def test_candidate_intersection_short_circuits(spark):
+    """An empty pruner must empty the result regardless of later
+    pruners (mod.rs empty-exit at each stage)."""
+    from memvid_spark.operators.candidates import intersect_candidates
+
+    base = spark.createDataFrame([(i, i * 10) for i in range(20)],
+                                 "doc_id long, n long")
+    a = base.filter("doc_id >= 5").select("doc_id")
+    empty = base.filter("doc_id < 0").select("doc_id")
+    b = base.filter("doc_id < 100").select("doc_id")
+    out = intersect_candidates(base, a, empty, b)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n"]
+    kept = intersect_candidates(base, a, b)
+    assert kept.count() == 15
