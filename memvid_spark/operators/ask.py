@@ -282,9 +282,12 @@ def ask(
     group_col: str | None = None,
     embeddings: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    uri_col: str | None = None,
 ) -> AskResult:
     """Full pipeline; returns hits DataFrame + extractive answer
-    (synthesize_answer = top-3 snippets stitched, ask.rs:779-814)."""
+    (synthesize_answer = top-3 snippets stitched, ask.rs:779-814).
+    When ``uri_col`` is given, correction promotion runs LAST
+    (ask.rs:367-369): correction documents override every other rerank."""
     terms = sanitize_question(question)
     kind = classify_question(question)
     k = effective_top_k(kind, top_k)
@@ -311,6 +314,17 @@ def ask(
         .orderBy(F.col("n_present").desc(), F.col("rrf").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+    if uri_col is not None:
+        decorated = hits.join(
+            docs.select(F.col(id_col), F.col(uri_col)), id_col, "left"
+        )
+        hits = (
+            promote_corrections(
+                decorated, uri_col=uri_col, score_col="rrf", id_col=id_col
+            )
+            .orderBy("final_rank")
+            .drop(uri_col)
+        )
     out = AskResult(question=question, kind=kind, terms=terms, hits=hits)
     rows = hits.collect()
     out.citations = [(r[id_col], r["rrf"]) for r in rows]

@@ -85,3 +85,23 @@ def test_plural_expansion_fallback_finds_hits(spark):
     assert ids == set() or isinstance(ids, set)  # no crash on total miss
     res2 = ask(docs, "ticketses", top_k=2)  # es-strip → 'tickets'/'ticketse'
     assert {c[0] for c in res2.citations} >= {2}
+
+
+def test_ask_promotes_corrections_last(spark):
+    """Corrections override every other rerank (ask.rs:367-369)."""
+    from memvid_spark.operators.ask import ask
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join tuning guide spark join spark join", "mv2://docs/1"),
+            (2, "spark join basics", "mv2://docs/2"),
+            (3, "spark join correction: use broadcast", "mv2://correction/3"),
+        ],
+        "doc_id long, text string, uri string",
+    )
+    res = ask(docs, "spark join", top_k=3, uri_col="uri")
+    rows = res.hits.collect()
+    assert rows[0].doc_id == 3 and rows[0].is_correction == 1
+    # without uri_col, plain relevance order (doc 1 has most hits)
+    res2 = ask(docs, "spark join", top_k=3)
+    assert res2.hits.collect()[0].doc_id == 1
