@@ -2421,6 +2421,10 @@ def q66_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = catalog.load(spark, sf_dir)
     e = HashEmbedder(dim=8)
+    # embeddings come from the full corpus — at scale this is a scan of
+    # the stored `embeddings` derived table; the join against the k-row
+    # hit list broadcasts. (A per-hit semi-join embed was measured
+    # slower cold: the extra stages cost more than they save here.)
     hits = search.bm25_topk(t.documents, ["table", "window", "merge"], k=20)
     emb = e.embed_df(t.documents)
     qvec = e.embed_query("table window merge")
