@@ -196,3 +196,58 @@ def validate_cards(cards: DataFrame, schemas: DataFrame) -> DataFrame:
             "violation",
         )
     )
+
+
+def current_values(cards: DataFrame) -> DataFrame:
+    """Multi-value current view honoring the full relation algebra
+    (memory_card.rs:76-90): ``Updates`` replaces the slot's value set,
+    ``Extends`` adds to it, ``Retracts`` clears it. The current set is
+    the last non-Extends card's value (if it was an Updates) plus every
+    Extends card after that reset point. One window, no self-join.
+
+    Output: (entity, slot, value) — possibly several rows per pair.
+    """
+    w = Window.partitionBy("entity", "slot")
+    reset = F.max(
+        F.when(
+            F.col("version_relation") != "Extends",
+            F.struct("ts", "seq", "version_relation"),
+        )
+    ).over(w)
+    after_reset = reset.isNull() | (
+        (F.col("ts") > reset["ts"])
+        | ((F.col("ts") == reset["ts"]) & (F.col("seq") > reset["seq"]))
+    )
+    is_reset_row = (
+        (F.col("ts") == reset["ts"])
+        & (F.col("seq") == reset["seq"])
+        & (F.col("version_relation") == "Updates")
+    )
+    keep = (
+        is_reset_row
+        | ((F.col("version_relation") == "Extends") & after_reset)
+    )
+    return cards.withColumn("_keep", keep).filter("_keep").select(
+        "entity", "slot", "value"
+    )
+
+
+def cardinality_violations(cards: DataFrame, schemas: DataFrame) -> DataFrame:
+    """Cardinality enforcement (schema.rs:87-95 Single/Multiple;
+    validation :257-476): a ``Single`` slot is violated when an entity
+    currently holds more than one distinct value — i.e. Extends cards
+    accumulated in a slot the registry declares single-valued.
+    Historical (superseded) values are fine; concurrency is not.
+
+    ``schemas``: (slot, cardinality). Output:
+    (entity, slot, n_values, cardinality) — violating pairs only.
+    """
+    per_pair = current_values(cards).groupBy("entity", "slot").agg(
+        F.count_distinct("value").cast("long").alias("n_values")
+    )
+    reg = schemas.select("slot", "cardinality")
+    return (
+        per_pair.join(F.broadcast(reg), "slot")
+        .filter((F.col("cardinality") == "Single") & (F.col("n_values") > 1))
+        .select("entity", "slot", "n_values", "cardinality")
+    )

@@ -688,6 +688,26 @@ def q48_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q69_cardinality_violations",
+    None,  # filled by _computed_oracles (needs SQL_CARDS)
+    "cardinality enforcement over the multi-value current view: Updates "
+    "replaces the value set, Extends adds, Retracts clears — a Single "
+    "slot holding >1 current value violates (schema.rs:87-95, "
+    "memory_card.rs:76-90)",
+)
+def q69_cardinality_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    cards = memory.cards_from_events(t.events)
+    reg = spark.createDataFrame(
+        [("click", "Single"), ("error", "Single")],
+        "slot string, cardinality string",
+    )
+    return memory.cardinality_violations(cards, reg)
+
+
+@spec(
     "q50_timeline",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
@@ -2698,6 +2718,30 @@ def _computed_oracles() -> None:
     FROM events
     WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
     ORDER BY ts, event_id LIMIT 100
+    """
+
+    by_name["q69_cardinality_violations"].oracle = f"""
+    WITH {SQL_CARDS},
+    lr AS (
+      SELECT entity, slot, ts, seq FROM (
+        SELECT entity, slot, ts, seq,
+          row_number() OVER (PARTITION BY entity, slot
+                             ORDER BY ts DESC, seq DESC) AS rn
+        FROM cards WHERE version_relation <> 'Extends'
+      ) WHERE rn = 1
+    ),
+    cur AS (
+      SELECT c.entity, c.slot, c.value
+      FROM cards c LEFT JOIN lr ON c.entity = lr.entity AND c.slot = lr.slot
+      WHERE (c.version_relation = 'Updates'
+             AND c.ts = lr.ts AND c.seq = lr.seq)
+         OR (c.version_relation = 'Extends'
+             AND (lr.ts IS NULL OR (c.ts, c.seq) > (lr.ts, lr.seq)))
+    )
+    SELECT entity, slot, count(DISTINCT value)::bigint AS n_values,
+           'Single' AS cardinality
+    FROM cur WHERE slot IN ('click', 'error')
+    GROUP BY entity, slot HAVING count(DISTINCT value) > 1
     """
 
     from .functions.text import sql_stem, stem_py

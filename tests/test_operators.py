@@ -202,3 +202,33 @@ def test_candidate_intersection_short_circuits(spark):
     assert out.columns == ["doc_id", "n"]
     kept = intersect_candidates(base, a, b)
     assert kept.count() == 15
+
+
+def test_current_values_multivalue_semantics(spark):
+    """Updates replaces the value set, Extends accumulates, Retracts
+    clears (memory_card.rs:76-90 relation algebra)."""
+    from memvid_spark.operators.memory import cardinality_violations, current_values
+
+    cards = spark.createDataFrame(
+        [
+            ("u1", "tag", "a", "Updates", 100, 1),
+            ("u1", "tag", "b", "Extends", 200, 2),
+            ("u1", "tag", "c", "Extends", 300, 3),   # u1.tag = {a,b,c}
+            ("u2", "tag", "a", "Extends", 100, 4),
+            ("u2", "tag", "z", "Updates", 200, 5),   # reset: u2.tag = {z}
+            ("u3", "tag", "a", "Extends", 100, 6),
+            ("u3", "tag", "x", "Retracts", 200, 7),  # cleared: u3.tag = {}
+            ("u3", "tag", "d", "Extends", 300, 8),   # re-extended: {d}
+        ],
+        "entity string, slot string, value string, version_relation string, ts long, seq long",
+    )
+    cur = {}
+    for r in current_values(cards).collect():
+        cur.setdefault((r.entity, r.slot), set()).add(r.value)
+    assert cur[("u1", "tag")] == {"a", "b", "c"}
+    assert cur[("u2", "tag")] == {"z"}
+    assert cur[("u3", "tag")] == {"d"}
+    reg = spark.createDataFrame([("tag", "Single")], "slot string, cardinality string")
+    v = {(r.entity, r.slot): r.n_values for r in
+         cardinality_violations(cards, reg).collect()}
+    assert v == {("u1", "tag"): 3}  # only u1 violates Single
