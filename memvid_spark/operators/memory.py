@@ -49,11 +49,15 @@ def cards_from_events(events: DataFrame) -> DataFrame:
         .when(F.col("event_id") % 3 == 0, F.lit("Updates"))
         .otherwise(F.lit("Extends"))
     )
+    polarity = F.when(F.col("event_id") % 5 == 0, "Negative").otherwise(
+        "Positive"
+    )  # memory_card.rs:116-127: facts carry polarity ("is NOT y")
     return events.select(
         F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("entity"),
         F.col("event_type").alias("slot"),
         value.alias("value"),
         relation.alias("version_relation"),
+        polarity.alias("polarity"),
         F.col("ts"),
         F.col("event_id").alias("seq"),
     )

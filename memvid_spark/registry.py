@@ -688,6 +688,24 @@ def q48_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q91_polarity_summary",
+    None,  # filled by _computed_oracles (SQL_CARDS defined later)
+    "fact polarity (memory_card.rs:116-127): negated facts stay distinct "
+    "from positive ones through the current view — per-slot polarity "
+    "breakdown of the latest non-retracted cards",
+)
+def q91_polarity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import memory
+
+    t = catalog.load(spark, sf_dir)
+    cur = memory.current_cards(memory.cards_from_events(t.events))
+    return cur.groupBy("slot", "polarity").agg(
+        F.count("*").cast("long").alias("n_current"),
+        F.count_distinct("entity").cast("long").alias("n_entities"),
+    )
+
+
+@spec(
     "q69_cardinality_violations",
     None,  # filled by _computed_oracles (needs SQL_CARDS)
     "cardinality enforcement over the multi-value current view: Updates "
@@ -1218,6 +1236,8 @@ SQL_CARDS = """
              CASE WHEN value < 10.0 THEN 'Retracts'
                   WHEN event_id % 3 = 0 THEN 'Updates'
                   ELSE 'Extends' END AS version_relation,
+             CASE WHEN event_id % 5 = 0 THEN 'Negative'
+                  ELSE 'Positive' END AS polarity,
              ts, event_id AS seq
       FROM events
     )
@@ -2718,6 +2738,18 @@ def _computed_oracles() -> None:
     FROM events
     WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
     ORDER BY ts, event_id LIMIT 100
+    """
+
+    by_name["q91_polarity_summary"].oracle = f"""
+    WITH {SQL_CARDS}
+    SELECT slot, polarity, count(*)::bigint AS n_current,
+           count(DISTINCT entity)::bigint AS n_entities
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY entity, slot
+                                   ORDER BY ts DESC, seq DESC) AS rn
+      FROM cards)
+    WHERE rn = 1 AND version_relation <> 'Retracts'
+    GROUP BY slot, polarity
     """
 
     by_name["q69_cardinality_violations"].oracle = f"""
