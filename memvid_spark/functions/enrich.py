@@ -124,3 +124,46 @@ def edges_from_triplets(trips: DataFrame) -> DataFrame:
         F.col("doc_id").alias("frame_id"),
         F.lit(1.0).alias("confidence"),
     )
+
+
+def enrich_documents(docs: DataFrame) -> DataFrame:
+    """EnrichmentEngine pipeline (the EnrichmentEngine trait +
+    RulesEngine, src/lib.rs:255, src/enrich/engine.rs; progressive
+    enrichment_state Searchable→Enriched, src/types/frame.rs:227-230):
+    one composed pass of the rule enrichers — auto-tagging, content-date
+    extraction, NER, triplet extraction — emitting per-doc enrichment
+    counts and the advanced state.
+
+    Output: (doc_id, n_tags, n_dates, n_entities, n_triplets,
+    enrichment_state).
+    """
+    from .extract import auto_tags, extract_dates
+
+    base = docs.select(
+        "doc_id",
+        F.size(auto_tags("text")).alias("n_tags"),
+        F.size(extract_dates("text")).alias("n_dates"),
+    )
+    sents = render_person_sentences(docs)
+    ents = (
+        ner_entities(sents)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("entity").cast("long").alias("n_entities"))
+    )
+    trips = (
+        spo_triplets(sents)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triplets"))
+    )
+    return (
+        base.join(ents, "doc_id", "left")
+        .join(trips, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tags",
+            "n_dates",
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+            F.coalesce("n_triplets", F.lit(0)).alias("n_triplets"),
+            F.lit("Enriched").alias("enrichment_state"),
+        )
+    )

@@ -2323,6 +2323,20 @@ def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q92_enrichment_pipeline",
+    None,  # filled by _computed_oracles (reuses NER + triplet SQL)
+    "EnrichmentEngine pipeline: auto-tags, content dates, NER, triplets "
+    "composed in one pass, docs advance Searchable→Enriched "
+    "(lib.rs:255, enrich/engine.rs; frame.rs:227-230 progressive state)",
+)
+def q92_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.enrich import enrich_documents
+
+    t = catalog.load(spark, sf_dir)
+    return enrich_documents(t.documents)
+
+
+@spec(
     "q27_bloom_prefilter",
     f"""
     WITH toks AS (
@@ -2939,6 +2953,28 @@ def _computed_oracles() -> None:
              ORDER BY n_chars DESC, doc_id LIMIT 10)
     SELECT h.doc_id, e.entity, e.kind
     FROM hits h JOIN ents e USING (doc_id)
+    """
+
+    from .functions.extract import ISO_DATE_RE
+
+    by_name["q92_enrichment_pipeline"].oracle = f"""
+    WITH {ner_core},
+    trips AS ({arms}),
+    tc AS (SELECT doc_id, count(*)::bigint AS n_triplets FROM trips
+           GROUP BY doc_id),
+    ec AS (SELECT doc_id, count(DISTINCT entity)::bigint AS n_entities
+           FROM ents GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+        len({sql_auto_tags('text')}) AS n_tags,
+        len(regexp_extract_all(text, '{ISO_DATE_RE}', 0)) AS n_dates
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tags, b.n_dates,
+           coalesce(ec.n_entities, 0) AS n_entities,
+           coalesce(tc.n_triplets, 0) AS n_triplets,
+           'Enriched' AS enrichment_state
+    FROM base b LEFT JOIN ec USING (doc_id) LEFT JOIN tc USING (doc_id)
     """
 
 
