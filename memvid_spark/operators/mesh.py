@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def mesh_from_tpch(customer, supplier, nation, region) -> tuple[DataFrame, DataFrame]:
@@ -163,4 +163,38 @@ def decorate_hits(hits: DataFrame, nodes: DataFrame, id_col: str = "doc_id") -> 
     )
     return hits.join(F.broadcast(exploded), id_col).select(
         id_col, "entity", "kind"
+    )
+
+
+def canonicalize_entities(ents: DataFrame) -> DataFrame:
+    """Entity canonicalization into MeshNodes (logic_mesh.rs:27-80:
+    MeshNode.canonical_name): surface forms differing only in case/
+    whitespace merge under one canonical key; the display name is the
+    most frequent surface form (ties: alphabetical), kind by majority
+    vote with the same tie-break, frame_ids unioned, confidence = max.
+
+    Input: (doc_id, entity, kind, confidence). Output:
+    (canonical, display_name, kind, n_mentions, n_frames, confidence).
+    """
+    keyed = ents.withColumn("canonical", F.lower(F.trim(F.col("entity"))))
+    by_form = keyed.groupBy("canonical", "entity", "kind").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nf"),
+        F.max("confidence").alias("c"),
+    )
+    w_name = Window.partitionBy("canonical").orderBy(
+        F.col("n").desc(), F.col("entity").asc()
+    )
+    w_kind = Window.partitionBy("canonical").orderBy(
+        F.col("n").desc(), F.col("kind").asc()
+    )
+    ranked = by_form.withColumn(
+        "display_name", F.first("entity").over(w_name)
+    ).withColumn("top_kind", F.first("kind").over(w_kind))
+    return ranked.groupBy("canonical").agg(
+        F.min("display_name").alias("display_name"),
+        F.min("top_kind").alias("kind"),
+        F.sum("n").cast("long").alias("n_mentions"),
+        F.sum("nf").cast("long").alias("n_frames"),
+        F.round(F.max("c"), 6).alias("confidence"),
     )

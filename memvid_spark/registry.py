@@ -2323,6 +2323,22 @@ def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q93_entity_canonicalization",
+    None,  # filled by _computed_oracles (reuses NER SQL)
+    "entity canonicalization into MeshNodes: surface forms merge under a "
+    "case/whitespace-insensitive canonical key; display name and kind by "
+    "majority vote, frame sets unioned (logic_mesh.rs:27-80 "
+    "canonical_name)",
+)
+def q93_entity_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.enrich import ner_entities, render_person_sentences
+    from .operators.mesh import canonicalize_entities
+
+    t = catalog.load(spark, sf_dir)
+    return canonicalize_entities(ner_entities(render_person_sentences(t.documents)))
+
+
+@spec(
     "q92_enrichment_pipeline",
     None,  # filled by _computed_oracles (reuses NER + triplet SQL)
     "EnrichmentEngine pipeline: auto-tags, content dates, NER, triplets "
@@ -2953,6 +2969,32 @@ def _computed_oracles() -> None:
              ORDER BY n_chars DESC, doc_id LIMIT 10)
     SELECT h.doc_id, e.entity, e.kind
     FROM hits h JOIN ents e USING (doc_id)
+    """
+
+    by_name["q93_entity_canonicalization"].oracle = f"""
+    WITH {ner_core},
+    keyed AS (
+      SELECT doc_id, entity, kind, confidence,
+             lower(trim(entity)) AS canonical
+      FROM ents
+    ),
+    by_form AS (
+      SELECT canonical, entity, kind, count(*)::bigint AS n,
+             count(DISTINCT doc_id)::bigint AS nf, max(confidence) AS c
+      FROM keyed GROUP BY canonical, entity, kind
+    ),
+    ranked AS (
+      SELECT *,
+        first_value(entity) OVER (PARTITION BY canonical
+                                  ORDER BY n DESC, entity) AS display_name,
+        first_value(kind) OVER (PARTITION BY canonical
+                                ORDER BY n DESC, kind) AS top_kind
+      FROM by_form
+    )
+    SELECT canonical, min(display_name) AS display_name,
+           min(top_kind) AS kind, sum(n)::bigint AS n_mentions,
+           sum(nf)::bigint AS n_frames, round(max(c), 6) AS confidence
+    FROM ranked GROUP BY canonical
     """
 
     from .functions.extract import ISO_DATE_RE
