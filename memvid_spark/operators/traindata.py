@@ -1,0 +1,223 @@
+"""Training-data pipeline operators: decontamination, context-window
+packing, deterministic splits, banded range joins.
+
+These extend the reference's surface with the operations a large-scale
+LLM training-data pipeline needs (driver mandate). They reuse the
+engine's portable primitives (md5-based hash64, the shared tokenizer)
+so every output is replayable by the DuckDB oracle.
+
+Scale posture (100 TB):
+- ``decontaminate``: the benchmark side of the join is a *benchmark
+  suite* — MBs, not TBs — so its distinct n-gram set is broadcast; the
+  candidate corpus streams through a single hash join, no shuffle of the
+  big side. The n-gram explode is bounded (≤ tokens-n+1 rows per doc)
+  and collapses immediately into per-doc counts with map-side partial
+  aggregation.
+- ``pack_windows``: greedy streaming packing needs a prefix sum, which
+  is a window — so the pack *grain* is the partition key (source/shard
+  of origin). One shuffle by source, never a global single-partition
+  window. At warehouse scale the grain would be (source, date).
+- ``split_assign``: pure narrow hash arithmetic on the id — no shuffle,
+  no RNG, reproducible across engines and runs.
+- ``banded_pairs``: turns the inequality self-join ("events of the same
+  user within gap seconds") into an equi-join on (user, time-bucket)
+  by exploding ONE side into its two covering buckets — 2× row
+  duplication instead of a nested-loop theta join; AQE handles hot
+  users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import tokens
+
+DECON_N = 8  # industry-standard contamination n-gram size (8..13)
+PACK_BUDGET = 256  # tokens per context window at test scale
+SPLIT_SALT = "split"  # salt for the deterministic split hash
+PAIR_GAP_NS = 300 * 1_000_000_000  # 5-minute range-join window
+
+
+def ngram_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECON_N,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct word n-grams per doc: (id, [keep_cols...], gram).
+
+    Docs shorter than ``n`` tokens yield zero rows (guarded — Spark's
+    ``sequence(1, 0)`` is descending, not empty).
+    """
+    toks = tokens(text_col)
+    joined = "concat_ws(' ', " + ", ".join(
+        f"element_at(_toks, i + {d})" for d in range(n)
+    ) + ")"
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.expr(f"transform(sequence(1, size(_toks) - {n - 1}), i -> {joined})"),
+    ).otherwise(F.array().cast("array<string>"))
+    keep = keep_cols or []
+    return (
+        docs.select(F.col(id_col), *keep, toks.alias("_toks"))
+        .select(F.col(id_col), *keep, F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECON_N,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate doc, how many of its
+    distinct n-grams collide with the benchmark corpus (rows matching
+    ``bench_pred``).
+
+    Output: (id, n_grams, n_hits, contamination, contaminated) for every
+    candidate doc — including token-poor docs with zero n-grams.
+    """
+    grams = ngram_set(
+        docs.withColumn("_is_bench", bench_pred), id_col, text_col, n,
+        keep_cols=["_is_bench"],
+    )
+    bench = grams.filter(F.col("_is_bench")).select("gram").distinct()
+    cand_grams = grams.filter(~F.col("_is_bench"))
+    counts = cand_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        cand_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = docs.withColumn("_is_bench", bench_pred).filter(
+        ~F.col("_is_bench")
+    ).select(id_col)
+    return (
+        base.join(counts, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce(
+                F.round(
+                    F.col("n_hits") / F.nullif(F.col("n_grams"), F.lit(0)), 6
+                ),
+                F.lit(0.0),
+            ).alias("contamination"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def pack_windows(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    grain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy streaming context-window packing: docs are laid out in
+    (grain, id) order and assigned shard = floor(cum_tokens_before /
+    budget) — each shard is a pack of consecutive docs totalling ~budget
+    tokens. The prefix sum is windowed PER GRAIN (one uniform shuffle).
+
+    Output: one row per (grain, shard) with doc/token totals and the
+    id span, ready to drive a partitioned write.
+    """
+    w = (
+        Window.partitionBy(grain_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(text_col))
+    packed = docs.select(
+        F.col(grain_col), F.col(id_col), n_tok.alias("n_tok")
+    ).withColumn(
+        "shard",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(budget)),
+    )
+    return packed.groupBy(grain_col, "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the portable 60-bit
+    md5 hash of the id: bucket = hash64(id || '#salt') % 100. Stable
+    across runs, engines, and cluster sizes; changing the salt redraws
+    the split without touching the data.
+    """
+    bucket = hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+def banded_pairs(
+    events: DataFrame,
+    gap_ns: int = PAIR_GAP_NS,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Range self-join via time-bucket banding: all ordered pairs of a
+    user's events with 0 < t2-t1 <= gap. Each right-side event explodes
+    into its bucket and the previous one, so every qualifying pair meets
+    on exactly one (key, bucket) — an equi-join Catalyst can shuffle-
+    partition, instead of a nested-loop inequality join.
+
+    Output: (key, a_id, b_id, gap_us). Comparisons and the gap are in
+    epoch-micros (per-value truncation from the raw nanos, matching the
+    oracle's µs timestamp precision); the ns-grain banding is a strict
+    superset of the µs predicate, so no qualifying pair is lost.
+    """
+    a = events.select(
+        F.col(key_col),
+        F.col(id_col).alias("a_id"),
+        F.expr(f"{ts_col} div 1000").alias("a_us"),
+        F.expr(f"{ts_col} div {gap_ns}").alias("bucket"),
+    )
+    b = events.select(
+        F.col(key_col),
+        F.col(id_col).alias("b_id"),
+        F.expr(f"{ts_col} div 1000").alias("b_us"),
+        F.explode(
+            F.array(
+                F.expr(f"{ts_col} div {gap_ns}"),
+                F.expr(f"{ts_col} div {gap_ns}") - 1,
+            )
+        ).alias("bucket"),
+    )
+    gap_us = gap_ns // 1000
+    return (
+        a.join(b, [key_col, "bucket"])
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= F.lit(gap_us))
+        )
+        .select(
+            F.col(key_col),
+            "a_id",
+            "b_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )

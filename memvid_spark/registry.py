@@ -2738,6 +2738,197 @@ def q87_doctor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Training-data pipeline surface (driver mandate, beyond the reference):
+# decontamination, context packing, deterministic splits, range joins,
+# cube/grouping sets, exact percentile stats.
+# =========================================================================
+
+from .operators import traindata  # noqa: E402
+
+_DECON_N = traindata.DECON_N
+_DECON_GRAM_SQL = "||' '||".join(f"ts[i+{d}]" for d in range(_DECON_N))
+
+
+@spec(
+    "q94_decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS.format(x='text')} AS ts
+                  FROM documents),
+    g AS (SELECT doc_id, source, unnest(
+            CASE WHEN len(ts) >= {_DECON_N}
+                 THEN list_transform(generate_series(1, len(ts)-{_DECON_N - 1}),
+                                     i -> {_DECON_GRAM_SQL})
+                 ELSE []::varchar[] END) AS gram
+          FROM toks),
+    gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
+    bench AS (SELECT DISTINCT gram FROM gd WHERE source = 'src0'),
+    counts AS (SELECT doc_id, count(*)::bigint AS n_grams
+               FROM gd WHERE source <> 'src0' GROUP BY doc_id),
+    hits AS (SELECT gd.doc_id, count(*)::bigint AS n_hits
+             FROM gd JOIN bench USING (gram)
+             WHERE gd.source <> 'src0' GROUP BY gd.doc_id)
+    SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(round(h.n_hits / nullif(c.n_grams, 0), 6), 0.0)
+             AS contamination,
+           (coalesce(h.n_hits, 0) > 0)::int AS contaminated
+    FROM documents d
+    LEFT JOIN counts c USING (doc_id) LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    "benchmark decontamination: distinct 8-gram collision join against "
+    "the benchmark corpus (broadcast small side); the standard "
+    "training-data contamination check",
+)
+def q94_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return traindata.decontaminate(t.documents, F.col("source") == "src0")
+
+
+@spec(
+    "q95_pack_context_windows",
+    f"""
+    WITH t AS (SELECT source, doc_id,
+                      len({SQL_TOKS.format(x='text')}) AS n_tok
+               FROM documents),
+    c AS (SELECT *, coalesce(sum(n_tok) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM t),
+    s AS (SELECT source, doc_id, n_tok,
+                 floor(cum / {traindata.PACK_BUDGET})::bigint AS shard
+          FROM c)
+    SELECT source, shard, count(*) AS n_docs, sum(n_tok)::bigint AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY source, shard
+    """,
+    "greedy context-window packing: per-grain prefix-sum shard "
+    "assignment (the sequence-packing step of a training pipeline)",
+)
+def q95_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return traindata.pack_windows(t.documents)
+
+
+_SPLIT_BUCKET_SQL = (
+    "('0x' || substr(md5(doc_id::varchar || '#"
+    + traindata.SPLIT_SALT
+    + "'), 1, 15))::bigint % 100"
+)
+
+
+@spec(
+    "q96_stratified_split",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars, {SQL_TOKS.format(x='text')} AS ts,
+             CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(len(ts))::bigint AS n_tokens
+    FROM s GROUP BY split, lang
+    """,
+    "deterministic train/val/test split from the portable md5 hash of "
+    "the id — reproducible across engines/runs; per-(split, lang) "
+    "stratification stats",
+)
+def q96_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    s = traindata.split_assign(t.documents)
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(T.tokens("text"))).alias("n_tokens"),
+    )
+
+
+@spec(
+    "q97_event_pair_rangejoin",
+    """
+    WITH p AS (
+      SELECT e1.user_id,
+             epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts > e1.ts
+       AND e2.ts <= e1.ts + INTERVAL 300 SECOND)
+    SELECT user_id, count(*) AS n_pairs,
+           round(avg(gap_us), 4) AS avg_gap_us
+    FROM p GROUP BY user_id
+    """,
+    "range self-join via time-bucket banding: inequality join rewritten "
+    "as an equi-join on (user, bucket) with a 2-bucket explode — "
+    "shuffle-partitionable where a theta join would nested-loop",
+)
+def q97_event_pair_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    pairs = traindata.banded_pairs(t.events)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+    )
+
+
+@spec(
+    "q98_cube_events",
+    """
+    WITH e AS (SELECT coalesce(event_type, '') AS et,
+                      extract(hour FROM ts)::int AS hr, value
+               FROM events)
+    SELECT coalesce(et, '*') AS event_type, coalesce(hr, -1) AS hour,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM e GROUP BY CUBE (et, hr)
+    """,
+    "CUBE over (event_type, hour) — grouping-sets surface the reference "
+    "lacks, free in both engines (SURVEY §2.4 note)",
+)
+def q98_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    e = t.events.select(
+        F.coalesce("event_type", F.lit("")).alias("et"),
+        F.hour(F.timestamp_micros(F.expr("ts div 1000"))).alias("hr"),
+        F.col("value"),
+    )
+    return (
+        e.cube("et", "hr")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("et", F.lit("*")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hour"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@spec(
+    "q99_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "exact linear-interpolation percentiles per group — the "
+    "embedding_quality-style distribution stats generalized "
+    "(src/memvid/search/api.rs:638-661)",
+)
+def q99_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -1,0 +1,118 @@
+"""Semantic pins for the training-data pipeline operators
+(operators/traindata.py) that the synthetic-corpus oracle sweep can't
+express: short-doc n-gram guards, planted-contamination recall, the
+banded range join vs a naive theta join, packing invariants, and split
+determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memvid_spark.operators import traindata
+
+
+def test_ngram_guard_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h i"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = traindata.ngram_set(docs, n=8).collect()
+    # doc 1 (3 toks) and doc 3 (0 toks) must yield NO grams — Spark's
+    # sequence(1, 0) is descending, not empty, without the guard.
+    assert {r.doc_id for r in out} == {2}
+    assert len(out) == 2  # 9 tokens -> 2 distinct 8-grams
+
+
+def test_decontaminate_planted_copy(spark):
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, bench, "bench"),
+            (2, bench, "cand"),  # exact copy -> fully contaminated
+            (3, "totally unrelated words nowhere near the benchmark set ok", "cand"),
+            (4, "too short", "cand"),  # < 8 tokens -> zero grams
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in traindata.decontaminate(
+            docs, F.col("source") == "bench"
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}
+    assert out[2].contamination == 1.0 and out[2].contaminated == 1
+    assert out[3].n_hits == 0 and out[3].contaminated == 0
+    assert out[4].n_grams == 0 and out[4].contamination == 0.0
+
+
+def test_banded_pairs_equals_naive_join(spark):
+    # Events straddling bucket boundaries: gap = 300s exactly, 1us over,
+    # same-bucket pairs, cross-bucket pairs.
+    gap_ns = traindata.PAIR_GAP_NS
+    rows = [
+        (1, 10, 1_000_000_000_000),
+        (1, 11, 1_000_000_000_000 + gap_ns),  # exactly gap -> pair
+        (1, 12, 1_000_000_000_000 + 2 * gap_ns + 1000),  # 1us past -> no pair w/ 11? (gap exact) yes pair
+        (2, 20, 5 * gap_ns - 1000),  # just before a bucket edge
+        (2, 21, 5 * gap_ns + 1000),  # just after -> cross-bucket pair
+        (3, 30, 7 * gap_ns),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id, r.gap_us)
+        for r in traindata.banded_pairs(ev).collect()
+    )
+    gap_us = gap_ns // 1000
+    a = ev.select("user_id", F.col("event_id").alias("a_id"),
+                  F.expr("ts div 1000").alias("a_us"))
+    b = ev.select("user_id", F.col("event_id").alias("b_id"),
+                  F.expr("ts div 1000").alias("b_us"))
+    naive = sorted(
+        (r.user_id, r.a_id, r.b_id, r.b_us - r.a_us)
+        for r in a.join(b, "user_id")
+        .filter((F.col("b_us") > F.col("a_us"))
+                & (F.col("b_us") - F.col("a_us") <= gap_us))
+        .collect()
+    )
+    assert got == naive and len(got) >= 2
+
+
+def test_pack_windows_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 + i % 7), "s%d" % (i % 2)) for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = traindata.pack_windows(docs, budget=64).collect()
+    # every doc packed exactly once
+    assert sum(r.n_docs for r in out) == 40
+    # doc-id spans within a grain are disjoint and ordered by shard
+    for src in ("s0", "s1"):
+        spans = sorted(
+            (r.shard, r.first_doc, r.last_doc) for r in out if r.source == src
+        )
+        for (s1, f1, l1), (s2, f2, l2) in zip(spans, spans[1:]):
+            assert l1 < f2 and s1 < s2
+    # greedy prefix rule: a shard overflows only by its last doc
+    max_doc_tok = 16
+    assert all(r.n_tokens <= 64 + max_doc_tok for r in out)
+
+
+def test_split_assign_deterministic_and_total(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(500)], "doc_id long, text string"
+    )
+    s1 = {r.doc_id: r.split for r in traindata.split_assign(docs).collect()}
+    s2 = {r.doc_id: r.split for r in traindata.split_assign(docs).collect()}
+    assert s1 == s2  # no RNG anywhere
+    counts = {v: list(s1.values()).count(v) for v in ("train", "val", "test")}
+    assert sum(counts.values()) == 500
+    # stratification is approximate but must be in the right ballpark
+    assert 320 <= counts["train"] <= 470
+    assert counts["val"] >= 10 and counts["test"] >= 10
+    # a different salt redraws the split
+    s3 = {
+        r.doc_id: r.split
+        for r in traindata.split_assign(docs, salt="other").collect()
+    }
+    assert s3 != s1
