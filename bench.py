@@ -36,6 +36,8 @@ HEADLINE = [
     "q66_semantic_rerank",
     "q81_structure_blocks",
     "q84_sheet_tables",
+    "q94_decontamination",
+    "q97_event_pair_rangejoin",
 ]
 
 

@@ -45,24 +45,35 @@ def ngram_set(
     text_col: str = "text",
     n: int = DECON_N,
     keep_cols: list[str] | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-grams per doc: (id, [keep_cols...], gram).
 
     Docs shorter than ``n`` tokens yield zero rows (guarded — Spark's
     ``sequence(1, 0)`` is descending, not empty).
+
+    ``hashed=True`` replaces the gram string with its portable 60-bit
+    md5 hash BEFORE the distinct — the shuffle and any downstream join
+    move 8-byte ints instead of ~50-byte strings (the at-scale layout;
+    60 bits make collisions negligible, and the DuckDB oracle replays
+    the same hash).
     """
     toks = tokens(text_col)
-    joined = "concat_ws(' ', " + ", ".join(
-        f"element_at(_toks, i + {d})" for d in range(n)
-    ) + ")"
     grams = F.when(
         F.size(F.col("_toks")) >= n,
-        F.expr(f"transform(sequence(1, size(_toks) - {n - 1}), i -> {joined})"),
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
     ).otherwise(F.array().cast("array<string>"))
     keep = keep_cols or []
+    gram = F.col("_gram")
+    if hashed:
+        gram = hash64(gram)
     return (
         docs.select(F.col(id_col), *keep, toks.alias("_toks"))
-        .select(F.col(id_col), *keep, F.explode(grams).alias("gram"))
+        .select(F.col(id_col), *keep, F.explode(grams).alias("_gram"))
+        .select(F.col(id_col), *keep, gram.alias("gram"))
         .distinct()
     )
 
@@ -81,36 +92,43 @@ def decontaminate(
     Output: (id, n_grams, n_hits, contamination, contaminated) for every
     candidate doc — including token-poor docs with zero n-grams.
     """
+    # The gram subtree feeds both branches; recomputing it is cheaper
+    # than checkpointing on cold runs (measured — codegen compile, not
+    # the second compute, dominates cold time).
     grams = ngram_set(
         docs.withColumn("_is_bench", bench_pred), id_col, text_col, n,
-        keep_cols=["_is_bench"],
+        keep_cols=["_is_bench"], hashed=True,
     )
-    bench = grams.filter(F.col("_is_bench")).select("gram").distinct()
-    cand_grams = grams.filter(~F.col("_is_bench"))
-    counts = cand_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        cand_grams.join(F.broadcast(bench), "gram")
+    bench = (
+        grams.filter(F.col("_is_bench"))
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # Single pass over the candidate grams: broadcast-left-join the
+    # benchmark flags (no shuffle of the big side), then ONE per-doc
+    # aggregation yields gram and hit counts together.
+    stats = (
+        grams.filter(~F.col("_is_bench"))
+        .join(F.broadcast(bench), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+        )
     )
     base = docs.withColumn("_is_bench", bench_pred).filter(
         ~F.col("_is_bench")
     ).select(id_col)
-    return (
-        base.join(counts, id_col, "left")
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.coalesce(
-                F.round(
-                    F.col("n_hits") / F.nullif(F.col("n_grams"), F.lit(0)), 6
-                ),
-                F.lit(0.0),
-            ).alias("contamination"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
-        )
+    return base.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce(
+            F.round(F.col("n_hits") / F.nullif(F.col("n_grams"), F.lit(0)), 6),
+            F.lit(0.0),
+        ).alias("contamination"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
 
 

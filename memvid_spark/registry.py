@@ -2755,11 +2755,12 @@ _DECON_GRAM_SQL = "||' '||".join(f"ts[i+{d}]" for d in range(_DECON_N))
     f"""
     WITH toks AS (SELECT doc_id, source, {SQL_TOKS.format(x='text')} AS ts
                   FROM documents),
-    g AS (SELECT doc_id, source, unnest(
-            CASE WHEN len(ts) >= {_DECON_N}
-                 THEN list_transform(generate_series(1, len(ts)-{_DECON_N - 1}),
-                                     i -> {_DECON_GRAM_SQL})
-                 ELSE []::varchar[] END) AS gram
+    g AS (SELECT doc_id, source,
+            ('0x' || substr(md5(unnest(
+              CASE WHEN len(ts) >= {_DECON_N}
+                   THEN list_transform(generate_series(1, len(ts)-{_DECON_N - 1}),
+                                       i -> {_DECON_GRAM_SQL})
+                   ELSE []::varchar[] END)), 1, 15))::bigint AS gram
           FROM toks),
     gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
     bench AS (SELECT DISTINCT gram FROM gd WHERE source = 'src0'),
