@@ -27,7 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vector import cosine, l2
+from ..functions.vector import cosine, dot, l2
 
 
 def knn(
@@ -205,6 +205,97 @@ def ivf_knn(
     )
     cell = assigned.join(F.broadcast(probe), c_id_col, "left_semi")
     return knn(cell, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def srp_hyperplanes(
+    dim: int, n_planes: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (Charikar's
+    SimHash family applied to dense vectors — the same LSH the sketch
+    track uses for tokens, src/types/sketch_track.rs:549-580).
+
+    Components rounded to 6dp so the identical literals embed in both
+    the Column expressions and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [float(x) for x in row]
+        for row in rng.standard_normal((n_planes, dim)).round(6)
+    ]
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Packed LSH bucket id: bit j = sign(dot(v, plane_j)). A pure
+    Column expression — at scale this is the *offline index build*,
+    stored (or partitioned on) alongside the vector."""
+    bits = [
+        F.when(dot(vec_col, h) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, h in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def srp_probe_buckets(
+    query_vec: Sequence[float], planes: list[list[float]], max_flips: int = 2
+) -> list[int]:
+    """Multi-probe bucket set: the query's bucket plus every bucket
+    within ``max_flips`` sign flips (Hamming ball). Python-float dot
+    products are IEEE doubles folded in the same order as the engine
+    expressions, so the signature agrees bit-for-bit."""
+    import itertools
+
+    sig = 0
+    for j, h in enumerate(planes):
+        acc = 0.0
+        for q, w in zip(query_vec, h):
+            acc += float(q) * w
+        if acc >= 0:
+            sig |= 1 << j
+    probes = {sig}
+    for r in range(1, max_flips + 1):
+        for comb in itertools.combinations(range(len(planes)), r):
+            b = sig
+            for c in comb:
+                b ^= 1 << c
+            probes.add(b)
+    return sorted(probes)
+
+
+def lsh_knn(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    planes: list[list[float]] | None = None,
+    max_flips: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """SRP-LSH approximate k-NN: restrict the exact rerank to vectors
+    whose LSH bucket lies within ``max_flips`` bit flips of the query's
+    bucket, then exact-score the candidates.
+
+    The scale path: the bucket is a stored/partition column built
+    offline (here rebuilt inline, like every derived table), and the
+    probe list is a literal IN-filter — partition-prunable, touching
+    |ball|/2^L of the corpus. Recall depends on the corpus having
+    cosine structure; the contract is pinned on planted clusters in
+    tests (random vectors have no structure for ANY sublinear method).
+    """
+    if planes is None:
+        planes = srp_hyperplanes(dim=len(list(query_vec)))
+    probes = srp_probe_buckets(query_vec, planes, max_flips)
+    d = emb
+    if exclude_id is not None:
+        d = d.filter(F.col(id_col) != exclude_id)
+    cand = d.withColumn("bucket", srp_bucket(vec_col, planes)).filter(
+        F.col("bucket").isin(probes)
+    )
+    return knn(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
 def train_centroids(

@@ -2930,6 +2930,53 @@ def q99_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.knn import srp_hyperplanes  # noqa: E402
+
+_SRP_PLANES = srp_hyperplanes(dim=64)
+
+
+def _sql_srp_bucket(v: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product({v}, "
+        f"[{', '.join(repr(x) for x in h)}]) >= 0 THEN {1 << j} ELSE 0 END"
+        for j, h in enumerate(_SRP_PLANES)
+    )
+    return f"({terms})::bigint"
+
+
+@spec(
+    "q100_lsh_ann",
+    f"""
+    WITH q AS (SELECT embedding::double[] AS qv FROM embeddings
+               WHERE vec_id = 1),
+    qb AS (SELECT qv, {_sql_srp_bucket('qv')} AS qbucket FROM q),
+    b AS (SELECT vec_id, embedding::double[] AS v,
+                 {_sql_srp_bucket('embedding::double[]')} AS bucket
+          FROM embeddings WHERE vec_id <> 1),
+    cand AS (SELECT vec_id,
+                    round({SQL_COS.format(a='v', b='qv')}, 6) AS score
+             FROM b, qb WHERE bit_count(xor(bucket, qbucket)) <= 2),
+    top AS (SELECT vec_id, score FROM cand
+            ORDER BY score DESC, vec_id LIMIT 10)
+    SELECT vec_id, score,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+    FROM top
+    """,
+    "SRP-LSH approximate kNN: multi-probe Hamming ball over packed "
+    "sign-projection buckets, exact rerank within candidates — the "
+    "third ANN tier beside IVF (q35) and PQ (q34); bucket assignment "
+    "is the offline index (partition-prunable probe list at scale)",
+)
+def q100_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x) for x in t.embeddings.filter(F.col("vec_id") == 1).head().embedding
+    ]
+    return knn.lsh_knn(
+        t.embeddings, qvec, k=10, planes=_SRP_PLANES, max_flips=2, exclude_id=1
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

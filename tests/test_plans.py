@@ -150,3 +150,28 @@ def test_reranker_registry_dispatch():
     assert get_reranker("semantic") is semantic_rerank
     with pytest.raises(KeyError, match="unknown reranker"):
         get_reranker("nope")
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram side of the contamination join must be the
+    broadcast build side — the candidate corpus (the 100 TB side) must
+    never shuffle for this join."""
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q94_decontamination"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_range_join_is_equi_join(spark):
+    """The 5-minute event-pair range join must execute as a hash/merge
+    equi-join on (user, bucket) — never BroadcastNestedLoopJoin, which
+    is what a naive ts-inequality join degenerates to."""
+    from memvid_spark import registry
+
+    q = {s.name: s.fn for s in registry.SPECS}["q97_event_pair_rangejoin"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

@@ -109,3 +109,32 @@ def test_dimension_contract_raises(spark):
     assert assert_dimension(emb, 8)
     with pytest.raises(ValueError, match="dimension contract"):
         assert_dimension(emb, 16)
+
+
+def test_lsh_recall_on_clustered_vectors(spark):
+    """SRP-LSH recall contract, mirroring the reference's HNSW bound
+    (recall >= 0.8 vs brute force, src/vec.rs:645-650). Measured on
+    planted clusters — real embedding geometry — because random vectors
+    have no cosine structure for ANY sublinear index to exploit."""
+    import numpy as np
+
+    from memvid_spark.operators.knn import knn, lsh_knn, srp_hyperplanes
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 64)) * 0.5 for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = srp_hyperplanes(dim=64)
+    qvec = [float(x) for x in vecs[0]]
+    exact = {r.vec_id for r in knn(emb, qvec, k=10, exclude_id=0).collect()}
+    approx_df = lsh_knn(
+        emb, qvec, k=10, planes=planes, max_flips=2, exclude_id=0
+    )
+    approx = {r.vec_id for r in approx_df.collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, f"recall {recall}"
