@@ -2977,6 +2977,49 @@ def q100_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q101_incremental_postings",
+    f"""
+    WITH final_corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' refreshed content'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 20 <> 5
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' appended copy' AS text
+      FROM documents WHERE doc_id >= 30 AND doc_id < 40
+    ),
+    t AS (SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS token
+          FROM final_corpus)
+    SELECT doc_id, token, count(*)::bigint AS tf
+    FROM t GROUP BY doc_id, token
+    """,
+    "incremental index maintenance: postings updated by anti-join+append "
+    "of a change batch (updates, tombstones, inserts) must equal a full "
+    "rebuild of the final corpus — the WAL-delta commit analogue "
+    "(mutation.rs:739-918); the oracle computes the rebuild side",
+)
+def q101_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import incremental
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    base_postings = search.build_postings(docs)
+    upd = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.concat("text", F.lit(" refreshed content")).alias("text")
+    )
+    ins = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" appended copy")).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % 20 == 5).select("doc_id")
+    changed_ids = (
+        upd.select("doc_id").unionByName(dele).unionByName(ins.select("doc_id"))
+    )
+    changed_docs = upd.unionByName(ins)
+    return incremental.incremental_postings(base_postings, changed_ids, changed_docs)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
