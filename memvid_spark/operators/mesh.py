@@ -198,3 +198,58 @@ def canonicalize_entities(ents: DataFrame) -> DataFrame:
         F.sum("nf").cast("long").alias("n_frames"),
         F.round(F.max("c"), 6).alias("confidence"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    cluster id = smallest node id reachable from the node.
+
+    The missing piece between pairwise near-dup detection (SimHash /
+    MinHash / embedding pairs) and "keep one doc per duplicate group" —
+    memvid only ever deduplicates exact hashes on insert
+    (mutation.rs:3302-3316); transitive grouping is engine surface.
+
+    Each iteration is one self-join + groupBy-min (associative and
+    commutative, so partitioning never changes the result), converging
+    in O(graph diameter) rounds — near-dup graphs are little cliques,
+    so 1-2 rounds in practice. ``localCheckpoint`` truncates lineage
+    per round (the iterative-algorithm pattern; plan growth is the real
+    scale hazard). Output: (node, cluster). Nodes without edges are not
+    emitted (singletons are their own trivial cluster).
+    """
+    und = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels, und["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), F.col("cluster"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -3020,6 +3020,60 @@ def q101_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.incremental_postings(base_postings, changed_ids, changed_docs)
 
 
+@spec(
+    "q102_dup_clusters",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 20
+    ),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM corpus l JOIN corpus r
+        ON sha256(l.text) = sha256(r.text) AND l.doc_id < r.doc_id
+    ),
+    und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+    ),
+    cc AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)
+    SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
+    FROM cc GROUP BY cluster
+    """,
+    "duplicate-group clustering: exact-dup pairs -> connected components "
+    "(min-label propagation) -> one cluster row per duplicate group; "
+    "the transitive-grouping step after any pairwise dedup (q20-q25)",
+)
+def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mesh
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    corpus = docs
+    for off, bound in ((1000000, 50), (2000000, 20)):
+        corpus = corpus.unionByName(
+            docs.filter(F.col("doc_id") < bound).select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    hashed = corpus.select("doc_id", F.sha2("text", 256).alias("sha"))
+    pairs = (
+        hashed.alias("l")
+        .join(hashed.alias("r"), "sha")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    cc = mesh.connected_components(pairs)
+    return cc.groupBy("cluster").agg(
+        F.count("*").alias("n_docs"), F.max("node").alias("max_doc")
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -46,3 +46,16 @@ def test_apply_delta_broadcasts_changed_ids(spark):
     out = incremental.incremental_postings(base, ids, docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chains collapse to one cluster (a-b, b-c, c-d); islands
+    stay separate; cluster id is the min node id of the component."""
+    from memvid_spark.operators.mesh import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "a long, b long",
+    )
+    got = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
