@@ -184,3 +184,24 @@ def session_rollup(
             "total_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Watermarked streaming dedup: drop re-deliveries of the same key
+    arriving within the watermark horizon — the streaming twin of the
+    insert-dedup anti-join (q24; mutation.rs:3302-3316 skips identical
+    payloads at put time).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by the dedup
+    key and EVICTS state once the watermark passes — bounded state, the
+    only way dedup can run forever on an unbounded stream. The horizon
+    is the contract: duplicates farther apart than the watermark are
+    not caught here (cross-horizon dedup is the batch anti-join's job).
+    """
+    keys = key_cols or ["event_id"]
+    ev = with_event_time(events)
+    return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)

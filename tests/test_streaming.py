@@ -152,3 +152,23 @@ def test_session_rollup_matches_batch_gap_sessionize(spark, events_dir):
         rs.sort(key=lambda r: r.session_start)
         for a, b in zip(rs, rs[1:]):
             assert a.session_end <= b.session_start  # no overlap
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """Two copies of the same file (at-least-once redelivery across
+    micro-batches) must dedupe to exactly the distinct event_ids."""
+    from memvid_spark.streaming.enrichment import (
+        run_to_completion,
+        stream_events,
+        streaming_dedup,
+    )
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-1.parquet")
+    stream = stream_events(spark, str(d))
+    got = run_to_completion(streaming_dedup(stream), "dedup_out", "append")
+    n_distinct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
