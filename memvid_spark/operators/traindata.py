@@ -239,3 +239,37 @@ def banded_pairs(
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )
+
+
+MIXTURE_SALT = "mix"
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    grain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = MIXTURE_SALT,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic dataset-mixture construction: keep each doc with its
+    grain's sampling rate, decided by the portable md5 hash of the id —
+    include iff hash64(id || '#salt') % 10000 < rate * 10000.
+
+    The mixing step of a training-data pipeline (upsample scarce,
+    downsample abundant sources) without RNG: reproducible across runs,
+    engines and cluster sizes, and pure narrow arithmetic — no shuffle,
+    no sort, no sampling pass. Rates are per ten-thousand, so the
+    smallest expressible rate is 0.01%.
+    """
+    bucket = hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
+    ) % 10000
+    # thresholds as Python ints: double->bigint casts ROUND in DuckDB but
+    # TRUNCATE in Spark, so the cutoff must never be computed in floats
+    thresh = F.lit(int(round(default_rate * 10000)))
+    for src, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(grain_col) == src, F.lit(int(round(r * 10000)))
+        ).otherwise(thresh)
+    return docs.filter(bucket < thresh)

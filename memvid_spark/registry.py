@@ -3074,6 +3074,61 @@ def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_BUCKET_SQL = (
+    "('0x' || substr(md5(doc_id::varchar || '#"
+    + traindata.MIXTURE_SALT
+    + "'), 1, 15))::bigint % 10000"
+)
+_MIX_THRESH_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(round(r * 10000))}"
+    for s, r in sorted(_MIX_RATES.items())
+) + f" ELSE {int(round(_MIX_DEFAULT * 10000))} END"
+
+
+@spec(
+    "q103_mixture_sample",
+    f"""
+    WITH kept AS (
+      SELECT source, {SQL_TOKS.format(x='text')} AS ts FROM documents
+      WHERE {_MIX_BUCKET_SQL} < {_MIX_THRESH_SQL}
+    ),
+    k AS (SELECT source, count(*)::bigint AS n_kept,
+                 sum(len(ts))::bigint AS n_tokens
+          FROM kept GROUP BY source),
+    tot AS (SELECT source, count(*)::bigint AS n_total FROM documents
+            GROUP BY source)
+    SELECT t.source, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.n_tokens, 0) AS n_tokens,
+           round(coalesce(k.n_kept, 0) / t.n_total, 4) AS achieved_rate
+    FROM tot t LEFT JOIN k USING (source)
+    """,
+    "deterministic dataset-mixture sampling: per-source keep rates via "
+    "the portable id hash (no RNG, no sampling pass, narrow filter) — "
+    "the up/down-sampling mixing step of a training-data pipeline",
+)
+def q103_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    kept = traindata.mixture_sample(
+        t.documents, _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    k = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size(T.tokens("text"))).alias("n_tokens"),
+    )
+    tot = t.documents.groupBy("source").agg(F.count("*").alias("n_total"))
+    return tot.join(k, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4
+        ).alias("achieved_rate"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -116,3 +116,19 @@ def test_split_assign_deterministic_and_total(spark):
         for r in traindata.split_assign(docs, salt="other").collect()
     }
     assert s3 != s1
+
+
+def test_mixture_sample_deterministic_and_exact_bounds(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "s%d" % (i % 3)) for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    rates = {"s0": 1.0, "s1": 0.0}
+    a = {r.doc_id for r in traindata.mixture_sample(docs, rates, default_rate=0.5).collect()}
+    b = {r.doc_id for r in traindata.mixture_sample(docs, rates, default_rate=0.5).collect()}
+    assert a == b  # no RNG
+    by_src = {s: [i for i in range(300) if i % 3 == int(s[1])] for s in ("s0", "s1", "s2")}
+    assert set(by_src["s0"]) <= a          # rate 1.0 keeps everything
+    assert not (set(by_src["s1"]) & a)     # rate 0.0 keeps nothing
+    frac = len(set(by_src["s2"]) & a) / 100
+    assert 0.3 <= frac <= 0.7              # default 0.5 in the ballpark
