@@ -273,3 +273,37 @@ def mixture_sample(
             F.col(grain_col) == src, F.lit(int(round(r * 10000)))
         ).otherwise(thresh)
     return docs.filter(bucket < thresh)
+
+
+GATE_MIN_TOKENS = 20
+GATE_MAX_TOKENS = 70
+
+
+def quality_gates(
+    docs: DataFrame,
+    min_tokens: int = GATE_MIN_TOKENS,
+    max_tokens: int = GATE_MAX_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/C4-style corpus cleaning: label every doc with the FIRST
+    failing quality rule (rule order is part of the contract) or 'kept'.
+
+    Rules: too_short / too_long (token-count bounds), no_stopwords (a
+    text with zero function words is boilerplate, a listing, or not
+    prose). All rules are narrow Column arithmetic over the shared
+    tokenizer — the full corpus is labeled in one scan, no shuffle;
+    rejection stats are one map-side-combinable groupBy.
+    """
+    from ..functions.text import STOPWORDS, tokens
+
+    toks = tokens(text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    verdict = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(n_stop == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.withColumn("n_tok", n_tok).withColumn("verdict", verdict)

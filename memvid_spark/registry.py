@@ -3129,6 +3129,39 @@ def q103_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GATE_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+
+
+@spec(
+    "q104_quality_gates",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+               FROM documents),
+    v AS (SELECT doc_id, len(ts) AS n_tok,
+            len(list_filter(ts, x -> list_contains({_GATE_STOP_SQL}, x)))
+              AS n_stop
+          FROM t),
+    lab AS (SELECT doc_id, n_tok,
+              CASE WHEN n_tok < {traindata.GATE_MIN_TOKENS} THEN 'too_short'
+                   WHEN n_tok > {traindata.GATE_MAX_TOKENS} THEN 'too_long'
+                   WHEN n_stop = 0 THEN 'no_stopwords'
+                   ELSE 'kept' END AS verdict
+            FROM v)
+    SELECT verdict, count(*)::bigint AS n_docs, sum(n_tok)::bigint AS n_tokens
+    FROM lab GROUP BY verdict
+    """,
+    "Gopher/C4-style quality gates: first-failing-rule verdict per doc "
+    "(length bounds, zero-stopword boilerplate heuristic) with per-rule "
+    "rejection stats — the corpus-cleaning pass of a training pipeline",
+)
+def q104_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    labeled = traindata.quality_gates(t.documents)
+    return labeled.groupBy("verdict").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
