@@ -3162,6 +3162,51 @@ def q104_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q105_vocabulary",
+    f"""
+    WITH tok AS (SELECT unnest({SQL_TOKS.format(x='text')}) AS token
+                 FROM documents),
+    tc AS (SELECT token, count(*)::bigint AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM tc),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank,
+             sum(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM tc)
+    SELECT token, n, rank, round(cum / tot.total, 6) AS coverage
+    FROM ranked, tot WHERE rank <= 100
+    """,
+    "vocabulary builder: top-100 corpus tokens with cumulative coverage "
+    "share — the frequency analysis preceding tokenizer training; one "
+    "groupBy plus one ordered window over the (tiny) vocab table",
+)
+def q105_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    tc = (
+        t.documents.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = tc.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    total = tc.agg(F.sum("n").alias("total"))
+    return (
+        ranked.filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            "rank",
+            F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

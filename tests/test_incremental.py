@@ -59,3 +59,13 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.cluster for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from memvid_spark.operators.mesh import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=0)

@@ -175,3 +175,21 @@ def test_banded_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_mixture_sample_is_narrow_filter(spark):
+    """Mixture sampling must be a pure narrow filter over the scan — no
+    Exchange, no sort, no join (the no-sampling-pass claim)."""
+    from memvid_spark.operators.traindata import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(mixture_sample(docs, {"src0": 0.5}, default_rate=0.2))
+    assert "Exchange" not in plan and "Join" not in plan and "Sort" not in plan
+
+
+def test_quality_gates_single_scan_no_shuffle(spark):
+    from memvid_spark.operators.traindata import quality_gates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(quality_gates(docs))
+    assert "Exchange" not in plan and "Join" not in plan
