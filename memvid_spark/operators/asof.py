@@ -104,3 +104,50 @@ def timeline(
         else [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     )
     return d.orderBy(*order).limit(limit)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    val_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Two-table as-of join: each left row picks the latest right row
+    with ``right.ts <= left.ts`` per key (inclusive) — the trade/quote
+    join, generalizing the single-table as-of state of
+    ``get_memory_at_time`` (memory.rs:236-243).
+
+    Scalable formulation: tag both inputs, union, ONE window per key
+    ordered by (ts, side) with right rows sorting before left rows at
+    equal ts, then ``last(value, ignorenulls)`` carries the most recent
+    right value forward. One uniform shuffle on the key — no per-row
+    subquery, no range join. Right rows are pre-deduped to one per
+    (key, ts) (latest tiebreak wins) so tie behavior is deterministic.
+
+    Output: left rows + ``asof_<val_col>`` (null where no right row
+    precedes).
+    """
+    r1 = current_state(right, keys=[key, ts_col], ts_col=ts_col,
+                       tiebreak_col=tiebreak_col)
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(right.schema[val_col].dataType)
+    )
+    rt = r1.select(
+        F.col(key), F.col(ts_col), F.col(val_col).alias("_rv")
+    ).withColumn("_side", F.lit(0))
+    cols = lt.columns
+    u = lt.select(*cols).unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                 F.col(tiebreak_col).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_side") == 1)
+        .drop("_side", "_rv")
+        .withColumnRenamed("_asof", f"asof_{val_col}")
+    )

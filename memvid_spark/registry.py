@@ -3207,6 +3207,48 @@ def q105_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q106_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'view'),
+    r0 AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+                  row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                     ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts_us, value FROM r0 WHERE rn = 1)
+    SELECT l.event_id, l.user_id, l.ts_us,
+           round(coalesce(r.value, -1), 2) AS last_purchase
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+    """,
+    "two-table as-of join (trade/quote): each view event picks the "
+    "latest purchase at-or-before it per user — union+tag+window "
+    "carry-forward, one uniform shuffle, no range join; DuckDB's native "
+    "ASOF JOIN is the oracle (memory.rs:236-243 generalized)",
+)
+def q106_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    # all comparisons in epoch-micros: sub-us nanos would make the
+    # inclusive <= boundary disagree with the oracle's us timestamps
+    ev = t.events.withColumn("ts_us", F.expr("ts div 1000"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    joined = asof.asof_join(
+        views, purchases, key="user_id", val_col="value", ts_col="ts_us"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.coalesce("asof_value", F.lit(-1)), 2).alias("last_purchase"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -60,3 +60,29 @@ def test_first_business_day_skips_weekend():
 def test_unknown_phrase_raises():
     with pytest.raises(TemporalParseError):
         resolve("the day the music died", NOW)
+
+
+def test_asof_join_tie_and_missing_semantics(spark):
+    """Inclusive bound: a right row at exactly the left ts is taken;
+    among right ties the highest tiebreak wins; no prior right -> null."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 7, 1000), (101, 7, 50), (102, 8, 500)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 1000, 5.0), (2, 7, 1000, 9.0), (3, 7, 400, 1.0)],
+        "event_id long, user_id long, ts_us long, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(
+            left, right, key="user_id", val_col="value", ts_col="ts_us"
+        ).collect()
+    }
+    assert got[100] == 9.0  # tie at ts 1000: inclusive, max event_id wins
+    assert got[101] is None  # nothing at or before 50
+    assert got[102] is None  # user 8 has no right rows at all
