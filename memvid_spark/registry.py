@@ -3249,6 +3249,74 @@ def q106_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q107_collocations",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+               FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM d),
+    df AS (SELECT token, count(*)::bigint AS n FROM tok GROUP BY token),
+    tot AS (SELECT count(*)::bigint AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.doc_id, a.token AS ta, b.token AS tb
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token),
+    pc AS (SELECT ta, tb, count(*)::bigint AS n_ab FROM pairs
+           GROUP BY ta, tb),
+    scored AS (
+      SELECT pc.ta, pc.tb, pc.n_ab,
+             round(pc.n_ab * tot.n_docs / (fa.n * fb.n), 6) AS lift
+      FROM pc JOIN df fa ON fa.token = pc.ta
+              JOIN df fb ON fb.token = pc.tb, tot
+      WHERE pc.n_ab >= 5)
+    SELECT ta, tb, n_ab, lift,
+           row_number() OVER (ORDER BY lift DESC, ta, tb) AS rank
+    FROM scored ORDER BY lift DESC, ta, tb LIMIT 50
+    """,
+    "collocation mining: document-level token-pair lift "
+    "(P(a,b)/P(a)P(b) without the log — integer-ratio arithmetic stays "
+    "engine-portable where ln would not) — corpus analysis for "
+    "phrase/stopword discovery; pair generation is a per-doc self-join "
+    "of DISTINCT tokens, support-filtered before scoring",
+)
+def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("token")
+        )
+    )
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    n_docs = t.documents.count()
+    a = tok.select("doc_id", F.col("token").alias("ta"))
+    b = tok.select("doc_id", F.col("token").alias("tb"))
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    fa = df_counts.select(F.col("token").alias("ta"), F.col("n").alias("na"))
+    fb = df_counts.select(F.col("token").alias("tb"), F.col("n").alias("nb"))
+    scored = (
+        pc.join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(n_docs) / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+    order = [F.col("lift").desc(), F.col("ta").asc(), F.col("tb").asc()]
+    w = Window.orderBy(*order)
+    return (
+        scored.orderBy(*order).limit(50).withColumn("rank", F.row_number().over(w))
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
