@@ -3317,6 +3317,45 @@ def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q108_sliding_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(ts) - epoch_us(ts) % (1800 * 1000000) AS b30
+      FROM events),
+    w AS (SELECT event_type, value,
+                 unnest([b30, b30 - 1800 * 1000000]) AS window_start_us
+          FROM e)
+    SELECT window_start_us, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM w GROUP BY window_start_us, event_type
+    """,
+    "sliding-window rollup (1h window, 30m slide): every event lands in "
+    "exactly two overlapping windows — the sliding twin of q51's "
+    "tumbling rollup (SURVEY §2.11); the oracle derives both covering "
+    "window starts arithmetically",
+)
+def q108_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    ev = t.events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
