@@ -3356,6 +3356,77 @@ def q108_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q109_clean_corpus_pipeline",
+    f"""
+    WITH t AS (SELECT doc_id, source, lang, text,
+                      {SQL_TOKS.format(x='text')} AS ts
+               FROM documents),
+    v AS (SELECT *, len(ts) AS n_tok,
+            len(list_filter(ts, x -> list_contains({_GATE_STOP_SQL}, x)))
+              AS n_stop
+          FROM t),
+    gated AS (
+      SELECT * FROM v
+      WHERE n_tok >= {traindata.GATE_MIN_TOKENS}
+        AND n_tok <= {traindata.GATE_MAX_TOKENS}
+        AND n_stop > 0),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    cand AS (SELECT doc_id, lang, n_tok, ts FROM dd WHERE source <> 'src0'),
+    bg AS (SELECT DISTINCT ('0x' || substr(md5(unnest(
+             CASE WHEN len(ts) >= {_DECON_N}
+                  THEN list_transform(generate_series(1, len(ts)-{_DECON_N - 1}),
+                                      i -> {_DECON_GRAM_SQL})
+                  ELSE []::varchar[] END)), 1, 15))::bigint AS gram
+           FROM t WHERE source = 'src0'),
+    cg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(unnest(
+             CASE WHEN len(ts) >= {_DECON_N}
+                  THEN list_transform(generate_series(1, len(ts)-{_DECON_N - 1}),
+                                      i -> {_DECON_GRAM_SQL})
+                  ELSE []::varchar[] END)), 1, 15))::bigint AS gram
+           FROM cand),
+    dirty AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+    clean AS (SELECT c.* FROM cand c
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM dirty)),
+    labeled AS (
+      SELECT lang, n_tok,
+             CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean)
+    SELECT split, lang, count(*)::bigint AS n_docs,
+           sum(n_tok)::bigint AS n_tokens
+    FROM labeled GROUP BY split, lang
+    """,
+    "composed training-data pipeline: quality gates -> exact dedup "
+    "(keeper = min id per sha) -> 8-gram decontamination vs the src0 "
+    "benchmark -> deterministic split; per-(split, lang) output stats. "
+    "The end-to-end corpus-cleaning flow, every stage oracle-replayed",
+)
+def q109_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "lang", "text")
+    gated = traindata.quality_gates(docs).filter(F.col("verdict") == "kept")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy(F.col("doc_id").asc())
+    dd = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cand = dd.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    decon = traindata.decontaminate(
+        bench.unionByName(cand.select("doc_id", "source", "lang", "text")),
+        F.col("source") == "src0",
+    )
+    clean_ids = decon.filter(F.col("contaminated") == 0).select("doc_id")
+    clean = cand.join(clean_ids, "doc_id", "left_semi")
+    labeled = traindata.split_assign(clean)
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
