@@ -38,6 +38,7 @@ HEADLINE = [
     "q84_sheet_tables",
     "q94_decontamination",
     "q97_event_pair_rangejoin",
+    "q109_clean_corpus_pipeline",
 ]
 
 

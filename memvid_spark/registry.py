@@ -3427,6 +3427,64 @@ def q109_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q110_rolling_stats",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS ma7,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 2) AS running_total
+    FROM events
+    """,
+    "rolling per-entity time-series stats: 7-event moving average + "
+    "running total in one window partitioning (single shuffle) — the "
+    "metric-smoothing surface over the fact stream",
+)
+def q110_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-6, 0)), 6).alias("ma7"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+@spec(
+    "q111_pivot_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "pivot/cross-tab: order priorities widened to columns per status — "
+    "conditional aggregation in both engines (groupBy().pivot() is sugar "
+    "for the same plan)",
+)
+def q111_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    cnt = lambda p: F.count(F.when(F.col("o_orderpriority") == p, 1))
+    return t.orders.groupBy("o_orderstatus").agg(
+        cnt("1-URGENT").alias("urgent"),
+        cnt("2-HIGH").alias("high"),
+        cnt("3-MEDIUM").alias("medium"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
