@@ -63,3 +63,27 @@ def vacuum(frames: DataFrame) -> DataFrame:
     """Compaction: the rewritten table contains only live rows; the
     supersedes bookkeeping column is cleared (mutation.rs:2999-3084)."""
     return active_view(frames).withColumn("supersedes", F.lit(None).cast("long"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Change detection between two corpus snapshots: one full-outer
+    join on the id with a content-hash compare — (id, change) where
+    change is added / removed / modified / unchanged. The change set
+    feeds incremental index maintenance (operators/incremental.py)
+    exactly as the reference's WAL records feed its commit path.
+    """
+    o = old.select(F.col(id_col), F.sha2(text_col, 256).alias("_osha"))
+    n = new.select(F.col(id_col), F.sha2(text_col, 256).alias("_nsha"))
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("_osha").isNull(), F.lit("added"))
+        .when(F.col("_nsha").isNull(), F.lit("removed"))
+        .when(F.col("_osha") != F.col("_nsha"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), change.alias("change"))

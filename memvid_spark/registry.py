@@ -3485,6 +3485,102 @@ def q111_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q112_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id, sha256(text) AS sha FROM documents
+                 WHERE doc_id % 10 <> 7),
+    new AS (SELECT doc_id,
+                   sha256(CASE WHEN doc_id % 10 = 3
+                               THEN text || ' edited' ELSE text END) AS sha
+            FROM documents WHERE doc_id % 10 <> 4),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.sha <> n.sha THEN 'modified'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT change, count(*)::bigint AS n_docs, min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM d GROUP BY change
+    """,
+    "snapshot diff: added/removed/modified/unchanged between two corpus "
+    "versions via one full-outer join on id with content-hash compare — "
+    "the change-detection pass that feeds incremental maintenance (q101)",
+)
+def q112_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioning import snapshot_diff
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    new = docs.filter(F.col("doc_id") % 10 != 4).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat("text", F.lit(" edited"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    d = snapshot_diff(old, new)
+    return d.groupBy("change").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@spec(
+    "q113_tfidf_keywords",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKS.format(x='text')}) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM toks
+           GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id)::bigint AS df FROM toks
+           GROUP BY token),
+    n AS (SELECT count(*)::bigint AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (token), n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    "per-document keyword extraction: top-3 terms by smoothed tf-idf "
+    "(ratio form — no log, engine-portable) — document tagging from "
+    "corpus statistics; idf side is a broadcast join",
+)
+def q113_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_c = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = t.documents.count()
+    scored = tf.join(F.broadcast(df_c), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
