@@ -3581,6 +3581,50 @@ def q113_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q114_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+                  FROM documents),
+    tf AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+    per AS (SELECT doc_id, token, count(*)::bigint AS n FROM tf
+            GROUP BY doc_id, token),
+    agg AS (SELECT doc_id, max(n) AS top_tf, sum(n) AS n_tok,
+                   count(*)::bigint AS n_distinct
+            FROM per GROUP BY doc_id)
+    SELECT doc_id, n_tok::bigint AS n_tok, n_distinct,
+           round(top_tf / n_tok, 6) AS top_token_share,
+           round(n_distinct / n_tok, 6) AS ttr,
+           (top_tf / n_tok > 0.2)::int AS repetitive
+    FROM agg
+    """,
+    "repetition detection: top-token share + type-token ratio per doc "
+    "(the Gopher repetition filters complementing q104's gates) — "
+    "boilerplate and degenerate text score high share / low TTR",
+)
+def q114_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    per = (
+        t.documents.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.max("n").alias("top_tf"),
+        F.sum("n").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+    )
+    share = F.col("top_tf") / F.col("n_tok")
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "n_distinct",
+        F.round(share, 6).alias("top_token_share"),
+        F.round(F.col("n_distinct") / F.col("n_tok"), 6).alias("ttr"),
+        (share > 0.2).cast("int").alias("repetitive"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
