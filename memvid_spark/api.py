@@ -1,0 +1,157 @@
+"""Session facade mirroring the reference's top-level API surface.
+
+A user of memvid drives everything through ``Memvid::create`` + method
+calls (put_bytes / search / ask / timeline / memory / vacuum / stats —
+src/memvid/lifecycle.rs:137, mutation.rs:3090, search/mod.rs:46,
+ask.rs:23, timeline.rs:20, memory.rs:222, mutation.rs:2999). This
+module offers the same entry points over Spark DataFrames so switching
+costs one import, while every method delegates to the operator modules
+(which remain the scale-tested, oracle-checked core).
+
+Storage model: an append-only frames DataFrame (union of the seed table
+and in-session puts), logical deletes as tombstones, exactly the
+reference's append+supersede model (SURVEY §1.1). In-session puts are
+buffered driver-side and unioned lazily — at warehouse scale ``put``
+batches would append parquet files instead; the read-side plans are
+identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.text import quality_score, token_count
+from .operators import ask as ask_mod
+from .operators import asof, knn as knn_mod, search as search_mod
+from .plans.parser import compile_predicate, parse_query
+
+PUT_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+class MemvidSpark:
+    """One "memory" instance: a document corpus plus derived state.
+
+    ``seed`` is an existing documents DataFrame (or None for an empty
+    store). All mutating calls are driver-side bookkeeping; all queries
+    are DataFrame plans.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        seed: DataFrame | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self._seed = seed
+        self._puts: list[tuple] = []
+        self._tombstones: set[int] = set()
+        self._next_id = 0
+        if seed is not None:
+            row = seed.agg(F.max(id_col)).head()
+            self._next_id = int(row[0] or 0) + 1
+        self._shas: set[str] = set()
+
+    # -- ingestion (mutation.rs:3090-3316) --------------------------------
+
+    def put(
+        self,
+        text: str,
+        uri: str | None = None,
+        lang: str = "en",
+        dedup: bool = True,
+    ) -> int | None:
+        """Append one document; returns its id, or None when skipped by
+        content dedup (the blake3-skip analogue)."""
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        if dedup and sha in self._shas:
+            return None
+        self._shas.add(sha)
+        doc_id = self._next_id
+        self._next_id += 1
+        self._puts.append((doc_id, text, lang, uri or f"mv2://frames/{doc_id}",
+                           len(text)))
+        return doc_id
+
+    def delete(self, doc_id: int) -> None:
+        """Tombstone (logical delete, mutation.rs:3150-3287)."""
+        self._tombstones.add(doc_id)
+
+    def vacuum(self) -> DataFrame:
+        """Active view with tombstones physically dropped
+        (mutation.rs:2999-3084); at scale: INSERT OVERWRITE."""
+        return self.docs()
+
+    def docs(self) -> DataFrame:
+        d = self._seed
+        if self._puts:
+            new = self.spark.createDataFrame(self._puts, PUT_SCHEMA)
+            # seed may carry extra columns; align on the put schema
+            if d is not None:
+                d = d.select("doc_id", "text", "lang", "source", "n_chars")
+                d = d.unionByName(new)
+            else:
+                d = new
+        if d is None:
+            d = self.spark.createDataFrame([], PUT_SCHEMA)
+        if self._tombstones:
+            d = d.filter(~F.col(self.id_col).isin(sorted(self._tombstones)))
+        return d
+
+    # -- retrieval (search/mod.rs:46, ask.rs:23) --------------------------
+
+    def search(self, query: str, top_k: int = 10) -> DataFrame:
+        """Query-language search: parse → predicate filter → BM25 rank
+        over the matching set (the AND/field/phrase semantics are the
+        filter; scoring orders within it)."""
+        ast = parse_query(query)
+        pred = compile_predicate(ast, text_col=self.text_col)
+        d = self.docs().filter(pred)
+        terms = [t for t in query.lower().split() if ":" not in t and t.isalnum()]
+        if not terms:
+            return d.select(self.id_col).orderBy(self.id_col).limit(top_k)
+        return search_mod.bm25_topk(
+            d, terms, k=top_k, id_col=self.id_col, text_col=self.text_col
+        )
+
+    def ask(self, question: str, top_k: int = 5):
+        """RAG pipeline: classify → retrieve → RRF → rerank → extractive
+        answer (ask.rs:23-420)."""
+        return ask_mod.ask(
+            self.docs(), question, top_k=top_k,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+
+    def knn(self, embeddings: DataFrame, query_vec, k: int = 10) -> DataFrame:
+        return knn_mod.knn(embeddings, query_vec, k=k)
+
+    def timeline(
+        self,
+        events: DataFrame,
+        since: int | None = None,
+        until: int | None = None,
+        reverse: bool = True,
+        limit: int = 100,
+    ) -> DataFrame:
+        return asof.timeline(events, since, until, reverse, limit)
+
+    # -- stats (frame.rs:92-145) ------------------------------------------
+
+    def stats(self) -> dict:
+        d = self.docs()
+        row = d.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(self.text_col)).alias("n_tokens"),
+            F.round(F.avg(quality_score(self.text_col)), 4).alias("avg_quality"),
+        ).head()
+        return {
+            "n_docs": row["n_docs"],
+            "n_tokens": row["n_tokens"] or 0,
+            "avg_quality": row["avg_quality"],
+            "n_tombstones": len(self._tombstones),
+        }

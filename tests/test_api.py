@@ -1,0 +1,41 @@
+"""End-to-end facade test: a reference user's session — put, dedup-skip,
+search, ask, delete, stats — driven through MemvidSpark (api.py)."""
+
+from __future__ import annotations
+
+from memvid_spark.api import MemvidSpark
+
+
+def test_facade_session_lifecycle(spark):
+    mv = MemvidSpark(spark)
+    a = mv.put("spark joins use hash partitioning for large tables")
+    b = mv.put("window functions rank rows within partitions")
+    c = mv.put("spark joins use hash partitioning for large tables")  # dup
+    assert a == 0 and b == 1 and c is None  # content dedup skipped it
+
+    hits = mv.search("spark joins", top_k=5).collect()
+    assert [r.doc_id for r in hits] == [a]
+
+    res = mv.ask("what do spark joins use", top_k=3)
+    assert res.hits.count() >= 1
+    assert res.answer  # extractive answer is non-empty
+
+    st = mv.stats()
+    assert st["n_docs"] == 2 and st["n_tokens"] > 0
+
+    mv.delete(a)
+    assert mv.search("spark joins", top_k=5).count() == 0
+    assert mv.stats()["n_docs"] == 1 and mv.stats()["n_tombstones"] == 1
+
+
+def test_facade_over_seed_corpus(spark):
+    from tests.conftest import SF_DIR
+
+    seed = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mv = MemvidSpark(spark, seed=seed)
+    n0 = seed.count()
+    new_id = mv.put("a brand new document about vector search engines")
+    assert new_id == seed.agg({"doc_id": "max"}).head()[0] + 1
+    assert mv.stats()["n_docs"] == n0 + 1
+    # field query against the seed corpus columns
+    assert mv.search("lang:en hash", top_k=5).count() >= 0
