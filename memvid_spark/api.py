@@ -140,6 +140,58 @@ class MemvidSpark:
     ) -> DataFrame:
         return asof.timeline(events, since, until, reverse, limit)
 
+    # -- memory cards (memory.rs:222-293) ---------------------------------
+
+    CARD_SCHEMA = (
+        "entity string, slot string, value string, "
+        "version_relation string, ts long, seq long"
+    )
+
+    def remember(
+        self,
+        entity: str,
+        slot: str,
+        value: str,
+        relation: str = "Updates",
+        ts: int | None = None,
+    ) -> None:
+        """Append a memory card; ``relation`` ∈ Updates|Extends|Retracts
+        (memory_card.rs:76-90). ``ts`` defaults to a logical clock (the
+        card sequence) so sessions replay deterministically."""
+        if not hasattr(self, "_cards"):
+            self._cards: list[tuple] = []
+        seq = len(self._cards)
+        self._cards.append((entity, slot, value, relation, ts or seq, seq))
+
+    def cards(self) -> DataFrame:
+        rows = getattr(self, "_cards", [])
+        return self.spark.createDataFrame(rows, self.CARD_SCHEMA)
+
+    def get_current_memory(self, entity: str | None = None) -> DataFrame:
+        """Latest non-retracted card per (entity, slot)
+        (get_current_memory, memory.rs:222-224)."""
+        from .operators import memory
+
+        cur = memory.current_cards(self.cards())
+        if entity is not None:
+            cur = cur.filter(F.col("entity") == entity)
+        return cur
+
+    def memory_at(self, ts_upper: int) -> DataFrame:
+        from .operators import memory
+
+        return memory.memory_at_time(self.cards(), ts_upper)
+
+    def memory_entities(self) -> list[str]:
+        return sorted(
+            r.entity for r in self.cards().select("entity").distinct().collect()
+        )
+
+    def aggregate_memory_slot(self) -> DataFrame:
+        from .operators import memory
+
+        return memory.aggregate_memory_slot(self.cards())
+
     # -- stats (frame.rs:92-145) ------------------------------------------
 
     def stats(self) -> dict:

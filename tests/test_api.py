@@ -39,3 +39,30 @@ def test_facade_over_seed_corpus(spark):
     assert mv.stats()["n_docs"] == n0 + 1
     # field query against the seed corpus columns
     assert mv.search("lang:en hash", top_k=5).count() >= 0
+
+
+def test_facade_memory_card_semantics(spark):
+    """The reference's memory lifecycle: update -> supersede -> retract
+    (memory.rs:222-243, memory_card.rs:76-90)."""
+    mv = MemvidSpark(spark)
+    mv.remember("alice", "location", "paris")
+    mv.remember("alice", "location", "tokyo")       # supersedes paris
+    mv.remember("alice", "employer", "acme")
+    mv.remember("bob", "location", "berlin")
+    mv.remember("alice", "employer", "", relation="Retracts")
+
+    cur = {(r.entity, r.slot): r.value for r in mv.get_current_memory().collect()}
+    assert cur == {("alice", "location"): "tokyo", ("bob", "location"): "berlin"}
+    # retracted slot is gone from the current view entirely
+    assert ("alice", "employer") not in cur
+
+    # as-of: before the tokyo update, paris was current
+    past = {
+        (r.entity, r.slot): r.value
+        for r in mv.memory_at(ts_upper=1).collect()
+    }
+    assert past[("alice", "location")] == "paris"
+
+    assert mv.memory_entities() == ["alice", "bob"]
+    slots = {r.slot: r.n_entities for r in mv.aggregate_memory_slot().collect()}
+    assert slots["location"] == 2
