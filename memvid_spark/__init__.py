@@ -12,3 +12,7 @@ from .catalog import Catalog, load
 from .session import configure, get_spark
 
 __all__ = ["Catalog", "load", "configure", "get_spark"]
+
+from .api import MemvidSpark
+
+__all__ = ["MemvidSpark"]
