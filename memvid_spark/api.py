@@ -192,6 +192,22 @@ class MemvidSpark:
 
         return memory.aggregate_memory_slot(self.cards())
 
+    # -- graph (logic_mesh.rs:459-514) -------------------------------------
+
+    def follow(
+        self,
+        edges: DataFrame,
+        start_nodes: DataFrame,
+        link_type: str | None = None,
+        hops: int = 2,
+    ) -> DataFrame:
+        """Bounded-hop traversal from a start frontier over a typed edge
+        table (MeshTraversal; frontier is broadcast per hop, the edge
+        table never moves)."""
+        from .operators import mesh
+
+        return mesh.follow(edges, start_nodes, link_type=link_type, hops=hops)
+
     # -- stats (frame.rs:92-145) ------------------------------------------
 
     def stats(self) -> dict:

@@ -66,3 +66,21 @@ def test_facade_memory_card_semantics(spark):
     assert mv.memory_entities() == ["alice", "bob"]
     slots = {r.slot: r.n_entities for r in mv.aggregate_memory_slot().collect()}
     assert slots["location"] == 2
+
+
+def test_facade_follow_traversal(spark):
+    """Facade graph traversal delegates to the bounded-hop mesh walk
+    (logic_mesh.rs:459-514)."""
+    mv = MemvidSpark(spark)
+    edges = spark.createDataFrame(
+        [(1, 2, "KNOWS"), (2, 3, "KNOWS"), (3, 4, "KNOWS"), (1, 5, "WORKS_AT")],
+        "src BIGINT, dst BIGINT, link_type STRING",
+    )
+    start = spark.createDataFrame([(1,)], "node_id BIGINT")
+    got = {(r.node_id, r.hop) for r in mv.follow(edges, start, hops=2).collect()}
+    assert got == {(2, 1), (5, 1), (3, 2)}
+    knows_only = {
+        (r.node_id, r.hop)
+        for r in mv.follow(edges, start, link_type="KNOWS", hops=3).collect()
+    }
+    assert knows_only == {(2, 1), (3, 2), (4, 3)}
