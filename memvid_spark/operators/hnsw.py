@@ -1,0 +1,196 @@
+"""Sharded navigable-small-world graph ANN — the reference's HNSW tier.
+
+Reference: src/vec.rs:22-28,345-435 — HNSW engaged at >=1000 vectors,
+M=16, M0=32, ef_construction=100, ef_search=50; validated against
+brute-force ground truth with recall >= 0.8 @ k=10 (src/vec.rs:645-650);
+params also in MV2_SPEC.md:168-176. Distance is L2, same as the SIMD
+kernel (src/simd.rs:13-70).
+
+Spark design (SURVEY §2.8): Spark has no pointer-chasing runtime, so one
+giant graph is the wrong shape. Instead the corpus is hash-sharded and
+each shard builds an independent single-layer NSW graph inside one Arrow
+batch (applyInPandas, NumPy kernels — the SIMD analogue). A query beam-
+searches every shard in parallel; per-shard top-k union -> global exact
+top-k over <= n_shards*k candidates. HNSW's upper layers buy a log-time
+entry point into one huge graph; sharding buys the same effect by
+keeping every graph small and embarrassingly parallel, and it composes
+with partition pruning (shard by IVF cell / date / tenant at warehouse
+scale). The build output is a plain DataFrame — persist it once
+(`vector index build via DataFrame`) and search many times without
+touching raw vectors again.
+
+Determinism: nodes are inserted in ascending id order, all heaps break
+ties on id, and neighbor pruning keeps the M closest — so the graph, and
+therefore search results, are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+GRAPH_SCHEMA = (
+    "shard int, vec_id bigint, neighbors array<bigint>, embedding array<double>"
+)
+
+
+def _beam_search(vecs, adj, entry: int, q, ef: int) -> list[tuple[float, int]]:
+    """Best-first graph walk (HNSW layer-0 search, src/vec.rs:393-435):
+    expand the closest unexpanded candidate until the frontier is farther
+    than the worst of the ef best seen. Returns [(dist2, node)] ascending."""
+    import numpy as np
+
+    def d2(i: int) -> float:
+        diff = vecs[i] - q
+        return float(np.dot(diff, diff))
+
+    d0 = d2(entry)
+    visited = {entry}
+    cand = [(d0, entry)]  # min-heap: closest frontier first
+    best = [(-d0, entry)]  # max-heap of the ef best (negated)
+    while cand:
+        d, u = heapq.heappop(cand)
+        if d > -best[0][0] and len(best) >= ef:
+            break
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            dv = d2(v)
+            if len(best) < ef or dv < -best[0][0]:
+                heapq.heappush(cand, (dv, v))
+                heapq.heappush(best, (-dv, v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, v) for nd, v in best)
+
+
+def _build_shard(vecs, m: int, ef_construction: int) -> list[list[int]]:
+    """Incremental NSW construction (src/vec.rs:345-392): each new node
+    beam-searches the graph built so far, links to its m nearest, and
+    over-full neighbor lists are pruned back to the m closest."""
+    import numpy as np
+
+    n = len(vecs)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _beam_search(vecs, adj, 0, vecs[i], ef_construction)
+        links = [v for _, v in found[:m]]
+        adj[i] = links
+        for v in links:
+            adj[v].append(i)
+            if len(adj[v]) > 2 * m:  # M0 = 2*M, src/vec.rs:22-28
+                dists = sorted(
+                    (float(np.dot(vecs[w] - vecs[v], vecs[w] - vecs[v])), w)
+                    for w in adj[v]
+                )
+                adj[v] = [w for _, w in dists[: 2 * m]]
+    return adj
+
+
+def build_nsw_index(
+    emb: DataFrame,
+    n_shards: int = 8,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the sharded graph: (shard, vec_id, neighbors, embedding).
+
+    One Arrow batch per shard; inside the batch the build is the
+    reference's insert loop in NumPy. Shard assignment is id-hash —
+    swap for an IVF-cell or partition key to get pruned searches."""
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        adj = _build_shard(vecs, m, ef_construction)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "vec_id": ids,
+                "neighbors": [[int(ids[v]) for v in row] for row in adj],
+                "embedding": list(pdf[vec_col]),
+            }
+        )
+
+    sharded = emb.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    return sharded.groupBy("shard").applyInPandas(build, GRAPH_SCHEMA)
+
+
+def nsw_knn(
+    index: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    ef_search: int = 50,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k: beam-search every shard in parallel, exact top-k over
+    the union of per-shard candidates. Output (vec_id, score round6, rank),
+    score = L2 distance, ties broken by id (SURVEY §7 total order)."""
+    qv = [float(x) for x in query_vec]
+    ef = max(ef_search, k)
+
+    def search(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj = [[pos[w] for w in row] for row in pdf["neighbors"]]
+        found = _beam_search(vecs, adj, 0, np.asarray(qv), ef)
+        rows = [(int(ids[v]), float(np.sqrt(d))) for d, v in found[:ef]]
+        return pd.DataFrame(rows, columns=["vec_id", "score"])
+
+    hits = index.groupBy("shard").applyInPandas(search, "vec_id bigint, score double")
+    if exclude_id is not None:
+        hits = hits.filter(F.col("vec_id") != exclude_id)
+    from pyspark.sql import Window
+
+    order = [F.col("score").asc(), F.col("vec_id").asc()]
+    topk = (
+        hits.select("vec_id", F.round("score", 6).alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )
+    return topk.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def nsw_recall(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_shards: int = 4,
+    m: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """recall@k vs exact L2 ground truth — the reference's own validation
+    (src/vec.rs:587-651, bound asserted at :645-650)."""
+    from .knn import knn
+
+    index = build_nsw_index(
+        emb, n_shards=n_shards, m=m, ef_construction=ef_construction,
+        id_col=id_col, vec_col=vec_col,
+    )
+    approx = {r.vec_id for r in nsw_knn(index, query_vec, k, ef_search).collect()}
+    exact = {
+        r[id_col]
+        for r in knn(emb, query_vec, k, id_col=id_col, vec_col=vec_col, metric="l2").collect()
+    }
+    return len(approx & exact) / k

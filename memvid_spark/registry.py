@@ -3625,6 +3625,26 @@ def q114_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q115_hnsw_recall",
+    None,  # graph ANN is not SQL-expressible → rows-only; recall vs exact
+    "sharded NSW graph ANN — the HNSW tier (src/vec.rs:345-435, M=16, "
+    "ef_c=100, ef_s=50): recall@10 vs exact L2 ground truth, the "
+    "reference's own validation method (src/vec.rs:587-651)",
+)
+def q115_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import nsw_recall
+
+    t = catalog.load(spark, sf_dir)
+    qvec = [
+        float(x) for x in t.embeddings.filter(F.col("vec_id") == 3).head().embedding
+    ]
+    r = nsw_recall(t.embeddings, qvec, k=10, n_shards=4, m=16)
+    return spark.createDataFrame(
+        [(10, float(r), 4, 16)], "k int, recall double, n_shards int, m int"
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -138,3 +138,37 @@ def test_lsh_recall_on_clustered_vectors(spark):
     approx = {r.vec_id for r in approx_df.collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_nsw_recall_reference_bound(spark):
+    """The reference's exact HNSW validation: 1500 vectors x 32 dims,
+    recall@10 >= 0.8 vs brute-force L2 ground truth (src/vec.rs:645-650;
+    HNSW engaged at >=1000 vectors, src/vec.rs:22-23). Ours is the
+    sharded-NSW analogue built per Arrow batch (operators/hnsw.py)."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import build_nsw_index, nsw_knn
+    from memvid_spark.operators.knn import knn
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((1500, 32))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    index = build_nsw_index(emb, n_shards=4, m=16, ef_construction=100)
+    index = index.localCheckpoint()  # build once, search many
+    exact = {
+        r.vec_id for r in knn(emb, [float(x) for x in vecs[42]], k=10, metric="l2").collect()
+    }
+    approx = {
+        r.vec_id
+        for r in nsw_knn(index, [float(x) for x in vecs[42]], k=10, ef_search=50).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.8, f"recall {len(exact & approx) / 10}"
+    # determinism: the same build+search twice returns identical ids
+    again = {
+        r.vec_id
+        for r in nsw_knn(index, [float(x) for x in vecs[42]], k=10, ef_search=50).collect()
+    }
+    assert approx == again
