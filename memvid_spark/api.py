@@ -192,7 +192,79 @@ class MemvidSpark:
 
         return memory.aggregate_memory_slot(self.cards())
 
-    # -- graph (logic_mesh.rs:459-514) -------------------------------------
+    # -- graph (logic_mesh.rs:459-514, graph_search.rs:311-440) ------------
+
+    def build_mesh(self) -> tuple[DataFrame, DataFrame]:
+        """Enrichment pass over the corpus → (nodes, edges): rule NER
+        feeds MeshNodes, SPO triplets feed typed MeshEdges (the Logic-
+        Mesh build, logic_mesh.rs:27-80; RulesEngine, enrich/engine.rs).
+        Users with a real entity pipeline pass their own tables to
+        ``hybrid_search`` instead."""
+        from .functions import enrich
+        from .operators import mesh
+
+        sents = enrich.render_person_sentences(self.docs(), text_col=self.text_col)
+        nodes = mesh.nodes_from_entities(enrich.ner_entities(sents))
+        edges = enrich.edges_from_triplets(enrich.spo_triplets(sents))
+        return nodes, edges
+
+    def hybrid_search(
+        self,
+        question: str,
+        top_k: int = 10,
+        nodes: DataFrame | None = None,
+        edges: DataFrame | None = None,
+        hops: int = 2,
+    ) -> DataFrame:
+        """Planner-routed retrieval (graph_search.rs:94-141,311-440):
+        keyword cues pick vector_only / graph_only / hybrid. Graph side =
+        entities named in the question, followed ``hops`` steps, their
+        frame_ids becoming the candidate set; hybrid semi-joins lexical
+        hits into it (the reference's graph→candidate→rank semi-join,
+        graph_search.rs:285-307)."""
+        from .operators import mesh
+        from .operators.ask import sanitize_question
+
+        plan = mesh.plan_query(question)
+        if plan.mode == "vector_only":
+            return self.search(question, top_k=top_k)
+
+        if nodes is None or edges is None:
+            nodes, edges = self.build_mesh()
+
+        toks = set(question.lower().split())
+        starts = (
+            nodes.filter(F.lower(F.col("entity")).isin(sorted(toks)))
+            .select(F.col("entity").alias("node_id"))
+            .distinct()
+        )
+        reached = mesh.follow(edges, starts, hops=hops).select(
+            F.col("node_id").alias("entity")
+        )
+        matched = nodes.join(
+            reached.unionByName(starts.select(F.col("node_id").alias("entity"))).distinct(),
+            "entity",
+            "left_semi",
+        )
+        cand = (
+            matched.select(F.explode("frame_ids").alias(self.id_col), "support")
+            .groupBy(self.id_col)
+            .agg(F.sum("support").cast("long").alias("graph_score"))
+        )
+        if plan.mode == "graph_only":
+            return cand.orderBy(
+                F.col("graph_score").desc(), F.col(self.id_col).asc()
+            ).limit(top_k)
+        text_terms = [t for t in sanitize_question(question) if t not in mesh.GRAPH_KEYWORDS]
+        lex = search_mod.bm25_topk(
+            self.docs(), text_terms, k=1_000_000,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+        return (
+            lex.join(F.broadcast(cand.select(self.id_col)), self.id_col, "left_semi")
+            .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            .limit(top_k)
+        )
 
     def follow(
         self,

@@ -84,3 +84,37 @@ def test_facade_follow_traversal(spark):
         for r in mv.follow(edges, start, link_type="KNOWS", hops=3).collect()
     }
     assert knows_only == {(2, 1), (3, 2), (4, 3)}
+
+
+def test_facade_hybrid_search(spark):
+    """Planner-routed retrieval (graph_search.rs:94-141,311-440): graph
+    cues walk the mesh, hybrid semi-joins lexical hits into the graph
+    candidate set, no cues falls through to plain search."""
+    mv = MemvidSpark(spark)
+    a = mv.put("alice presented the vector index design")
+    b = mv.put("bob reviewed the vector index design")
+    c = mv.put("carol wrote about gardening all day")
+    nodes = mv.spark.createDataFrame(
+        [("Alice", "PER", [a], 5), ("Bob", "PER", [b], 3), ("Carol", "PER", [c], 1)],
+        "entity string, kind string, frame_ids array<bigint>, support long",
+    )
+    edges = mv.spark.createDataFrame(
+        [("Alice", "Bob", "KNOWS", 0, 1.0)],
+        "src string, dst string, link_type string, frame_id long, confidence double",
+    )
+    # graph cues only -> graph_only: alice + bob (1 hop), ranked by support
+    got = [r.doc_id for r in mv.hybrid_search("who knows alice", nodes=nodes, edges=edges).collect()]
+    assert got == [a, b]
+    # graph + vector cues -> hybrid: lexical hits restricted to graph frames
+    hyb = [
+        r.doc_id
+        for r in mv.hybrid_search(
+            "who knows alice similar vector index", nodes=nodes, edges=edges
+        ).collect()
+    ]
+    assert hyb[0] == a and set(hyb) == {a, b}  # carol excluded by the graph
+    # no cues -> plain query-language search
+    plain = {r.doc_id for r in mv.hybrid_search("vector index design").collect()}
+    assert plain == {a, b}
+    # self-built mesh path (rule NER + SPO over the corpus) runs end-to-end
+    assert mv.hybrid_search("who knows Alice").count() >= 0
