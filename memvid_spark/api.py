@@ -105,25 +105,84 @@ class MemvidSpark:
 
     # -- retrieval (search/mod.rs:46, ask.rs:23) --------------------------
 
-    def search(self, query: str, top_k: int = 10) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        acl=None,
+        acl_mode: str = "enforce",
+    ) -> DataFrame:
         """Query-language search: parse → predicate filter → BM25 rank
         over the matching set (the AND/field/phrase semantics are the
-        filter; scoring orders within it)."""
+        filter; scoring orders within it).
+
+        ``acl`` (an AclContext, acl.rs:1-60) applies the grant predicate:
+        enforce mode filters BEFORE ranking (Catalyst pushes it to the
+        scan — denied rows never leave the executors, and the page still
+        fills to k from allowed docs, unlike the reference's post-hit
+        filter); audit mode ranks everything and annotates the k hits
+        with ``acl_allowed`` (search/mod.rs:266-274)."""
+        from .operators import acl as acl_mod
+
+        ast = parse_query(query)
+        pred = compile_predicate(ast, text_col=self.text_col)
+        d = self.docs().filter(pred)
+        if acl is not None and "acl_tenant" not in d.columns:
+            d = d.select("*", *acl_mod.acl_columns_from_doc_id(F.col(self.id_col)))
+        if acl is not None and acl_mode == "enforce":
+            d = acl_mod.enforce(d, acl)
+        terms = [t for t in query.lower().split() if ":" not in t and t.isalnum()]
+        if not terms:
+            hits = d.select(self.id_col).orderBy(self.id_col).limit(top_k)
+        else:
+            hits = search_mod.bm25_topk(
+                d, terms, k=top_k, id_col=self.id_col, text_col=self.text_col
+            )
+        if acl is not None and acl_mode == "audit":
+            flags = acl_mod.audit(d, acl).select(self.id_col, "acl_allowed")
+            hits = hits.join(F.broadcast(flags), self.id_col, "left")
+        return hits
+
+    def search_page(
+        self, query: str, cursor: int = 0, page_size: int = 10
+    ) -> tuple[DataFrame, int | None, int]:
+        """Cursor pagination (tantivy.rs:274-281, SearchResponse
+        next_cursor/total_hits): one ranked total order over ALL matches,
+        sliced by row number. Returns (page, next_cursor, total_hits);
+        next_cursor is None at the end. Stable across pages because the
+        order is total (score desc, id asc — SURVEY §7)."""
+        from .operators import topk as topk_mod
+
         ast = parse_query(query)
         pred = compile_predicate(ast, text_col=self.text_col)
         d = self.docs().filter(pred)
         terms = [t for t in query.lower().split() if ":" not in t and t.isalnum()]
-        if not terms:
-            return d.select(self.id_col).orderBy(self.id_col).limit(top_k)
-        return search_mod.bm25_topk(
-            d, terms, k=top_k, id_col=self.id_col, text_col=self.text_col
+        ranked = search_mod.bm25_topk(
+            d, terms, k=1_000_000, id_col=self.id_col, text_col=self.text_col
         )
+        total = ranked.count()
+        page = topk_mod.paginate(
+            ranked,
+            [F.col("score").desc(), F.col(self.id_col).asc()],
+            offset=cursor,
+            limit=page_size,
+        )
+        nxt = cursor + page_size if cursor + page_size < total else None
+        return page, nxt, total
 
-    def ask(self, question: str, top_k: int = 5):
+    def ask(self, question: str, top_k: int = 5, mask_pii: bool = False):
         """RAG pipeline: classify → retrieve → RRF → rerank → extractive
-        answer (ask.rs:23-420)."""
+        answer (ask.rs:23-420). ``mask_pii`` masks emails/phones/SSNs at
+        query time (pii.rs:30-71) — snippets and the stitched answer
+        never expose raw identifiers; the scan-side regexp_replace stays
+        in codegen."""
+        d = self.docs()
+        if mask_pii:
+            from .functions.extract import mask_pii as mask
+
+            d = d.withColumn(self.text_col, mask(self.text_col))
         return ask_mod.ask(
-            self.docs(), question, top_k=top_k,
+            d, question, top_k=top_k,
             id_col=self.id_col, text_col=self.text_col,
         )
 

@@ -118,3 +118,34 @@ def test_facade_hybrid_search(spark):
     assert plain == {a, b}
     # self-built mesh path (rule NER + SPO over the corpus) runs end-to-end
     assert mv.hybrid_search("who knows Alice").count() >= 0
+
+
+def test_facade_pagination_acl_pii(spark):
+    """Cursor pagination (tantivy.rs:274-281), ACL enforce/audit
+    (acl.rs:1-60, search/mod.rs:266-274), query-time PII masking
+    (pii.rs:30-71) through the facade."""
+    from memvid_spark.operators.acl import AclContext
+
+    mv = MemvidSpark(spark)
+    ids = [mv.put(f"shared keyword document number {i}") for i in range(7)]
+    # pagination: stable total order, pages tile the hit list
+    p1, cur, total = mv.search_page("shared keyword", cursor=0, page_size=3)
+    assert total == 7 and cur == 3
+    p2, cur2, _ = mv.search_page("shared keyword", cursor=cur, page_size=3)
+    p3, cur3, _ = mv.search_page("shared keyword", cursor=cur2, page_size=3)
+    seen = [r.doc_id for df in (p1, p2, p3) for r in df.collect()]
+    assert sorted(seen) == ids and len(seen) == 7 and cur3 is None
+
+    # ACL: tenant0 analyst sees only its tenant's public/granted docs
+    ctx = AclContext(tenant="tenant0", roles=["analyst"])
+    enforced = {r.doc_id for r in mv.search("shared keyword", top_k=10, acl=ctx).collect()}
+    assert enforced == {0, 3, 6}  # doc_id % 3 == 0 -> tenant0
+    audited = mv.search("shared keyword", top_k=10, acl=ctx, acl_mode="audit")
+    flags = {r.doc_id: r.acl_allowed for r in audited.collect()}
+    assert len(flags) == 7 and {d for d, ok in flags.items() if ok} == {0, 3, 6}
+
+    # PII mask: the extractive answer never exposes the raw email
+    mv2 = MemvidSpark(spark)
+    mv2.put("contact alice at alice@example.com for the vector index")
+    res = mv2.ask("who is the vector index contact", mask_pii=True)
+    assert "alice@example.com" not in res.answer and "[email]" in res.answer
