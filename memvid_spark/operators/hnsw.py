@@ -90,6 +90,37 @@ def _build_shard(vecs, m: int, ef_construction: int) -> list[list[int]]:
     return adj
 
 
+def _shard_builder(m: int, ef_construction: int):
+    """Grouped-map fn: one id-sorted Arrow batch → that shard's graph."""
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        adj = _build_shard(vecs, m, ef_construction)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "vec_id": ids,
+                "neighbors": [[int(ids[v]) for v in row] for row in adj],
+                "embedding": list(pdf["embedding"]),
+            }
+        )
+
+    return build
+
+
+def _with_shard(emb: DataFrame, n_shards: int, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+
+
 def build_nsw_index(
     emb: DataFrame,
     n_shards: int = 8,
@@ -103,30 +134,41 @@ def build_nsw_index(
     One Arrow batch per shard; inside the batch the build is the
     reference's insert loop in NumPy. Shard assignment is id-hash —
     swap for an IVF-cell or partition key to get pruned searches."""
-
-    def build(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        adj = _build_shard(vecs, m, ef_construction)
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "shard": pdf["shard"],
-                "vec_id": ids,
-                "neighbors": [[int(ids[v]) for v in row] for row in adj],
-                "embedding": list(pdf[vec_col]),
-            }
-        )
-
-    sharded = emb.select(
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"),
-        F.col(id_col).cast("bigint").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias(vec_col),
+    sharded = _with_shard(emb, n_shards, id_col, vec_col)
+    return sharded.groupBy("shard").applyInPandas(
+        _shard_builder(m, ef_construction), GRAPH_SCHEMA
     )
-    return sharded.groupBy("shard").applyInPandas(build, GRAPH_SCHEMA)
+
+
+def apply_delta(
+    index: DataFrame,
+    new_emb: DataFrame,
+    n_shards: int = 8,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: append a batch of vectors by
+    rebuilding ONLY the shards they hash into; untouched shards pass
+    through unchanged. Because the per-shard build is a deterministic
+    function of the shard's id-sorted contents, delta-apply equals a
+    full rebuild row-for-row (the q101 incremental-postings contract,
+    mirroring the reference's rebuild_indexes idempotence,
+    mutation.rs:913-918). At warehouse scale this is a partition-
+    overwrite of touched shards — O(delta), not O(corpus)."""
+    new_sharded = _with_shard(new_emb, n_shards, id_col, vec_col)
+    touched = new_sharded.select("shard").distinct()
+    keep = index.join(F.broadcast(touched), "shard", "left_anti")
+    rebuild_src = (
+        index.join(F.broadcast(touched), "shard", "left_semi")
+        .select("shard", "vec_id", "embedding")
+        .unionByName(new_sharded)
+    )
+    rebuilt = rebuild_src.groupBy("shard").applyInPandas(
+        _shard_builder(m, ef_construction), GRAPH_SCHEMA
+    )
+    return keep.unionByName(rebuilt)
 
 
 def nsw_knn(

@@ -69,3 +69,37 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=0)
+
+
+def test_nsw_delta_apply_equals_full_rebuild(spark):
+    """Incremental NSW maintenance: appending a vector batch by
+    rebuilding only the touched shards must equal a full rebuild
+    row-for-row — the per-shard build is a deterministic function of the
+    shard's id-sorted contents (rebuild_indexes idempotence,
+    mutation.rs:913-918; same contract as incremental postings q101)."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import apply_delta, build_nsw_index
+
+    rng = np.random.RandomState(11)
+    base_vecs = rng.standard_normal((300, 16))
+    delta_vecs = rng.standard_normal((30, 16))
+    mk = lambda vecs, start: spark.createDataFrame(
+        [(start + i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    base, delta = mk(base_vecs, 0), mk(delta_vecs, 1000)
+    index = build_nsw_index(base, n_shards=8, m=8, ef_construction=40).localCheckpoint()
+    inc = apply_delta(index, delta, n_shards=8, m=8, ef_construction=40)
+    full = build_nsw_index(
+        mk(np.concatenate([base_vecs, delta_vecs]), 0).withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") >= 300, F.col("vec_id") + 700).otherwise(
+                F.col("vec_id")
+            ),
+        ),
+        n_shards=8, m=8, ef_construction=40,
+    )
+    a = {(r.shard, r.vec_id, tuple(r.neighbors)) for r in inc.collect()}
+    b = {(r.shard, r.vec_id, tuple(r.neighbors)) for r in full.collect()}
+    assert a == b and len(a) == 330
