@@ -51,6 +51,8 @@ class MemvidSpark:
         self._seed = seed
         self._puts: list[tuple] = []
         self._tombstones: set[int] = set()
+        self._tombstoned_at: dict[int, int] = {}  # doc_id -> log position
+        self._supersedes: dict[int, int] = {}  # new_id -> old_id
         self._next_id = 0
         if seed is not None:
             row = seed.agg(F.max(id_col)).head()
@@ -78,16 +80,30 @@ class MemvidSpark:
                            len(text)))
         return doc_id
 
+    def update(self, doc_id: int, text: str, uri: str | None = None) -> int:
+        """Supersede: append a new frame carrying ``supersedes=doc_id``
+        and retire the old one from the active view at the new frame's
+        log position — the append-only update model (updates never
+        mutate, mutation.rs:3150-3287). History stays reachable through
+        ``frames()`` and ``as_of()``."""
+        new_id = self.put(text, uri=uri, dedup=False)
+        assert new_id is not None
+        self._supersedes[new_id] = doc_id
+        self._tombstones.add(doc_id)
+        self._tombstoned_at.setdefault(doc_id, new_id)
+        return new_id
+
     def delete(self, doc_id: int) -> None:
         """Tombstone (logical delete, mutation.rs:3150-3287)."""
         self._tombstones.add(doc_id)
+        self._tombstoned_at.setdefault(doc_id, self._next_id)
 
     def vacuum(self) -> DataFrame:
         """Active view with tombstones physically dropped
         (mutation.rs:2999-3084); at scale: INSERT OVERWRITE."""
         return self.docs()
 
-    def docs(self) -> DataFrame:
+    def _union_docs(self) -> DataFrame:
         d = self._seed
         if self._puts:
             new = self.spark.createDataFrame(self._puts, PUT_SCHEMA)
@@ -99,8 +115,52 @@ class MemvidSpark:
                 d = new
         if d is None:
             d = self.spark.createDataFrame([], PUT_SCHEMA)
+        return d
+
+    def docs(self) -> DataFrame:
+        d = self._union_docs()
         if self._tombstones:
             d = d.filter(~F.col(self.id_col).isin(sorted(self._tombstones)))
+        return d
+
+    def frames(self) -> DataFrame:
+        """The full append-only frame log with version columns — status,
+        supersedes, superseded_by (SURVEY §1.1 SCD2 mapping;
+        frame.rs:213-218). ``docs()`` is its active projection."""
+        d = self._union_docs()
+        status = (
+            F.when(
+                F.col(self.id_col).isin(sorted(self._tombstones)), F.lit("deleted")
+            ).otherwise("active")
+            if self._tombstones
+            else F.lit("active")
+        )
+        d = d.withColumn("status", status)
+        if self._supersedes:
+            fwd = F.create_map(
+                *[F.lit(v) for nk, ok in self._supersedes.items() for v in (nk, ok)]
+            )
+            inv = F.create_map(
+                *[F.lit(v) for nk, ok in self._supersedes.items() for v in (ok, nk)]
+            )
+            return d.withColumn("supersedes", fwd[F.col(self.id_col)]).withColumn(
+                "superseded_by", inv[F.col(self.id_col)]
+            )
+        return d.withColumn("supersedes", F.lit(None).cast("long")).withColumn(
+            "superseded_by", F.lit(None).cast("long")
+        )
+
+    def as_of(self, frame_id_upper: int) -> DataFrame:
+        """Time-travel view (as_of_frame, search/api.rs:663-695): frames
+        with id ≤ X, with deletes/supersedes that happened after X
+        undone — a pure predicate filter, exactly the reference's
+        candidate cut (search/mod.rs:155-187)."""
+        d = self._union_docs().filter(F.col(self.id_col) <= frame_id_upper)
+        dead = sorted(
+            i for i, at in self._tombstoned_at.items() if at <= frame_id_upper
+        )
+        if dead:
+            d = d.filter(~F.col(self.id_col).isin(dead))
         return d
 
     # -- retrieval (search/mod.rs:46, ask.rs:23) --------------------------

@@ -149,3 +149,29 @@ def test_facade_pagination_acl_pii(spark):
     mv2.put("contact alice at alice@example.com for the vector index")
     res = mv2.ask("who is the vector index contact", mask_pii=True)
     assert "alice@example.com" not in res.answer and "[email]" in res.answer
+
+
+def test_facade_versioning_time_travel(spark):
+    """Append-only update/supersede/time-travel through the facade
+    (mutation.rs:3150-3287; as_of cut search/api.rs:663-695)."""
+    mv = MemvidSpark(spark)
+    a = mv.put("v1 of the design doc")
+    b = mv.put("an unrelated doc about benchmarks")
+    c = mv.update(a, "v2 of the design doc")
+    assert c not in (a, b)
+    assert {r.doc_id for r in mv.docs().collect()} == {b, c}
+
+    fr = {
+        r.doc_id: (r.status, r.supersedes, r.superseded_by)
+        for r in mv.frames().collect()
+    }
+    assert fr[a] == ("deleted", None, c)
+    assert fr[c] == ("active", a, None)
+    assert fr[b] == ("active", None, None)
+
+    # before the update happened, a was still the active version
+    assert {r.doc_id for r in mv.as_of(b).collect()} == {a, b}
+    # delete b: gone from the active view, still visible as-of earlier
+    mv.delete(b)
+    assert {r.doc_id for r in mv.docs().collect()} == {c}
+    assert {r.doc_id for r in mv.as_of(c).collect()} == {b, c}
