@@ -65,6 +65,59 @@ def score_cliff(
     )
 
 
+def elbow(
+    hits: DataFrame,
+    sensitivity: float = 1.0,
+    min_results: int = 1,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Kneedle elbow cutoff (adaptive.rs:604-657): min-max normalize the
+    ranked score curve, find the candidate point (0-based index in
+    [min_results, n-2]) with the maximum sensitivity-adjusted distance to
+    the first→last chord, and keep ranks ≤ elbow+1. No cut when n < 3,
+    the curve is flat, or the max adjusted distance ≤ 0.05·sensitivity.
+    Ties resolve to the earliest rank (the reference's strict `>` update).
+
+    Same shape as the other strategies: one ordered window, one full-frame
+    window — the curve never leaves the executors."""
+    ranked, w = _ranked(hits, score_col, id_col)
+    full = Window.partitionBy()
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n = F.count("*").over(full)
+    smax, smin = F.max(score_col).over(full), F.min(score_col).over(full)
+    rng = smax - smin
+    y = F.when(rng > 1e-7, (F.col(score_col) - smin) / rng).otherwise(F.lit(1.0))
+    x = (F.col("rank") - F.lit(1)).cast("double") / (n - F.lit(1))
+    d = ranked.withColumn("_n", n).withColumn("_x", x).withColumn("_y", y)
+    y1, y2 = F.first("_y").over(frame), F.last("_y").over(frame)
+    slope = y2 - y1
+    dist = F.abs(slope * F.col("_x") - F.col("_y") + y1) / F.sqrt(
+        slope * slope + F.lit(1.0)
+    )
+    in_range = (F.col("rank") >= min_results + 1) & (F.col("rank") <= F.col("_n") - 1)
+    adj = F.when(
+        in_range, dist * (1.0 + sensitivity * (1.0 - F.col("_x")))
+    )
+    d = (
+        d.withColumn("_adj", adj)
+        .withColumn("_max_adj", F.max("_adj").over(full))
+        .withColumn(
+            "_elbow",
+            F.min(
+                F.when(F.col("_adj") == F.col("_max_adj"), F.col("rank"))
+            ).over(full),
+        )
+    )
+    keep = (
+        (F.col("_n") < 3)
+        | F.col("_max_adj").isNull()
+        | (F.col("_max_adj") <= 0.05 * sensitivity)
+        | (F.col("rank") <= F.col("_elbow"))
+    )
+    return d.filter(keep).drop("_n", "_x", "_y", "_adj", "_max_adj", "_elbow")
+
+
 def combined(
     hits: DataFrame,
     min_score: float,

@@ -3626,6 +3626,63 @@ def q114_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q116_elbow_cutoff",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, len(list_filter({SQL_TOKS.format(x='text')}, t -> t = 'data'))::double AS score
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, score FROM tf WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 30
+    ), r AS (
+      SELECT doc_id, score, row_number() OVER w AS rank,
+             count(*) OVER () AS n,
+             max(score) OVER () AS smax, min(score) OVER () AS smin
+      FROM hits WINDOW w AS (ORDER BY score DESC, doc_id)
+    ), norm AS (
+      SELECT *,
+        CASE WHEN smax - smin > 1e-7 THEN (score - smin)/(smax - smin) ELSE 1.0 END AS y,
+        (rank - 1)::double / (n - 1) AS x
+      FROM r
+    ), chord AS (
+      SELECT *, first_value(y) OVER w2 AS y1, last_value(y) OVER w2 AS y2
+      FROM norm WINDOW w2 AS (ORDER BY score DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), adj AS (
+      SELECT *, CASE WHEN rank >= 2 AND rank <= n - 1 THEN
+          (abs((y2 - y1) * x - y + y1) / sqrt((y2 - y1)*(y2 - y1) + 1.0))
+            * (1.0 + 1.0 * (1.0 - x))
+        END AS a
+      FROM chord
+    ), m1 AS (SELECT *, max(a) OVER () AS max_a FROM adj),
+    m2 AS (
+      SELECT *, min(CASE WHEN a = max_a THEN rank END) OVER () AS elbow_rank FROM m1
+    )
+    SELECT doc_id, score, rank FROM m2
+    WHERE n < 3 OR max_a IS NULL OR max_a <= 0.05 OR rank <= elbow_rank
+    """,
+    "adaptive cutoff Elbow: Kneedle max-distance-to-chord knee detection "
+    "over the score curve (adaptive.rs:604-657; strategies :27-33); pure "
+    "window algebra, exact same IEEE op order on both engines so the "
+    "argmax agrees bit-for-bit (integer tf scores keep libm out of it)",
+)
+def q116_elbow_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import adaptive
+
+    t = catalog.load(spark, sf_dir)
+    tf = F.size(F.filter(T.tokens("text"), lambda x: x == "data"))
+    hits = (
+        t.documents.select("doc_id", tf.cast("double").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+    return adaptive.elbow(hits, sensitivity=1.0, min_results=1).select(
+        "doc_id", "score", "rank"
+    )
+
+
+@spec(
     "q115_hnsw_recall",
     None,  # graph ANN is not SQL-expressible → rows-only; recall vs exact
     "sharded NSW graph ANN — the HNSW tier (src/vec.rs:345-435, M=16, "

@@ -232,3 +232,26 @@ def test_current_values_multivalue_semantics(spark):
     v = {(r.entity, r.slot): r.n_values for r in
          cardinality_violations(cards, reg).collect()}
     assert v == {("u1", "tag"): 3}  # only u1 violates Single
+
+
+def test_elbow_kneedle_cutoff(spark):
+    """Kneedle elbow (adaptive.rs:604-657) on a plateau-cliff-tail curve:
+    normalized scores [1, .989, .978, .462, .032, ...0], chord from
+    (0,1) to (1,0); the sensitivity-adjusted distance peaks at 0-based
+    index 4 (the knee at the bottom of the big drop) -> keep 5 rows."""
+    from memvid_spark.operators.adaptive import elbow
+
+    scores = [100.0, 99.0, 98.0, 50.0, 10.0, 9.0, 8.0, 7.0]
+    hits = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score double"
+    )
+    kept = sorted(r.doc_id for r in elbow(hits, sensitivity=1.0).collect())
+    assert kept == [0, 1, 2, 3, 4]
+    # flat curve: no significant elbow, keep everything
+    flat = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)], "doc_id long, score double"
+    )
+    assert elbow(flat).count() == 6
+    # n < 3: too few points to bend, keep everything
+    tiny = spark.createDataFrame([(0, 9.0), (1, 1.0)], "doc_id long, score double")
+    assert elbow(tiny).count() == 2
