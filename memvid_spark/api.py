@@ -53,6 +53,7 @@ class MemvidSpark:
         self._tombstones: set[int] = set()
         self._tombstoned_at: dict[int, int] = {}  # doc_id -> log position
         self._supersedes: dict[int, int] = {}  # new_id -> old_id
+        self._replay: list[tuple] = []  # (seq, query, top_k, result_ids)
         self._next_id = 0
         if seed is not None:
             row = seed.agg(F.max(id_col)).head()
@@ -398,6 +399,86 @@ class MemvidSpark:
         from .operators import mesh
 
         return mesh.follow(edges, start_nodes, link_type=link_type, hops=hops)
+
+    # -- doctor / replay (doctor.rs; replay/engine.rs:118-637) -------------
+
+    def doctor(self, derived: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Consistency audit (doctor.rs; healing exercised at
+        lib.rs:1160-1248): duplicate-key check on the frame log,
+        missing/orphaned audit of every supplied derived table, plus the
+        facade's own pointer invariants — tombstones and supersedes
+        targets must reference frames that exist. Returns the findings
+        report; ``heal()`` turns it into rebuild actions."""
+        from .operators.doctor import doctor_report
+
+        frames_df = self._union_docs()
+        rep = doctor_report(frames_df, derived or {}, frame_key=self.id_col)
+        ids = frames_df.select(F.col(self.id_col).alias("k")).distinct()
+        for name, vals in (
+            ("tombstones", self._tombstones),
+            ("supersedes", set(self._supersedes.values())),
+        ):
+            if vals:
+                ptr = self.spark.createDataFrame(
+                    [(int(v),) for v in sorted(vals)], "k long"
+                )
+                dangling = (
+                    ptr.join(ids, "k", "left_anti")
+                    .agg(F.count("*").alias("n_affected"))
+                    .select(
+                        F.lit("dangling_pointer").alias("check"),
+                        F.lit(name).alias("table_name"),
+                        "n_affected",
+                    )
+                )
+                rep = rep.unionByName(dangling)
+        return rep
+
+    def heal(self, report: DataFrame) -> DataFrame:
+        """Findings → repair actions (doctor.rs heals a stale index by
+        rebuilding it from frames)."""
+        from .operators.doctor import heal_plan
+
+        return heal_plan(report)
+
+    REPLAY_SCHEMA = "seq long, action_type string, params string, value double"
+
+    def record_search(self, query: str, top_k: int = 10) -> DataFrame:
+        """Execute a search and record (action, params, result frame ids)
+        on the replay track — the reference records every request while a
+        replay session is active (search/mod.rs:282-291)."""
+        hits = self.search(query, top_k=top_k)
+        ids = [r[self.id_col] for r in hits.select(self.id_col).collect()]
+        self._replay.append((len(self._replay), query, top_k, ids))
+        return hits
+
+    def _replay_rows(self, entries) -> DataFrame:
+        rows = [
+            (seq, "search", f"{q}|k={k}|{','.join(map(str, ids))}", 0.0)
+            for seq, q, k, ids in entries
+        ]
+        return self.spark.createDataFrame(rows, self.REPLAY_SCHEMA)
+
+    def replay_log(self) -> DataFrame:
+        """The recorded session as a replay_actions table (SURVEY §1.2)."""
+        return self._replay_rows(self._replay)
+
+    def replay(self) -> DataFrame:
+        """Deterministic re-execution + divergence diff
+        (replay/engine.rs:118-637): re-run every recorded action against
+        the CURRENT corpus and seq-align fingerprints — ``same`` when the
+        engine reproduces the recorded results, ``diverged`` after state
+        changed (the replay-integrity contract)."""
+        from .operators.replay import divergence_diff
+
+        rerun = []
+        for seq, q, k, _ids in self._replay:
+            ids = [
+                r[self.id_col]
+                for r in self.search(q, top_k=k).select(self.id_col).collect()
+            ]
+            rerun.append((seq, q, k, ids))
+        return divergence_diff(self.replay_log(), self._replay_rows(rerun))
 
     # -- stats (frame.rs:92-145) ------------------------------------------
 

@@ -175,3 +175,36 @@ def test_facade_versioning_time_travel(spark):
     mv.delete(b)
     assert {r.doc_id for r in mv.docs().collect()} == {c}
     assert {r.doc_id for r in mv.as_of(c).collect()} == {b, c}
+
+
+def test_facade_doctor_and_replay(spark):
+    """doctor() audits derived tables + pointer invariants (doctor.rs,
+    lib.rs:1160-1248); replay() re-executes the recorded session and
+    diffs fingerprints (replay/engine.rs:118-637)."""
+    from pyspark.sql import functions as F
+
+    mv = MemvidSpark(spark)
+    a = mv.put("alpha document about spark plans")
+    b = mv.put("beta document about spark shuffles")
+    # a derived table missing one key and carrying one orphan
+    derived = {
+        "postings": spark.createDataFrame(
+            [(a,), (999,)], f"doc_id long"
+        )
+    }
+    rep = {(r.check, r.table_name): r.n_affected for r in mv.doctor(derived).collect()}
+    assert rep[("missing", "postings")] == 1      # b has no postings row
+    assert rep[("orphaned", "postings")] == 1     # 999 has no frame
+    assert rep[("duplicate_key", "frames")] == 0
+    plan = {(r.table_name, r.action) for r in mv.heal(mv.doctor(derived)).collect()}
+    assert ("postings", "rebuild_derived_table") in plan
+    assert ("postings", "vacuum_derived_table") in plan
+
+    # replay: identical corpus -> all same; after a delete -> diverged
+    mv.record_search("spark plans")
+    mv.record_search("spark shuffles")
+    statuses = {r.seq: r.status for r in mv.replay().collect()}
+    assert statuses == {0: "same", 1: "same"}
+    mv.delete(b)
+    statuses = {r.seq: r.status for r in mv.replay().collect()}
+    assert statuses[0] == "same" and statuses[1] == "diverged"
