@@ -20,21 +20,32 @@ def _ranked(hits: DataFrame, score_col: str, id_col: str) -> tuple[DataFrame, Wi
 
 
 def absolute_threshold(
-    hits: DataFrame, min_score: float, score_col: str = "score", id_col: str = "doc_id"
+    hits: DataFrame,
+    min_score: float,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_results: int = 1,
 ) -> DataFrame:
-    """Keep hits with score ≥ min_score."""
+    """Keep hits with score ≥ min_score; never cut inside the first
+    min_results rows (adaptive.rs find_absolute_cutoff skips i < min_results)."""
     ranked, _ = _ranked(hits, score_col, id_col)
-    return ranked.filter(F.col(score_col) >= min_score)
+    return ranked.filter(
+        (F.col(score_col) >= min_score) | (F.col("rank") <= min_results)
+    )
 
 
 def relative_threshold(
-    hits: DataFrame, frac: float = 0.5, score_col: str = "score", id_col: str = "doc_id"
+    hits: DataFrame,
+    frac: float = 0.5,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_results: int = 1,
 ) -> DataFrame:
-    """Keep hits scoring ≥ frac × top score."""
+    """Keep hits scoring ≥ frac × top score (min_results floor as above)."""
     ranked, w = _ranked(hits, score_col, id_col)
     top = F.first(score_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ranked.withColumn("_top", top).filter(
-        F.col(score_col) >= frac * F.col("_top")
+        (F.col(score_col) >= frac * F.col("_top")) | (F.col("rank") <= min_results)
     ).drop("_top")
 
 
@@ -43,6 +54,7 @@ def score_cliff(
     drop_ratio: float = 0.5,
     score_col: str = "score",
     id_col: str = "doc_id",
+    min_results: int = 1,
 ) -> DataFrame:
     """Cut at the first rank where score < drop_ratio × previous score:
     keep everything strictly before the first cliff.
@@ -55,7 +67,12 @@ def score_cliff(
     prev = F.lag(score_col).over(w)
     flagged = ranked.withColumn(
         "_is_cliff",
-        F.when(prev.isNotNull() & (F.col(score_col) < drop_ratio * prev), F.col("rank")),
+        F.when(
+            prev.isNotNull()
+            & (F.col(score_col) < drop_ratio * prev)
+            & (F.col("rank") > min_results),  # find_cliff_cutoff skips i < min_results
+            F.col("rank"),
+        ),
     )
     cliff = F.min("_is_cliff").over(Window.partitionBy())
     return (
@@ -125,13 +142,65 @@ def combined(
     drop_ratio: float,
     score_col: str = "score",
     id_col: str = "doc_id",
+    min_results: int = 1,
 ) -> DataFrame:
-    """Intersection of all three strategies (adaptive.rs Combined)."""
-    out = score_cliff(hits, drop_ratio, score_col, id_col)
-    ranked_w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    """Intersection of all three strategies (adaptive.rs Combined —
+    "first trigger wins"; on a descending curve each strategy keeps a
+    prefix, so the intersection IS the earliest trigger)."""
+    out = score_cliff(hits, drop_ratio, score_col, id_col, min_results)
     top = F.max(score_col).over(Window.partitionBy())
     return (
         out.withColumn("_top", top)
-        .filter((F.col(score_col) >= min_score) & (F.col(score_col) >= frac * F.col("_top")))
+        .filter(
+            ((F.col(score_col) >= min_score) & (F.col(score_col) >= frac * F.col("_top")))
+            | (F.col("rank") <= min_results)
+        )
         .drop("_top")
     )
+
+
+def adaptive_cutoff(
+    hits: DataFrame,
+    strategy: str = "combined",
+    *,
+    min_score: float = 0.25,
+    frac: float = 0.5,
+    drop_ratio: float = 0.5,
+    sensitivity: float = 1.0,
+    min_results: int = 1,
+    max_results: int = 100,
+    normalize: bool = True,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The AdaptiveConfig.evaluate driver (adaptive.rs:504-552; defaults
+    :62-80 — min_results=1, max_results=100, normalize=true): min-max
+    normalize the curve, dispatch one of the five strategies over the
+    normalized scores, cap at max_results. Normalization is monotone, so
+    ranking is unchanged; thresholds then live in [0, 1] like the
+    reference's. n ≤ min_results keeps everything (short-circuit at
+    :509-510, implicit here via the per-strategy floors)."""
+    d, col = hits, score_col
+    if normalize:
+        full = Window.partitionBy()
+        smax, smin = F.max(score_col).over(full), F.min(score_col).over(full)
+        rng = smax - smin
+        d = d.withColumn(
+            "_ns",
+            F.when(rng > 1e-7, (F.col(score_col) - smin) / rng).otherwise(F.lit(1.0)),
+        )
+        col = "_ns"
+    if strategy == "absolute":
+        out = absolute_threshold(d, min_score, col, id_col, min_results)
+    elif strategy == "relative":
+        out = relative_threshold(d, frac, col, id_col, min_results)
+    elif strategy == "cliff":
+        out = score_cliff(d, drop_ratio, col, id_col, min_results)
+    elif strategy == "elbow":
+        out = elbow(d, sensitivity, min_results, col, id_col)
+    elif strategy == "combined":
+        out = combined(d, min_score, frac, drop_ratio, col, id_col, min_results)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out = out.filter(F.col("rank") <= max_results)
+    return out.drop("_ns") if normalize else out

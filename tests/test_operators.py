@@ -255,3 +255,35 @@ def test_elbow_kneedle_cutoff(spark):
     # n < 3: too few points to bend, keep everything
     tiny = spark.createDataFrame([(0, 9.0), (1, 1.0)], "doc_id long, score double")
     assert elbow(tiny).count() == 2
+
+
+def test_adaptive_cutoff_evaluate_driver(spark):
+    """AdaptiveConfig.evaluate semantics (adaptive.rs:504-552): min-max
+    normalization, per-strategy min_results floor, max_results cap."""
+    from memvid_spark.operators.adaptive import adaptive_cutoff
+
+    scores = [100.0, 90.0, 80.0, 20.0, 15.0, 10.0]
+    hits = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score double"
+    )
+    # absolute on NORMALIZED scores: min_score=0.5 keeps y >= 0.5
+    # y = (s-10)/90 -> [1.0, .889, .778, .111, .056, 0]
+    kept = sorted(
+        r.doc_id for r in adaptive_cutoff(hits, "absolute", min_score=0.5).collect()
+    )
+    assert kept == [0, 1, 2]
+    # min_results floor: even an impossible threshold keeps the top rows
+    floor = sorted(
+        r.doc_id
+        for r in adaptive_cutoff(hits, "absolute", min_score=2.0, min_results=2).collect()
+    )
+    assert floor == [0, 1]
+    # max_results cap wins over a permissive strategy
+    capped = adaptive_cutoff(hits, "relative", frac=0.0, max_results=4).count()
+    assert capped == 4
+    # cliff on normalized curve: .778 -> .111 is an 86% drop (> 50%)
+    cliff = sorted(r.doc_id for r in adaptive_cutoff(hits, "cliff").collect())
+    assert cliff == [0, 1, 2]
+    # combined = earliest trigger among the three prefixes
+    comb = sorted(r.doc_id for r in adaptive_cutoff(hits, "combined").collect())
+    assert comb == [0, 1, 2]
