@@ -307,3 +307,36 @@ def quality_gates(
         .otherwise(F.lit("kept"))
     )
     return docs.withColumn("n_tok", n_tok).withColumn("verdict", verdict)
+
+
+def vocabulary_size(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct-token counts, exact or sketched.
+
+    The exact path (`count_distinct`) is the correctness tier; the
+    approx path is HyperLogLog++ (`approx_count_distinct`, relative
+    standard deviation `rsd`) — at 100 TB a distinct count over a
+    trillion-token corpus is exactly where the sketch replaces the
+    exact shuffle: partial HLL registers merge map-side, no giant
+    distinct exchange (SURVEY §2.4: cube/approx-distinct exposed as
+    engine surface on top of the reference's plain counts).
+
+    Output: ([group_col], n_vocab).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    agg = (
+        F.approx_count_distinct("token", rsd) if approx else F.count_distinct("token")
+    ).alias("n_vocab")
+    if group_col:
+        return toks.groupBy(group_col).agg(agg)
+    return toks.agg(agg)

@@ -132,3 +132,24 @@ def test_mixture_sample_deterministic_and_exact_bounds(spark):
     assert not (set(by_src["s1"]) & a)     # rate 0.0 keeps nothing
     frac = len(set(by_src["s2"]) & a) / 100
     assert 0.3 <= frac <= 0.7              # default 0.5 in the ballpark
+
+
+def test_vocabulary_size_hll_error_bound(spark):
+    """approx_count_distinct (HLL++) must land within ~3*rsd of the
+    exact distinct-token count — the sketch path that replaces the
+    exact-distinct shuffle at corpus scale (SURVEY §2.4)."""
+    from memvid_spark.operators.traindata import vocabulary_size
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    exact = vocabulary_size(docs).head()["n_vocab"]
+    approx = vocabulary_size(docs, approx=True, rsd=0.05).head()["n_vocab"]
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 0.15, (exact, approx)
+    # grouped flavor keeps one row per source with a sane estimate
+    per_src = {
+        r.source: r.n_vocab
+        for r in vocabulary_size(docs, group_col="source", approx=True).collect()
+    }
+    assert per_src and all(v > 0 for v in per_src.values())
