@@ -831,7 +831,7 @@ def q53_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
       FROM g
     )
-    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    SELECT user_id, max(session_id)::bigint AS n_sessions, count(*) AS n_events
     FROM s GROUP BY user_id
     """,
     "inactivity-gap sessionization: lag + conditional cumsum, one shuffle",
@@ -1153,7 +1153,7 @@ def q23_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_token_stats",
     f"""
     SELECT source, count(*) AS n_docs,
-           sum(len({SQL_TOKS.format(x='text')})) AS total_tokens,
+           sum(len({SQL_TOKS.format(x='text')}))::bigint AS total_tokens,
            round(avg(len({SQL_TOKS.format(x='text')})), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars
     FROM documents GROUP BY source
@@ -1207,7 +1207,7 @@ def q41_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN coalesce(
                  len(list_filter({SQL_TOKS.format(x='text')}, t -> list_contains({T.SQL_STOPWORDS_LIST}, t)))
                    / nullif(len({SQL_TOKS.format(x='text')})::double, 0.0), 0.0) >= 0.05
-               THEN 1 ELSE 0 END) AS n_pred_en
+               THEN 1 ELSE 0 END)::bigint AS n_pred_en
     FROM documents GROUP BY lang
     """,
     "stopword-density language-ID heuristic vs labeled lang column",
@@ -1247,7 +1247,7 @@ SQL_CARDS = """
 @spec(
     "q09_corpus_stats",
     """
-    SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT count(*) AS n_docs, sum(n_chars)::bigint AS total_chars,
            round(avg(n_chars),4) AS avg_chars,
            count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources
     FROM documents
@@ -1320,10 +1320,10 @@ def q56_memory_slot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT slot, count(*) AS n_cards,
-             sum(CASE WHEN vtype='number' THEN 1 ELSE 0 END) AS n_number,
-             sum(CASE WHEN vtype='date' THEN 1 ELSE 0 END) AS n_date,
-             sum(CASE WHEN vtype='boolean' THEN 1 ELSE 0 END) AS n_boolean,
-             sum(CASE WHEN vtype='string' THEN 1 ELSE 0 END) AS n_string
+             sum(CASE WHEN vtype='number' THEN 1 ELSE 0 END)::bigint AS n_number,
+             sum(CASE WHEN vtype='date' THEN 1 ELSE 0 END)::bigint AS n_date,
+             sum(CASE WHEN vtype='boolean' THEN 1 ELSE 0 END)::bigint AS n_boolean,
+             sum(CASE WHEN vtype='string' THEN 1 ELSE 0 END)::bigint AS n_string
       FROM typed GROUP BY slot
     ),
     per_entity AS (
@@ -1796,7 +1796,7 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {SQL_FRAMES}
     SELECT count(*) AS n_live, count(supersedes) AS n_chain_refs,
-           sum(length(text)) AS live_bytes
+           sum(length(text))::bigint AS live_bytes
     FROM (
       SELECT frame_id, text, CAST(NULL AS BIGINT) AS supersedes FROM frames
       WHERE status = 'active'
@@ -3918,8 +3918,8 @@ def _computed_oracles() -> None:
              WHEN contains(sentence, 'at ' || entity) THEN 'ORG'
              WHEN contains(sentence, 'in ' || entity) THEN 'LOC'
              ELSE 'PER' END AS kind,
-        CASE WHEN {ctx} THEN {NER_CONF_CONTEXT}
-             ELSE {NER_CONF_DEFAULT} END AS confidence
+        CASE WHEN {ctx} THEN {NER_CONF_CONTEXT}::double
+             ELSE {NER_CONF_DEFAULT}::double END AS confidence
       FROM cand WHERE entity <> ''
     )
     """
