@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 from .session import configure
 
@@ -43,7 +44,22 @@ class Catalog:
         if name not in self._cache:
             if name not in TABLE_NAMES:
                 raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
-            self._cache[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events" and isinstance(
+                df.schema["ts"].dataType, (TimestampType, TimestampNTZType)
+            ):
+                # Engine contract: events.ts is epoch-ns long. Original test
+                # data is parquet TIMESTAMP(NANOS) which Spark reads as long
+                # ns under spark.sql.legacy.parquet.nanosAsLong; regenerated
+                # data ships timestamp[us] (TimestampType) — normalize so the
+                # whole operator surface sees one type either way.
+                # NTZ → LTZ cast is wall-clock; session tz is pinned UTC so
+                # it matches DuckDB's naive epoch_us() on the same file.
+                df = df.withColumn(
+                    "ts",
+                    (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+                )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
