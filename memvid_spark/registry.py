@@ -2074,6 +2074,32 @@ def q83_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q117_binary_extract",
+    """
+    SELECT doc_id,
+           'mv2://docs/' || doc_id ||
+             CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx'
+                             WHEN 2 THEN '.xlsx' ELSE '.pptx' END AS uri,
+           CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                           WHEN 2 THEN 'xlsx' ELSE 'pptx' END AS fmt,
+           text,
+           length(text)::bigint AS n_chars
+    FROM documents
+    """,
+    "REAL binary-format round-trip: each document serialized to a valid "
+    "PDF/DOCX/XLSX/PPTX by the stdlib writers, then extracted back by the "
+    "stdlib parsers (zlib Flate + content-stream ops for PDF, zip+XML for "
+    "OOXML) — src/reader/mod.rs:201-217 sniff→extract→text with genuine "
+    "byte streams; the oracle is exact text identity",
+)
+def q117_binary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import binary_payloads, extract_documents
+
+    t = catalog.load(spark, sf_dir)
+    return extract_documents(binary_payloads(t.documents))
+
+
+@spec(
     "q84_sheet_tables",
     """
     WITH wds AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),

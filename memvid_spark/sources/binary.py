@@ -1,0 +1,546 @@
+"""Pure-stdlib binary document codecs: PDF, DOCX, XLSX, PPTX.
+
+Real byte-level parsers — no third-party libraries:
+
+- PDF: object/stream scan, ``/FlateDecode`` via :mod:`zlib`, then a
+  content-stream tokenizer that evaluates the text-showing operators
+  (``Tj``, ``TJ``, ``'``, ``"``) with full PDF string syntax (nested
+  parens, escapes, octal, hex strings). Handles the common simple-encoding
+  tier (Standard/WinAnsi one-byte fonts); subsetted fonts with ToUnicode
+  CMaps are out of scope and extract as raw code bytes.
+- DOCX / XLSX / PPTX: the OOXML containers are ZIP + XML, parsed with
+  :mod:`zipfile` + :mod:`xml.etree` — paragraphs/runs for DOCX
+  (``w:p``/``w:t``), sheet rows + shared/inline strings for XLSX
+  (``sheetData``/``c``/``v``), slide text runs for PPTX (``a:p``/``a:t``).
+
+Writers for the same formats are included: they produce genuinely valid
+files (openable in the corresponding office apps) and serve both as the
+blob-sink tier and as test-fixture generators, so extraction tests run
+against real byte streams rather than mocks.
+
+Reference semantics: format sniff → per-format extract → text
+(src/reader/mod.rs:28-217); XLSX structured rows feed the sheet-table
+detector in sources/readers.py (src/reader/xlsx_table_detect.rs);
+PDF text-op extraction mirrors src/table/pdf_extractor.rs's tier.
+
+Scale posture: all functions here are bytes→str/bytes kernels called from
+Arrow-batched ``mapInPandas`` (sources/readers.py); no Spark state, no
+driver-side work — each executor decodes its own partitions' payloads.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape as _xesc
+
+# ---------------------------------------------------------------------------
+# PDF — extraction
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+
+_PDF_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
+    ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _parse_pdf_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(...)`` literal string starting at ``i``; returns
+    (decoded bytes, index after the closing paren). Handles nesting,
+    backslash escapes, octal escapes, and escaped newlines."""
+    assert data[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+_DELIMS = b" \t\r\n()<>[]/%"
+
+
+def _content_stream_text(data: bytes) -> list[bytes]:
+    """Evaluate text-showing operators in one decoded content stream.
+    Returns the list of output lines (as bytes). ``'``/``"``/``T*`` start
+    a new line; ``Td``/``TD`` start one only when text is pending (real
+    PDFs use them for initial positioning too)."""
+    lines: list[bytes] = []
+    cur: list[bytes] = []
+    pend: list[bytes] = []
+    started = False  # saw at least one show op
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"(":
+            s, i = _parse_pdf_string(data, i)
+            pend.append(s)
+        elif c == b"<" and data[i : i + 2] != b"<<":
+            j = data.find(b">", i)
+            if j == -1:
+                break
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            pend.append(bytes.fromhex(hx.decode("ascii")))
+            i = j + 1
+        elif c == b"<":
+            i += 2
+        elif c == b"%":
+            j = data.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c.isalpha() or c in (b"'", b'"', b"*"):
+            j = i
+            while j < n and data[j : j + 1] not in (
+                b" ", b"\t", b"\r", b"\n", b"(", b")", b"<", b">", b"[", b"]", b"/", b"%",
+            ):
+                j += 1
+            op = data[i:j]
+            if op == b"Tj" or op == b"TJ":
+                cur += pend
+                started = True
+            elif op in (b"'", b'"'):
+                lines.append(b"".join(cur))
+                cur = list(pend)
+                started = True
+            elif op == b"T*":
+                lines.append(b"".join(cur))
+                cur = []
+            elif op in (b"Td", b"TD") and started and (cur or pend):
+                lines.append(b"".join(cur))
+                cur = []
+            pend = []
+            i = j
+        else:
+            i += 1
+    if cur or (started and not lines):
+        lines.append(b"".join(cur))
+    return lines if started else []
+
+
+def pdf_extract_text(payload: bytes) -> str:
+    """Extract text from a real PDF byte stream: every ``<<dict>> stream``
+    object is located, Flate-decoded when marked, and — if it looks like a
+    content stream (has a ``BT`` text block) — run through the text-op
+    evaluator. Pages concatenate in file order."""
+    out: list[bytes] = []
+    for m in _STREAM_RE.finditer(payload):
+        d = m.group(1)
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            continue
+        data = payload[start:end]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n") or data.endswith(b"\r"):
+            data = data[:-1]
+        if b"/FlateDecode" in d:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    continue
+        if b"BT" not in data:
+            continue
+        out.extend(_content_stream_text(data))
+    return b"\n".join(out).decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# PDF — writer (valid single-page PDF; used as fixture generator + sink tier)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(line: str) -> bytes:
+    b = line.encode("latin-1", errors="replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def pdf_from_text(text: str, compress: bool = True) -> bytes:
+    """Serialize text into a minimal valid PDF (one page, Helvetica, one
+    text block; ``Tj`` for the first line then ``'`` per following line —
+    exactly the operator set the extractor evaluates)."""
+    lines = text.split("\n")
+    ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+    for k, ln in enumerate(lines):
+        ops.append(b"(" + _pdf_escape(ln) + (b") Tj" if k == 0 else b") '"))
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# OOXML shared bits
+# ---------------------------------------------------------------------------
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" '
+    'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>{overrides}</Types>'
+)
+
+_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    "{rels}</Relationships>"
+)
+
+
+def _zip_write(parts: dict[str, str | bytes]) -> bytes:
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in parts.items():
+            z.writestr(name, data)
+    return bio.getvalue()
+
+
+def _zip_read(payload: bytes, name: str) -> bytes | None:
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            if name in z.namelist():
+                return z.read(name)
+    except zipfile.BadZipFile:
+        return None
+    return None
+
+
+def zip_names(payload: bytes) -> list[str]:
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return z.namelist()
+    except zipfile.BadZipFile:
+        return []
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+# ---------------------------------------------------------------------------
+
+
+def docx_extract_text(payload: bytes) -> str | None:
+    """Paragraph/run extraction from a real .docx: ``w:p`` → line,
+    ``w:t`` → run text, ``w:tab`` → TAB, ``w:br`` → newline."""
+    xmlb = _zip_read(payload, "word/document.xml")
+    if xmlb is None:
+        return None
+    root = ET.fromstring(xmlb)
+    paras = []
+    for p in root.iter(_W + "p"):
+        buf = []
+        for node in p.iter():
+            if node.tag == _W + "t":
+                buf.append(node.text or "")
+            elif node.tag == _W + "tab":
+                buf.append("\t")
+            elif node.tag == _W + "br":
+                buf.append("\n")
+        paras.append("".join(buf))
+    return "\n".join(paras)
+
+
+def docx_from_text(text: str) -> bytes:
+    """Serialize text into a minimal valid .docx (one paragraph per line)."""
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{_xesc(ln)}</w:t></w:r></w:p>"
+        for ln in text.split("\n")
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    return _zip_write(
+        {
+            "[Content_Types].xml": _CONTENT_TYPES.format(
+                overrides='<Override PartName="/word/document.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+            ),
+            "_rels/.rels": _RELS.format(
+                rels='<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+                'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+            ),
+            "word/document.xml": doc,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLSX
+# ---------------------------------------------------------------------------
+
+
+def _col_index(ref: str) -> int:
+    """'A1' → 0, 'B7' → 1, 'AA3' → 26."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def xlsx_extract_rows(payload: bytes) -> list[tuple[str, list[list[str]]]]:
+    """Real .xlsx parse: shared-strings table + each worksheet's
+    ``sheetData`` → [(sheet_name, rows)] with gap cells filled ''."""
+    _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            names = z.namelist()
+            shared: list[str] = []
+            if "xl/sharedStrings.xml" in names:
+                sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+                for si in sroot.iter(_S + "si"):
+                    shared.append("".join(t.text or "" for t in si.iter(_S + "t")))
+            # declared sheet names: workbook.xml sheet[@name,@r:id] → rels Id→Target
+            declared: dict[str, str] = {}
+            if "xl/workbook.xml" in names and "xl/_rels/workbook.xml.rels" in names:
+                rels = {
+                    rel.get("Id"): rel.get("Target", "")
+                    for rel in ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+                }
+                wb = ET.fromstring(z.read("xl/workbook.xml"))
+                for sh in wb.iter(_S + "sheet"):
+                    target = rels.get(sh.get(_R + "id"), "")
+                    declared["xl/" + target.lstrip("/")] = sh.get("name", "")
+            sheets = sorted(
+                n for n in names
+                if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            )
+            out = []
+            for sname in sheets:
+                root = ET.fromstring(z.read(sname))
+                rows: list[list[str]] = []
+                for row in root.iter(_S + "row"):
+                    r_no = int(row.get("r", len(rows) + 1))
+                    while len(rows) < r_no - 1:
+                        rows.append([])
+                    cells: list[str] = []
+                    for c in row.iter(_S + "c"):
+                        idx = _col_index(c.get("r", "")) if c.get("r") else len(cells)
+                        while len(cells) < idx:
+                            cells.append("")
+                        t = c.get("t", "n")
+                        if t == "s":
+                            v = c.find(_S + "v")
+                            cells.append(
+                                shared[int(v.text)] if v is not None and v.text else ""
+                            )
+                        elif t == "inlineStr":
+                            cells.append(
+                                "".join(x.text or "" for x in c.iter(_S + "t"))
+                            )
+                        else:
+                            v = c.find(_S + "v")
+                            cells.append(v.text if v is not None and v.text else "")
+                    rows.append(cells)
+                base = declared.get(sname) or sname.rsplit("/", 1)[-1][:-4]
+                out.append((base, rows))
+            return out
+    except zipfile.BadZipFile:
+        return []
+
+
+def xlsx_extract_text(payload: bytes) -> str | None:
+    """Sheet rows → CSV-ish text (cells comma-joined, rows newline-joined,
+    sheets separated by a blank line) — the exact shape the sheet-table
+    detector (sources/readers.py::sheet_tables) consumes."""
+    sheets = xlsx_extract_rows(payload)
+    if not sheets:
+        return None
+    return "\n\n".join("\n".join(",".join(r) for r in rows) for _, rows in sheets)
+
+
+def xlsx_from_rows(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
+    """Serialize sheets of string cells into a minimal valid .xlsx
+    (inline strings — no shared-string table needed)."""
+    parts: dict[str, str | bytes] = {}
+    sheet_decls, rel_decls, overrides = [], [], []
+    for i, (name, rows) in enumerate(sheets, start=1):
+        rows_xml = []
+        for r, cells in enumerate(rows, start=1):
+            cs = "".join(
+                f'<c r="{chr(65 + j)}{r}" t="inlineStr"><is>'
+                f'<t xml:space="preserve">{_xesc(cell)}</t></is></c>'
+                for j, cell in enumerate(cells)
+            )
+            rows_xml.append(f'<row r="{r}">{cs}</row>')
+        parts[f"xl/worksheets/sheet{i}.xml"] = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+        )
+        sheet_decls.append(f'<sheet name="{_xesc(name)}" sheetId="{i}" r:id="rId{i}"/>')
+        rel_decls.append(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
+        )
+        overrides.append(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        )
+    parts["xl/workbook.xml"] = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{''.join(sheet_decls)}</sheets></workbook>"
+    )
+    parts["xl/_rels/workbook.xml.rels"] = _RELS.format(rels="".join(rel_decls))
+    parts["[Content_Types].xml"] = _CONTENT_TYPES.format(
+        overrides='<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(overrides)
+    )
+    parts["_rels/.rels"] = _RELS.format(
+        rels='<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    )
+    return _zip_write(parts)
+
+
+def xlsx_from_text(text: str) -> bytes:
+    """One sheet, one row per line, one cell per row — text round-trips
+    bit-exactly through :func:`xlsx_extract_text` (single cells never gain
+    commas)."""
+    return xlsx_from_rows([("sheet1", [[ln] for ln in text.split("\n")])])
+
+
+# ---------------------------------------------------------------------------
+# PPTX
+# ---------------------------------------------------------------------------
+
+
+def pptx_extract_text(payload: bytes) -> str | None:
+    """Slide text runs from a real .pptx: ``a:p`` → line, ``a:t`` → run;
+    slides concatenate in number order separated by a blank line."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            slides = sorted(
+                n for n in z.namelist()
+                if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+            )
+            if not slides:
+                return None
+            blocks = []
+            for sname in slides:
+                root = ET.fromstring(z.read(sname))
+                paras = []
+                for p in root.iter(_A + "p"):
+                    paras.append("".join(t.text or "" for t in p.iter(_A + "t")))
+                blocks.append("\n".join(paras))
+            return "\n\n".join(blocks)
+    except zipfile.BadZipFile:
+        return None
+
+
+def pptx_from_text(text: str) -> bytes:
+    """Minimal valid .pptx: one slide, one paragraph per line."""
+    paras = "".join(
+        f'<a:p><a:r><a:t>{_xesc(ln)}</a:t></a:r></a:p>' for ln in text.split("\n")
+    )
+    slide = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+        "<p:cSld><p:spTree><p:sp><p:txBody>"
+        f"{paras}</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<p:sldIdLst><p:sldId id="256" r:id="rId1"/></p:sldIdLst></p:presentation>'
+    )
+    return _zip_write(
+        {
+            "[Content_Types].xml": _CONTENT_TYPES.format(
+                overrides='<Override PartName="/ppt/presentation.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+                '<Override PartName="/ppt/slides/slide1.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+            ),
+            "_rels/.rels": _RELS.format(
+                rels='<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+                'officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+            ),
+            "ppt/_rels/presentation.xml.rels": _RELS.format(
+                rels='<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+                'officeDocument/2006/relationships/slide" Target="slides/slide1.xml"/>'
+            ),
+            "ppt/presentation.xml": pres,
+            "ppt/slides/slide1.xml": slide,
+        }
+    )

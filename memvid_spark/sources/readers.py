@@ -7,12 +7,12 @@ structured extractor — multi-table detection per sheet, header
 propagation, column type inference (src/reader/xlsx_table_detect.rs,
 src/reader/xlsx_chunker.rs; tests/xlsx_structured.rs:60-529).
 
-Container constraint: pypdf / python-docx / openpyxl are not installed,
-so binary-format extractors try the real library first and otherwise
-fall back to a clearly-marked demo-container parse (magic prefix +
-UTF-8 body) used by the deterministic test payloads; a genuinely binary
-payload without its library raises NotImplementedError. The sniffing,
-dispatch, Arrow batching, and output schema are all real.
+Binary formats are REAL: extraction dispatches to the pure-stdlib
+codecs in sources/binary.py (PDF content-stream evaluation via zlib;
+OOXML zip+XML parsing), with pypdf preferred for PDF when installed.
+A legacy demo-container payload (magic prefix + UTF-8 body) is still
+accepted as a last-resort fallback so older fixtures keep working;
+genuinely unreadable bytes surface as NULL text, never a batch failure.
 
 Sheet-table detection is NOT stubbed: it runs on Spark columns (split
 rows, gaps-and-islands on blank lines, regexp type votes) — the same
@@ -25,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from . import binary
 
 PDF_MAGIC = b"%PDF"
 ZIP_MAGIC = b"PK\x03\x04"
@@ -42,6 +44,14 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
         if ext in ("docx", "xlsx", "xls", "pptx"):
             return ext
+        # no extension hint: disambiguate OOXML containers by zip members
+        names = binary.zip_names(payload)
+        if any(n.startswith("word/") for n in names):
+            return "docx"
+        if any(n.startswith("xl/") for n in names):
+            return "xlsx"
+        if any(n.startswith("ppt/") for n in names):
+            return "pptx"
         return "zip"
     try:
         payload.decode("utf-8")
@@ -66,34 +76,47 @@ def _read_text(payload: bytes) -> str:
 
 def _read_pdf(payload: bytes) -> str:
     try:
-        import pypdf  # noqa: F401  — real extractor when available
+        import pypdf  # noqa: F401  — preferred extractor when available
     except ImportError:
-        text = _demo_container_text(payload, b"%PDF-1.4")
-        if text is not None:
-            return text
-        raise NotImplementedError("pdf extraction requires pypdf")
-    import io
+        pass
+    else:
+        import io
 
-    return "\n".join(
-        p.extract_text() or "" for p in pypdf.PdfReader(io.BytesIO(payload)).pages
-    )
-
-
-def _read_ooxml(payload: bytes) -> str:
-    # real path would go through python-docx / openpyxl / python-pptx
-    text = _demo_container_text(payload, ZIP_MAGIC)
+        return "\n".join(
+            p.extract_text() or "" for p in pypdf.PdfReader(io.BytesIO(payload)).pages
+        )
+    text = binary.pdf_extract_text(payload)
+    if text:
+        return text
+    # legacy demo-container fixture (magic prefix + UTF-8 body)
+    text = _demo_container_text(payload, b"%PDF-1.4")
     if text is not None:
         return text
-    raise NotImplementedError("OOXML extraction requires its format library")
+    raise NotImplementedError("unreadable pdf payload (no text streams)")
+
+
+def _ooxml_reader(
+    extract: Callable[[bytes], str | None], fmt: str
+) -> Callable[[bytes], str]:
+    def read(payload: bytes) -> str:
+        text = extract(payload)
+        if text is not None:
+            return text
+        text = _demo_container_text(payload, ZIP_MAGIC)
+        if text is not None:
+            return text
+        raise NotImplementedError(f"unreadable {fmt} payload")
+
+    return read
 
 
 READERS: dict[str, Callable[[bytes], str]] = {
     "text": _read_text,
     "pdf": _read_pdf,
-    "docx": _read_ooxml,
-    "xlsx": _read_ooxml,
-    "xls": _read_ooxml,
-    "pptx": _read_ooxml,
+    "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
+    "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),
+    "xls": _ooxml_reader(binary.xlsx_extract_text, "xls"),
+    "pptx": _ooxml_reader(binary.pptx_extract_text, "pptx"),
 }
 
 
@@ -119,6 +142,39 @@ def demo_payloads(docs: DataFrame) -> DataFrame:
         "doc_id",
         uri.alias("uri"),
         F.encode(F.concat(prefix, F.col("text")), "utf-8").alias("payload"),
+    )
+
+
+def binary_payloads(docs: DataFrame) -> DataFrame:
+    """Serialize each document's text into a REAL binary file — PDF /
+    DOCX / XLSX / PPTX cycling on doc_id — via the stdlib writers in
+    sources/binary.py. Runs as an Arrow-batched mapInPandas (each
+    executor serializes its own partitions); the output payloads are
+    valid files, so extract_documents exercises genuine Flate/zip/XML
+    parsing rather than demo containers."""
+    fmts = ["pdf", "docx", "xlsx", "pptx"]
+    writers = {
+        "pdf": binary.pdf_from_text,
+        "docx": binary.docx_from_text,
+        "xlsx": binary.xlsx_from_text,
+        "pptx": binary.pptx_from_text,
+    }
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            uris, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fmt = fmts[int(doc_id) % 4]
+                uris.append(f"mv2://docs/{int(doc_id)}.{fmt}")
+                payloads.append(writers[fmt](text or ""))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "uri": uris, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, uri string, payload binary"
     )
 
 
