@@ -3206,8 +3206,13 @@ def q104_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked, tot WHERE rank <= 100
     """,
     "vocabulary builder: top-100 corpus tokens with cumulative coverage "
-    "share — the frequency analysis preceding tokenizer training; one "
-    "groupBy plus one ordered window over the (tiny) vocab table",
+    "share — the frequency analysis preceding tokenizer training. Scale "
+    "posture: top-100 via TakeOrderedAndProject (never a global window "
+    "over the full vocab — at 100 TB that is a single-task sort of the "
+    "whole distinct-token table), then rank + cumulative sum by a "
+    "k×k broadcast triangle self-join over the 100 survivors; cumsum "
+    "over the top-k prefix equals the global cumsum for those rows "
+    "because (n DESC, token) is a total order",
 )
 def q105_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
@@ -3216,18 +3221,23 @@ def q105_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = tc.withColumn("rank", F.row_number().over(w)).withColumn(
-        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    top = tc.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") <= F.col("a.token"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), before)
+        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
+        .agg(F.count("*").alias("rank"), F.sum("b.n").alias("cum"))
     )
     total = tc.agg(F.sum("n").alias("total"))
     return (
-        ranked.filter(F.col("rank") <= 100)
-        .crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
             "token",
             "n",
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
         )
     )
