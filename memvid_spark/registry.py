@@ -3311,10 +3311,15 @@ def q106_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collocation mining: document-level token-pair lift "
     "(P(a,b)/P(a)P(b) without the log — integer-ratio arithmetic stays "
     "engine-portable where ln would not) — corpus analysis for "
-    "phrase/stopword discovery; pair generation is a per-doc self-join "
-    "of DISTINCT tokens, support-filtered before scoring",
+    "phrase/stopword discovery. Scale guard: pair generation is gated by "
+    "a document-frequency floor — a pair needs n_ab >= MIN_SUPPORT and "
+    "n_ab <= min(df(a), df(b)), so tokens with df < MIN_SUPPORT are "
+    "pruned BEFORE the per-doc self-join (exact, not approximate); at "
+    "real corpus sizes the df<5 long tail is most of the vocabulary, so "
+    "this bounds the O(L^2) pair blowout to frequent tokens only",
 )
 def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    MIN_SUPPORT = 5
     t = catalog.load(spark, sf_dir)
     tok = (
         t.documents.select(
@@ -3322,6 +3327,8 @@ def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     df_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    frequent = df_counts.filter(F.col("n") >= MIN_SUPPORT).select("token")
+    tok = tok.join(frequent, "token", "left_semi")
     n_docs = t.documents.count()
     a = tok.select("doc_id", F.col("token").alias("ta"))
     b = tok.select("doc_id", F.col("token").alias("tb"))
@@ -3330,7 +3337,7 @@ def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 5)
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
     )
     fa = df_counts.select(F.col("token").alias("ta"), F.col("n").alias("na"))
     fb = df_counts.select(F.col("token").alias("tb"), F.col("n").alias("nb"))
