@@ -261,6 +261,117 @@ def promote_extremes(
     )
 
 
+def snippet_slices(
+    docs: DataFrame,
+    phrase: str,
+    window: int = 160,
+    max_snippets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked snippet slices — full compute_snippet_slices parity
+    (src/lex.rs:537-607, called with window=160 max_snippets=3 at
+    lex.rs:166 and tantivy.rs:185-190): every phrase occurrence expands
+    by ±window/2, snaps outward to sentence boundaries (last .!?\\n
+    before the start then skip whitespace; first .!? after the end —
+    after the char — or \\n — at it), slices merge when the next start
+    is within 20 chars of the running merged end, and the first
+    max_snippets merged slices survive ('\\n' → ' ' in the output,
+    build_snippets lex.rs:433-442). Docs without an occurrence are
+    omitted (the caller's no-match fallback is `snippet()` below).
+
+    Scale shape: occurrences come from split-by-phrase + posexplode —
+    the explode factor is the per-doc occurrence count, never per-char —
+    and every window is keyed by doc, so the whole operator is one scan
+    plus doc-local window work.
+
+    Output: (id_col, slice_rank, snippet_start, snippet).
+    """
+    L = len(phrase)
+    half = window // 2
+    parts = F.split(F.lower(F.col(text_col)), re.escape(phrase.lower()))
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            F.length(text_col).alias("_tlen"),
+            F.size(parts).alias("_np"),
+            F.posexplode(parts).alias("_i", "_part"),
+        )
+        .filter(F.col("_i") < F.col("_np") - 1)
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    occ = occ.withColumn(
+        "_start", F.sum(F.length("_part")).over(wcum) + F.col("_i") * L
+    )
+    s0 = F.greatest(F.col("_start") - half, F.lit(0))
+    e0 = F.least(F.col("_start") + L + half, F.col("_tlen"))
+    # sentence_start_before: last [.!?\n] in text[0:s0), position after it,
+    # then skip ASCII whitespace; no boundary → keep s0
+    prefix = F.substring("_text", 1, s0)
+    p_rev = F.instr(F.reverse(F.translate(prefix, "!?\n", "...")), ".")
+    cand = s0 - p_rev + 1
+    ws = F.length(
+        F.regexp_extract(
+            F.substring("_text", cand + 1, F.col("_tlen")), r"^[ \t\n\r\f]*", 0
+        )
+    )
+    s1 = F.when(p_rev > 0, cand + ws).otherwise(s0)
+    # sentence_end_after: first [.!?] in text[e0:] → after it; first \n → at
+    # it; whichever scans first; none → keep e0
+    tail = F.substring("_text", e0 + 1, F.col("_tlen"))
+    t1 = F.instr(F.translate(tail, "!?", ".."), ".")
+    t2 = F.instr(tail, "\n")
+    e1 = (
+        F.when((t1 > 0) & ((t2 == 0) | (t1 < t2)), e0 + t1)
+        .when(t2 > 0, e0 + t2 - 1)
+        .otherwise(e0)
+    )
+    snapped = occ.select(
+        id_col, "_text", "_i", s1.alias("_s"), e1.alias("_e")
+    ).filter(F.col("_e") > F.col("_s"))
+    worder = Window.partitionBy(id_col).orderBy("_i")
+    prev_end = F.max("_e").over(worder.rowsBetween(Window.unboundedPreceding, -1))
+    isles = snapped.withColumn(
+        "_new", (prev_end.isNull() | (F.col("_s") > prev_end + 20)).cast("int")
+    ).withColumn(
+        "_island", F.sum("_new").over(worder.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # the reference stops scanning once max_snippets slices exist, so the
+    # last surviving slice never absorbs later occurrences: islands past
+    # the cap drop entirely, the cap island keeps only its creator
+    rn = F.row_number().over(Window.partitionBy(id_col, "_island").orderBy("_i"))
+    kept = (
+        isles.filter(F.col("_island") <= max_snippets)
+        .withColumn("_rn", rn)
+        .filter((F.col("_island") < max_snippets) | (F.col("_rn") == 1))
+    )
+    return (
+        kept.groupBy(id_col, F.col("_island").alias("slice_rank"))
+        .agg(
+            F.first("_text").alias("_text"),
+            F.min("_s").alias("snippet_start"),
+            F.max("_e").alias("_e"),
+        )
+        .select(
+            id_col,
+            F.col("slice_rank").cast("long").alias("slice_rank"),
+            F.col("snippet_start").cast("long").alias("snippet_start"),
+            F.translate(
+                F.substring(
+                    "_text", F.col("snippet_start") + 1, F.col("_e") - F.col("snippet_start")
+                ),
+                "\n",
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
 def snippet(text_col, phrase: str, radius: int = 30):
     """Window around the first phrase occurrence (compute_snippet_slices
     analogue, src/lex.rs; used at tantivy.rs:185-190)."""

@@ -570,6 +570,98 @@ def q19_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q118_snippet_slices",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\\w+ ){6}\\w+) ', '\\1. ', 'g') AS text
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, text, length(text) AS tlen,
+             string_split(lower(text), 'table') AS parts
+      FROM base
+    ),
+    o AS (
+      SELECT doc_id, text, tlen, parts,
+             unnest(generate_series(1, len(parts) - 1)) AS i
+      FROM d
+    ),
+    pos AS (
+      SELECT doc_id, text, tlen, i,
+             (list_sum(list_transform(parts[1:i], x -> length(x)))::bigint
+              + (i - 1) * 5) AS ostart
+      FROM o
+    ),
+    ex AS (
+      SELECT doc_id, text, tlen, i,
+             greatest(ostart - 80, 0) AS s0,
+             least(ostart + 5 + 80, tlen) AS e0
+      FROM pos
+    ),
+    snap AS (
+      SELECT doc_id, text, i,
+        CASE WHEN strpos(reverse(translate(substring(text, 1, s0), '!?\n', '...')), '.') > 0
+             THEN (s0 - strpos(reverse(translate(substring(text, 1, s0), '!?\n', '...')), '.') + 1)
+                  + length(regexp_extract(substring(text,
+                      s0 - strpos(reverse(translate(substring(text, 1, s0), '!?\n', '...')), '.') + 2,
+                      tlen), '^[ \t\n\r\f]*'))
+             ELSE s0 END AS s1,
+        CASE WHEN strpos(translate(substring(text, e0 + 1, tlen), '!?', '..'), '.') > 0
+                  AND (strpos(substring(text, e0 + 1, tlen), '\n') = 0
+                       OR strpos(translate(substring(text, e0 + 1, tlen), '!?', '..'), '.')
+                          < strpos(substring(text, e0 + 1, tlen), '\n'))
+             THEN e0 + strpos(translate(substring(text, e0 + 1, tlen), '!?', '..'), '.')
+             WHEN strpos(substring(text, e0 + 1, tlen), '\n') > 0
+             THEN e0 + strpos(substring(text, e0 + 1, tlen), '\n') - 1
+             ELSE e0 END AS e1
+      FROM ex
+    ),
+    isl AS (
+      SELECT doc_id, text, i, s1, e1,
+        CASE WHEN max(e1) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s1 > max(e1) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 20
+             THEN 1 ELSE 0 END AS is_new
+      FROM snap WHERE e1 > s1
+    ),
+    grp AS (
+      SELECT doc_id, text, i, s1, e1,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, island ORDER BY i) AS rn
+      FROM grp WHERE island <= 3
+    )
+    SELECT doc_id, island::bigint AS slice_rank,
+           min(s1)::bigint AS snippet_start,
+           replace(substring(any_value(text), min(s1) + 1, max(e1) - min(s1)),
+                   '\n', ' ') AS snippet
+    FROM capped WHERE island < 3 OR rn = 1
+    GROUP BY doc_id, island
+    """,
+    "ranked snippet slices, full compute_snippet_slices parity "
+    "(src/lex.rs:537-607; build_snippets:433-442, window=160 "
+    "max_snippets=3): per-occurrence ±80-char expansion, sentence "
+    "boundary snapping, 20-char merge, cap keeps the creator slice only "
+    "— over a deterministically sentence-ified corpus so the snapping "
+    "logic is actually exercised",
+)
+def q118_snippet_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ask import snippet_slices
+
+    t = catalog.load(spark, sf_dir)
+    sentenced = t.documents.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\w+ ){6}\w+) ", "$1. ").alias("text"),
+    )
+    return snippet_slices(sentenced, "table", window=160, max_snippets=3)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
