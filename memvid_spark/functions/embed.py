@@ -132,6 +132,126 @@ def model_binding(emb: DataFrame, embedder) -> DataFrame:
     return emb.withColumn("model", F.lit(embedder.model))
 
 
+class BatchModelEmbedder:
+    """Local-model batch embedding over mapInPandas — the
+    src/text_embed.rs:171-210 batch loop re-expressed for executors.
+
+    Each executor lazily builds ONE encoder per task (``model_factory``
+    runs executor-side, so the model never ships through the closure
+    pickle) and encodes Arrow batches in ``batch_size`` slices,
+    L2-normalizing the output. With sentence-transformers installed the
+    default factory loads ``model`` (BGE/nomic/GTE-style ids); in this
+    container it isn't available, so `.available()` is False and callers
+    fall back — the bench tier injects a NumPy random-projection encoder
+    (same batched matrix compute shape, deterministic) to exercise and
+    time the full plumbing: Arrow transfer, slicing, normalization,
+    dimension contract.
+    """
+
+    def __init__(self, dim: int = 384, model: str = "BAAI/bge-small-en-v1.5",
+                 model_factory=None, batch_size: int = 64):
+        self.dim = dim
+        self.model = model
+        self.model_factory = model_factory  # () -> Callable[[list[str]], ndarray]
+        self.batch_size = batch_size
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import sentence_transformers  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def _default_factory(self):
+        model_name, dim = self.model, self.dim
+
+        def build():
+            from sentence_transformers import SentenceTransformer
+
+            m = SentenceTransformer(model_name)
+
+            def encode(texts: list[str]):
+                return m.encode(texts, normalize_embeddings=False)
+
+            return encode
+
+        return build
+
+    def embed_df(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        factory = self.model_factory
+        if factory is None:
+            if not self.available():
+                raise NotImplementedError(
+                    "BatchModelEmbedder needs sentence-transformers or an "
+                    "injected model_factory; use HashEmbedder for the "
+                    "correctness tier"
+                )
+            factory = self._default_factory()
+        dim, bs = self.dim, self.batch_size
+        schema = f"{id_col} long, embedding array<double>"
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            encode = factory()  # one model per task, built executor-side
+            for pdf in batches:
+                texts = list(pdf[text_col])
+                outs = []
+                for i in range(0, len(texts), bs):
+                    arr = np.asarray(encode(texts[i : i + bs]), dtype="float64")
+                    if arr.ndim != 2 or arr.shape[1] != dim:
+                        raise ValueError(
+                            "embedding dimension contract violated: "
+                            f"got {arr.shape}, want (*, {dim})"
+                        )
+                    nrm = np.linalg.norm(arr, axis=1, keepdims=True)
+                    outs.append(arr / np.where(nrm == 0, 1.0, nrm))
+                vecs = np.vstack(outs) if outs else np.empty((0, dim))
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "embedding": list(map(list, vecs))}
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+    def embed_query(self, text: str) -> list[float]:
+        factory = self.model_factory or self._default_factory()
+        import numpy as np
+
+        arr = np.asarray(factory()([text]), dtype="float64")[0]
+        n = float(np.linalg.norm(arr)) or 1.0
+        return [float(x) / n for x in arr]
+
+
+def projection_model_factory(dim: int = 384, vocab_dim: int = 4096, seed: int = 7):
+    """Deterministic stand-in encoder: hashed bag-of-words → fixed random
+    projection (a real batched matrix multiply, the compute shape of a
+    pooling encoder's last layer). Used by the bench tier when no model
+    library is installed; NOT a semantic model."""
+
+    def build():
+        import numpy as np
+        import zlib
+
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal((vocab_dim, dim)).astype("float64")
+
+        def encode(texts: list[str]):
+            bows = np.zeros((len(texts), vocab_dim))
+            for r, t in enumerate(texts):
+                for w in t.lower().split():
+                    bows[r, zlib.crc32(w.encode()) % vocab_dim] += 1.0
+            return bows @ proj
+
+        return encode
+
+    return build
+
+
 class ApiEmbedder:
     """Remote batch-embedding provider (src/api_embed.rs, 596 LoC):
     mapInPandas with one HTTP batch per Arrow batch. The network call is

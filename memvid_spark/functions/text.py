@@ -17,9 +17,19 @@ from pyspark.sql import Column, functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
-# Small fixed stopword list (reference keeps one in src/memvid/ask.rs:879-891;
-# ours is trimmed to the synthetic corpus vocabulary).
-STOPWORDS = ["the", "a", "and", "or", "of", "to", "in", "is", "it", "for"]
+# Full reference stopword catalog (src/memvid/ask.rs is_stopword,
+# :879-899) — the exact 77-entry list; "it's" never survives the alnum
+# tokenizer but is kept for list fidelity.
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "been", "being", "but", "by",
+    "does", "do", "did", "else", "for", "from", "had", "have", "has", "he",
+    "her", "here", "hers", "him", "his", "how", "i", "if", "in", "is", "it",
+    "its", "it's", "many", "me", "mine", "more", "most", "much", "my", "no",
+    "not", "of", "on", "or", "our", "ours", "she", "so", "that", "the",
+    "their", "them", "there", "these", "they", "this", "those", "through",
+    "to", "us", "was", "we", "were", "what", "when", "where", "which", "who",
+    "whom", "why", "with", "you", "your", "yours",
+]
 
 
 def tokens(col: Column | str) -> Column:
@@ -96,7 +106,9 @@ def lang_guess(col: Column | str) -> Column:
 # --- SQL twins (kept adjacent so drift is visible in review) -----------------
 
 SQL_TOKENS = "list_filter(string_split_regex(lower({x}),'[^a-z0-9]+'), t -> t<>'')"
-SQL_STOPWORDS_LIST = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+SQL_STOPWORDS_LIST = (
+    "[" + ",".join("'" + s.replace("'", "''") + "'" for s in STOPWORDS) + "]"
+)
 
 
 

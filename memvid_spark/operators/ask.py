@@ -22,14 +22,13 @@ from ..functions.vector import cosine
 from . import rrf as rrf_mod
 from . import search as search_mod
 
-# stopword + wh-word lists mirroring ask.rs:879-958 (trimmed to the
-# synthetic corpus; the mechanism, not the exact list, is the contract)
-_WH_WORDS = {
-    "what", "when", "where", "who", "why", "how", "which", "whose", "whom",
-    "is", "are", "was", "were", "do", "does", "did", "about", "tell", "me",
-    "the", "a", "an", "of", "to", "in", "on", "for", "and", "or", "it",
-    "this", "that",
-}
+# Question-sanitization drop list: the reference's full stopword catalog
+# (ask.rs is_stopword:879-899, used by sanitize_question_for_lexical
+# :901-938) plus the wh/filler words its question rewriting also strips
+# ("whose", "about", "tell" — ask.rs:23-120 query preparation).
+from ..functions.text import STOPWORDS as _REF_STOPWORDS
+
+_WH_WORDS = set(_REF_STOPWORDS) | {"whose", "about", "tell"}
 
 _AGGREGATION_KW = {"all", "every", "list", "count", "many", "total"}
 _RECENCY_KW = {"latest", "newest", "recent", "last", "current", "now"}
@@ -399,45 +398,52 @@ def ask(
     (synthesize_answer = top-3 snippets stitched, ask.rs:779-814).
     When ``uri_col`` is given, correction promotion runs LAST
     (ask.rs:367-369): correction documents override every other rerank."""
-    terms = sanitize_question(question)
     kind = classify_question(question)
     k = effective_top_k(kind, top_k)
-    lists = retrieve_lists(
-        docs, terms, k * 4, id_col, text_col, embeddings, query_vec
-    )
-    fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
-    if terms and fused.limit(1).count() == 0:
-        # fallback ladder (ask.rs:129-209): singular/plural expansion
-        terms = expand_plural_variants(terms)
+
+    def run(terms: list[str]):
         lists = retrieve_lists(
             docs, terms, k * 4, id_col, text_col, embeddings, query_vec
         )
         fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
-    fused = token_presence_reorder(fused, docs, terms, id_col, text_col)
-    if kind == "aggregation" and group_col is not None:
-        fused = fused.join(docs.select(F.col(id_col), F.col(group_col)), id_col, "left")
-        fused = diversify(fused, group_col, cap=2, id_col=id_col).drop(group_col)
-    phrase = " ".join(terms[:2]) if terms else ""
-    hits = (
-        fused.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
-        .withColumn("snippet", snippet(F.col(text_col), phrase))
-        .drop(text_col)
-        .orderBy(F.col("n_present").desc(), F.col("rrf").desc(), F.col(id_col).asc())
-        .limit(top_k)
-    )
-    if uri_col is not None:
-        decorated = hits.join(
-            docs.select(F.col(id_col), F.col(uri_col)), id_col, "left"
-        )
-        hits = (
-            promote_corrections(
-                decorated, uri_col=uri_col, score_col="rrf", id_col=id_col
+        fused = token_presence_reorder(fused, docs, terms, id_col, text_col)
+        if kind == "aggregation" and group_col is not None:
+            fused = fused.join(
+                docs.select(F.col(id_col), F.col(group_col)), id_col, "left"
             )
-            .orderBy("final_rank")
-            .drop(uri_col)
+            fused = diversify(fused, group_col, cap=2, id_col=id_col).drop(group_col)
+        phrase = " ".join(terms[:2]) if terms else ""
+        hits = (
+            fused.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+            .withColumn("snippet", snippet(F.col(text_col), phrase))
+            .drop(text_col)
+            .orderBy(
+                F.col("n_present").desc(), F.col("rrf").desc(), F.col(id_col).asc()
+            )
+            .limit(top_k)
         )
+        if uri_col is not None:
+            decorated = hits.join(
+                docs.select(F.col(id_col), F.col(uri_col)), id_col, "left"
+            )
+            hits = (
+                promote_corrections(
+                    decorated, uri_col=uri_col, score_col="rrf", id_col=id_col
+                )
+                .orderBy("final_rank")
+                .drop(uri_col)
+            )
+        return hits, hits.collect()
+
+    terms = sanitize_question(question)
+    hits, rows = run(terms)
+    if not rows and terms:
+        # fallback ladder (ask.rs:129-209): singular/plural expansion.
+        # Driven off the final collected rows — no dedicated emptiness
+        # probe job; the common non-empty path costs exactly one action.
+        terms = expand_plural_variants(terms)
+        hits, rows = run(terms)
     out = AskResult(question=question, kind=kind, terms=terms, hits=hits)
-    rows = hits.collect()
     out.citations = [(r[id_col], r["rrf"]) for r in rows]
     out.answer = " … ".join(r["snippet"] for r in rows[:3])
     return out

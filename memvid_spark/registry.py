@@ -759,24 +759,37 @@ def q88_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     "q48_stemmed_search",
-    None,  # filled by _computed_oracles from the shared STEM_RULES chain
-    "stemmed implicit-AND search: the SAME rule-chain stemmer runs on "
-    "the index side (column CASE chain), the oracle (SQL twin), and the "
-    "query side (driver twin) — analyzer parity by construction "
-    "(schema.rs:7-14 + tantivy.rs:38-46)",
+    None,  # filled by _computed_oracles from the shared Porter emitter
+    "stemmed implicit-AND search with the FULL Porter stemmer: one "
+    "emitter (functions/porter.py) writes the Spark expression chain, "
+    "the DuckDB oracle, and the query-side stems — analyzer parity by "
+    "construction (schema.rs:7-14 + tantivy.rs:38-46). Dictionary "
+    "pattern: stems are computed once per DISTINCT vocab token and "
+    "broadcast-joined back, so the stemmer costs O(|vocab|), not "
+    "O(corpus tokens)",
 )
 def q48_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import stem, stem_py, tokens
+    from .functions.porter import spark_stem_vocab, stem_py
+    from .functions.text import tokens
 
     t = catalog.load(spark, sf_dir)
-    query_terms = ["tables", "windows"]  # stems: table, window
-    stoks = F.array_distinct(F.transform(tokens("text"), lambda x: stem(x)))
-    d = t.documents.withColumn("stems", stoks)
-    pred = None
-    for term in query_terms:
-        this = F.array_contains("stems", stem_py(term.lower()))
-        pred = this if pred is None else pred & this
-    return d.filter(pred).select("doc_id", F.size("stems").alias("n_stems"))
+    query_terms = ["tables", "windows"]  # Porter stems: tabl, window
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    dic = spark_stem_vocab(toks.select("token").distinct())
+    stemmed = toks.join(F.broadcast(dic), "token").select("doc_id", "stem")
+    counts = stemmed.groupBy("doc_id").agg(
+        F.count_distinct("stem").cast("long").alias("n_stems")
+    )
+    targets = [stem_py(w.lower()) for w in query_terms]
+    hit = (
+        stemmed.filter(F.col("stem").isin(targets))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("stem").alias("nm"))
+        .filter(F.col("nm") == len(targets))
+    )
+    return counts.join(hit.select("doc_id"), "doc_id", "left_semi")
 
 
 @spec(
@@ -1597,11 +1610,25 @@ def q61_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive.score_cliff(hits, drop_ratio=0.9).select("doc_id", "score", "rank")
 
 
+# one representative per resolver family, anchored Wed 2024-01-17 12:00 UTC
+# (events data spans only Jan 2024 — later phrases legitimately hit 0 rows)
+TEMPORAL_PHRASES = [
+    "last week", "yesterday", "today", "this week", "3 days ago",
+    "two fridays ago", "this monday", "in the last 24 hours",
+    "this morning", "q1 2024", "end of this month", "1/5/2024",
+    "on the sunday after next", "start of next month",
+]
+
+
 @spec(
     "q59_temporal_phrase",
     None,  # oracle computed below (bounds come from the shared resolver)
-    "NL temporal phrase → pushed-down bounds: timeline('last week') "
-    "anchored at 2024-01-17 (src/analysis/temporal.rs:92-240)",
+    "NL temporal phrases → pushed-down bounds, one row per phrase family "
+    "(src/analysis/temporal.rs:92-607): fixed/relative/weekday/clock/"
+    "quarter/numeric-date phrases resolve driver-side against an anchored "
+    "clock; the 14-row bounds table broadcasts against one events scan "
+    "(never one scan per phrase), zero-hit phrases kept via a literal "
+    "left join",
 )
 def q59_temporal_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime, timezone
@@ -1609,11 +1636,26 @@ def q59_temporal_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.temporal import resolve_ns
 
     t = catalog.load(spark, sf_dir)
-    lo, hi = resolve_ns("last week", datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc))
-    tl = asof.timeline(t.events, since=lo, until=hi, reverse=False, limit=100)
-    return tl.select(
-        "event_id", F.expr("ts div 1000").alias("ts_us"), "event_type",
-        F.round("value", 2).alias("value"),
+    anchor = datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc)
+    rows = [(ph, *resolve_ns(ph, anchor)) for ph in TEMPORAL_PHRASES]
+    bounds = spark.createDataFrame(rows, "phrase string, lo_ns long, hi_ns long")
+    ev = t.events
+    hits = (
+        ev.join(
+            F.broadcast(bounds),
+            (ev.ts >= bounds.lo_ns) & (ev.ts < bounds.hi_ns),
+        )
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        bounds.join(hits, "phrase", "left")
+        .select(
+            "phrase",
+            F.expr("lo_ns div 1000").alias("lo_us"),
+            F.expr("hi_ns div 1000").alias("hi_us"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
     )
 
 
@@ -3247,7 +3289,9 @@ def q103_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GATE_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+_GATE_STOP_SQL = (
+    "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in T.STOPWORDS) + "]"
+)
 
 
 @spec(
@@ -3861,12 +3905,24 @@ def _computed_oracles() -> None:
 
     from .plans.temporal import resolve_ns
 
-    lo, hi = resolve_ns("last week", datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc))
+    _anchor = datetime(2024, 1, 17, 12, 0, tzinfo=timezone.utc)
+    _vals = ", ".join(
+        "('{}', {}, {})".format(
+            ph.replace("'", "''"), lo // 1000, hi // 1000
+        )
+        for ph, (lo, hi) in ((p, resolve_ns(p, _anchor)) for p in TEMPORAL_PHRASES)
+    )
     by_name["q59_temporal_phrase"].oracle = f"""
-    SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value,2) AS value
-    FROM events
-    WHERE epoch_us(ts) >= {lo // 1000} AND epoch_us(ts) < {hi // 1000}
-    ORDER BY ts, event_id LIMIT 100
+    WITH bounds(phrase, lo_us, hi_us) AS (VALUES {_vals}),
+    hits AS (
+      SELECT b.phrase, count(*)::bigint AS n_events
+      FROM events e JOIN bounds b
+        ON epoch_us(e.ts) >= b.lo_us AND epoch_us(e.ts) < b.hi_us
+      GROUP BY b.phrase
+    )
+    SELECT b.phrase, b.lo_us::bigint AS lo_us, b.hi_us::bigint AS hi_us,
+           coalesce(h.n_events, 0)::bigint AS n_events
+    FROM bounds b LEFT JOIN hits h USING (phrase)
     """
 
     by_name["q91_polarity_summary"].oracle = f"""
@@ -3905,18 +3961,23 @@ def _computed_oracles() -> None:
     GROUP BY entity, slot HAVING count(DISTINCT value) > 1
     """
 
-    from .functions.text import sql_stem, stem_py
+    from .functions.porter import duck_vocab_cte, stem_py
 
-    stems_sql = (
-        f"list_distinct(list_transform({SQL_TOKS.format(x='text')}, "
-        f"t -> {sql_stem('t')}))"
-    )
-    want = " AND ".join(
-        f"list_contains(stems, '{stem_py(w)}')" for w in ["tables", "windows"]
-    )
+    targets = ", ".join(f"'{stem_py(w)}'" for w in ["tables", "windows"])
     by_name["q48_stemmed_search"].oracle = f"""
-    WITH s AS (SELECT doc_id, {stems_sql} AS stems FROM documents)
-    SELECT doc_id, len(stems) AS n_stems FROM s WHERE {want}
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({SQL_TOKS.format(x='text')}) AS token
+      FROM documents
+    ),
+    dic AS MATERIALIZED
+      ({duck_vocab_cte('token', 'SELECT DISTINCT token FROM toks')}),
+    stemmed AS MATERIALIZED
+      (SELECT t.doc_id, d.stem FROM toks t JOIN dic d USING (token)),
+    counts AS (SELECT doc_id, count(DISTINCT stem)::bigint AS n_stems
+               FROM stemmed GROUP BY doc_id),
+    hit AS (SELECT doc_id FROM stemmed WHERE stem IN ({targets})
+            GROUP BY doc_id HAVING count(DISTINCT stem) = 2)
+    SELECT c.doc_id, c.n_stems FROM counts c JOIN hit USING (doc_id)
     """
 
     from .functions.embed import HashEmbedder, sql_hash_embedding

@@ -25,12 +25,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns (nanosAsLong read)
+        StructField("ts", TimestampNTZType()),  # normalized to ns long below
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -44,10 +45,17 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     from ..session import configure
 
     configure(spark)
-    return (
+    raw = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
+    )
+    # engine contract (catalog.load twin): events.ts is epoch-ns long
+    # regardless of the on-disk flavor; session tz is pinned UTC so the
+    # NTZ wall-clock cast is exact
+    return raw.withColumn(
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
     )
 
 

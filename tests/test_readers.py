@@ -83,3 +83,50 @@ def test_api_embedder_transport_injection(spark):
     bad = ApiEmbedder(dim=4, transport=lambda texts: [[1.0]] * len(texts))
     with pytest.raises(Exception, match="dimension"):
         bad.embed_df(docs).collect()
+
+
+def test_batch_model_embedder_plumbing_and_knn(spark):
+    """BatchModelEmbedder: executor-side model factory, Arrow batching,
+    L2 normalization, dimension contract — with the deterministic
+    projection stand-in encoder; kNN over its output must rank a
+    near-duplicate text above an unrelated one (recall sanity)."""
+    import pytest
+
+    from memvid_spark.functions.embed import (
+        BatchModelEmbedder,
+        projection_model_factory,
+    )
+    from memvid_spark.functions.vector import cosine
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join aggregate"),
+            (2, "spark shuffle partition join aggregate tuning"),
+            (3, "grape orchard harvest wine barrels"),
+        ],
+        "doc_id long, text string",
+    )
+    if not BatchModelEmbedder.available():
+        with pytest.raises(NotImplementedError):
+            BatchModelEmbedder().embed_df(docs)
+    emb = BatchModelEmbedder(dim=64, model_factory=projection_model_factory(64),
+                             batch_size=2)
+    out = emb.embed_df(docs)
+    rows = {r.doc_id: r.embedding for r in out.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-9 for v in rows.values())
+    # query-side twin agrees with the df path
+    q = emb.embed_query("spark shuffle partition join aggregate")
+    assert max(abs(a - b) for a, b in zip(q, rows[1])) < 1e-9
+    # recall sanity: near-dup text closer than unrelated text
+    scored = out.select(
+        "doc_id", cosine(F.col("embedding"), F.lit(q).cast("array<double>")).alias("s")
+    )
+    s = {r.doc_id: r.s for r in scored.collect()}
+    assert s[1] > s[2] > s[3]
+    # dimension contract enforced
+    bad = BatchModelEmbedder(dim=32, model_factory=projection_model_factory(64))
+    with pytest.raises(Exception, match="dimension"):
+        bad.embed_df(docs).collect()

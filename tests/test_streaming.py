@@ -36,8 +36,10 @@ def test_windowed_rollup_matches_batch(spark, events_dir):
     # update mode: append would hold back windows the watermark hasn't
     # closed (the stream ends before the last windows finalize)
     got = run_to_completion(windowed_rollup(stream), "rollup_out", "update")
+    from memvid_spark import catalog
+
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        catalog.load(spark, SF_DIR).events
         .groupBy(
             F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))).alias(
                 "window_start"
@@ -112,8 +114,10 @@ def test_running_user_totals_stateful(spark, events_dir):
     got = run_to_completion(running_user_totals(stream), "totals_out", "update")
     # final state per user (single input file → one batch) must equal batch agg
     final = {r.user_id: (r.n_events, r.total) for r in got.collect()}
+    from memvid_spark import catalog
+
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        catalog.load(spark, SF_DIR).events
         .groupBy("user_id")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
     )
