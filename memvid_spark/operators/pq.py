@@ -5,10 +5,11 @@ subspaces, 256 k-means centroids per subspace, 96-byte codes, queries
 scored with an Asymmetric Distance Computation lookup table.
 
 Spark design (SURVEY §2.8):
-- train: MLlib KMeans once per subspace over a sample — offline batch.
-- encode: one broadcast of the (tiny) codebook; per-row argmin per
-  subspace via Column expressions — the corpus is never shuffled and the
-  output code table is ~dims/sub × 1 byte per row.
+- train: vectorized Lloyd's over a bounded driver-side sample (the
+  corpus never feeds the trainer; the KB-scale codebook broadcasts).
+- encode: Arrow-batched NumPy argmin kernel per subspace — the corpus
+  is never shuffled and the output code table is ~dims/sub × 1 byte
+  per row.
 - ADC search: the query's LUT (n_sub × k distances) is computed on the
   driver (tiny), broadcast as a literal array, and the approximate
   distance is a codegen'd sum of LUT lookups — a pure scan, no joins.
