@@ -2330,6 +2330,130 @@ def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q119_xlsx_chunks",
+    """
+    WITH RECURSIVE wds AS (SELECT doc_id, str_split(text, ' ') AS w
+                           FROM documents),
+    sheet AS (
+      SELECT doc_id,
+        ['name,qty,price']
+        || list_transform(generate_series(1, (doc_id % 3 + 2)::int),
+             i -> coalesce(w[1], 'pad1') || ',' || (doc_id + i) || ','
+                  || (doc_id % 90 + i) || '.5')
+        || ['', 'city,code']
+        || [coalesce(w[2], 'pad2') || ',' || (doc_id * 7)] AS ls
+      FROM wds
+    ),
+    rows_ AS (
+      SELECT doc_id, unnest(generate_series(1, len(ls)))::int - 1 AS row_no, ls
+      FROM sheet
+    ),
+    r2 AS (SELECT doc_id, row_no, ls[row_no + 1] AS row FROM rows_),
+    isl AS (
+      SELECT doc_id, row_no, row, trim(row) = '' AS blank,
+        row_no - row_number()
+          OVER (PARTITION BY doc_id, trim(row) = '' ORDER BY row_no) AS grp
+      FROM r2
+    ),
+    tab AS (
+      SELECT doc_id, row_no, row,
+        (dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1)::int
+          AS table_index
+      FROM isl WHERE NOT blank
+    ),
+    numbered AS (
+      SELECT *, row_number()
+        OVER (PARTITION BY doc_id, table_index ORDER BY row_no) AS rn
+      FROM tab
+    ),
+    cells AS (
+      SELECT doc_id, table_index, rn, str_split(row, ',') AS cs,
+        unnest(generate_series(1, len(str_split(row, ','))))::int - 1
+          AS col_index
+      FROM numbered
+    ),
+    c2 AS (
+      SELECT doc_id, table_index, rn, col_index, cs[col_index + 1] AS cell
+      FROM cells
+    ),
+    hdr AS (
+      SELECT doc_id, table_index, col_index, cell AS header
+      FROM c2 WHERE rn = 1
+    ),
+    parts AS (
+      SELECT c.doc_id, c.table_index, c.rn, c.col_index,
+             CASE WHEN coalesce(h.header, '') <> ''
+                  THEN h.header || ': ' || c.cell ELSE c.cell END AS part
+      FROM c2 c LEFT JOIN hdr h
+        USING (doc_id, table_index, col_index)
+      WHERE c.rn > 1 AND c.cell <> ''
+    ),
+    lines AS (
+      SELECT doc_id, table_index, rn,
+             string_agg(part, ' | ' ORDER BY col_index) AS line
+      FROM parts GROUP BY doc_id, table_index, rn
+      HAVING string_agg(part, ' | ' ORDER BY col_index) <> ''
+    ),
+    hline AS (
+      SELECT doc_id, table_index,
+             string_agg(header, ' | ' ORDER BY col_index) AS header_line
+      FROM hdr WHERE header <> '' GROUP BY doc_id, table_index
+    ),
+    seq AS (
+      SELECT l.doc_id, l.table_index, l.line,
+        '[Sheet: sheet1] [Table: t' || l.table_index || ']' || chr(10) ||
+        CASE WHEN coalesce(h.header_line, '') <> ''
+             THEN h.header_line || chr(10) ELSE '' END AS prefix,
+        row_number() OVER (PARTITION BY l.doc_id, l.table_index
+                           ORDER BY l.rn) AS k
+      FROM lines l LEFT JOIN hline h USING (doc_id, table_index)
+    ),
+    rec AS (
+      SELECT doc_id, table_index, k, prefix, line, 0 AS chunk_index,
+             length(prefix) + length(line) + 1 AS cur_len
+      FROM seq WHERE k = 1
+      UNION ALL
+      SELECT s.doc_id, s.table_index, s.k, s.prefix, s.line,
+        CASE WHEN r.cur_len + length(s.line) + 1 > 80
+             THEN r.chunk_index + 1 ELSE r.chunk_index END,
+        CASE WHEN r.cur_len + length(s.line) + 1 > 80
+             THEN length(s.prefix) + length(s.line) + 1
+             ELSE r.cur_len + length(s.line) + 1 END
+      FROM rec r JOIN seq s
+        ON s.doc_id = r.doc_id AND s.table_index = r.table_index
+        AND s.k = r.k + 1
+    ),
+    chunks AS (
+      SELECT doc_id, table_index, chunk_index,
+             count(*)::int AS n_rows,
+             any_value(prefix) || string_agg(line, chr(10) ORDER BY k)
+               AS chunk_text
+      FROM rec GROUP BY doc_id, table_index, chunk_index
+    ),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY table_index, chunk_index) AS wk
+      FROM chunks
+    )
+    SELECT doc_id, table_index::int AS table_index,
+           chunk_index::int AS chunk_index, n_rows, chunk_text
+    FROM capped WHERE wk <= 500
+    """,
+    "row-aligned XLSX semantic chunking (src/reader/xlsx_chunker.rs): "
+    "rows never split, every chunk carries [Sheet]/[Table] context + the "
+    "header line, rows render Header: Value | ... with empty cells "
+    "skipped, greedy bin-pack to max_chars=80 (oversize first row still "
+    "emits), workbook capped at 500 chunks in table order — the oracle "
+    "replicates the sequential pack with a recursive CTE",
+)
+def q119_xlsx_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import demo_sheets, sheet_chunks
+
+    t = catalog.load(spark, sf_dir)
+    return sheet_chunks(demo_sheets(t.documents), max_chars=80)
+
+
+@spec(
     "q79_budgeted_extract",
     """
     SELECT doc_id, 'skim' AS phase,

@@ -247,6 +247,143 @@ def demo_sheets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.array_join(sheet, "\n").alias("sheet_text"))
 
 
+def _sheet_cells(sheets: DataFrame, text_col: str = "sheet_text") -> DataFrame:
+    """Shared island/cell decomposition: (doc_id, table_index, rn,
+    col_index, cell) — rn 1 is the header row of each blank-row island."""
+    rows = sheets.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("row_no", "row"),
+    )
+    wkind = Window.partitionBy("doc_id", "blank").orderBy("row_no")
+    islands = (
+        rows.withColumn("blank", F.trim(F.col("row")) == "")
+        .withColumn("grp", F.col("row_no") - F.row_number().over(wkind))
+        .filter(~F.col("blank"))
+    )
+    wgrp = Window.partitionBy("doc_id").orderBy("grp")
+    tables = islands.withColumn("table_index", F.dense_rank().over(wgrp) - 1)
+    wtab = Window.partitionBy("doc_id", "table_index").orderBy("row_no")
+    return (
+        tables.withColumn("rn", F.row_number().over(wtab))
+        .select(
+            "doc_id", "table_index", "rn",
+            F.posexplode(F.split(F.col("row"), ",")).alias("col_index", "cell"),
+        )
+    )
+
+
+def sheet_chunks(
+    sheets: DataFrame,
+    max_chars: int = 1200,
+    max_chunks: int = 500,
+    text_col: str = "sheet_text",
+    sheet_name: str = "sheet1",
+) -> DataFrame:
+    """Row-aligned semantic chunking of sheet tables — the XLSX chunker
+    (src/reader/xlsx_chunker.rs): rows never split across chunks, every
+    chunk carries the ``[Sheet: X] [Table: Y]`` context prefix plus the
+    header line, data rows render as ``Header: Value | Header: Value``
+    with empty cells skipped, rows greedy-bin-pack into ≤max_chars
+    chunks (prefix counted; an oversize first row still emits), and a
+    workbook produces at most max_chunks chunks in table order
+    (MAX_SPREADSHEET_CHUNKS cap, xlsx_chunker.rs:21).
+
+    Shape: cell decomposition + row assembly are keyed windows/groupBys;
+    the greedy pack is a per-(doc, table) applyInPandas fold — a table's
+    rows are co-located by construction, so the sequential part is local
+    and bounded by sheet size.
+
+    Output: (doc_id, table_index, chunk_index, n_rows, chunk_text).
+    """
+    cells = _sheet_cells(sheets, text_col)
+    headers = cells.filter(F.col("rn") == 1).select(
+        "doc_id", "table_index", "col_index", F.col("cell").alias("header")
+    )
+    body = cells.filter((F.col("rn") > 1) & (F.col("cell") != "")).join(
+        headers, ["doc_id", "table_index", "col_index"], "left"
+    )
+    part = F.when(
+        F.coalesce(F.col("header"), F.lit("")) != "",
+        F.concat(F.col("header"), F.lit(": "), F.col("cell")),
+    ).otherwise(F.col("cell"))
+    lines = (
+        body.withColumn("part", part)
+        .groupBy("doc_id", "table_index", "rn")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col_index", "part"))),
+                    lambda s: s["part"],
+                ),
+                " | ",
+            ).alias("line")
+        )
+        .filter(F.col("line") != "")
+    )
+    header_line = headers.filter(F.col("header") != "").groupBy(
+        "doc_id", "table_index"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("col_index", "header"))),
+                lambda s: s["header"],
+            ),
+            " | ",
+        ).alias("header_line")
+    )
+    prefix = F.concat(
+        F.lit(f"[Sheet: {sheet_name}] [Table: t"),
+        F.col("table_index").cast("string"),
+        F.lit("]\n"),
+        F.when(
+            F.col("header_line") != "", F.concat(F.col("header_line"), F.lit("\n"))
+        ).otherwise(F.lit("")),
+    )
+    ready = lines.join(header_line, ["doc_id", "table_index"], "left").select(
+        "doc_id", "table_index", "rn", "line",
+        prefix.alias("prefix"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rn")
+        out_rows = []
+        pfx = pdf["prefix"].iloc[0]
+        cur, cur_len, idx = [], len(pfx), 0
+        for line in pdf["line"]:
+            row_len = len(line) + 1
+            if cur and cur_len + row_len > max_chars:
+                out_rows.append((idx, len(cur), pfx + "\n".join(cur)))
+                idx += 1
+                cur, cur_len = [], len(pfx)
+            cur.append(line)
+            cur_len += row_len
+        if cur:
+            out_rows.append((idx, len(cur), pfx + "\n".join(cur)))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].iloc[0],
+                "table_index": pdf["table_index"].iloc[0],
+                "chunk_index": [r[0] for r in out_rows],
+                "n_rows": [r[1] for r in out_rows],
+                "chunk_text": [r[2] for r in out_rows],
+            }
+        )
+
+    packed = ready.groupBy("doc_id", "table_index").applyInPandas(
+        pack,
+        "doc_id long, table_index int, chunk_index int, n_rows int, chunk_text string",
+    )
+    # workbook-level cap in table order (chunk_index_start threading)
+    wdoc = Window.partitionBy("doc_id").orderBy("table_index", "chunk_index")
+    return (
+        packed.withColumn("_k", F.row_number().over(wdoc))
+        .filter(F.col("_k") <= max_chunks)
+        .drop("_k")
+    )
+
+
 def sheet_tables(sheets: DataFrame, text_col: str = "sheet_text") -> DataFrame:
     """Multi-table detection per sheet + per-column type inference —
     blank-row islands become tables, row 1 of each island is the header,
