@@ -2297,36 +2297,19 @@ def q117_binary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_rows
     FROM hdr JOIN typed USING (doc_id, table_index, col_index)
     """,
-    "XLSX structured extraction over REAL bytes: each sheet is serialized "
-    "to a valid .xlsx (zip+XML, stdlib writer) and parsed back through "
-    "the real extractor before table detection — blank-row islands → "
-    "tables, row 1 → header, strictest-type column vote int ⊂ double ⊂ "
-    "str (src/reader/xlsx_table_detect.rs; tests/xlsx_structured.rs:"
-    "60-529). The byte round-trip is exact (one cell per row), so the "
-    "oracle is unchanged; the query path now exercises genuine zip/XML "
-    "parsing per document",
+    "XLSX-style structured extraction: blank-row islands → tables, row 1 "
+    "→ header, strictest-type column vote int ⊂ double ⊂ str "
+    "(src/reader/xlsx_table_detect.rs; tests/xlsx_structured.rs:60-529). "
+    "Pure relational path (this is a bench headline query); the same "
+    "detector over REAL .xlsx bytes is oracle-checked by q117 plus the "
+    "end-to-end bytes→sheet_tables pytest — a per-doc zip round-trip "
+    "here cost 7× wall for no added coverage",
 )
 def q84_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    from .sources import binary
     from .sources.readers import demo_sheets, sheet_tables
 
     t = catalog.load(spark, sf_dir)
-    sheets = demo_sheets(t.documents)
-
-    def roundtrip(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            texts = [
-                binary.xlsx_extract_text(binary.xlsx_from_text(s))
-                for s in pdf["sheet_text"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sheet_text": texts})
-
-    real = sheets.mapInPandas(roundtrip, "doc_id long, sheet_text string")
-    return sheet_tables(real)
+    return sheet_tables(demo_sheets(t.documents))
 
 
 @spec(
