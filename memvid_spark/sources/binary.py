@@ -338,6 +338,181 @@ def docx_from_text(text: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# XLSX — OOXML number formats (src/reader/xlsx_ooxml.rs parity)
+# ---------------------------------------------------------------------------
+
+GENERAL, NUMBER, CURRENCY, PERCENTAGE, SCIENTIFIC = (
+    "general", "number", "currency", "percentage", "scientific",
+)
+DATE, TIME, DATETIME, TEXT = "date", "time", "datetime", "text"
+
+
+def classify_builtin_fmt(fmt_id: int) -> str:
+    """Built-in numFmtId → kind (xlsx_ooxml.rs:94-108)."""
+    if fmt_id == 0:
+        return GENERAL
+    if 1 <= fmt_id <= 4 or 37 <= fmt_id <= 40:
+        return NUMBER
+    if 5 <= fmt_id <= 8 or 41 <= fmt_id <= 44:
+        return CURRENCY
+    if fmt_id in (9, 10):
+        return PERCENTAGE
+    if fmt_id == 11:
+        return SCIENTIFIC
+    if 14 <= fmt_id <= 17:
+        return DATE
+    if 18 <= fmt_id <= 21 or 45 <= fmt_id <= 48:
+        return TIME
+    if fmt_id == 22:
+        return DATETIME
+    if fmt_id == 49:
+        return TEXT
+    return GENERAL
+
+
+def _remove_quoted_sections(code: str) -> str:
+    out, i, n = [], 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == '"':
+            j = code.find('"', i + 1)
+            i = n if j == -1 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def classify_format_code(code: str) -> str:
+    """Custom format code → kind (xlsx_ooxml.rs:111-160): date/time
+    tokens first ('m' alone with time markers means minutes), then
+    percent / scientific / currency / text / number."""
+    c = _remove_quoted_sections(code.lower())
+    has_date = "y" in c or "d" in c
+    has_month = "m" in c
+    has_time = "h" in c or "s" in c
+    has_ampm = "am/pm" in c or "a/p" in c
+    if has_date and has_time:
+        return DATETIME
+    if has_date:
+        return DATE
+    if has_time or has_ampm:
+        return TIME
+    if has_month and "#" not in c and "0" not in c:
+        return DATE
+    if "%" in c:
+        return PERCENTAGE
+    if "e+" in c or "e-" in c:
+        return SCIENTIFIC
+    if any(t in c for t in ("$", "€", "£", "¥", "eur", "usd", "gbp")):
+        return CURRENCY
+    if "@" in c:
+        return TEXT
+    if "#" in c or "0" in c:
+        return NUMBER
+    return GENERAL
+
+
+def parse_xlsx_numfmts(payload: bytes) -> list[str]:
+    """styles.xml → per-cellXf format kind (xlsx_ooxml.rs
+    parse_ooxml_metadata): built-ins seeded 0..49, custom numFmts
+    classified by their format codes, cellXfs indexed in order."""
+    xmlb = _zip_read(payload, "xl/styles.xml")
+    if xmlb is None:
+        return []
+    root = ET.fromstring(xmlb)
+    fmts = {i: classify_builtin_fmt(i) for i in range(50)}
+    for nf in root.iter(_S + "numFmt"):
+        try:
+            fmts[int(nf.get("numFmtId", "-1"))] = classify_format_code(
+                nf.get("formatCode", "")
+            )
+        except ValueError:
+            continue
+    xfs: list[str] = []
+    cell_xfs = root.find(_S + "cellXfs")
+    if cell_xfs is not None:
+        for xf in cell_xfs.iter(_S + "xf"):
+            try:
+                xfs.append(fmts.get(int(xf.get("numFmtId", "0")), GENERAL))
+            except ValueError:
+                xfs.append(GENERAL)
+    return xfs
+
+
+def excel_serial_to_iso(serial: float) -> str | None:
+    """Excel date serial → ISO string (xlsx_ooxml.rs:460-493), including
+    the Lotus leap-year bug: serials past 60 sit one day ahead because
+    Excel believes 1900-02-29 existed."""
+    import datetime as _dt
+
+    if serial < 0:
+        return None
+    days = int(serial // 1)
+    frac = serial - days
+    if days > 60:
+        days -= 1
+    try:
+        date = _dt.date(1899, 12, 31) + _dt.timedelta(days=days)
+    except OverflowError:
+        return None
+    if frac > 0.0001:
+        total = round(frac * 86400.0)
+        return "%s %02d:%02d:%02d" % (
+            date.isoformat(), total // 3600, (total % 3600) // 60, total % 60
+        )
+    return date.isoformat()
+
+
+def format_percentage(val: float) -> str:
+    pct = val * 100.0
+    if abs(pct - round(pct)) < 0.001:
+        return f"{round(pct)}%"
+    return f"{pct:.1f}%"
+
+
+def format_currency(val: float, code: str = "$") -> str:
+    c = code.lower()
+    if "$" in c or "usd" in c:
+        sym = "$"
+    elif "€" in c or "eur" in c:
+        sym = "€"
+    elif "£" in c or "gbp" in c:
+        sym = "£"
+    elif "¥" in c or "jpy" in c or "cny" in c:
+        sym = "¥"
+    else:
+        sym = "$"
+    if val < 0:
+        return f"-{sym}{abs(val):.2f}"
+    return f"{sym}{val:.2f}"
+
+
+def format_cell_value(raw: str, kind: str) -> str:
+    """Type-aware rendering of a numeric cell's stored value
+    (xlsx_chunker.rs format_cell_value): dates from serials, percent ×100,
+    currency 2dp, plain numbers integer-cleaned."""
+    try:
+        v = float(raw)
+    except (TypeError, ValueError):
+        return (raw or "").strip()
+    if kind in (DATE, DATETIME, TIME):
+        iso = excel_serial_to_iso(v)
+        if iso is not None:
+            return iso[11:] if kind == TIME and " " in iso else iso
+        return raw
+    if kind == PERCENTAGE:
+        return format_percentage(v)
+    if kind == CURRENCY:
+        return format_currency(v)
+    if v == int(v):
+        return str(int(v))
+    return raw
+
+
+# ---------------------------------------------------------------------------
 # XLSX
 # ---------------------------------------------------------------------------
 
@@ -353,10 +528,18 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
-def xlsx_extract_rows(payload: bytes) -> list[tuple[str, list[list[str]]]]:
+def xlsx_extract_rows(
+    payload: bytes, formatted: bool = False
+) -> list[tuple[str, list[list[str]]]]:
     """Real .xlsx parse: shared-strings table + each worksheet's
-    ``sheetData`` → [(sheet_name, rows)] with gap cells filled ''."""
+    ``sheetData`` → [(sheet_name, rows)] with gap cells filled ''.
+
+    ``formatted`` applies styles.xml number formats to numeric cells
+    (xlsx_ooxml.rs parity): date serials render ISO, percentages ×100
+    with a %, currency with a symbol and 2dp — the values a user sees
+    in Excel rather than the raw stored doubles."""
     _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    xfs = parse_xlsx_numfmts(payload) if formatted else []
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as z:
             names = z.namelist()
@@ -405,7 +588,14 @@ def xlsx_extract_rows(payload: bytes) -> list[tuple[str, list[list[str]]]]:
                             )
                         else:
                             v = c.find(_S + "v")
-                            cells.append(v.text if v is not None and v.text else "")
+                            raw = v.text if v is not None and v.text else ""
+                            if raw and xfs and c.get("s") is not None:
+                                try:
+                                    kind = xfs[int(c.get("s"))]
+                                except (ValueError, IndexError):
+                                    kind = GENERAL
+                                raw = format_cell_value(raw, kind)
+                            cells.append(raw)
                     rows.append(cells)
                 base = declared.get(sname) or sname.rsplit("/", 1)[-1][:-4]
                 out.append((base, rows))
@@ -467,6 +657,76 @@ def xlsx_from_rows(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
     parts["_rels/.rels"] = _RELS.format(
         rels='<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
         'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    )
+    return _zip_write(parts)
+
+
+def xlsx_from_typed_rows(
+    sheets: list[tuple[str, list[list[str | tuple[float, int]]]]],
+) -> bytes:
+    """Valid .xlsx with typed numeric cells: a cell is either a str
+    (inline string) or ``(raw_number, numFmtId)`` — the file carries a
+    styles.xml whose cellXfs map the ids, so format-aware extraction
+    has real metadata to read (fixture generator for the
+    xlsx_ooxml.rs-parity tier)."""
+    # collect distinct numFmtIds → cellXfs indices (index 0 = General)
+    ids: list[int] = [0]
+    for _, rows in sheets:
+        for row in rows:
+            for cell in row:
+                if isinstance(cell, tuple) and cell[1] not in ids:
+                    ids.append(cell[1])
+    xf_index = {fmt_id: i for i, fmt_id in enumerate(ids)}
+
+    str_sheets: list[tuple[str, list[list[str]]]] = []
+    cell_attrs: dict[tuple[int, int, int], tuple[float, int]] = {}
+    for si, (name, rows) in enumerate(sheets):
+        out_rows: list[list[str]] = []
+        for r, row in enumerate(rows):
+            out_row: list[str] = []
+            for j, cell in enumerate(row):
+                if isinstance(cell, tuple):
+                    cell_attrs[(si, r, j)] = cell
+                    out_row.append("")
+                else:
+                    out_row.append(cell)
+            out_rows.append(out_row)
+        str_sheets.append((name, out_rows))
+
+    base = xlsx_from_rows(str_sheets)
+    # splice numeric cells + styles.xml into the container
+    with zipfile.ZipFile(io.BytesIO(base)) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    for si in range(len(sheets)):
+        sheet_path = f"xl/worksheets/sheet{si + 1}.xml"
+        root = ET.fromstring(parts[sheet_path])
+        ET.register_namespace(
+            "", "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        )
+        for r_el in root.iter(_S + "row"):
+            r = int(r_el.get("r")) - 1
+            for j, c_el in enumerate(list(r_el)):
+                if (si, r, j) in cell_attrs:
+                    val, fmt_id = cell_attrs[(si, r, j)]
+                    c_el.attrib.pop("t", None)
+                    c_el.set("s", str(xf_index[fmt_id]))
+                    for child in list(c_el):
+                        c_el.remove(child)
+                    v = ET.SubElement(c_el, _S + "v")
+                    v.text = repr(val) if val != int(val) else str(int(val))
+        parts[sheet_path] = ET.tostring(root, xml_declaration=True, encoding="UTF-8")
+    xf_xml = "".join(f'<xf numFmtId="{fmt_id}"/>' for fmt_id in ids)
+    parts["xl/styles.xml"] = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<cellXfs count="{len(ids)}">{xf_xml}</cellXfs></styleSheet>'
+    )
+    ct = parts["[Content_Types].xml"].decode()
+    parts["[Content_Types].xml"] = ct.replace(
+        "</Types>",
+        '<Override PartName="/xl/styles.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        "</Types>",
     )
     return _zip_write(parts)
 
