@@ -120,3 +120,50 @@ def test_no_occurrence_docs_omitted(spark):
     )
     out = snippet_slices(docs, "cat").collect()
     assert {r.doc_id for r in out} == {2}
+
+
+def test_randomized_batch_parity(spark):
+    """Randomized texts (seeded) in one batch DataFrame vs the Python
+    port — broad coverage beyond the handcrafted edges."""
+    import random
+
+    rng = random.Random(99)
+    words = ["cat", "dog", "xx", "yyy", "..", "!", "?", "\n"]
+    cases = []
+    for i in range(40):
+        n = rng.randint(1, 60)
+        text = "".join(
+            rng.choice(words) + (" " if rng.random() < 0.7 else "")
+            for _ in range(n)
+        )
+        window = rng.choice([8, 20, 60, 160])
+        maxn = rng.choice([1, 2, 3])
+        cases.append((i, text, window, maxn))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id long, text string"
+    )
+    by_params = {}
+    for i, text, window, maxn in cases:
+        by_params.setdefault((window, maxn), []).append((i, text))
+    for (window, maxn), items in by_params.items():
+        ids = [i for i, _ in items]
+        got_rows = (
+            snippet_slices(
+                docs.filter(docs.doc_id.isin(ids)), "cat",
+                window=window, max_snippets=maxn,
+            )
+            .orderBy("doc_id", "slice_rank")
+            .collect()
+        )
+        got = {}
+        for r in got_rows:
+            got.setdefault(r.doc_id, []).append((r.snippet_start, r.snippet))
+        for i, text in items:
+            want = [
+                (s, text[s:e].replace("\n", " "))
+                for s, e in compute_snippet_slices(
+                    text, _occurrences(text, "cat"), window, maxn
+                )
+            ]
+            assert got.get(i, []) == want, (i, window, maxn, text)
