@@ -136,6 +136,9 @@ def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
 def transcribe_audio(
     media: DataFrame,
     transcriber: Callable[[bytes], list[tuple[float, float, str]]] | None = None,
+    transcriber_factory: Callable[
+        [], Callable[[bytes], list[tuple[float, float, str]]]
+    ] | None = None,
 ) -> DataFrame:
     """Whisper-shaped transcription plumbing (src/whisper.rs:49-116:
     audio → timed text segments). The model is an injection point — the
@@ -143,22 +146,29 @@ def transcribe_audio(
     rows only, one model call per payload inside an Arrow batch, output
     exploded to one row per segment.
 
+    Prefer ``transcriber_factory`` for real models: it runs ONCE per
+    task on the executor (the model never pickles through the closure —
+    the BatchModelEmbedder seam, functions/embed.py). A plain
+    ``transcriber`` callable still works for lightweight/injected fns.
+
     Output: (media_id, seg_index, t_start, t_end, text).
     """
-    if transcriber is None:
+    if transcriber is None and transcriber_factory is None:
         raise NotImplementedError(
             "transcription requires an audio model; inject a transcriber "
-            "callable (payload -> [(t_start, t_end, text), ...])"
+            "callable (payload -> [(t_start, t_end, text), ...]) or a "
+            "transcriber_factory built executor-side"
         )
     schema = "media_id long, seg_index int, t_start double, t_end double, text string"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        fn = transcriber if transcriber is not None else transcriber_factory()
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                segs = transcriber(bytes(payload) if payload is not None else b"")
+                segs = fn(bytes(payload) if payload is not None else b"")
                 for i, (t0, t1, txt) in enumerate(segs):
                     rows.append((mid, i, t0, t1, txt))
             yield pd.DataFrame(

@@ -130,3 +130,17 @@ def test_batch_model_embedder_plumbing_and_knn(spark):
     bad = BatchModelEmbedder(dim=32, model_factory=projection_model_factory(64))
     with pytest.raises(Exception, match="dimension"):
         bad.embed_df(docs).collect()
+
+
+def test_transcriber_factory_builds_executor_side(spark):
+    from memvid_spark.sources.multimodal import media_from_documents, transcribe_audio
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    media = media_from_documents(docs)
+
+    def factory():
+        # runs once per task on the executor; a real model would load here
+        return lambda payload: [(0.0, 1.0, f"seg<{len(payload)}>")]
+
+    segs = transcribe_audio(media, transcriber_factory=factory).collect()
+    assert len(segs) == 1 and segs[0].text.startswith("seg<")
