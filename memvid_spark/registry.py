@@ -662,6 +662,79 @@ def q118_snippet_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippet_slices(sentenced, "table", window=160, max_snippets=3)
 
 
+@spec(
+    "q120_temporal_mentions",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+        'Session ' || (doc_id % 9 + 1) || ' (May ' || (doc_id % 28 + 1)
+          || ', 2023)' AS header,
+        CASE doc_id % 5 WHEN 0 THEN 'yesterday' WHEN 1 THEN 'last week'
+             WHEN 2 THEN 'two days ago' WHEN 3 THEN 'next friday'
+             ELSE 'this month' END AS phrase,
+        (DATE '2023-05-01' + (doc_id % 28)::int) AS anchor
+      FROM documents
+    )
+    SELECT doc_id, phrase,
+           (length(header) + 1 + length('we met '))::bigint AS char_offset,
+           length(phrase)::int AS length,
+           anchor::varchar AS anchor_date,
+           'explicit_header' AS anchor_source,
+           0.95 AS confidence,
+           CASE doc_id % 5 WHEN 1 THEN 'date_range' WHEN 4 THEN 'month'
+                ELSE 'date' END AS kind,
+           CASE doc_id % 5
+             WHEN 0 THEN anchor - 1::int
+             WHEN 1 THEN anchor - (isodow(anchor) - 1)::int - 7::int
+             WHEN 2 THEN anchor - 2::int
+             WHEN 3 THEN anchor + (CASE WHEN 5 - isodow(anchor) <= 0
+                                        THEN 12 - isodow(anchor)
+                                        ELSE 5 - isodow(anchor) END)::int
+             ELSE date_trunc('month', anchor)::date
+           END::varchar AS lo,
+           CASE doc_id % 5
+             WHEN 0 THEN anchor - 1::int
+             WHEN 1 THEN anchor - (isodow(anchor) - 1)::int - 1::int
+             WHEN 2 THEN anchor - 2::int
+             WHEN 3 THEN anchor + (CASE WHEN 5 - isodow(anchor) <= 0
+                                        THEN 12 - isodow(anchor)
+                                        ELSE 5 - isodow(anchor) END)::int
+             ELSE last_day(anchor)
+           END::varchar AS hi
+    FROM synth
+    """,
+    "sliding-anchor temporal mentions (src/analysis/temporal_enrich.rs): "
+    "session-header anchor detection (conf 0.95) propagates through the "
+    "doc — a later lower-confidence inline ISO date must NOT supersede "
+    "it — then relative phrases resolve to absolute bounds with char "
+    "offsets. The oracle predicts the machine's output in closed form "
+    "from the synthesized corpus, so the state-machine semantics are "
+    "what's actually checked",
+)
+def q120_temporal_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.temporal_enrich import temporal_mentions
+
+    t = catalog.load(spark, sf_dir)
+    phrase = (
+        F.when(F.col("doc_id") % 5 == 0, "yesterday")
+        .when(F.col("doc_id") % 5 == 1, "last week")
+        .when(F.col("doc_id") % 5 == 2, "two days ago")
+        .when(F.col("doc_id") % 5 == 3, "next friday")
+        .otherwise("this month")
+    )
+    synth = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("Session "), (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit(" (May "), (F.col("doc_id") % 28 + 1).cast("string"),
+            F.lit(", 2023)\nwe met "), phrase, F.lit(" to review"),
+            # later, lower-confidence inline date — must not supersede
+            F.lit("\nlogged 2023-01-15 status"),
+        ).alias("text"),
+    )
+    return temporal_mentions(synth)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
