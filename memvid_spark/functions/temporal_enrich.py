@@ -300,6 +300,24 @@ MENTIONS_SCHEMA = (
 )
 
 
+def mention_pruner(
+    mentions: DataFrame, lo: str, hi: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pruner over the mentions table: docs with at least one
+    resolved mention overlapping the inclusive ISO-date query range —
+    feed it to operators.candidates.intersect_candidates (the temporal
+    pruner slot, src/memvid/search/mod.rs:84-230; temporal index reads
+    src/io/temporal_index.rs:193-380). Pure filter + distinct; ISO
+    strings compare lexicographically so this pushes to the scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        mentions.filter((F.col("lo") <= hi) & (F.col("hi") >= lo))
+        .select(id_col)
+        .distinct()
+    )
+
+
 def temporal_mentions(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

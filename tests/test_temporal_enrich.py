@@ -119,3 +119,24 @@ def test_mentions_spark_pipeline(spark):
     assert m.lo == m.hi == "2023-05-06"
     assert m.anchor_source == "explicit_header" and m.confidence == 0.95
     assert m.char_offset == len("Session 1 (May 7, 2023)\nwe met ")
+
+
+def test_mention_pruner_composes_with_candidates(spark):
+    from memvid_spark.functions.temporal_enrich import mention_pruner
+    from memvid_spark.operators.candidates import intersect_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Session 1 (May 7, 2023)\nwe met yesterday"),       # 5/6
+            (2, "Session 2 (May 20, 2023)\nship in 3 days"),        # 5/23
+            (3, "Session 3 (May 7, 2023)\nplanning next month"),    # June
+        ],
+        "doc_id long, text string",
+    )
+    mentions = temporal_mentions(docs)
+    pruner = mention_pruner(mentions, "2023-05-01", "2023-05-10")
+    kept = {r.doc_id for r in intersect_candidates(docs, pruner).collect()}
+    assert kept == {1}
+    pruner2 = mention_pruner(mentions, "2023-06-01", "2023-06-30")
+    kept2 = {r.doc_id for r in intersect_candidates(docs, pruner2).collect()}
+    assert kept2 == {3}
