@@ -81,6 +81,43 @@ class MemvidSpark:
                            len(text)))
         return doc_id
 
+    def put_bytes(
+        self,
+        payload: bytes,
+        uri: str | None = None,
+        lang: str = "en",
+        dedup: bool = True,
+    ) -> int | None:
+        """Binary ingestion: sniff the format (magic bytes + extension +
+        zip members) and extract text through the reader registry — real
+        stdlib PDF/DOCX/XLSX/PPTX codecs — then the text put path
+        (mutation.rs:229-321 put_bytes → reader dispatch → frame)."""
+        from .sources.readers import READERS, sniff_format
+
+        fmt = sniff_format(payload, uri or "")
+        reader = READERS.get(fmt)
+        if reader is None:
+            raise ValueError(f"no reader registered for format {fmt!r}")
+        return self.put(reader(payload), uri=uri, lang=lang, dedup=dedup)
+
+    def snippets(
+        self, phrase: str, window: int = 160, max_snippets: int = 3
+    ) -> DataFrame:
+        """Ranked multi-occurrence snippet slices over the active corpus
+        (compute_snippet_slices, src/lex.rs:537-607)."""
+        from .operators.ask import snippet_slices
+
+        return snippet_slices(
+            self.docs(), phrase, window=window, max_snippets=max_snippets
+        )
+
+    def temporal_mentions(self) -> DataFrame:
+        """Sliding-anchor in-text temporal mentions for the active corpus
+        (src/analysis/temporal_enrich.rs; the temporal-index feed)."""
+        from .functions.temporal_enrich import temporal_mentions
+
+        return temporal_mentions(self.docs())
+
     def update(self, doc_id: int, text: str, uri: str | None = None) -> int:
         """Supersede: append a new frame carrying ``supersedes=doc_id``
         and retire the old one from the active view at the new frame's

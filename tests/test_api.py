@@ -208,3 +208,25 @@ def test_facade_doctor_and_replay(spark):
     mv.delete(b)
     statuses = {r.seq: r.status for r in mv.replay().collect()}
     assert statuses[0] == "same" and statuses[1] == "diverged"
+
+
+def test_put_bytes_real_formats_and_helpers(spark):
+    from memvid_spark.api import MemvidSpark
+    from memvid_spark.sources import binary as B
+
+    mv = MemvidSpark(spark)
+    i1 = mv.put_bytes(B.pdf_from_text("Session 1 (May 7, 2023)\nshipped yesterday"),
+                      uri="mv2://a/r.pdf")
+    i2 = mv.put_bytes(B.docx_from_text("plain words without dates"),
+                      uri="mv2://a/n.docx")
+    assert i1 is not None and i2 is not None
+    texts = {r.doc_id: r.text for r in mv.docs().collect()}
+    assert texts[i1].endswith("shipped yesterday")
+    # dedup applies to the EXTRACTED text, not the container bytes
+    assert mv.put_bytes(B.pptx_from_text("plain words without dates")) is None
+    # snippet + mention helpers run over the active corpus
+    snips = mv.snippets("yesterday").collect()
+    assert {r.doc_id for r in snips} == {i1}
+    ments = mv.temporal_mentions().collect()
+    assert {r.doc_id for r in ments} == {i1}
+    assert ments[0].lo == "2023-05-06"
