@@ -58,3 +58,26 @@ def l2(a, b) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
+    """Vectorized Lloyd's over an in-memory sample (NumPy): deterministic
+    init from k distinct sample rows, argmin assignment via one distance
+    matrix per round. The codebook-training kernel shared by PQ
+    (operators/pq.py) and IVF (operators/knn.py) — at scale the corpus
+    never feeds the trainer, a bounded sample does, and the KB-scale
+    centroids broadcast to the scan."""
+    import numpy as np
+
+    X = np.asarray(X, dtype="float64")
+    rng = np.random.default_rng(seed)
+    init_idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    C = X[init_idx].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C

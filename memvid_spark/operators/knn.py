@@ -306,16 +306,18 @@ def train_centroids(
     seed: int = 42,
     max_iter: int = 10,
 ) -> DataFrame:
-    """KMeans codebook for IVF partitioning (MLlib; batch, offline)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """KMeans codebook for IVF partitioning — vectorized Lloyd's over a
+    bounded driver-side sample (the published IVF practice: the corpus
+    never feeds the trainer; distributed KMeans here spent ~max_iter
+    Spark jobs fitting kilobytes of centroids)."""
+    from ..functions.vector import lloyd_kmeans
 
-    data = emb.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(data)
+    frac = min(1.0, 65536 / max(emb.count(), 1))
+    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    X = [r.v for r in sample.collect()]
+    C = lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
     spark = emb.sparkSession
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
     return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")

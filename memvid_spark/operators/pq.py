@@ -64,20 +64,12 @@ def train_pq(
     if frac < 1.0:
         sample = sample.sample(fraction=frac, seed=seed)
     X = np.asarray([r.v for r in sample.collect()], dtype="float64")
-    rng = np.random.default_rng(seed)
+    from ..functions.vector import lloyd_kmeans
+
     centroids: list[list[list[float]]] = []
     for s in range(n_sub):
         sub = X[:, s * sub_dim : (s + 1) * sub_dim]
-        # deterministic init: k distinct sample rows
-        init_idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
-        C = sub[init_idx].copy()
-        for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(len(C)):
-                members = sub[assign == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
+        C = lloyd_kmeans(sub, k, seed=seed + s, max_iter=max_iter)
         centroids.append([[float(x) for x in c] for c in C])
     return PQModel(n_sub=n_sub, sub_dim=sub_dim, k=k, centroids=centroids)
 
