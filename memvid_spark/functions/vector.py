@@ -70,6 +70,13 @@ def lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
     import numpy as np
 
     X = np.asarray(X, dtype="float64")
+    if X.size == 0:
+        raise ValueError("lloyd_kmeans: empty training sample")
+    if X.ndim == 1:
+        X = X.reshape(1, -1)
+    # Fewer sample rows than requested centroids: train what we can.
+    # Callers (PQModel / IVF) must size k from the returned array, not
+    # the requested k.
     rng = np.random.default_rng(seed)
     init_idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
     C = X[init_idx].copy()

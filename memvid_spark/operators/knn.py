@@ -316,11 +316,14 @@ def train_centroids(
     Spark jobs fitting kilobytes of centroids)."""
     from ..functions.vector import lloyd_kmeans
 
-    frac = min(1.0, 65536 / max(emb.count(), 1))
-    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if frac < 1.0:
-        sample = sample.sample(fraction=frac, seed=seed)
-    X = [r.v for r in sample.collect()]
+    # Bounded sample via limit — one job, no count() pre-scan (head-of-
+    # table is fine for fitting cell centroids; see train_pq for why).
+    X = [
+        r.v
+        for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(65536)
+        .collect()
+    ]
     C = lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
     spark = emb.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]

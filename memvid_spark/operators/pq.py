@@ -58,12 +58,19 @@ def train_pq(
     dim = len(emb.select(vec_col).head()[0])
     assert dim % n_sub == 0, f"dim {dim} not divisible by {n_sub} subspaces"
     sub_dim = dim // n_sub
-    n_rows = emb.count()
-    frac = min(1.0, train_sample / max(n_rows, 1))
-    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if frac < 1.0:
-        sample = sample.sample(fraction=frac, seed=seed)
-    X = np.asarray([r.v for r in sample.collect()], dtype="float64")
+    # Bounded sample via limit — one job, no count() pre-scan. limit()
+    # drains partitions in order, so the sample is head-of-table; fine for
+    # codebook fitting (subspace statistics, not stratification). Callers
+    # with pathologically ordered corpora can pre-.sample() themselves.
+    X = np.asarray(
+        [
+            r.v
+            for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(train_sample)
+            .collect()
+        ],
+        dtype="float64",
+    )
     from ..functions.vector import lloyd_kmeans
 
     centroids: list[list[list[float]]] = []
@@ -71,7 +78,11 @@ def train_pq(
         sub = X[:, s * sub_dim : (s + 1) * sub_dim]
         C = lloyd_kmeans(sub, k, seed=seed + s, max_iter=max_iter)
         centroids.append([[float(x) for x in c] for c in C])
-    return PQModel(n_sub=n_sub, sub_dim=sub_dim, k=k, centroids=centroids)
+    # k from the fitted codebook, not the request — undersized samples
+    # yield fewer centroids (see lloyd_kmeans).
+    return PQModel(
+        n_sub=n_sub, sub_dim=sub_dim, k=len(centroids[0]), centroids=centroids
+    )
 
 
 def encode(

@@ -201,7 +201,13 @@ def _pdf_escape(line: str) -> bytes:
 def pdf_from_text(text: str, compress: bool = True) -> bytes:
     """Serialize text into a minimal valid PDF (one page, Helvetica, one
     text block; ``Tj`` for the first line then ``'`` per following line —
-    exactly the operator set the extractor evaluates)."""
+    exactly the operator set the extractor evaluates).
+
+    LIMITATION: the simple-font tier stores text as Latin-1 (WinAnsi-style
+    one-byte encoding); characters outside Latin-1 are written as ``?`` and
+    therefore do NOT round-trip.  Callers needing byte-exact round-trips for
+    non-Latin-1 corpora should route those documents through the
+    text/markdown tier (put_bytes does this by default — PDF is opt-in)."""
     lines = text.split("\n")
     ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
     for k, ln in enumerate(lines):
@@ -528,6 +534,22 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
+def _col_letters(idx: int) -> str:
+    """0 → 'A', 25 → 'Z', 26 → 'AA' — inverse of :func:`_col_index`."""
+    s = ""
+    idx += 1
+    while idx > 0:
+        idx, rem = divmod(idx - 1, 26)
+        s = chr(65 + rem) + s
+    return s
+
+
+def _numeric_suffix(part_name: str) -> int:
+    """'xl/worksheets/sheet10.xml' → 10; parts without digits sort first."""
+    m = re.search(r"(\d+)\.xml$", part_name)
+    return int(m.group(1)) if m else -1
+
+
 def xlsx_extract_rows(
     payload: bytes, formatted: bool = False
 ) -> list[tuple[str, list[list[str]]]]:
@@ -559,9 +581,21 @@ def xlsx_extract_rows(
                 for sh in wb.iter(_S + "sheet"):
                     target = rels.get(sh.get(_R + "id"), "")
                     declared["xl/" + target.lstrip("/")] = sh.get("name", "")
-            sheets = sorted(
+            # Order sheets by workbook.xml declaration order (the order a
+            # user sees in Excel); parts not declared there fall back to
+            # numeric-suffix order so sheet10 sorts after sheet2.
+            part_names = [
                 n for n in names
                 if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            ]
+            decl_rank = {p: i for i, p in enumerate(declared)}
+            sheets = sorted(
+                part_names,
+                key=lambda n: (
+                    decl_rank.get(n, len(decl_rank)),
+                    _numeric_suffix(n),
+                    n,
+                ),
             )
             out = []
             for sname in sheets:
@@ -623,7 +657,7 @@ def xlsx_from_rows(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
         rows_xml = []
         for r, cells in enumerate(rows, start=1):
             cs = "".join(
-                f'<c r="{chr(65 + j)}{r}" t="inlineStr"><is>'
+                f'<c r="{_col_letters(j)}{r}" t="inlineStr"><is>'
                 f'<t xml:space="preserve">{_xesc(cell)}</t></is></c>'
                 for j, cell in enumerate(cells)
             )
@@ -749,8 +783,11 @@ def pptx_extract_text(payload: bytes) -> str | None:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as z:
             slides = sorted(
-                n for n in z.namelist()
-                if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+                (
+                    n for n in z.namelist()
+                    if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+                ),
+                key=_numeric_suffix,
             )
             if not slides:
                 return None

@@ -28,16 +28,21 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),  # normalized to ns long below
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),  # normalized to ns long below
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Current test data ships events.ts as parquet timestamp[us] (NTZ).
+EVENT_SCHEMA = _event_schema(TimestampNTZType())
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -45,14 +50,21 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     from ..session import configure
 
     configure(spark)
+    # Streams need the schema up front; sniff the on-disk ts flavor with a
+    # footer-only batch read so both flavors work (catalog.load twin):
+    # timestamp[us]/[ns-as-NTZ] parquet OR legacy long epoch-ns (read under
+    # spark.sql.legacy.parquet.nanosAsLong).
+    on_disk = spark.read.parquet(events_dir).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(on_disk))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
     # engine contract (catalog.load twin): events.ts is epoch-ns long
     # regardless of the on-disk flavor; session tz is pinned UTC so the
     # NTZ wall-clock cast is exact
+    if isinstance(on_disk, LongType):
+        return raw  # already epoch-ns long
     return raw.withColumn(
         "ts",
         (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
