@@ -735,6 +735,83 @@ def q120_temporal_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_mentions(synth)
 
 
+@spec(
+    "q121_image_features",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             (doc_id % 13 + 4)::int AS w,
+             (doc_id % 11 + 4)::int AS h,
+             (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::int
+               AS ch
+      FROM documents WHERE doc_id % 10 = 0),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch,
+             (s.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 101) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 15) x(x) ON x.x < s.w
+      JOIN generate_series(0, 13) y(y) ON y.y < s.h
+      JOIN generate_series(0, 3)  c(c) ON c.c < s.ch)
+    SELECT doc_id, w AS width, h AS height, ch AS channels,
+           count(*)::bigint AS n_px, sum(v)::bigint AS px_sum,
+           min(v)::int AS px_min, max(v)::int AS px_max
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+    "image feature extraction over REAL decoded pixels: each doc gets a "
+    "deterministic formula image, encoded to an actual PNG (pure-stdlib "
+    "writer, row filters cycling None/Sub/Up/Average/Paeth) and decoded "
+    "back (zlib inflate + unfilter, sources/image.py) before per-image "
+    "channel statistics. The oracle computes the SAME statistics in "
+    "closed form from the pixel formula — any unfilter/palette/stride "
+    "bug shifts px_sum/min/max and breaks the hash. Multimodal pixels "
+    "first-class (src/clip.rs:99-102 consumes real pixels). Scale: "
+    "decode runs per Arrow batch in mapInPandas; features are columnar; "
+    "payloads never shuffle",
+)
+def q121_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.image import png_decode, png_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    cols = [
+        "doc_id", "width", "height", "channels", "n_px", "px_sum",
+        "px_min", "px_max",
+    ]
+    schema = (
+        "doc_id long, width int, height int, channels int, "
+        "n_px long, px_sum long, px_min int, px_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                ch = {0: 1, 1: 3, 2: 4}[did % 3]
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+                )
+                px = ((did * 31 + x * 7 + y * 13 + c * 101) % 256).astype(
+                    np.uint8
+                )
+                # real codec round-trip — the decode is what's under test
+                dec = png_decode(png_encode(px)).pixels
+                rows.append(
+                    (
+                        did, w, h, ch, int(dec.size),
+                        int(dec.astype(np.int64).sum()),
+                        int(dec.min()), int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -5,12 +5,14 @@ Reference: media frames carry DocMetadata (mime, bytes, width/height,
 exif, audio, MediaManifest — src/types/metadata.rs, exercised
 src/lib.rs:1251-1313); blob retrieval by URI (blob_reader_by_uri).
 
-Container constraint: no image/audio libraries are installed, so the
-DECODE step is stubbed — ``decode_image`` raises NotImplementedError
+PNG pixels are REAL: ``decode_image`` routes image/png through the
+pure-stdlib codec (sources/image.py — zlib inflate + per-row unfilter),
+so image feature extraction consumes actual decoded pixels with no
+external library. Other formats (JPEG/audio/video) still need a codec
+library the container doesn't ship — for those ``decode_image`` raises
 unless a decoder is injected, and ``fake_decode`` provides a
-deterministic stand-in so the Spark-side plumbing (schema, Arrow batch
-shape, partitioning) is real and tested. A deployment swaps
-``fake_decode`` for PIL/ffmpeg without touching the pipeline.
+deterministic stand-in so the Arrow plumbing stays tested. A deployment
+swaps in PIL/ffmpeg without touching the pipeline.
 
 Scale: payloads are opaque BINARY columns (or object-store path columns
 for >row-group-sized media); extraction runs in mapInPandas so each
@@ -55,11 +57,43 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, mime: str):
-    """Real decoder injection point. The container has no codec libs."""
+    """Decode an image payload to (height, width, channels) uint8 pixels.
+
+    PNG is decoded for real by the pure-stdlib codec (sources/image.py:
+    zlib inflate + per-row unfilter — src/clip.rs:99-102 consumes real
+    pixels and so does this path). Other formats need a library the
+    container doesn't ship; inject a decoder or use fake_decode."""
+    if mime == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .image import png_decode
+
+        return png_decode(payload).pixels
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in "
-        "this environment; inject a decoder or use fake_decode"
+        f"no stdlib decoder for {mime!r}; inject a decoder (PIL/ffmpeg) "
+        "or use fake_decode"
     )
+
+
+def image_feature_vec(payload: bytes, mime: str) -> list[float]:
+    """Decoded-pixel feature vector (8 floats) for the extract_features
+    pipeline: dimensions + per-channel statistics over REAL pixels.
+    Layout: [width, height, channels, mean, std, min, max, luma_mean]."""
+    import numpy as np
+
+    px = np.asarray(decode_image(payload, mime), dtype="float64")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    luma = px[:, :, :3].mean(axis=2) if ch >= 3 else px[:, :, 0]
+    return [
+        float(w),
+        float(h),
+        float(ch),
+        float(px.mean()),
+        float(px.std()),
+        float(px.min()),
+        float(px.max()),
+        float(luma.mean()),
+    ]
 
 
 def fake_decode(payload: bytes, mime: str) -> list[float]:

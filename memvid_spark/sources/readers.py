@@ -30,6 +30,7 @@ from . import binary
 
 PDF_MAGIC = b"%PDF"
 ZIP_MAGIC = b"PK\x03\x04"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 READ_SCHEMA = "doc_id long, uri string, fmt string, text string, n_chars long"
 
@@ -40,6 +41,8 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
     UTF-8 decodable → text; else binary."""
     if payload.startswith(PDF_MAGIC):
         return "pdf"
+    if payload.startswith(PNG_MAGIC):
+        return "png"
     if payload.startswith(ZIP_MAGIC):
         ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
         if ext in ("docx", "xlsx", "xls", "pptx"):
@@ -72,6 +75,12 @@ def _demo_container_text(payload: bytes, magic: bytes) -> str | None:
 
 def _read_text(payload: bytes) -> str:
     return payload.decode("utf-8")
+
+
+def _read_png(payload: bytes) -> str:
+    from .image import png_describe
+
+    return png_describe(payload)
 
 
 def _read_pdf(payload: bytes) -> str:
@@ -113,6 +122,9 @@ def _ooxml_reader(
 READERS: dict[str, Callable[[bytes], str]] = {
     "text": _read_text,
     "pdf": _read_pdf,
+    # images: real header parse → one-line surrogate text; pixel features
+    # live on the media/features path (sources/image.py, multimodal.py)
+    "png": _read_png,
     "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
     "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),
     "xls": _ooxml_reader(binary.xlsx_extract_text, "xls"),
