@@ -1,0 +1,121 @@
+"""Cross-modal (CLIP-analogue) shared space over REAL decoded pixels.
+
+Reference: image frames carry vectors in a second embedding space and
+text→image search embeds the query into that same space, then runs kNN
+(src/clip.rs:99-102,297-380; src/memvid/search/api.rs:165-257). The
+actual CLIP model is a declared non-goal in this container; what IS
+real here is everything around it: pixels decode through the stdlib PNG
+codec, image features come from decoded pixel statistics, both
+modalities land in one shared d-dim space via deterministic projections,
+and retrieval is exact integer arithmetic (hash-verifiable end to end).
+
+Design for scale:
+- image → vector runs in mapInPandas (decode is Python); output is a
+  small array column, payloads never shuffle.
+- text → vector is driver-side (queries are single strings).
+- scoring is pure column algebra (zip_with + aggregate — JVM codegen):
+  squared-L2 over integer vectors, so Spark and the SQL oracle agree
+  bit-for-bit with no float rounding contract.
+- top-k is orderBy(dist2, id).limit(k) → TakeOrderedAndProject.
+
+A deployment swaps both projections for real CLIP towers (the
+BatchModelEmbedder seam, functions/embed.py) without touching the
+retrieval plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DIM = 8
+N_FEATS = 8
+
+
+def proj_weight(i: int, j: int) -> int:
+    """Deterministic integer projection W[feat i][dim j] — the fixed
+    'image tower'. Small signed ints keep dot products exact."""
+    return (i * 7 + j * 13) % 11 - 5
+
+
+def pixel_features(pixels) -> list[int]:
+    """Integer feature vector from DECODED pixels (order matters — the
+    oracle mirrors this layout):
+    [width, height, channels, px_min, px_max, px_sum % 251,
+     px_sum // n_px, n_px]."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    s = int(px.astype(np.int64).sum())
+    n = int(px.size)
+    return [w, h, ch, int(px.min()), int(px.max()), s % 251, s // n, n]
+
+
+def image_vec(feats: list[int]) -> list[int]:
+    """Project integer features into the shared DIM-d space."""
+    return [
+        sum(feats[i] * proj_weight(i, j) for i in range(N_FEATS))
+        for j in range(DIM)
+    ]
+
+
+def text_vec(text: str) -> list[int]:
+    """Deterministic 'text tower': per-token md5 bytes → signed ints,
+    summed per dimension. Same codomain scale as image_vec so L2
+    distances are meaningful; swap for a real text encoder in prod."""
+    v = [0] * DIM
+    for tok in text.lower().split():
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        for j in range(DIM):
+            v[j] += (h[j] - 128) * 4
+    return v
+
+
+def embed_images(media: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """(id, emb array<long>) from real PNG payloads: decode → integer
+    features → projection, one Arrow batch per Python call."""
+
+    schema = f"{id_col} long, emb array<long>"
+
+    def run(batches):
+        import pandas as pd
+
+        from ..sources.image import png_decode
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = png_decode(bytes(payload)).pixels
+                out.append((int(mid), image_vec(pixel_features(px))))
+            yield pd.DataFrame(out, columns=[id_col, "emb"])
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def crossmodal_knn(
+    image_vecs: DataFrame, text: str, k: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Text→image kNN in the shared space: exact squared-L2 (integer
+    column algebra — no Python in the scoring path), ascending top-k
+    with a total order."""
+    qv = text_vec(text)
+    q = F.array(*[F.lit(int(x)) for x in qv])
+    dist2 = F.aggregate(
+        F.zip_with(F.col("emb"), q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    order = [F.col("dist2").asc(), F.col(id_col).asc()]
+    w = Window.orderBy(*order)
+    return (
+        image_vecs.withColumn("dist2", dist2)
+        .select(id_col, "dist2")
+        .orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -812,6 +812,102 @@ def q121_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.mapInPandas(run, schema)
 
 
+from .operators import crossmodal as _xm  # noqa: E402
+
+_XM_QUERY = "bright wide image"
+_XM_QV = _xm.text_vec(_XM_QUERY)
+_XM_EMB_SQL = ",\n             ".join(
+    " + ".join(
+        f"f{i} * ({_xm.proj_weight(i, j)})" for i in range(_xm.N_FEATS)
+    )
+    + f" AS e{j}"
+    for j in range(_xm.DIM)
+)
+_XM_DIST_SQL = " + ".join(
+    f"(e{j} - ({_XM_QV[j]})) * (e{j} - ({_XM_QV[j]}))" for j in range(_xm.DIM)
+)
+
+
+@spec(
+    "q122_crossmodal_pixels",
+    f"""
+    WITH sel AS (
+      SELECT doc_id,
+             (doc_id % 13 + 4)::int AS w,
+             (doc_id % 11 + 4)::int AS h,
+             (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::int
+               AS ch
+      FROM documents WHERE doc_id % 10 = 0),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch,
+             (s.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 101) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 15) x(x) ON x.x < s.w
+      JOIN generate_series(0, 13) y(y) ON y.y < s.h
+      JOIN generate_series(0, 3)  c(c) ON c.c < s.ch),
+    stats AS (
+      SELECT doc_id, w, h, ch, count(*)::bigint AS n, sum(v)::bigint AS s,
+             min(v)::bigint AS mn, max(v)::bigint AS mx
+      FROM px GROUP BY doc_id, w, h, ch),
+    feats AS (
+      SELECT doc_id, w::bigint AS f0, h::bigint AS f1, ch::bigint AS f2,
+             mn AS f3, mx AS f4, s % 251 AS f5, s // n AS f6, n AS f7
+      FROM stats),
+    emb AS (
+      SELECT doc_id, {_XM_EMB_SQL}
+      FROM feats),
+    scored AS (SELECT doc_id AS media_id, ({_XM_DIST_SQL})::bigint AS dist2
+               FROM emb),
+    top AS (SELECT media_id, dist2 FROM scored
+            ORDER BY dist2 ASC, media_id LIMIT 10)
+    SELECT media_id, dist2,
+           row_number() OVER (ORDER BY dist2 ASC, media_id) AS rank
+    FROM top
+    """,
+    "cross-modal text→image kNN over REAL decoded pixels (clip.rs:"
+    "99-102,297-380; search/api.rs:165-257): formula images → actual "
+    "PNG bytes → stdlib decode → integer pixel features → shared-space "
+    "projection; the text query projects into the same space and "
+    "retrieval is exact squared-L2 (integer column algebra, zip_with + "
+    "aggregate — JVM-side). The oracle recomputes feature extraction + "
+    "both projections + the distance in closed form, so a bug anywhere "
+    "in decode→embed→score breaks the hash. The deterministic towers "
+    "are the injection seam a real CLIP model replaces "
+    "(BatchModelEmbedder, functions/embed.py)",
+)
+def q122_crossmodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import crossmodal
+    from .sources.image import png_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 11 + 4
+                ch = {0: 1, 1: 3, 2: 4}[mid % 3]
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+                )
+                px = ((mid * 31 + x * 7 + y * 13 + c * 101) % 256).astype(
+                    np.uint8
+                )
+                rows.append((mid, png_encode(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    vecs = crossmodal.embed_images(media)
+    return crossmodal.crossmodal_knn(vecs, _XM_QUERY, k=10)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

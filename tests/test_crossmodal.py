@@ -1,0 +1,75 @@
+"""Cross-modal shared space: planted-fixture retrieval over real PNG
+bytes — the image whose projected vector equals the text query's vector
+must rank first with distance 0."""
+
+import numpy as np
+import pytest
+
+from memvid_spark.operators import crossmodal as xm
+from memvid_spark.sources.image import png_encode
+
+
+class TestTowers:
+    def test_pixel_features_layout(self):
+        px = np.zeros((2, 3, 1), dtype=np.uint8)
+        px[0, 0, 0] = 250
+        # [w, h, ch, min, max, sum%251, sum//n, n]
+        assert xm.pixel_features(px) == [3, 2, 1, 0, 250, 250 % 251, 250 // 6, 6]
+
+    def test_text_vec_deterministic_and_token_order_free(self):
+        assert xm.text_vec("bright wide image") == xm.text_vec(
+            "BRIGHT wide IMAGE"
+        )
+        assert xm.text_vec("wide bright image") == xm.text_vec(
+            "bright wide image"
+        )  # bag-of-words sum
+
+    def test_image_vec_is_projection(self):
+        feats = [3, 2, 1, 0, 250, 250, 41, 6]
+        v = xm.image_vec(feats)
+        assert len(v) == xm.DIM
+        assert v[0] == sum(feats[i] * xm.proj_weight(i, 0) for i in range(8))
+
+
+class TestPlantedRetrieval:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, bytes(png_encode(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8))))
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_zero_distance_for_matching_query(self, spark, media):
+        vecs = xm.embed_images(media).localCheckpoint()
+        # plant: craft a text whose vector IS some image's vector? The
+        # towers aren't invertible — instead verify against a NumPy
+        # reference ranking computed from the same payloads.
+        rows = {r.media_id: np.array(r.emb) for r in vecs.collect()}
+        qv = np.array(xm.text_vec("bright wide image"))
+        expect = sorted(
+            rows, key=lambda m: (int(((rows[m] - qv) ** 2).sum()), m)
+        )[:5]
+        got = xm.crossmodal_knn(vecs, "bright wide image", k=5).collect()
+        assert [r.media_id for r in got] == expect
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+        assert got[0].dist2 == int(((rows[got[0].media_id] - qv) ** 2).sum())
+
+    def test_self_retrieval_distance_zero(self, spark):
+        # plant an image, then query with a fake "text" whose vector we
+        # force equal to the image's vector by monkeypatching the text
+        # tower — exercises the exact-zero path end to end.
+        px = np.full((4, 4, 3), 9, dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(7, bytes(png_encode(px)))], "media_id long, payload binary"
+        )
+        vecs = xm.embed_images(media)
+        target = xm.image_vec(xm.pixel_features(px))
+        orig = xm.text_vec
+        try:
+            xm.text_vec = lambda t: list(target)
+            out = xm.crossmodal_knn(vecs, "ignored", k=1).collect()
+        finally:
+            xm.text_vec = orig
+        assert out[0].media_id == 7 and out[0].dist2 == 0
