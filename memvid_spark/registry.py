@@ -1039,6 +1039,43 @@ def q48_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q123_snowball_search",
+    None,  # filled by _computed_oracles from the porter2 emitter
+    "stemmed search with the SNOWBALL ENGLISH stemmer (Porter2) — the "
+    "algorithm the reference actually indexes with (Tantivy English, "
+    "schema.rs:7-14, tantivy.rs:38-46): exceptional forms, R1/R2 "
+    "regions, y-marking, short-syllable e-restoration. Same 3-tier "
+    "single-emitter architecture and dictionary pattern as q48 "
+    "(functions/porter2.py); inflected query terms (merging, queries) "
+    "hit base-form documents. Porter2's SQL tier is lighter than "
+    "Porter1's: R1/R2 are fixed offsets, so conditions are integer "
+    "compares + local char tests — no per-step CV regexp passes",
+)
+def q123_snowball_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.porter2 import spark_stem_vocab, stem_py
+    from .functions.text import tokens
+
+    t = catalog.load(spark, sf_dir)
+    query_terms = ["merging", "queries"]  # Snowball stems: merg, queri
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    dic = spark_stem_vocab(toks.select("token").distinct())
+    stemmed = toks.join(F.broadcast(dic), "token").select("doc_id", "stem")
+    counts = stemmed.groupBy("doc_id").agg(
+        F.count_distinct("stem").cast("long").alias("n_stems")
+    )
+    targets = [stem_py(w.lower()) for w in query_terms]
+    hit = (
+        stemmed.filter(F.col("stem").isin(targets))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("stem").alias("nm"))
+        .filter(F.col("nm") == len(targets))
+    )
+    return counts.join(hit.select("doc_id"), "doc_id", "left_semi")
+
+
+@spec(
     "q91_polarity_summary",
     None,  # filled by _computed_oracles (SQL_CARDS defined later)
     "fact polarity (memory_card.rs:116-127): negated facts stay distinct "
@@ -4377,6 +4414,27 @@ def _computed_oracles() -> None:
     counts AS (SELECT doc_id, count(DISTINCT stem)::bigint AS n_stems
                FROM stemmed GROUP BY doc_id),
     hit AS (SELECT doc_id FROM stemmed WHERE stem IN ({targets})
+            GROUP BY doc_id HAVING count(DISTINCT stem) = 2)
+    SELECT c.doc_id, c.n_stems FROM counts c JOIN hit USING (doc_id)
+    """
+
+    from .functions import porter2
+
+    sb_targets = ", ".join(
+        f"'{porter2.stem_py(w)}'" for w in ["merging", "queries"]
+    )
+    by_name["q123_snowball_search"].oracle = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({SQL_TOKS.format(x='text')}) AS token
+      FROM documents
+    ),
+    dic AS MATERIALIZED
+      ({porter2.duck_vocab_cte('token', 'SELECT DISTINCT token FROM toks')}),
+    stemmed AS MATERIALIZED
+      (SELECT t.doc_id, d.stem FROM toks t JOIN dic d USING (token)),
+    counts AS (SELECT doc_id, count(DISTINCT stem)::bigint AS n_stems
+               FROM stemmed GROUP BY doc_id),
+    hit AS (SELECT doc_id FROM stemmed WHERE stem IN ({sb_targets})
             GROUP BY doc_id HAVING count(DISTINCT stem) = 2)
     SELECT c.doc_id, c.n_stems FROM counts c JOIN hit USING (doc_id)
     """
