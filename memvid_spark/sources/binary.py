@@ -5,9 +5,13 @@ Real byte-level parsers — no third-party libraries:
 - PDF: object/stream scan, ``/FlateDecode`` via :mod:`zlib`, then a
   content-stream tokenizer that evaluates the text-showing operators
   (``Tj``, ``TJ``, ``'``, ``"``) with full PDF string syntax (nested
-  parens, escapes, octal, hex strings). Handles the common simple-encoding
-  tier (Standard/WinAnsi one-byte fonts); subsetted fonts with ToUnicode
-  CMaps are out of scope and extract as raw code bytes.
+  parens, escapes, octal, hex strings). Two font tiers: the common
+  simple-encoding tier (Standard/WinAnsi one-byte fonts → latin-1), and
+  the subsetted-font tier — ``/ToUnicode`` CMaps (bfchar/bfrange,
+  codespace widths) are parsed per font resource and show strings decode
+  through them with ``Tf`` switching fonts mid-stream. PDFs whose
+  objects live in compressed object streams (/ObjStm) fall back to
+  raw-code extraction.
 - DOCX / XLSX / PPTX: the OOXML containers are ZIP + XML, parsed with
   :mod:`zipfile` + :mod:`xml.etree` — paragraphs/runs for DOCX
   (``w:p``/``w:t``), sheet rows + shared/inline strings for XLSX
@@ -99,16 +103,117 @@ def _parse_pdf_string(data: bytes, i: int) -> tuple[bytes, int]:
 _DELIMS = b" \t\r\n()<>[]/%"
 
 
-def _content_stream_text(data: bytes) -> list[bytes]:
+class ToUnicodeCMap:
+    """Parsed /ToUnicode CMap: code → Unicode string, with source code
+    byte-widths from the codespace ranges (1-byte simple fonts, 2-byte
+    Identity-H subsetted fonts, or mixed)."""
+
+    def __init__(self) -> None:
+        # keyed (width, code): a 1-byte 0x41 and 2-byte 0x0041 are
+        # distinct source codes and must not collide
+        self.map: dict[tuple[int, int], str] = {}
+        self.widths: set[int] = set()
+
+    def add(self, code: int, text: str, width: int) -> None:
+        self.map[(width, code)] = text
+        self.widths.add(width)
+
+    def decode(self, raw: bytes) -> str:
+        """Decode show-string bytes through the map. Widths from the
+        CMap drive unit size (longest match first); unmapped codes
+        degrade to latin-1 of their bytes (visible, not dropped)."""
+        widths = sorted(self.widths, reverse=True) or [1]
+        out: list[str] = []
+        i, n = 0, len(raw)
+        while i < n:
+            for w in widths:
+                if i + w <= n and (w, int.from_bytes(raw[i : i + w], "big")) in self.map:
+                    out.append(self.map[(w, int.from_bytes(raw[i : i + w], "big"))])
+                    i += w
+                    break
+            else:
+                out.append(chr(raw[i]))
+                i += 1
+        return "".join(out)
+
+
+def _parse_tounicode(stream: bytes) -> ToUnicodeCMap:
+    """Parse a ToUnicode CMap stream: codespacerange (code widths),
+    bfchar pairs and bfrange triples (PDF 1.7 §9.10.3 semantics:
+    destination hex is UTF-16BE; range third operand is either a start
+    value whose LAST byte increments, or an array of destinations)."""
+    cmap = ToUnicodeCMap()
+    text = stream
+    hexre = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+    def u16(hx: bytes) -> str:
+        b = bytes.fromhex(hx.decode("ascii"))
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", text, re.S):
+        for h in hexre.finditer(m.group(1)):
+            cmap.widths.add(len(h.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", text, re.S):
+        toks = hexre.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap.add(int(src, 16), u16(dst), len(src) // 2)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", text, re.S):
+        body = m.group(1)
+        i = 0
+        # entries: <lo> <hi> <dst>   |   <lo> <hi> [<d0> <d1> ...]
+        entry = re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+            re.S,
+        )
+        for e in entry.finditer(body):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            width = len(e.group(1)) // 2
+            if e.group(3) is not None:
+                base = e.group(3)
+                base_b = bytearray(bytes.fromhex(base.decode("ascii")))
+                for k in range(hi - lo + 1):
+                    b = bytearray(base_b)
+                    # increment applies to the final byte (spec: last
+                    # byte of the start value is incremented)
+                    b[-1] = (base_b[-1] + k) & 0xFF
+                    cmap.add(lo + k, bytes(b).decode("utf-16-be", "replace")
+                             if len(b) % 2 == 0 else bytes(b).decode("latin-1"),
+                             width)
+            else:
+                dsts = hexre.findall(e.group(4))
+                for k, d in enumerate(dsts):
+                    cmap.add(lo + k, u16(d), width)
+    return cmap
+
+
+def _content_stream_text(
+    data: bytes, fonts: dict[bytes, ToUnicodeCMap] | None = None
+) -> list[str]:
     """Evaluate text-showing operators in one decoded content stream.
-    Returns the list of output lines (as bytes). ``'``/``"``/``T*`` start
-    a new line; ``Td``/``TD`` start one only when text is pending (real
-    PDFs use them for initial positioning too)."""
-    lines: list[bytes] = []
-    cur: list[bytes] = []
+    Returns the list of output lines. ``'``/``"``/``T*`` start a new
+    line; ``Td``/``TD`` start one only when text is pending (real PDFs
+    use them for initial positioning too). ``fonts`` maps resource
+    names (e.g. b'F1') to ToUnicode CMaps; show strings under a mapped
+    font decode through it (subsetted-font tier), others as latin-1
+    (simple-encoding tier)."""
+    fonts = fonts or {}
+    lines: list[str] = []
+    cur: list[str] = []
     pend: list[bytes] = []
     started = False  # saw at least one show op
+    cmap: ToUnicodeCMap | None = None
+    last_name = b""
     i, n = 0, len(data)
+
+    def flushed(parts: list[bytes]) -> list[str]:
+        if cmap is None:
+            return [p.decode("latin-1") for p in parts]
+        return [cmap.decode(p) for p in parts]
+
     while i < n:
         c = data[i : i + 1]
         if c == b"(":
@@ -125,6 +230,14 @@ def _content_stream_text(data: bytes) -> list[bytes]:
             i = j + 1
         elif c == b"<":
             i += 2
+        elif c == b"/":
+            j = i + 1
+            while j < n and data[j : j + 1] not in (
+                b" ", b"\t", b"\r", b"\n", b"(", b")", b"<", b">", b"[", b"]", b"/", b"%",
+            ):
+                j += 1
+            last_name = data[i + 1 : j]
+            i = j
         elif c == b"%":
             j = data.find(b"\n", i)
             i = n if j == -1 else j + 1
@@ -135,34 +248,102 @@ def _content_stream_text(data: bytes) -> list[bytes]:
             ):
                 j += 1
             op = data[i:j]
-            if op == b"Tj" or op == b"TJ":
-                cur += pend
+            if op == b"Tf":
+                cmap = fonts.get(last_name)
+            elif op == b"Tj" or op == b"TJ":
+                cur += flushed(pend)
                 started = True
             elif op in (b"'", b'"'):
-                lines.append(b"".join(cur))
-                cur = list(pend)
+                lines.append("".join(cur))
+                cur = flushed(pend)
                 started = True
             elif op == b"T*":
-                lines.append(b"".join(cur))
+                lines.append("".join(cur))
                 cur = []
             elif op in (b"Td", b"TD") and started and (cur or pend):
-                lines.append(b"".join(cur))
+                lines.append("".join(cur))
                 cur = []
             pend = []
             i = j
         else:
             i += 1
     if cur or (started and not lines):
-        lines.append(b"".join(cur))
+        lines.append("".join(cur))
     return lines if started else []
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+
+
+def _object_stream_bytes(body: bytes) -> bytes | None:
+    """Raw (Flate-decoded if marked) stream bytes of one object body."""
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return None
+    end = body.find(b"endstream", sm.end())
+    data = body[sm.end() : end if end != -1 else len(body)]
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data.endswith(b"\n") or data.endswith(b"\r"):
+        data = data[:-1]
+    if b"/FlateDecode" in body[: sm.start()]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
+    return data
+
+
+def _pdf_font_cmaps(payload: bytes) -> dict[bytes, ToUnicodeCMap]:
+    """Resource-name → ToUnicode CMap table (subsetted-font tier,
+    src/table/pdf_extractor.rs coverage): scan ``N 0 obj`` bodies, read
+    ``/Font << /Fx N 0 R >>`` resource dicts, follow each font object's
+    ``/ToUnicode M 0 R`` to its CMap stream and parse it. Font names
+    are merged globally (per-page resource scoping is rare enough in
+    practice that last-wins is documented behavior); PDFs with
+    cross-reference-compressed object streams (/ObjStm) are out of
+    scope for this tier and fall back to raw-code extraction."""
+    objs: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
+    }
+    fonts: dict[bytes, ToUnicodeCMap] = {}
+    cmap_cache: dict[int, ToUnicodeCMap | None] = {}
+
+    def cmap_of(obj_num: int) -> ToUnicodeCMap | None:
+        if obj_num not in cmap_cache:
+            body = objs.get(obj_num)
+            data = _object_stream_bytes(body) if body is not None else None
+            cmap_cache[obj_num] = _parse_tounicode(data) if data else None
+        return cmap_cache[obj_num]
+
+    for body in objs.values():
+        for fm in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
+            for ref in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+                name, font_obj = ref.group(1), int(ref.group(2))
+                font_body = objs.get(font_obj)
+                if font_body is None:
+                    continue
+                tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+                if tu is None:
+                    continue
+                cmap = cmap_of(int(tu.group(1)))
+                if cmap is not None and cmap.map:
+                    fonts[name] = cmap
+    return fonts
 
 
 def pdf_extract_text(payload: bytes) -> str:
     """Extract text from a real PDF byte stream: every ``<<dict>> stream``
     object is located, Flate-decoded when marked, and — if it looks like a
     content stream (has a ``BT`` text block) — run through the text-op
-    evaluator. Pages concatenate in file order."""
-    out: list[bytes] = []
+    evaluator. Simple-encoding fonts decode as latin-1; fonts carrying a
+    ``/ToUnicode`` CMap (subsetted/Identity-H) decode through it. Pages
+    concatenate in file order."""
+    fonts = _pdf_font_cmaps(payload)
+    out: list[str] = []
     for m in _STREAM_RE.finditer(payload):
         d = m.group(1)
         start = m.end()
@@ -184,8 +365,8 @@ def pdf_extract_text(payload: bytes) -> str:
                     continue
         if b"BT" not in data:
             continue
-        out.extend(_content_stream_text(data))
-    return b"\n".join(out).decode("latin-1")
+        out.extend(_content_stream_text(data, fonts))
+    return "\n".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +406,95 @@ def pdf_from_text(text: str, compress: bool = True) -> bytes:
         b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
         b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+def pdf_from_text_cid(text: str, compress: bool = True) -> bytes:
+    """Serialize text as a SUBSETTED-FONT-style PDF: a Type0/Identity-H
+    composite font whose glyphs are addressed by arbitrary 2-byte codes
+    (assigned here in first-appearance order, deliberately NOT Unicode),
+    show strings as hex, and a /ToUnicode CMap carrying the code→Unicode
+    mapping — the font class src/table/pdf_extractor.rs covers and most
+    real-world PDFs ship. The fixture exercises both bfchar entries and
+    a bfrange for the longest contiguous code run. Full Unicode round-
+    trips (unlike the Latin-1 simple-font tier)."""
+    lines = text.split("\n")
+    chars: dict[str, int] = {}
+    for ch in text.replace("\n", ""):
+        if ch not in chars:
+            chars[ch] = len(chars) + 1  # codes from 0x0001
+    enc = lambda s: "".join(f"{chars[c]:04X}" for c in s)  # noqa: E731
+    ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+    for k, ln in enumerate(lines):
+        ops.append(
+            b"<" + enc(ln).encode("ascii") + (b"> Tj" if k == 0 else b"> '")
+        )
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    # ToUnicode: contiguous codes whose Unicode values are also
+    # consecutive collapse into one bfrange; the rest emit as bfchar
+    items = sorted((code, ch) for ch, code in chars.items())
+    run: list[tuple[int, str]] = []
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in items:
+        if run and code == run[-1][0] + 1 and ord(ch) == ord(run[-1][1]) + 1 \
+                and (ord(ch) & 0xFF) != 0:
+            run.append((code, ch))
+        else:
+            run = [(code, ch)]
+            runs.append(run)
+    bfranges = [r for r in runs if len(r) >= 2]
+    bfchars = [e for r in runs if len(r) < 2 for e in r]
+    cm = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin begincmap",
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange",
+    ]
+    if bfchars:
+        cm.append(b"%d beginbfchar" % len(bfchars))
+        for code, ch in bfchars:
+            u = ch.encode("utf-16-be").hex().upper()
+            cm.append(b"<%04X> <%s>" % (code, u.encode("ascii")))
+        cm.append(b"endbfchar")
+    if bfranges:
+        cm.append(b"%d beginbfrange" % len(bfranges))
+        for r in bfranges:
+            u0 = r[0][1].encode("utf-16-be").hex().upper()
+            cm.append(
+                b"<%04X> <%04X> <%s>"
+                % (r[0][0], r[-1][0], u0.encode("ascii"))
+            )
+        cm.append(b"endbfrange")
+    cm += [b"endcmap end end"]
+    cmap_stream = b"\n".join(cm)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Subset "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(cmap_stream), cmap_stream),
     ]
     buf = bytearray(b"%PDF-1.4\n")
     offsets = []
