@@ -252,18 +252,82 @@ def projection_model_factory(dim: int = 384, vocab_dim: int = 4096, seed: int = 
     return build
 
 
+def http_transport(
+    endpoint: str,
+    api_key: str | None = None,
+    model: str | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_s: float = 1.0,
+    opener=None,
+    sleep=None,
+):
+    """Default urllib-based JSON transport for :class:`ApiEmbedder`,
+    mirroring the reference's remote batch loop (src/api_embed.rs:
+    batched POSTs, bearer auth, bounded retry with backoff).
+
+    Wire shape is the common embeddings-API contract:
+    request  ``{"input": [texts...], "model": "..."}``;
+    response ``{"data": [{"embedding": [...]}, ...]}`` in input order.
+
+    ``opener``/``sleep`` are injection points (default
+    ``urllib.request.urlopen`` / ``time.sleep``) so tests run the full
+    encode/decode/retry path against a fake with zero network."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    open_fn = opener or urllib.request.urlopen
+    sleep_fn = sleep or _time.sleep
+
+    def transport(texts: list[str]) -> list[list[float]]:
+        body: dict = {"input": list(texts)}
+        if model is not None:
+            body["model"] = model
+        payload = _json.dumps(body).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if api_key is not None:
+            headers["Authorization"] = f"Bearer {api_key}"
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            req = urllib.request.Request(endpoint, data=payload, headers=headers)
+            try:
+                with open_fn(req, timeout=timeout) as resp:
+                    data = _json.loads(resp.read().decode("utf-8"))
+                rows = data["data"]
+                if len(rows) != len(texts):
+                    raise ValueError(
+                        f"embedding count mismatch: sent {len(texts)}, "
+                        f"got {len(rows)}"
+                    )
+                return [[float(x) for x in r["embedding"]] for r in rows]
+            except Exception as e:  # noqa: BLE001 — retry then surface
+                last_err = e
+                if attempt + 1 < max_retries:
+                    sleep_fn(backoff_s * (2 ** attempt))
+        raise RuntimeError(
+            f"embedding endpoint failed after {max_retries} attempts"
+        ) from last_err
+
+    return transport
+
+
 class ApiEmbedder:
     """Remote batch-embedding provider (src/api_embed.rs, 596 LoC):
-    mapInPandas with one HTTP batch per Arrow batch. The network call is
-    an injection point (`transport`); without one this raises rather
-    than silently producing fake vectors — remote embeddings are out of
-    the correctness tier (tests pin HashEmbedder instead, SURVEY
-    non-goals)."""
+    mapInPandas with one HTTP batch per Arrow batch. Pass ``endpoint``
+    (+ optional ``api_key``) to use the default urllib JSON transport
+    (:func:`http_transport`), or inject a ``transport`` callable
+    directly. With neither, this raises rather than silently producing
+    fake vectors — remote embeddings stay out of the correctness tier
+    (tests pin HashEmbedder / a fake opener instead, SURVEY non-goals)."""
 
     def __init__(self, dim: int = 384, model: str = "api-remote",
-                 transport=None, batch_size: int = 128):
+                 transport=None, batch_size: int = 128,
+                 endpoint: str | None = None, api_key: str | None = None):
         self.dim = dim
         self.model = model
+        if transport is None and endpoint is not None:
+            transport = http_transport(endpoint, api_key=api_key, model=model)
         self.transport = transport  # Callable[[list[str]], list[list[float]]]
         self.batch_size = batch_size
 
