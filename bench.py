@@ -42,6 +42,41 @@ HEADLINE = [
 ]
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "embeddings",
+)
+
+
+def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
+    """Materialize a factor-x documents blowup (cached on disk): each
+    copy gets a distinct doc_id band and a per-copy text suffix so
+    near-dup mining sees a bigger corpus, not a duplicated one. All
+    other tables symlink to the source sf dir."""
+    from pyspark.sql import functions as F
+
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(docs_path):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.selectExpr("max(doc_id) + 1 AS n").head()[0]
+        copies = spark.range(factor).withColumnRenamed("id", "copy")
+        blown = (
+            docs.crossJoin(copies)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n))
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" rev"), F.col("copy")),
+            )
+            .drop("copy")
+        )
+        blown.write.mode("overwrite").parquet(docs_path)
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{name}.parquet", dst)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -93,6 +128,29 @@ def main() -> None:
     t0 = time.perf_counter()
     emb.embed_df(docs).write.mode("overwrite").format("noop").save()
     extras["batch_embed_docs"] = round(time.perf_counter() - t0, 3)
+
+    # ---- 10x scale probe (the 100-TB-posture empirical check) ----------
+    # The 5 most expensive headline queries re-run once against a 10x
+    # blowup of documents (text perturbed per copy so the corpus is not
+    # just duplicates). Wall-times land in extras as probe10x:* — at
+    # sf0.1 every query is scheduling-floor-bound, so sub-10x growth
+    # here is the evidence the plans scale with data, not with overhead.
+    probe_queries = [
+        "q12_bm25_topk",
+        "q21_simhash_near_dups",
+        "q22_minhash_lsh",
+        "q66_semantic_rerank",
+        "q109_clean_corpus_pipeline",
+    ]
+    probe_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch", "probe10x"
+    )
+    _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
+    extras["probe10x_factor"] = 10.0
+    for name in probe_queries:
+        t0 = time.perf_counter()
+        qs[name](spark, probe_dir).write.mode("overwrite").format("noop").save()
+        extras[f"probe10x:{name}"] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
