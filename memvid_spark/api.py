@@ -59,6 +59,7 @@ class MemvidSpark:
             row = seed.agg(F.max(id_col)).head()
             self._next_id = int(row[0] or 0) + 1
         self._shas: set[str] = set()
+        self._media: list[tuple[int, bytes]] = []  # (doc_id, payload)
 
     # -- ingestion (mutation.rs:3090-3316) --------------------------------
 
@@ -98,7 +99,34 @@ class MemvidSpark:
         reader = READERS.get(fmt)
         if reader is None:
             raise ValueError(f"no reader registered for format {fmt!r}")
-        return self.put(reader(payload), uri=uri, lang=lang, dedup=dedup)
+        doc_id = self.put(reader(payload), uri=uri, lang=lang, dedup=dedup)
+        if doc_id is not None and fmt == "png":
+            # image frames keep their pixels (blob tier, metadata.rs):
+            # the surrogate text indexes lexically, the payload feeds
+            # cross-modal search (search_images)
+            self._media.append((doc_id, bytes(payload)))
+        return doc_id
+
+    def media(self) -> DataFrame:
+        """Retained image payloads (media_id = doc_id), tombstones
+        dropped — the blob source for cross-modal search."""
+        rows = [
+            (i, p) for i, p in self._media if i not in self._tombstones
+        ]
+        return self.spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+
+    def search_images(self, text: str, k: int = 10) -> DataFrame:
+        """Text→image kNN over REAL decoded pixels in the shared
+        cross-modal space (search/api.rs:165-257, clip.rs:297-380):
+        stdlib PNG decode → pixel features → shared-space projection,
+        exact squared-L2 retrieval (operators/crossmodal.py)."""
+        from .operators import crossmodal
+
+        return crossmodal.crossmodal_knn(
+            crossmodal.embed_images(self.media()), text, k=k
+        )
 
     def snippets(
         self, phrase: str, window: int = 160, max_snippets: int = 3
@@ -339,10 +367,25 @@ class MemvidSpark:
 
         return memory.memory_at_time(self.cards(), ts_upper)
 
-    def memory_entities(self) -> list[str]:
-        return sorted(
-            r.entity for r in self.cards().select("entity").distinct().collect()
+    def memory_entities(self, limit: int = 10_000) -> list[str]:
+        """Distinct entities, sorted — mirrors the reference API's list
+        return, but CAPPED: entity cardinality is unbounded at corpus
+        scale, so this collects at most ``limit`` (raising when the cap
+        is hit rather than silently truncating). For unbounded pipelines
+        use :meth:`memory_entities_df` and keep it distributed."""
+        rows = (
+            self.cards().select("entity").distinct().limit(limit + 1).collect()
         )
+        if len(rows) > limit:
+            raise ValueError(
+                f"more than {limit} distinct entities; use "
+                "memory_entities_df() or raise the limit explicitly"
+            )
+        return sorted(r.entity for r in rows)
+
+    def memory_entities_df(self) -> DataFrame:
+        """Distributed twin of :meth:`memory_entities` (no driver cap)."""
+        return self.cards().select("entity").distinct()
 
     def aggregate_memory_slot(self) -> DataFrame:
         from .operators import memory

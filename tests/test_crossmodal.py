@@ -56,6 +56,27 @@ class TestPlantedRetrieval:
         assert [r.rank for r in got] == [1, 2, 3, 4, 5]
         assert got[0].dist2 == int(((rows[got[0].media_id] - qv) ** 2).sum())
 
+    def test_facade_put_bytes_to_search_images(self, spark):
+        from memvid_spark.api import MemvidSpark
+
+        mv = MemvidSpark(spark)
+        rng = np.random.default_rng(11)
+        ids = []
+        for i in range(6):
+            png = bytes(
+                png_encode(rng.integers(0, 256, (4 + i, 5, 3), dtype=np.uint8))
+            )
+            ids.append(mv.put_bytes(png, uri=f"mv2://img/{i}.png"))
+        assert all(i is not None for i in ids)
+        # surrogate text is a real header parse
+        txt = {r.doc_id: r.text for r in mv.docs().collect()}
+        assert txt[ids[0]] == "png image 5x4 rgb depth=8"
+        got = mv.search_images("bright wide image", k=3).collect()
+        assert len(got) == 3 and got[0].rank == 1
+        # tombstoned images leave the media view
+        mv.delete(ids[0])
+        assert mv.media().count() == 5
+
     def test_self_retrieval_distance_zero(self, spark):
         # plant an image, then query with a fake "text" whose vector we
         # force equal to the image's vector by monkeypatching the text
