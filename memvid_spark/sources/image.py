@@ -242,3 +242,98 @@ def png_describe(payload: bytes) -> str:
         f"png image {m['width']}x{m['height']} {kind} "
         f"depth={m['bit_depth']}"
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG / GIF / BMP — header-only metadata (dimensions without decode)
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+BMP_MAGIC = b"BM"
+
+# SOF markers carrying frame dimensions (baseline, progressive, etc.)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+     0xCE, 0xCF]
+)
+
+
+def jpeg_metadata(payload: bytes) -> dict:
+    """Walk JPEG marker segments to the SOF header: (height, width,
+    components) live at fixed offsets inside it. Pixel DECODE needs a
+    DCT library the container doesn't ship — metadata is the real tier
+    here, decode stays an injection point."""
+    if not payload.startswith(JPEG_MAGIC):
+        raise PngError("not a JPEG (bad signature)")
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF and i + 9 <= n:
+            _, h, w, comp = struct.unpack(">BHHB", payload[i + 4 : i + 10])
+            return {"width": w, "height": h, "channels": comp}
+        if marker == 0xDA:  # start of scan — SOF must precede it
+            break
+        i += 2 + seglen
+    raise PngError("no SOF frame header found in JPEG")
+
+
+def gif_metadata(payload: bytes) -> dict:
+    if payload[:6] not in GIF_MAGICS:
+        raise PngError("not a GIF (bad signature)")
+    w, h = struct.unpack("<HH", payload[6:10])
+    return {"width": w, "height": h, "channels": 3}
+
+
+_BMP_DIB_SIZES = (12, 16, 40, 52, 56, 64, 108, 124)
+
+
+def bmp_metadata(payload: bytes) -> dict:
+    if (
+        not payload.startswith(BMP_MAGIC)
+        or len(payload) < 26
+        or struct.unpack("<I", payload[14:18])[0] not in _BMP_DIB_SIZES
+    ):
+        raise PngError("not a BMP (bad signature)")
+    dib = struct.unpack("<I", payload[14:18])[0]
+    if dib == 12:  # OS/2 BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack("<HH", payload[18:22])
+    else:
+        w, h = struct.unpack("<ii", payload[18:26])
+    return {"width": w, "height": abs(h), "channels": 3}
+
+
+def image_metadata(payload: bytes) -> dict:
+    """Magic-dispatched header metadata for any supported image format;
+    the cheap scan path for typed media columns."""
+    if payload.startswith(PNG_MAGIC):
+        return png_metadata(payload)
+    if payload.startswith(JPEG_MAGIC):
+        return jpeg_metadata(payload)
+    if payload[:6] in GIF_MAGICS:
+        return gif_metadata(payload)
+    if payload.startswith(BMP_MAGIC):
+        return bmp_metadata(payload)
+    raise PngError("unrecognized image format")
+
+
+def jpeg_describe(payload: bytes) -> str:
+    m = jpeg_metadata(payload)
+    return f"jpeg image {m['width']}x{m['height']} {m['channels']}ch"
+
+
+def gif_describe(payload: bytes) -> str:
+    m = gif_metadata(payload)
+    return f"gif image {m['width']}x{m['height']}"
+
+
+def bmp_describe(payload: bytes) -> str:
+    m = bmp_metadata(payload)
+    return f"bmp image {m['width']}x{m['height']}"

@@ -43,6 +43,19 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         return "pdf"
     if payload.startswith(PNG_MAGIC):
         return "png"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if (
+        payload.startswith(b"BM")
+        and len(payload) >= 26
+        # "BM" alone collides with plain text; require a known DIB
+        # header size at offset 14 before calling it a bitmap
+        and int.from_bytes(payload[14:18], "little")
+        in (12, 16, 40, 52, 56, 64, 108, 124)
+    ):
+        return "bmp"
     if payload.startswith(ZIP_MAGIC):
         ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
         if ext in ("docx", "xlsx", "xls", "pptx"):
@@ -81,6 +94,15 @@ def _read_png(payload: bytes) -> str:
     from .image import png_describe
 
     return png_describe(payload)
+
+
+def _image_reader(fmt: str) -> Callable[[bytes], str]:
+    def read(payload: bytes) -> str:
+        from . import image
+
+        return getattr(image, f"{fmt}_describe")(payload)
+
+    return read
 
 
 def _read_pdf(payload: bytes) -> str:
@@ -123,8 +145,12 @@ READERS: dict[str, Callable[[bytes], str]] = {
     "text": _read_text,
     "pdf": _read_pdf,
     # images: real header parse → one-line surrogate text; pixel features
-    # live on the media/features path (sources/image.py, multimodal.py)
+    # live on the media/features path (sources/image.py, multimodal.py);
+    # PNG additionally decodes for real
     "png": _read_png,
+    "jpeg": _image_reader("jpeg"),
+    "gif": _image_reader("gif"),
+    "bmp": _image_reader("bmp"),
     "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
     "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),
     "xls": _ooxml_reader(binary.xlsx_extract_text, "xls"),
