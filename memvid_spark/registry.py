@@ -908,6 +908,138 @@ def q122_crossmodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossmodal.crossmodal_knn(vecs, _XM_QUERY, k=10)
 
 
+@spec(
+    "q124_audio_features",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             (doc_id % 50 + 20)::int AS n,
+             (doc_id % 2 + 1)::int AS ch,
+             (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                              ELSE 44100 END)::int AS rate
+      FROM documents WHERE doc_id % 10 = 3),
+    smp AS (
+      SELECT s.doc_id, s.n, s.ch, s.rate,
+             (s.doc_id * 37 + i.i * 11 + c.c * 101) % 65536 - 32768 AS v
+      FROM sel s
+      JOIN generate_series(0, 69) i(i) ON i.i < s.n
+      JOIN generate_series(0, 1)  c(c) ON c.c < s.ch)
+    SELECT doc_id AS media_id, rate AS sample_rate, ch AS channels,
+           n::bigint AS n_frames, (n * 1000 // rate)::bigint AS duration_ms,
+           sum(v)::bigint AS s_sum, min(v)::int AS s_min,
+           max(v)::int AS s_max, sum(abs(v))::bigint AS abs_sum
+    FROM smp GROUP BY doc_id, rate, ch, n
+    """,
+    "audio feature extraction over REAL decoded PCM samples: each doc "
+    "gets a deterministic formula waveform, encoded to an actual WAV by "
+    "the STDLIB wave writer (an independent implementation) and decoded "
+    "back by the repo's RIFF/PCM parser (sources/audio.py) before "
+    "integer waveform statistics. The oracle computes the SAME stats in "
+    "closed form from the sample formula — any chunk-walk / sample-width "
+    "/ channel-interleave bug shifts s_sum/min/max/abs_sum and breaks "
+    "the hash. Multimodal audio first-class (src/whisper.rs:49-116 "
+    "consumes real samples; src/types/metadata.rs audio fields). Scale: "
+    "decode runs per Arrow batch in mapInPandas; payloads never shuffle",
+)
+def q124_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.audio import audio_features, wav_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n, ch = mid % 50 + 20, mid % 2 + 1
+                rate = {0: 8000, 1: 16000, 2: 44100}[mid % 3]
+                i, c = np.meshgrid(np.arange(n), np.arange(ch), indexing="ij")
+                v = ((mid * 37 + i * 11 + c * 101) % 65536 - 32768).astype(
+                    np.int16
+                )
+                rows.append((mid, wav_encode(v, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    return audio_features(media)
+
+
+@spec(
+    "q125_audio_segments",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 512 + 256)::int AS n
+      FROM documents WHERE doc_id % 10 = 7),
+    smp AS (
+      SELECT s.doc_id, i.i // 64 AS w,
+             ((s.doc_id * 37 + i.i * 11) % 16384 - 8192)
+               * ((i.i // 64 + s.doc_id) % 3) AS v
+      FROM sel s
+      JOIN generate_series(0, 767) i(i) ON i.i < (s.n // 64) * 64),
+    win AS (SELECT doc_id, w, sum(v * v)::bigint AS e
+            FROM smp GROUP BY doc_id, w),
+    hot AS (SELECT doc_id, w, e,
+                   w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+                     AS grp
+            FROM win WHERE e > 0),
+    seg AS (SELECT doc_id AS media_id, min(w)::int AS w_start,
+                   max(w)::int AS w_end, count(*)::int AS n_windows,
+                   sum(e)::bigint AS energy
+            FROM hot GROUP BY doc_id, grp)
+    SELECT media_id,
+           (row_number() OVER (PARTITION BY media_id ORDER BY w_start) - 1)
+             ::int AS seg_index,
+           w_start, w_end, n_windows, energy,
+           (w_start * 4)::bigint AS t_start_ms,
+           ((w_end + 1) * 4)::bigint AS t_end_ms
+    FROM seg
+    """,
+    "energy-based audio activity segmentation over REAL decoded samples "
+    "— the VAD front half of the reference's audio→timed-segments path "
+    "(src/whisper.rs:49-116; the model is an injection seam, the "
+    "windowing is not): amplitude-modulated formula waveforms (every "
+    "third 64-sample window silent) → stdlib-wave encode → repo RIFF "
+    "decode → per-window energy → consecutive hot windows merged into "
+    "segments with ms timestamps. The oracle recomputes windowing + "
+    "gaps-and-islands merging in closed form. Scale: segmentation is "
+    "per-payload inside mapInPandas — embarrassingly parallel, no "
+    "shuffle; the segment table is the only output",
+)
+def q125_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.audio import audio_energy_segments, wav_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 512 + 256
+                i = np.arange(n)
+                v = (
+                    ((mid * 37 + i * 11) % 16384 - 8192)
+                    * ((i // 64 + mid) % 3)
+                ).astype(np.int16)
+                rows.append((mid, wav_encode(v, 16000)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    return audio_energy_segments(media, win=64, threshold=0)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

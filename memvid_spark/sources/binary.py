@@ -375,7 +375,7 @@ def pdf_extract_text(payload: bytes) -> str:
 
 
 def _pdf_escape(line: str) -> bytes:
-    b = line.encode("latin-1", errors="replace")
+    b = line.encode("latin-1")  # callers pre-check; non-Latin-1 → CID tier
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
@@ -384,11 +384,14 @@ def pdf_from_text(text: str, compress: bool = True) -> bytes:
     text block; ``Tj`` for the first line then ``'`` per following line —
     exactly the operator set the extractor evaluates).
 
-    LIMITATION: the simple-font tier stores text as Latin-1 (WinAnsi-style
-    one-byte encoding); characters outside Latin-1 are written as ``?`` and
-    therefore do NOT round-trip.  Callers needing byte-exact round-trips for
-    non-Latin-1 corpora should route those documents through the
-    text/markdown tier (put_bytes does this by default — PDF is opt-in)."""
+    The simple-font tier stores text as Latin-1 (WinAnsi-style one-byte
+    encoding); text containing any character outside Latin-1 is routed to
+    the Type0/ToUnicode writer (``pdf_from_text_cid``) instead, so every
+    input round-trips exactly — nothing silently degrades to ``?``."""
+    try:
+        text.encode("latin-1")
+    except UnicodeEncodeError:
+        return pdf_from_text_cid(text, compress=compress)
     lines = text.split("\n")
     ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
     for k, ln in enumerate(lines):

@@ -5,14 +5,16 @@ Reference: media frames carry DocMetadata (mime, bytes, width/height,
 exif, audio, MediaManifest — src/types/metadata.rs, exercised
 src/lib.rs:1251-1313); blob retrieval by URI (blob_reader_by_uri).
 
-PNG pixels are REAL: ``decode_image`` routes image/png through the
-pure-stdlib codec (sources/image.py — zlib inflate + per-row unfilter),
-so image feature extraction consumes actual decoded pixels with no
-external library. Other formats (JPEG/audio/video) still need a codec
-library the container doesn't ship — for those ``decode_image`` raises
-unless a decoder is injected, and ``fake_decode`` provides a
-deterministic stand-in so the Arrow plumbing stays tested. A deployment
-swaps in PIL/ffmpeg without touching the pipeline.
+PNG pixels and WAV samples are REAL: ``decode_image`` routes image/png
+through the pure-stdlib codec (sources/image.py — zlib inflate +
+per-row unfilter) and ``decode_audio`` routes audio/wav through the
+RIFF/PCM parser (sources/audio.py — 8/16/24/32-bit + float32 +
+extensible), so image and audio feature extraction consume actual
+decoded media with no external library. Other formats (JPEG pixels,
+video) still need a codec library the container doesn't ship — for
+those the decoders raise unless one is injected, and ``fake_decode``
+provides a deterministic stand-in so the Arrow plumbing stays tested.
+A deployment swaps in PIL/ffmpeg without touching the pipeline.
 
 Scale: payloads are opaque BINARY columns (or object-store path columns
 for >row-group-sized media); extraction runs in mapInPandas so each
@@ -73,6 +75,20 @@ def decode_image(payload: bytes, mime: str):
     )
 
 
+def decode_audio(payload: bytes, mime: str):
+    """Decode an audio payload to a WavAudio (real samples). WAV/RIFF is
+    decoded for real by the pure-stdlib parser (sources/audio.py); other
+    containers (mp3/ogg/flac) need a library the container doesn't ship."""
+    if mime == "audio/wav" or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        from .audio import wav_decode
+
+        return wav_decode(payload)
+    raise NotImplementedError(
+        f"no stdlib decoder for {mime!r}; inject a decoder (ffmpeg/soundfile) "
+        "or use fake_decode"
+    )
+
+
 def image_feature_vec(payload: bytes, mime: str) -> list[float]:
     """Decoded-pixel feature vector (8 floats) for the extract_features
     pipeline: dimensions + per-channel statistics over REAL pixels.
@@ -94,6 +110,19 @@ def image_feature_vec(payload: bytes, mime: str) -> list[float]:
         float(px.max()),
         float(luma.mean()),
     ]
+
+
+def media_feature_vec(payload: bytes, mime: str) -> list[float]:
+    """Route a payload to its real decoder by modality: image/* → pixel
+    features, audio/* → waveform features, anything else → byte-stat
+    stand-in. The one-callable shape extract_features expects."""
+    if mime.startswith("image/"):
+        return image_feature_vec(payload, mime)
+    if mime.startswith("audio/"):
+        from .audio import audio_feature_vec
+
+        return audio_feature_vec(payload, mime)
+    return fake_decode(payload, mime)
 
 
 def fake_decode(payload: bytes, mime: str) -> list[float]:

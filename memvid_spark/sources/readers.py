@@ -56,6 +56,8 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         in (12, 16, 40, 52, 56, 64, 108, 124)
     ):
         return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     if payload.startswith(ZIP_MAGIC):
         ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
         if ext in ("docx", "xlsx", "xls", "pptx"):
@@ -94,6 +96,12 @@ def _read_png(payload: bytes) -> str:
     from .image import png_describe
 
     return png_describe(payload)
+
+
+def _read_wav(payload: bytes) -> str:
+    from .audio import wav_describe
+
+    return wav_describe(payload)
 
 
 def _image_reader(fmt: str) -> Callable[[bytes], str]:
@@ -148,6 +156,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     # live on the media/features path (sources/image.py, multimodal.py);
     # PNG additionally decodes for real
     "png": _read_png,
+    "wav": _read_wav,
     "jpeg": _image_reader("jpeg"),
     "gif": _image_reader("gif"),
     "bmp": _image_reader("bmp"),

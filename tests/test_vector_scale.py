@@ -74,13 +74,21 @@ def test_multimodal_pipeline(spark):
     frames = sample_frames(media, every_nth=4)
     r = frames.head()
     assert r.frame_index % 4 == 0 and r.frame_ts_ms >= 0
-    # decode stub is explicit about the missing capability
+    # PNG/WAV decode real; other codecs explicit about the missing
+    # capability, and real decoders reject malformed bytes loudly
     import pytest
 
-    from memvid_spark.sources.multimodal import decode_image
+    from memvid_spark.sources.image import PngError
+    from memvid_spark.sources.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"x", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x", "audio/mpeg")
+    with pytest.raises(PngError):
         decode_image(b"x", "image/png")
+    with pytest.raises(ValueError):
+        decode_audio(b"x", "audio/wav")
 
 
 def test_hash_embedder_driver_twin_matches_df(spark):
