@@ -1040,6 +1040,109 @@ def q125_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_segments(media, win=64, threshold=0)
 
 
+@spec(
+    "q126_video_manifest",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 20 + 5)::int AS nv, (doc_id % 15 + 5)::int AS na,
+             (doc_id % 4 + 2)::int AS kf
+      FROM documents WHERE doc_id % 10 = 1),
+    vs AS (
+      SELECT s.doc_id, s.nv, s.kf, i.i,
+             (s.doc_id * 7 + i.i * 13) % 40 + 8 AS sz,
+             (i.i % 2 + 1) * 100 AS dur
+      FROM sel s JOIN generate_series(0, 24) i(i) ON i.i < s.nv),
+    vb AS (
+      SELECT v.doc_id, sum((v.doc_id + v.i + j.j) % 256)::bigint AS bsum
+      FROM vs v JOIN generate_series(0, 47) j(j) ON j.j < v.sz
+      GROUP BY v.doc_id),
+    vtr AS (
+      SELECT v.doc_id AS media_id, 1::int AS track_id, 'vide' AS handler,
+             'mp4v' AS codec, count(*)::bigint AS n_samples,
+             sum(v.sz)::bigint AS total_bytes, sum(v.dur)::bigint AS duration_ms,
+             ((max(v.nv) + max(v.kf) - 1) // max(v.kf))::bigint AS n_keyframes,
+             max(b.bsum) AS byte_sum
+      FROM vs v JOIN vb b ON b.doc_id = v.doc_id GROUP BY v.doc_id),
+    asx AS (
+      SELECT s.doc_id, s.na, i.i, (s.doc_id * 5 + i.i * 3) % 20 + 4 AS sz
+      FROM sel s JOIN generate_series(0, 19) i(i) ON i.i < s.na),
+    ab AS (
+      SELECT a.doc_id, sum((a.doc_id * 3 + a.i * 5 + j.j * 7) % 256)::bigint
+               AS bsum
+      FROM asx a JOIN generate_series(0, 23) j(j) ON j.j < a.sz
+      GROUP BY a.doc_id),
+    atr AS (
+      SELECT a.doc_id AS media_id, 2::int AS track_id, 'soun' AS handler,
+             'mp4a' AS codec, count(*)::bigint AS n_samples,
+             sum(a.sz)::bigint AS total_bytes,
+             (count(*) * 160)::bigint AS duration_ms,
+             count(*)::bigint AS n_keyframes, max(b.bsum) AS byte_sum
+      FROM asx a JOIN ab b ON b.doc_id = a.doc_id GROUP BY a.doc_id)
+    SELECT * FROM vtr UNION ALL SELECT * FROM atr
+    """,
+    "video MediaManifest over a REAL ISO-BMFF demux (src/types/"
+    "metadata.rs MediaManifest; src/lib.rs:1251-1313): formula-driven "
+    "two-track fixtures (chunk-grouped samples with a ragged final "
+    "chunk, stts delta runs, stss keyframe table) are muxed into actual "
+    "spec-shaped MP4 bytes, then the manifest is computed by walking "
+    "boxes and resolving stsc/stco/stsz down to each sample's absolute "
+    "byte range — byte_sum sums the bytes ACTUALLY extracted from those "
+    "ranges, so a wrong chunk-offset or size resolution reads the wrong "
+    "bytes and breaks the hash. Codec bitstream decode stays an "
+    "injection seam (sources/video.py). Scale: demux per Arrow batch in "
+    "mapInPandas; payloads never shuffle",
+)
+def q126_video_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.video import MuxTrack, mp4_mux, video_manifests
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 1).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nv, na, kf = mid % 20 + 5, mid % 15 + 5, mid % 4 + 2
+                vid = [
+                    bytes(
+                        (mid + i + j) % 256
+                        for j in range((mid * 7 + i * 13) % 40 + 8)
+                    )
+                    for i in range(nv)
+                ]
+                aud = [
+                    bytes(
+                        (mid * 3 + i * 5 + j * 7) % 256
+                        for j in range((mid * 5 + i * 3) % 20 + 4)
+                    )
+                    for i in range(na)
+                ]
+                payload = mp4_mux(
+                    [
+                        MuxTrack(
+                            "vide", "mp4v", vid,
+                            [(i % 2 + 1) * 100 for i in range(nv)],
+                            samples_per_chunk=3, sync_every=kf,
+                            width=64, height=48,
+                        ),
+                        MuxTrack(
+                            "soun", "mp4a", aud, [160] * na,
+                            samples_per_chunk=2,
+                        ),
+                    ]
+                )
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    return video_manifests(media)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -179,7 +179,11 @@ def extract_features(
 
 def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
-    frame index (explode of a sequence — no Python, no shuffle)."""
+    frame index (explode of a sequence — no Python, no shuffle).
+
+    This is the metadata-synthesized tier; when the payload is an actual
+    MP4, sources/video.py demuxes the real sample tables instead
+    (video_keyframes extracts true keyframe byte ranges + timestamps)."""
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1)
     sampled = F.filter(frames, lambda i: i % every_nth == F.lit(0))
     return (

@@ -58,6 +58,8 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     if payload.startswith(ZIP_MAGIC):
         ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
         if ext in ("docx", "xlsx", "xls", "pptx"):
@@ -102,6 +104,12 @@ def _read_wav(payload: bytes) -> str:
     from .audio import wav_describe
 
     return wav_describe(payload)
+
+
+def _read_mp4(payload: bytes) -> str:
+    from .video import mp4_describe
+
+    return mp4_describe(payload)
 
 
 def _image_reader(fmt: str) -> Callable[[bytes], str]:
@@ -157,6 +165,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     # PNG additionally decodes for real
     "png": _read_png,
     "wav": _read_wav,
+    "mp4": _read_mp4,
     "jpeg": _image_reader("jpeg"),
     "gif": _image_reader("gif"),
     "bmp": _image_reader("bmp"),

@@ -1,0 +1,504 @@
+"""Pure-stdlib MP4 (ISO base media file format) demuxer + fixture muxer.
+
+Reference parity: video blobs carry a MediaManifest — track layout,
+duration, per-sample/frame index — on media frames (src/types/
+metadata.rs MediaManifest, exercised src/lib.rs:1251-1313), and the
+frame-sampling path walks real sample tables rather than guessing
+(sample_frames in sources/multimodal.py synthesizes from metadata; this
+module replaces that with a real demux when the payload is an MP4).
+
+What is REAL here: ISO/IEC 14496-12 box walking (nested containers,
+64-bit largesize), mvhd/tkhd/mdhd/hdlr/stsd parsing, and full sample
+resolution — stts decode-delta runs, stsz sizes, stsc sample-to-chunk
+runs, stco/co64 chunk offsets, stss sync table — down to the absolute
+byte range of every sample, which ``mp4_samples`` actually extracts.
+What stays a seam: codec bitstream decode (H.264/AAC need libraries the
+container doesn't ship) — the demuxed access units are returned as
+opaque bytes for an injected decoder, exactly like image/audio decode
+before their stdlib tiers.
+
+The fixture muxer writes spec-shaped boxes (ftyp + mdat + moov with
+complete stbl tables, chunk-grouped samples, ragged final chunk) so the
+demuxer is tested against real container structure; tests also include
+a hand-built byte-level fixture the muxer did not produce.
+
+Scale: payloads are opaque BINARY columns; demux runs per Arrow batch
+in mapInPandas; outputs are columnar manifests/sample tables — media
+bytes never shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+
+def iter_boxes(payload: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_start, body_end) for each box in [start, end);
+    handles size==1 (64-bit largesize) and size==0 (to end-of-enclosure)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find(payload: bytes, start: int, end: int, btype: bytes) -> tuple[int, int] | None:
+    for t, b, e in iter_boxes(payload, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+@dataclass
+class Mp4Sample:
+    index: int  # 0-based
+    offset: int  # absolute byte offset in the file
+    size: int
+    dts: int  # decode timestamp in track-timescale units
+    duration: int
+    is_sync: bool
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str  # 'vide' | 'soun' | ...
+    codec: str  # stsd entry fourcc
+    timescale: int
+    duration: int
+    width: int
+    height: int
+    samples: list = field(default_factory=list)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.samples)
+
+    @property
+    def duration_ms(self) -> int:
+        return self.duration * 1000 // self.timescale if self.timescale else 0
+
+
+@dataclass
+class Mp4Manifest:
+    brand: str
+    timescale: int
+    duration: int
+    tracks: list
+
+    @property
+    def duration_ms(self) -> int:
+        return self.duration * 1000 // self.timescale if self.timescale else 0
+
+
+def _parse_full(payload: bytes, at: int) -> tuple[int, int]:
+    """(version, body offset past version/flags)."""
+    return payload[at], at + 4
+
+
+def _parse_stbl(payload: bytes, start: int, end: int, timescale: int) -> tuple[str, list]:
+    codec = "?"
+    deltas: list[tuple[int, int]] = []  # (count, delta) runs
+    sizes: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    offsets: list[int] = []
+    sync: set[int] | None = None
+    for t, b, e in iter_boxes(payload, start, end):
+        if t == b"stsd":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            if n >= 1:
+                codec = payload[p + 8 : p + 12].decode("latin-1")
+        elif t == b"stts":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            for i in range(n):
+                c, d = struct.unpack_from(">II", payload, p + 4 + 8 * i)
+                deltas.append((c, d))
+        elif t == b"stsz":
+            _, p = _parse_full(payload, b)
+            uniform, n = struct.unpack_from(">II", payload, p)
+            if uniform:
+                sizes = [uniform] * n
+            else:
+                sizes = list(
+                    struct.unpack_from(f">{n}I", payload, p + 8)
+                )
+        elif t == b"stsc":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            for i in range(n):
+                fc, spc, _sdi = struct.unpack_from(">III", payload, p + 4 + 12 * i)
+                stsc.append((fc, spc))
+        elif t == b"stco":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            offsets = list(struct.unpack_from(f">{n}I", payload, p + 4))
+        elif t == b"co64":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            offsets = list(struct.unpack_from(f">{n}Q", payload, p + 4))
+        elif t == b"stss":
+            _, p = _parse_full(payload, b)
+            (n,) = struct.unpack_from(">I", payload, p)
+            sync = {
+                s - 1  # stss is 1-based
+                for s in struct.unpack_from(f">{n}I", payload, p + 4)
+            }
+    # expand stts runs → per-sample (dts, duration)
+    timing: list[tuple[int, int]] = []
+    dts = 0
+    for count, delta in deltas:
+        for _ in range(count):
+            timing.append((dts, delta))
+            dts += delta
+    # resolve stsc runs → samples per chunk, then absolute offsets
+    samples: list[Mp4Sample] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        chunk_no = ci + 1
+        spc = 0
+        for fc, run_spc in stsc:
+            if fc <= chunk_no:
+                spc = run_spc
+            else:
+                break
+        within = 0
+        while within < spc and si < len(sizes):
+            t_dts, t_dur = timing[si] if si < len(timing) else (0, 0)
+            samples.append(
+                Mp4Sample(
+                    index=si,
+                    offset=chunk_off + sum(sizes[si - within : si]),
+                    size=sizes[si],
+                    dts=t_dts,
+                    duration=t_dur,
+                    is_sync=(sync is None or si in sync),
+                )
+            )
+            si += 1
+            within += 1
+    return codec, samples
+
+
+def mp4_manifest(payload: bytes) -> Mp4Manifest:
+    """Parse the full container manifest incl. resolved sample tables."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    brand = payload[8:12].decode("latin-1")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    mv_ts, mv_dur = 0, 0
+    tracks: list[Mp4Track] = []
+    for t, b, e in iter_boxes(payload, moov[0], moov[1]):
+        if t == b"mvhd":
+            ver, p = _parse_full(payload, b)
+            if ver == 1:
+                mv_ts, mv_dur = struct.unpack_from(">IQ", payload, p + 16)
+            else:
+                mv_ts, mv_dur = struct.unpack_from(">II", payload, p + 8)
+        elif t == b"trak":
+            tracks.append(_parse_trak(payload, b, e))
+    return Mp4Manifest(brand=brand, timescale=mv_ts, duration=mv_dur, tracks=tracks)
+
+
+def _parse_trak(payload: bytes, start: int, end: int) -> Mp4Track:
+    track_id, width, height = 0, 0, 0
+    handler, codec = "?", "?"
+    md_ts, md_dur = 0, 0
+    samples: list = []
+    tk = _find(payload, start, end, b"tkhd")
+    if tk is not None:
+        ver, p = _parse_full(payload, tk[0])
+        if ver == 1:
+            (track_id,) = struct.unpack_from(">I", payload, p + 16)
+        else:
+            (track_id,) = struct.unpack_from(">I", payload, p + 8)
+        # width/height: last 8 bytes of tkhd, 16.16 fixed point
+        width = struct.unpack_from(">I", payload, tk[1] - 8)[0] >> 16
+        height = struct.unpack_from(">I", payload, tk[1] - 4)[0] >> 16
+    mdia = _find(payload, start, end, b"mdia")
+    if mdia is not None:
+        for t, b, e in iter_boxes(payload, mdia[0], mdia[1]):
+            if t == b"mdhd":
+                ver, p = _parse_full(payload, b)
+                if ver == 1:
+                    md_ts, md_dur = struct.unpack_from(">IQ", payload, p + 16)
+                else:
+                    md_ts, md_dur = struct.unpack_from(">II", payload, p + 8)
+            elif t == b"hdlr":
+                handler = payload[b + 8 : b + 12].decode("latin-1")
+            elif t == b"minf":
+                stbl = _find(payload, b, e, b"stbl")
+                if stbl is not None:
+                    codec, samples = _parse_stbl(payload, stbl[0], stbl[1], md_ts)
+    return Mp4Track(
+        track_id=track_id, handler=handler, codec=codec, timescale=md_ts,
+        duration=md_dur, width=width, height=height, samples=samples,
+    )
+
+
+def mp4_samples(payload: bytes, track_id: int) -> list[tuple[Mp4Sample, bytes]]:
+    """REAL demux: resolve the track's sample table and extract each
+    sample's bytes from its absolute range. The bytes are opaque access
+    units (codec decode is an injection seam)."""
+    man = mp4_manifest(payload)
+    for tr in man.tracks:
+        if tr.track_id == track_id:
+            return [(s, payload[s.offset : s.offset + s.size]) for s in tr.samples]
+    raise ValueError(f"no track {track_id}")
+
+
+def mp4_describe(payload: bytes) -> str:
+    """One-line text surrogate for the put_bytes text path (twin of
+    image.png_describe / audio.wav_describe)."""
+    m = mp4_manifest(payload)
+    parts = ", ".join(
+        f"{t.handler}:{t.codec} {t.n_samples} samples" for t in m.tracks
+    )
+    return f"mp4 video [{m.brand}] {m.duration_ms}ms {len(m.tracks)} tracks ({parts})"
+
+
+# ---------------------------------------------------------------------------
+# Fixture muxer — spec-shaped boxes so the demuxer faces real structure
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3x", version) + payload)
+
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+@dataclass
+class MuxTrack:
+    handler: str  # 'vide' | 'soun'
+    codec: str  # fourcc, e.g. 'mp4v'
+    samples: list  # list[bytes]
+    durations: list  # per-sample delta, timescale units
+    samples_per_chunk: int = 1
+    sync_every: int = 0  # 0 → all sync (no stss); k → samples 1, k+1, ...
+    width: int = 0
+    height: int = 0
+    timescale: int = 1000
+
+
+def mp4_mux(tracks: list, brand: str = "isom") -> bytes:
+    """Minimal ISO-BMFF writer: ftyp + mdat + moov. Samples are grouped
+    into chunks of ``samples_per_chunk`` (ragged final chunk → a second
+    stsc run, per spec), chunk offsets are absolute file offsets."""
+    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0x200) + b"isomiso2")
+    # mdat layout: tracks in order, chunk-grouped
+    mdat_payload = bytearray()
+    chunk_offsets: list[list[int]] = []
+    mdat_start = len(ftyp) + 8
+    for tr in tracks:
+        offs = []
+        spc = max(tr.samples_per_chunk, 1)
+        for ci in range(0, len(tr.samples), spc):
+            offs.append(mdat_start + len(mdat_payload))
+            for s in tr.samples[ci : ci + spc]:
+                mdat_payload += s
+        chunk_offsets.append(offs)
+    mdat = _box(b"mdat", bytes(mdat_payload))
+
+    traks = []
+    max_dur = 0
+    for tid, tr in enumerate(tracks, start=1):
+        dur = sum(tr.durations)
+        max_dur = max(max_dur, dur)
+        n = len(tr.samples)
+        # tkhd v0: creation, modification, track_ID, reserved, duration,
+        # reserved[8], layer, alternate_group, volume, reserved, matrix,
+        # width, height (16.16 fixed)
+        tkhd = _full(
+            b"tkhd", 0,
+            struct.pack(">IIIxxxxI8x", 0, 0, tid, dur)
+            + struct.pack(">hhH2x", 0, 0, 0x0100 if tr.handler == "soun" else 0)
+            + _MATRIX
+            + struct.pack(">II", tr.width << 16, tr.height << 16),
+        )
+        mdhd = _full(
+            b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, tr.timescale, dur, 0x55C4, 0)
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            b"\x00" * 4 + tr.handler.encode() + b"\x00" * 12 + b"memvid\x00",
+        )
+        # stsd: one sample entry; visual entries are 78 bytes of fields,
+        # audio 28 — write spec-length bodies (zeros beyond what the
+        # reader needs keeps the layout honest)
+        entry_body = b"\x00" * 6 + struct.pack(">H", 1)
+        entry_body += b"\x00" * (70 if tr.handler == "vide" else 20)
+        entry = _box(tr.codec.encode(), entry_body)
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        # stts: run-length encode the delta list
+        runs: list[tuple[int, int]] = []
+        for d in tr.durations:
+            if runs and runs[-1][1] == d:
+                runs[-1] = (runs[-1][0] + 1, d)
+            else:
+                runs.append((1, d))
+        stts = _full(
+            b"stts", 0,
+            struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in runs),
+        )
+        stsz = _full(
+            b"stsz", 0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(s)) for s in tr.samples),
+        )
+        spc = max(tr.samples_per_chunk, 1)
+        stsc_runs = [(1, spc)]
+        if n % spc and n > spc:
+            stsc_runs.append((n // spc + 1, n % spc))
+        stsc = _full(
+            b"stsc", 0,
+            struct.pack(">I", len(stsc_runs))
+            + b"".join(struct.pack(">III", fc, s, 1) for fc, s in stsc_runs),
+        )
+        offs = chunk_offsets[tid - 1]
+        stco = _full(
+            b"stco", 0,
+            struct.pack(">I", len(offs))
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+        stbl_boxes = stsd + stts + stsc + stsz + stco
+        if tr.sync_every > 1:
+            syncs = list(range(1, n + 1, tr.sync_every))
+            stbl_boxes += _full(
+                b"stss", 0,
+                struct.pack(">I", len(syncs))
+                + b"".join(struct.pack(">I", s) for s in syncs),
+            )
+        stbl = _box(b"stbl", stbl_boxes)
+        mhd = (
+            _full(b"vmhd", 0, struct.pack(">HHHH", 0, 0, 0, 0))
+            if tr.handler == "vide"
+            else _full(b"smhd", 0, struct.pack(">HH", 0, 0))
+        )
+        dinf = _box(b"dinf", _full(b"dref", 0, struct.pack(">I", 1) + _box(b"url ", b"\x00\x00\x00\x01")))
+        minf = _box(b"minf", mhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 1000, max_dur)
+        + struct.pack(">IH2x8x", 0x10000, 0x0100)
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = (
+    "media_id long, track_id int, handler string, codec string, "
+    "n_samples long, total_bytes long, duration_ms long, "
+    "n_keyframes long, byte_sum long"
+)
+
+
+def video_manifests(media: DataFrame) -> DataFrame:
+    """One row per track per MP4 payload: manifest stats over the REAL
+    demux, including byte_sum over the bytes actually extracted via the
+    resolved stsc/stco/stsz ranges — a wrong chunk-offset resolution
+    reads the wrong bytes and shifts the sum. mapInPandas per Arrow
+    batch; payloads never shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [
+            "media_id", "track_id", "handler", "codec", "n_samples",
+            "total_bytes", "duration_ms", "n_keyframes", "byte_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                man = mp4_manifest(payload)
+                for tr in man.tracks:
+                    bs = 0
+                    for s in tr.samples:
+                        bs += sum(payload[s.offset : s.offset + s.size])
+                    rows.append(
+                        (
+                            int(mid), tr.track_id, tr.handler, tr.codec,
+                            tr.n_samples,
+                            sum(s.size for s in tr.samples),
+                            tr.duration_ms,
+                            sum(1 for s in tr.samples if s.is_sync),
+                            bs,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, MANIFEST_SCHEMA)
+
+
+KEYFRAME_SCHEMA = (
+    "media_id long, track_id int, sample_index int, dts_ms long, "
+    "size long, checksum string"
+)
+
+
+def video_keyframes(media: DataFrame) -> DataFrame:
+    """One row per sync sample (keyframe) with its decode timestamp and
+    the sha256 of its EXTRACTED bytes — the real-demux replacement for
+    metadata-synthesized frame sampling (multimodal.sample_frames)."""
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["media_id", "track_id", "sample_index", "dts_ms", "size", "checksum"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                man = mp4_manifest(payload)
+                for tr in man.tracks:
+                    if tr.handler != "vide":
+                        continue
+                    for s in tr.samples:
+                        if not s.is_sync:
+                            continue
+                        data = payload[s.offset : s.offset + s.size]
+                        rows.append(
+                            (
+                                int(mid), tr.track_id, s.index,
+                                s.dts * 1000 // tr.timescale if tr.timescale else 0,
+                                s.size, hashlib.sha256(data).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, KEYFRAME_SCHEMA)
