@@ -1143,6 +1143,100 @@ def q126_video_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_manifests(media)
 
 
+@spec(
+    "q127_bmp_gif_pixels",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 12 + 3)::int AS w, (doc_id % 9 + 3)::int AS h
+      FROM documents WHERE doc_id % 10 = 9),
+    px AS (
+      SELECT s.doc_id, s.w, s.h,
+             CASE WHEN s.doc_id % 2 = 0
+                  THEN (s.doc_id*31 + x.x*7 + y.y*13 + c.c*101) % 256
+                  ELSE (((s.doc_id*31 + x.x*7 + y.y*13) % 256)
+                        * (CASE c.c WHEN 0 THEN 5 WHEN 1 THEN 11 ELSE 17 END)
+                        + c.c + 1) % 256
+             END AS v
+      FROM sel s
+      JOIN generate_series(0, 14) x(x) ON x.x < s.w
+      JOIN generate_series(0, 11) y(y) ON y.y < s.h
+      CROSS JOIN generate_series(0, 2) c(c))
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'gif' END AS fmt,
+           w AS width, h AS height, 3::int AS channels,
+           count(*)::bigint AS n_px, sum(v)::bigint AS px_sum,
+           min(v)::int AS px_min, max(v)::int AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+    "second and third first-class image formats over REAL decoded "
+    "pixels: even docs render the formula image as an actual 24-bit "
+    "BI_RGB BMP (BGR bottom-up rows, 4-byte stride padding), odd docs "
+    "as a palette GIF (256-entry table, real LZW compression) — both "
+    "round-trip through the pure-stdlib decoders (sources/image.py) "
+    "before channel statistics. The oracle computes the same stats in "
+    "closed form incl. the palette mapping, so a BGR-swap, stride, "
+    "palette or LZW bug breaks the hash. Same mapInPandas shape as "
+    "q121; payloads never shuffle",
+)
+def q127_bmp_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.image import bmp_encode, gif_encode
+    from .sources.multimodal import decode_image
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("media_id")
+    )
+    cols = [
+        "media_id", "fmt", "width", "height", "channels", "n_px",
+        "px_sum", "px_min", "px_max",
+    ]
+    schema = (
+        "media_id long, fmt string, width int, height int, channels int, "
+        "n_px long, px_sum long, px_min int, px_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [
+                (np.arange(256) * 5 + 1) % 256,
+                (np.arange(256) * 11 + 2) % 256,
+                (np.arange(256) * 17 + 3) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 12 + 3, mid % 9 + 3
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                if mid % 2 == 0:
+                    c = np.arange(3)
+                    px = (
+                        (mid * 31 + x[:, :, None] * 7 + y[:, :, None] * 13
+                         + c * 101) % 256
+                    ).astype(np.uint8)
+                    payload, fmt = bmp_encode(px), "bmp"
+                else:
+                    idx = ((mid * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+                    payload, fmt = gif_encode(idx, pal), "gif"
+                dec = np.asarray(
+                    decode_image(payload, f"image/{fmt}"), dtype=np.int64
+                )
+                rows.append(
+                    (
+                        mid, fmt, w, h, int(dec.shape[2]), int(dec.size),
+                        int(dec.sum()), int(dec.min()), int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

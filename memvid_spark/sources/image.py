@@ -337,3 +337,259 @@ def gif_describe(payload: bytes) -> str:
 def bmp_describe(payload: bytes) -> str:
     m = bmp_metadata(payload)
     return f"bmp image {m['width']}x{m['height']}"
+
+
+# ---------------------------------------------------------------------------
+# BMP — real pixel decode + writer (BI_RGB uncompressed tiers)
+# ---------------------------------------------------------------------------
+
+
+def bmp_decode(payload: bytes):
+    """Decode an uncompressed (BI_RGB) BMP to (h, w, ch) uint8 RGB(A)
+    pixels: 24-bit BGR, 32-bit BGRA, and 8-bit palette rows, bottom-up
+    (positive height) or top-down (negative), with 4-byte row stride
+    padding — the layouts real BI_RGB files ship. RLE/bitfield
+    compressions raise (inject PIL via multimodal.decode_image for
+    those). Reference: real pixels feed the embedding path
+    (src/clip.rs:99-102)."""
+    import numpy as np
+
+    if not payload.startswith(BMP_MAGIC) or len(payload) < 54:
+        raise PngError("not a BMP (bad signature)")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    dib = struct.unpack("<I", payload[14:18])[0]
+    if dib < 40:
+        raise PngError(f"unsupported BMP DIB header size {dib}")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:
+        raise PngError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise PngError(f"unsupported BMP bit depth {bpp}")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * (bpp // 8) + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + dib
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)
+        idx = rows[:, :w]
+        return pal[idx][:, :, [2, 1, 0]].copy()  # BGRX → RGB
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    if ch == 3:
+        return px[:, :, [2, 1, 0]].copy()  # BGR → RGB
+    return px[:, :, [2, 1, 0, 3]].copy()  # BGRA → RGBA
+
+
+def bmp_encode(pixels) -> bytes:
+    """24-bit BI_RGB bottom-up writer (the ubiquitous BMP flavor)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, ch = px.shape
+    bgr = px[:, :, [2, 1, 0]] if ch >= 3 else px
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bgr[y].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# GIF — real pixel decode (full GIF-LZW) + writer
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list:
+    """Variable-width GIF-LZW: clear/EOI codes, dictionary growth to
+    4096, early-exit on EOI. Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise PngError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def gif_decode(payload: bytes):
+    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB:
+    real LZW expansion, global/local color tables, interlace reorder,
+    extension-block skipping. Animation beyond frame 0 is out of scope
+    (the features path consumes stills)."""
+    import numpy as np
+
+    if payload[:6] not in GIF_MAGICS:
+        raise PngError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h, ip = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise PngError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos]:
+                size = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(min_code, bytes(stream))
+            if len(idx) < w * h:
+                raise PngError("GIF pixel data truncated")
+            arr = np.asarray(idx[: w * h], dtype=np.uint16).reshape(h, w)
+            if ip & 0x40:  # interlaced: 4-pass row shuffle
+                deinter = np.empty_like(arr)
+                row = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, h, step):
+                        deinter[y] = arr[row]
+                        row += 1
+                arr = deinter
+            return ct[arr].astype(np.uint8)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise PngError(f"unexpected GIF block 0x{block:02x}")
+    raise PngError("GIF contains no image data")
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF-LZW compressor with dictionary reset at 4096 — a real
+    encoder, so decoder tests cover multi-width code streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    run = b""
+    for i in indices:
+        cand = run + bytes([int(i)])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([int(i)])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(indices, palette) -> bytes:
+    """Single-frame GIF89a writer: ``indices`` (h, w) into ``palette``
+    (n ≤ 256, 3) — non-interlaced, global color table."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    depth = max((len(pal) - 1).bit_length(), 1)
+    n = 1 << depth
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(depth, 2)
+    out.append(min_code)
+    data = _gif_lzw_encode(min_code, idx.ravel())
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -61,14 +61,25 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, mime: str):
     """Decode an image payload to (height, width, channels) uint8 pixels.
 
-    PNG is decoded for real by the pure-stdlib codec (sources/image.py:
-    zlib inflate + per-row unfilter — src/clip.rs:99-102 consumes real
-    pixels and so does this path). Other formats need a library the
+    PNG, BMP and GIF are decoded for real by the pure-stdlib codecs
+    (sources/image.py: zlib inflate + per-row unfilter / BI_RGB row
+    layouts / full GIF-LZW — src/clip.rs:99-102 consumes real pixels
+    and so do these paths). JPEG pixels need a DCT library the
     container doesn't ship; inject a decoder or use fake_decode."""
     if mime == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .image import png_decode
 
         return png_decode(payload).pixels
+    if mime == "image/bmp" or (
+        payload[:2] == b"BM" and mime in ("", None, "application/octet-stream")
+    ):
+        from .image import bmp_decode
+
+        return bmp_decode(payload)
+    if mime == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .image import gif_decode
+
+        return gif_decode(payload)
     raise NotImplementedError(
         f"no stdlib decoder for {mime!r}; inject a decoder (PIL/ffmpeg) "
         "or use fake_decode"
