@@ -1237,6 +1237,72 @@ def q127_bmp_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.mapInPandas(run, schema)
 
 
+@spec(
+    "q128_jpeg_pixels",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 20 + 5)::int AS w, (doc_id % 15 + 5)::int AS h
+      FROM documents WHERE doc_id % 10 = 5),
+    px AS (
+      SELECT s.doc_id, s.w, s.h,
+             (s.doc_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 24) x(x) ON x.x < s.w
+      JOIN generate_series(0, 19) y(y) ON y.y < s.h)
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           count(*)::bigint AS n_px, sum(v)::bigint AS px_sum,
+           min(v)::int AS px_min, max(v)::int AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+    "baseline JPEG decode over REAL entropy-coded bytes (pure-stdlib "
+    "codec, sources/jpeg.py: DHT huffman tables, DC prediction, EOB "
+    "runs, dequant, orthonormal IDCT, level shift): formula images "
+    "constant per 8x8 tile are encoded with unit quantization — the "
+    "DCT then has a single DC coefficient per block, so the round trip "
+    "is EXACT and the oracle pins the decoded pixels in closed form. "
+    "Ragged right/bottom blocks exercise edge-replicate padding + crop. "
+    "General images are pinned within ±2 by tests (IDCT rounding). The "
+    "format the reference actually ingests most (src/clip.rs:99-102). "
+    "Scale: same mapInPandas shape as q121; payloads never shuffle",
+)
+def q128_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.jpeg import jpeg_decode, jpeg_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("media_id")
+    )
+    cols = ["media_id", "width", "height", "n_px", "px_sum", "px_min", "px_max"]
+    schema = (
+        "media_id long, width int, height int, n_px long, px_sum long, "
+        "px_min int, px_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 20 + 5, mid % 15 + 5
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                img = ((mid * 31 + (x // 8) * 7 + (y // 8) * 13) % 256).astype(
+                    np.uint8
+                )
+                dec = np.asarray(jpeg_decode(jpeg_encode(img)), dtype=np.int64)
+                rows.append(
+                    (
+                        mid, w, h, int(dec.size), int(dec.sum()),
+                        int(dec.min()), int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -261,9 +261,9 @@ _JPEG_SOF = frozenset(
 
 def jpeg_metadata(payload: bytes) -> dict:
     """Walk JPEG marker segments to the SOF header: (height, width,
-    components) live at fixed offsets inside it. Pixel DECODE needs a
-    DCT library the container doesn't ship — metadata is the real tier
-    here, decode stays an injection point."""
+    components) live at fixed offsets inside it — the cheap header-only
+    scan path. Full baseline pixel decode lives in sources/jpeg.py
+    (huffman + dequant + IDCT, routed via multimodal.decode_image)."""
     if not payload.startswith(JPEG_MAGIC):
         raise PngError("not a JPEG (bad signature)")
     i, n = 2, len(payload)

@@ -61,11 +61,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, mime: str):
     """Decode an image payload to (height, width, channels) uint8 pixels.
 
-    PNG, BMP and GIF are decoded for real by the pure-stdlib codecs
-    (sources/image.py: zlib inflate + per-row unfilter / BI_RGB row
-    layouts / full GIF-LZW — src/clip.rs:99-102 consumes real pixels
-    and so do these paths). JPEG pixels need a DCT library the
-    container doesn't ship; inject a decoder or use fake_decode."""
+    PNG, BMP, GIF and baseline JPEG are decoded for real by the
+    pure-stdlib codecs (sources/image.py: zlib inflate + per-row
+    unfilter / BI_RGB row layouts / full GIF-LZW; sources/jpeg.py:
+    huffman + dequant + IDCT + YCbCr — src/clip.rs:99-102 consumes real
+    pixels and so do these paths). Progressive/subsampled JPEG raises
+    with an inject-PIL message; unknown formats raise
+    NotImplementedError."""
     if mime == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .image import png_decode
 
@@ -80,6 +82,10 @@ def decode_image(payload: bytes, mime: str):
         from .image import gif_decode
 
         return gif_decode(payload)
+    if mime == "image/jpeg" or payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise NotImplementedError(
         f"no stdlib decoder for {mime!r}; inject a decoder (PIL/ffmpeg) "
         "or use fake_decode"

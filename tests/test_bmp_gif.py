@@ -136,5 +136,9 @@ def test_decode_image_routing():
     assert (decode_image(bmp_encode(px), "image/bmp") == px).all()
     idx = np.arange(9, dtype=np.uint8).reshape(3, 3)
     assert (decode_image(gif_encode(idx, PAL), "image/gif") == PAL[idx]).all()
-    with pytest.raises(NotImplementedError):
+    from memvid_spark.sources.jpeg import JpegError
+
+    with pytest.raises(JpegError):  # JPEG is routed for real now
         decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+    with pytest.raises(NotImplementedError):  # genuinely uncovered format
+        decode_image(b"II*\x00tiffish", "image/tiff")

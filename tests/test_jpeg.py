@@ -1,0 +1,107 @@
+"""Baseline JPEG codec tests: exact round trips for block-constant
+images (single-DC-coefficient blocks under unit quantization), bounded
+error for general images (IDCT rounding), restart-marker resync, marker
+segment skipping (APPn/COM), and the unsupported-flavor error paths
+(progressive SOF2, chroma subsampling, 16-bit DQT)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from memvid_spark.sources.jpeg import JpegError, jpeg_decode, jpeg_encode
+from memvid_spark.sources.multimodal import decode_image
+from memvid_spark.sources.image import jpeg_metadata
+from memvid_spark.sources.readers import sniff_format
+
+
+def test_block_constant_gray_exact():
+    rng = np.random.RandomState(0)
+    blocks = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    payload = jpeg_encode(img)
+    assert sniff_format(payload) == "jpeg"
+    m = jpeg_metadata(payload)
+    assert (m["width"], m["height"], m["channels"]) == (32, 24, 1)
+    assert (jpeg_decode(payload) == img).all()
+
+
+def test_block_constant_ragged_edges_exact():
+    # non-multiple-of-8 dims: partial edge blocks still constant after
+    # edge-replicate padding → still exact
+    w, h = 21, 13
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = (((x // 8) * 50 + (y // 8) * 90 + 7) % 256).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img))
+    assert dec.shape == (h, w) and (dec == img).all()
+
+
+def test_general_gray_bounded_error():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (24, 33), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_color_roundtrip_bounded_error():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img))
+    assert dec.shape == (17, 19, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_restart_markers():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 40), dtype=np.uint8)
+    payload = jpeg_encode(img, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    dec = jpeg_decode(payload)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_quantization_lossy_but_decodable():
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quant=8))
+    assert np.abs(dec.astype(int) - 100).max() <= 8
+
+
+def test_appn_com_segments_skipped():
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    payload = jpeg_encode(img)
+    # splice a JFIF APP0 and a COM right after SOI — real files do this
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    patched = payload[:2] + app0 + com + payload[2:]
+    assert (jpeg_decode(patched) == img).all()
+
+
+def test_unsupported_flavors_raise_clearly():
+    with pytest.raises(JpegError, match="signature"):
+        jpeg_decode(b"not a jpeg")
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    payload = bytearray(jpeg_encode(img))
+    sof_at = payload.find(b"\xff\xc0")
+    # progressive: flip SOF0 → SOF2
+    prog = bytearray(payload)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(JpegError, match="progressive"):
+        jpeg_decode(bytes(prog))
+    # 4:2:0 subsampling: patch the sampling byte of component 1
+    sub = bytearray(payload)
+    sub[sof_at + 11] = 0x22
+    with pytest.raises(JpegError, match="subsampling"):
+        jpeg_decode(bytes(sub))
+    # 16-bit quant table: flip Pq nibble
+    dqt_at = payload.find(b"\xff\xdb")
+    wide = bytearray(payload)
+    wide[dqt_at + 4] = 0x10
+    with pytest.raises(JpegError, match="quant"):
+        jpeg_decode(bytes(wide))
+
+
+def test_decode_image_routes_jpeg():
+    img = np.kron(
+        np.array([[10, 200], [60, 140]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    assert (decode_image(jpeg_encode(img), "image/jpeg") == img).all()

@@ -82,7 +82,7 @@ def test_multimodal_pipeline(spark):
     from memvid_spark.sources.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"x", "image/jpeg")
+        decode_image(b"x", "image/tiff")
     with pytest.raises(NotImplementedError):
         decode_audio(b"x", "audio/mpeg")
     with pytest.raises(PngError):
