@@ -29,6 +29,16 @@ from .plans.parser import compile_predicate, parse_query
 
 PUT_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
+# sniffed format → mime for payload-retaining media (blob tier)
+_MEDIA_MIMES = {
+    "png": "image/png",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
+    "wav": "audio/wav",
+    "mp4": "video/mp4",
+}
+
 
 class MemvidSpark:
     """One "memory" instance: a document corpus plus derived state.
@@ -59,7 +69,7 @@ class MemvidSpark:
             row = seed.agg(F.max(id_col)).head()
             self._next_id = int(row[0] or 0) + 1
         self._shas: set[str] = set()
-        self._media: list[tuple[int, bytes]] = []  # (doc_id, payload)
+        self._media: list[tuple[int, str, bytes]] = []  # (doc_id, mime, payload)
 
     # -- ingestion (mutation.rs:3090-3316) --------------------------------
 
@@ -100,33 +110,57 @@ class MemvidSpark:
         if reader is None:
             raise ValueError(f"no reader registered for format {fmt!r}")
         doc_id = self.put(reader(payload), uri=uri, lang=lang, dedup=dedup)
-        if doc_id is not None and fmt == "png":
-            # image frames keep their pixels (blob tier, metadata.rs):
+        mime = _MEDIA_MIMES.get(fmt)
+        if doc_id is not None and mime is not None:
+            # media frames keep their bytes (blob tier, metadata.rs):
             # the surrogate text indexes lexically, the payload feeds
-            # cross-modal search (search_images)
-            self._media.append((doc_id, bytes(payload)))
+            # cross-modal search / feature extraction / demux
+            self._media.append((doc_id, mime, bytes(payload)))
         return doc_id
 
-    def media(self) -> DataFrame:
-        """Retained image payloads (media_id = doc_id), tombstones
-        dropped — the blob source for cross-modal search."""
+    def media(self, modality: str | None = None) -> DataFrame:
+        """Retained media payloads (media_id = doc_id, mime typed),
+        tombstones dropped — the blob source for cross-modal search,
+        feature extraction and demux. ``modality`` filters by mime
+        prefix ('image', 'audio', 'video')."""
         rows = [
-            (i, p) for i, p in self._media if i not in self._tombstones
+            (i, m, p)
+            for i, m, p in self._media
+            if i not in self._tombstones
+            and (modality is None or m.startswith(modality + "/"))
         ]
         return self.spark.createDataFrame(
-            rows, "media_id long, payload binary"
+            rows, "media_id long, mime string, payload binary"
         )
 
     def search_images(self, text: str, k: int = 10) -> DataFrame:
         """Text→image kNN over REAL decoded pixels in the shared
         cross-modal space (search/api.rs:165-257, clip.rs:297-380):
-        stdlib PNG decode → pixel features → shared-space projection,
-        exact squared-L2 retrieval (operators/crossmodal.py)."""
+        stdlib decode (PNG/BMP/GIF/baseline JPEG) → pixel features →
+        shared-space projection, exact squared-L2 retrieval
+        (operators/crossmodal.py)."""
         from .operators import crossmodal
 
         return crossmodal.crossmodal_knn(
-            crossmodal.embed_images(self.media()), text, k=k
+            crossmodal.embed_images(self.media("image")), text, k=k
         )
+
+    def media_features(self) -> DataFrame:
+        """Modality-routed feature vectors over every retained payload:
+        image/* → decoded-pixel stats, audio/* → decoded-waveform stats
+        (sources/multimodal.py media_feature_vec) — real decode, one
+        Arrow batch per Python call."""
+        from .sources.multimodal import extract_features, media_feature_vec
+
+        return extract_features(self.media(), decode=media_feature_vec)
+
+    def media_manifests(self) -> DataFrame:
+        """MediaManifest rows for retained video payloads: real MP4
+        demux down to per-sample byte ranges (sources/video.py;
+        src/types/metadata.rs MediaManifest)."""
+        from .sources.video import video_manifests
+
+        return video_manifests(self.media("video"))
 
     def snippets(
         self, phrase: str, window: int = 160, max_snippets: int = 3

@@ -77,20 +77,22 @@ def text_vec(text: str) -> list[int]:
 
 def embed_images(media: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id") -> DataFrame:
-    """(id, emb array<long>) from real PNG payloads: decode → integer
-    features → projection, one Arrow batch per Python call."""
+    """(id, emb array<long>) from real image payloads — any stdlib-
+    decodable format (PNG/BMP/GIF/baseline JPEG, magic-routed via
+    multimodal.decode_image): decode → integer features → projection,
+    one Arrow batch per Python call."""
 
     schema = f"{id_col} long, emb array<long>"
 
     def run(batches):
         import pandas as pd
 
-        from ..sources.image import png_decode
+        from ..sources.multimodal import decode_image
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = png_decode(bytes(payload)).pixels
+                px = decode_image(bytes(payload), "")
                 out.append((int(mid), image_vec(pixel_features(px))))
             yield pd.DataFrame(out, columns=[id_col, "emb"])
 

@@ -94,3 +94,61 @@ class TestPlantedRetrieval:
         finally:
             xm.text_vec = orig
         assert out[0].media_id == 7 and out[0].dist2 == 0
+
+
+class TestMediaFacadeModality:
+    def test_mixed_media_retention_features_and_manifests(self, spark):
+        """put_bytes retains every media modality (typed by mime), image
+        search spans all decodable formats, and features/manifests route
+        through the real decoders."""
+        import numpy as np
+
+        from memvid_spark.api import MemvidSpark
+        from memvid_spark.sources.audio import wav_encode
+        from memvid_spark.sources.image import bmp_encode, gif_encode
+        from memvid_spark.sources.jpeg import jpeg_encode
+        from memvid_spark.sources.video import MuxTrack, mp4_mux
+
+        mv = MemvidSpark(spark)
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        ids = {
+            "png": mv.put_bytes(bytes(png_encode(px)), uri="mv2://m/a.png"),
+            "bmp": mv.put_bytes(bmp_encode(px), uri="mv2://m/b.bmp"),
+            "gif": mv.put_bytes(
+                gif_encode(rng.integers(0, 256, (5, 5), dtype=np.uint8), pal),
+                uri="mv2://m/c.gif",
+            ),
+            "jpeg": mv.put_bytes(
+                jpeg_encode(np.full((8, 8), 50, dtype=np.uint8)),
+                uri="mv2://m/d.jpg",
+            ),
+            "wav": mv.put_bytes(
+                wav_encode(np.arange(100, dtype=np.int16), 8000),
+                uri="mv2://m/e.wav",
+            ),
+            "mp4": mv.put_bytes(
+                mp4_mux([MuxTrack("vide", "mp4v", [b"\x01\x02\x03"] * 4,
+                                  [100] * 4, sync_every=2)]),
+                uri="mv2://m/f.mp4",
+            ),
+        }
+        assert all(v is not None for v in ids.values())
+        mimes = {r.media_id: r.mime for r in mv.media().collect()}
+        assert len(mimes) == 6
+        assert mv.media("image").count() == 4
+        assert mv.media("audio").count() == 1
+        # cross-modal search covers every image format
+        got = mv.search_images("bright wide image", k=4).collect()
+        assert {r.media_id for r in got} == {
+            ids["png"], ids["bmp"], ids["gif"], ids["jpeg"],
+        }
+        # modality-routed features: real decode everywhere
+        feats = {r.media_id: r for r in mv.media_features().collect()}
+        assert feats[ids["wav"]].feat[1] == 8000.0  # sample_rate slot
+        assert feats[ids["png"]].feat[0] == 5.0  # width slot
+        # video manifest from the real demux
+        man = mv.media_manifests().collect()
+        assert len(man) == 1
+        assert (man[0].n_samples, man[0].n_keyframes) == (4, 2)
