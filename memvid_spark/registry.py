@@ -1303,6 +1303,145 @@ def q128_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.mapInPandas(run, schema)
 
 
+@spec(
+    "q129_image_resize",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 13 + 4)::int AS w, (doc_id % 11 + 4)::int AS h,
+             (doc_id % 6 + 2)::int AS ow, (doc_id % 5 + 2)::int AS oh
+      FROM documents WHERE doc_id % 10 = 4),
+    px AS (
+      SELECT s.doc_id, s.ow, s.oh,
+             (s.doc_id * 31 + ((x.x * s.w) // s.ow) * 7
+              + ((y.y * s.h) // s.oh) * 13 + c.c * 101) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 7) x(x) ON x.x < s.ow
+      JOIN generate_series(0, 6) y(y) ON y.y < s.oh
+      CROSS JOIN generate_series(0, 2) c(c))
+    SELECT doc_id AS media_id, ow AS out_w, oh AS out_h,
+           count(*)::bigint AS n_px, sum(v)::bigint AS px_sum,
+           min(v)::int AS px_min, max(v)::int AS px_max
+    FROM px GROUP BY doc_id, ow, oh
+    """,
+    "image resize over REAL decoded pixels — the transform tier of the "
+    "multimodal pipeline (decode → resize → model input; src/clip.rs:"
+    "99-102 resizes before embedding): formula RGB images → actual PNG "
+    "bytes → stdlib decode → nearest-neighbor resize with the floor "
+    "convention, which is integer-exact, so the oracle pins every "
+    "RESIZED pixel in closed form (source-index arithmetic inside the "
+    "SQL). Bilinear (the align-corners=False ML convention) is the "
+    "companion path, pinned by tests. mapInPandas; payloads never "
+    "shuffle",
+)
+def q129_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.image import png_decode, png_encode, resize_nearest
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 4).select(
+        F.col("doc_id").alias("media_id")
+    )
+    cols = ["media_id", "out_w", "out_h", "n_px", "px_sum", "px_min", "px_max"]
+    schema = (
+        "media_id long, out_w int, out_h int, n_px long, px_sum long, "
+        "px_min int, px_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 11 + 4
+                ow, oh = mid % 6 + 2, mid % 5 + 2
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((mid * 31 + x * 7 + y * 13 + c * 101) % 256).astype(
+                    np.uint8
+                )
+                dec = png_decode(png_encode(px)).pixels
+                rs = np.asarray(resize_nearest(dec, oh, ow), dtype=np.int64)
+                rows.append(
+                    (
+                        mid, ow, oh, int(rs.size), int(rs.sum()),
+                        int(rs.min()), int(rs.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
+@spec(
+    "q130_audio_resample",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 100 + 50)::int AS n,
+             (CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 22050 END)::int AS rate
+      FROM documents WHERE doc_id % 10 = 6),
+    smp AS (
+      SELECT s.doc_id, s.n, s.rate,
+             (s.doc_id * 37 + ((j.j * s.rate) // 16000) * 11) % 65536
+               - 32768 AS v
+      FROM sel s
+      JOIN generate_series(0, 149) j(j) ON j.j < (s.n * 16000) // s.rate)
+    SELECT doc_id AS media_id, rate AS src_rate,
+           count(*)::bigint AS n_out, sum(v)::bigint AS s_sum,
+           min(v)::int AS s_min, max(v)::int AS s_max
+    FROM smp GROUP BY doc_id, rate
+    """,
+    "audio resample over REAL decoded samples — the fixed-rate "
+    "model-input transform (src/whisper.rs consumes 16 kHz mono): "
+    "formula waveforms at 44.1/22.05 kHz → stdlib-wave encode → repo "
+    "RIFF decode → zero-order-hold resample to 16 kHz with the floor "
+    "convention, integer-exact, so the oracle pins every resampled "
+    "value in closed form. mapInPandas; payloads never shuffle",
+)
+def q130_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.audio import resample_nearest, wav_decode, wav_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 6).select(
+        F.col("doc_id").alias("media_id")
+    )
+    cols = ["media_id", "src_rate", "n_out", "s_sum", "s_min", "s_max"]
+    schema = (
+        "media_id long, src_rate int, n_out long, s_sum long, "
+        "s_min int, s_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 100 + 50
+                rate = 44100 if mid % 2 == 0 else 22050
+                v = ((mid * 37 + np.arange(n) * 11) % 65536 - 32768).astype(
+                    np.int16
+                )
+                a = wav_decode(wav_encode(v, rate))
+                out = np.asarray(
+                    resample_nearest(a.samples[:, 0], a.sample_rate, 16000),
+                    dtype=np.int64,
+                )
+                rows.append(
+                    (
+                        mid, rate, int(out.size), int(out.sum()),
+                        int(out.min()), int(out.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -314,3 +314,27 @@ def audio_energy_segments(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(run, AUDIO_SEGMENT_SCHEMA)
+
+
+def resample_nearest(samples, src_rate: int, dst_rate: int):
+    """Nearest-sample (zero-order-hold) resample with the floor
+    convention out[i] = in[(i * src_rate) // dst_rate] and
+    n_out = n_in * dst_rate // src_rate — integer-exact (oracle-able,
+    q130). The transform tier before a fixed-rate model input
+    (src/whisper.rs consumes 16 kHz mono)."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    n_out = s.shape[0] * dst_rate // src_rate
+    idx = (np.arange(n_out) * src_rate) // dst_rate
+    return s[idx]
+
+
+def to_mono(samples):
+    """Channel-mean downmix with floor division (integer-exact)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        return s
+    return s.sum(axis=1) // s.shape[1]

@@ -593,3 +593,49 @@ def gif_encode(indices, palette) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Resize — the transform tier of the multimodal pipeline (decode →
+# resize → feature/model input). Nearest-neighbor is integer-exact
+# (oracle-able); bilinear is the model-input path, pinned by tests.
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(pixels, out_h: int, out_w: int):
+    """Nearest-neighbor resize with the floor convention
+    src = (dst * src_extent) // dst_extent — integer-exact, so a SQL
+    oracle can pin resized pixels in closed form (q129)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_bilinear(pixels, out_h: int, out_w: int):
+    """Bilinear resize (align_corners=False, the ML-preprocessing
+    convention): the real model-input path for CLIP-style towers
+    (src/clip.rs:99-102 resizes decoded pixels before embedding)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    squeeze = px.ndim == 2
+    if squeeze:
+        px = px[:, :, None]
+    h, w, _ = px.shape
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    top = px[y0][:, x0] * (1 - wx) + px[y0][:, x1] * wx
+    bot = px[y1][:, x0] * (1 - wx) + px[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out

@@ -216,3 +216,21 @@ def test_audio_energy_segments_operator(spark):
     s = segs[0]
     assert (s["media_id"], s["w_start"], s["w_end"], s["energy"]) == (9, 1, 1, 6400)
     assert (s["t_start_ms"], s["t_end_ms"]) == (4, 8)
+
+
+def test_resample_nearest_floor_convention():
+    from memvid_spark.sources.audio import resample_nearest
+
+    s = np.arange(10)
+    assert resample_nearest(s, 10, 5).tolist() == [0, 2, 4, 6, 8]
+    assert resample_nearest(np.array([1, 2]), 1, 3).tolist() == [1, 1, 1, 2, 2, 2]
+    # 44100 -> 16000 length contract
+    out = resample_nearest(np.arange(441), 44100, 16000)
+    assert out.shape[0] == 441 * 16000 // 44100
+
+
+def test_to_mono_floor_mean():
+    from memvid_spark.sources.audio import to_mono
+
+    assert to_mono(np.array([[0, 10], [5, 6], [-3, -4]])).tolist() == [5, 5, -4]
+    assert to_mono(np.array([7, 8])).tolist() == [7, 8]  # already mono

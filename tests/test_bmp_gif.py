@@ -142,3 +142,30 @@ def test_decode_image_routing():
         decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
     with pytest.raises(NotImplementedError):  # genuinely uncovered format
         decode_image(b"II*\x00tiffish", "image/tiff")
+
+
+class TestResize:
+    def test_nearest_floor_convention(self):
+        from memvid_spark.sources.image import resize_nearest
+
+        px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+        assert resize_nearest(px, 2, 3).tolist() == [[0, 2, 4], [12, 14, 16]]
+        up = resize_nearest(np.array([[1, 2], [3, 4]], dtype=np.uint8), 4, 4)
+        assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2],
+                               [3, 3, 4, 4], [3, 3, 4, 4]]
+
+    def test_bilinear_known_values(self):
+        from memvid_spark.sources.image import resize_bilinear
+
+        # identity at same size; constant stays constant
+        px = np.arange(30, dtype=np.uint8).reshape(5, 6)
+        assert (resize_bilinear(px, 5, 6) == px).all()
+        assert (resize_bilinear(np.full((3, 3, 4), 9, np.uint8), 7, 2) == 9).all()
+        # 1x2 -> 1x4 with align_corners=False: [0, 25, 75, 100]
+        b = resize_bilinear(np.array([[0, 100]], dtype=np.uint8), 1, 4)
+        assert b.tolist() == [[0, 25, 75, 100]]
+        # channels preserved
+        rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+        rgb[:, :, 1] = 200
+        out = resize_bilinear(rgb, 3, 3)
+        assert out.shape == (3, 3, 3) and (out[:, :, 1] == 200).all()
