@@ -111,6 +111,16 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)
 
+    # multimodal codec throughput (round-3 tiers): real encode+decode of
+    # PNG pixels / PCM samples / MP4 demux / JPEG entropy decode per doc
+    for name in (
+        "q121_image_features", "q124_audio_features",
+        "q126_video_manifest", "q128_jpeg_pixels",
+    ):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     # batch-model embedding path (src/text_embed.rs batch loop): real
     # mapInPandas plumbing; the encoder is sentence-transformers when
     # installed, else the deterministic projection stand-in

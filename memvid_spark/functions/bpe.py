@@ -1,0 +1,197 @@
+"""Byte-pair-encoding tokenizer: distributed training + encoding.
+
+Public-knowledge algorithm (Sennrich et al. 2016 "Neural Machine
+Translation of Rare Words with Subword Units"; the GPT-2 tokenizer's
+training loop). The reference ships a fixed pretrained tokenizer for
+its embedder; a 100 TB training-data pipeline additionally needs to
+TRAIN one on its own corpus — this is the "token counting (BPE-ish)"
+tier of the brief promoted to a real trainer.
+
+Scale shape (the classic trick): training never iterates over the
+corpus — it iterates over the DISTINCT-WORD frequency table, which is
+orders of magnitude smaller (heaps' law: ~1e6-1e8 rows at web scale vs
+1e12 corpus tokens). One corpus scan builds the table; each of the K
+merge rounds is then:
+
+  pair-count:  JVM-side transform/explode over the symbol arrays,
+               freq-weighted groupBy sum — a shuffle over DISTINCT
+               PAIRS (tiny), with map-side partial aggregation
+  argmax:      orderBy(count desc, pair asc).limit(1) — total order,
+               deterministic tie-break
+  merge-apply: Arrow-batched mapInPandas over the word table (a linear
+               scan per word; no shuffle), localCheckpoint per round to
+               keep the plan flat (the lloyd_kmeans/connected-components
+               pattern, functions/vector.py / operators/mesh.py)
+
+``bpe_train_local`` is the pure-Python driver twin (the porter.py
+one-emitter pattern): tests pin distributed == local on the same word
+table. Encoding applies merges in rank order (lowest rank first) and is
+a broadcast-ranks mapInPandas — embarrassingly parallel over docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one full-corpus scan."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol pair counts, all JVM-side: the
+    symbol array is zipped with itself shifted by one via a sequence
+    transform (no Python in the hot path)."""
+    pairs = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] as a, syms[i + 1] as b))"
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) in the symbol arrays with a+b —
+    left-to-right, non-overlapping (the BPE convention)."""
+    merged = a + b
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return words.mapInPandas(run, "word string, freq long, syms array<string>")
+
+
+def train_bpe(
+    docs: DataFrame, text_col: str = "text", k: int = 50, min_pair_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Learn ``k`` merges from the corpus. Returns merges in rank order.
+    Stops early when no pair clears ``min_pair_freq``."""
+    words = word_frequencies(docs, text_col).withColumn(
+        "syms", F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = _apply_merge(words, a, b).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_local(word_freqs: dict[str, int], k: int, min_pair_freq: int = 2):
+    """Pure-Python driver twin of train_bpe over a {word: freq} dict —
+    same argmax tie-break (count desc, pair lexicographic asc)."""
+    words = {w: list(w) for w in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, syms in words.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE encode: repeatedly merge the lowest-rank adjacent
+    pair until none applies."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_tokens, tokens) per doc: broadcast the rank table
+    (a list of merges is a few KB even for 50k-merge vocabularies) and
+    encode inside Arrow batches — no shuffle, scan-shaped."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf["_toks"]):
+                out: list[str] = []
+                for w in toks:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                rows.append((int(did), len(toks), len(out), out))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_tokens", "tokens"]
+            )
+
+    prepped = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return prepped.mapInPandas(
+        run,
+        f"{id_col} long, n_words int, n_tokens int, tokens array<string>",
+    )

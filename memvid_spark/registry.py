@@ -1442,6 +1442,52 @@ def q130_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.mapInPandas(run, schema)
 
 
+@spec(
+    "q131_bpe_pair_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKS.format(x='text')}) AS word FROM documents),
+    wf AS (SELECT word, count(*)::bigint AS freq FROM toks GROUP BY word),
+    prs AS (
+      SELECT substr(w.word, i.i, 1) AS a, substr(w.word, i.i + 1, 1) AS b,
+             w.freq
+      FROM wf w
+      JOIN generate_series(1, 63) i(i) ON i.i <= length(w.word) - 1),
+    pc AS (SELECT a, b, sum(freq)::bigint AS n FROM prs GROUP BY a, b),
+    top AS (SELECT a, b, n FROM pc ORDER BY n DESC, a, b LIMIT 20)
+    SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rank
+    FROM top
+    """,
+    "the BPE-training kernel (Sennrich 2016; the GPT-2 trainer's inner "
+    "loop): freq-weighted adjacent-symbol pair counts over the "
+    "DISTINCT-WORD table — the argmax of this table IS the next merge. "
+    "Scale: the corpus is scanned once for word frequencies; pair "
+    "counting explodes symbol arrays JVM-side (sequence/transform, no "
+    "Python) and shuffles only distinct pairs with map-side partial "
+    "aggregation. The full iterative trainer (functions/bpe.py "
+    "train_bpe: K rounds of count→argmax→merge-apply with "
+    "localCheckpoint) is pinned distributed==pure-Python-twin by tests "
+    "— this query oracle-checks round 0 exactly",
+)
+def q131_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.bpe import _pair_counts, word_frequencies
+
+    t = catalog.load(spark, sf_dir)
+    words = word_frequencies(t.documents).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    )
+    top = (
+        _pair_counts(words)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+    return top.select("a", "b", "n", F.row_number().over(w).alias("rank"))
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
