@@ -1488,6 +1488,66 @@ def q131_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("a", "b", "n", F.row_number().over(w).alias("rank"))
 
 
+@spec(
+    "q132_srt_segments",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 6 + 2)::int AS n
+      FROM documents WHERE doc_id % 10 = 2),
+    seg AS (
+      SELECT s.doc_id, i.i,
+             (i.i * 2000 + s.doc_id % 500)::bigint AS t0,
+             (i.i * 2000 + s.doc_id % 500 + 1500 + (i.i % 3) * 100)::bigint
+               AS t1
+      FROM sel s JOIN generate_series(0, 7) i(i) ON i.i < s.n)
+    SELECT doc_id AS media_id, i::int AS seg_index, t0 AS t_start_ms,
+           t1 AS t_end_ms, (t1 - t0) AS duration_ms,
+           CASE WHEN i % 2 = 0 THEN 'cue ' || doc_id || ' ' || i
+                ELSE 'cue ' || doc_id || ' ' || i || chr(10) || 'extra line'
+           END AS text,
+           (CASE WHEN i % 2 = 0 THEN 3 ELSE 5 END)::int AS n_words
+    FROM seg
+    """,
+    "subtitle (SRT) parsing — the text half of A/V training pairs, the "
+    "same (t_start, t_end, text) shape the reference's transcription "
+    "emits (src/whisper.rs:49-116) arriving as data: formula cue tables "
+    "are serialized to real SRT text (timestamps, counters, multi-line "
+    "cues) and re-parsed by the strict-timestamp/tolerant-layout parser "
+    "(sources/subtitles.py) before the oracle pins every time and cue "
+    "text in closed form. CRLF/BOM/VTT variants are pinned by tests. "
+    "Scale: parse per Arrow batch; segments join manifests by range, "
+    "never via UDF",
+)
+def q132_srt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.subtitles import srt_write, subtitle_segments
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 2).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                segs = []
+                for i in range(mid % 6 + 2):
+                    t0 = i * 2000 + mid % 500
+                    t1 = t0 + 1500 + (i % 3) * 100
+                    txt = f"cue {mid} {i}"
+                    if i % 2 == 1:
+                        txt += "\nextra line"
+                    segs.append((t0, t1, txt))
+                rows.append((mid, srt_write(segs)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    subs = sel.mapInPandas(gen, "media_id long, content string")
+    return subtitle_segments(subs, fmt="srt")
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
