@@ -1548,6 +1548,105 @@ def q132_srt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subtitle_segments(subs, fmt="srt")
 
 
+@spec(
+    "q133_av_alignment",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 512 + 256)::int AS n,
+             (doc_id % 5 + 2)::int AS m
+      FROM documents WHERE doc_id % 10 = 7),
+    smp AS (
+      SELECT s.doc_id, i.i // 64 AS w,
+             ((s.doc_id * 37 + i.i * 11) % 16384 - 8192)
+               * ((i.i // 64 + s.doc_id) % 3) AS v
+      FROM sel s
+      JOIN generate_series(0, 767) i(i) ON i.i < (s.n // 64) * 64),
+    win AS (SELECT doc_id, w, sum(v * v)::bigint AS e
+            FROM smp GROUP BY doc_id, w),
+    hot AS (SELECT doc_id, w,
+                   w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+                     AS grp
+            FROM win WHERE e > 0),
+    aseg AS (SELECT doc_id, min(w) AS ws, max(w) AS we
+             FROM hot GROUP BY doc_id, grp),
+    a AS (SELECT doc_id AS media_id,
+                 (row_number() OVER (PARTITION BY doc_id ORDER BY ws) - 1)
+                   ::int AS a_index,
+                 (ws * 4)::bigint AS a0, ((we + 1) * 4)::bigint AS a1
+          FROM aseg),
+    c AS (SELECT s.doc_id AS media_id, j.j::int AS b_index,
+                 (j.j * 12 + s.doc_id % 9)::bigint AS c0,
+                 (j.j * 12 + s.doc_id % 9 + 10)::bigint AS c1
+          FROM sel s JOIN generate_series(0, 6) j(j) ON j.j < s.m)
+    SELECT a.media_id, a.a_index, c.b_index,
+           greatest(a.a0, c.c0) AS ov_start_ms,
+           least(a.a1, c.c1) AS ov_end_ms,
+           (least(a.a1, c.c1) - greatest(a.a0, c.c0)) AS ov_ms
+    FROM a JOIN c ON c.media_id = a.media_id
+                 AND a.a0 < c.c1 AND c.c0 < a.a1
+    """,
+    "composed A/V-text alignment — the join a multimodal training "
+    "pipeline runs to pair caption text with detected speech: REAL "
+    "decoded audio (WAV round trip → energy segmentation, the q125 "
+    "path) overlap-joined with REAL parsed subtitles (SRT round trip, "
+    "the q132 path) via the banded interval equi-join "
+    "(operators/align.py — the banded_pairs pattern, never an "
+    "inequality nested loop). The oracle recomputes both segment "
+    "tables in closed form and joins on the same strict-overlap "
+    "predicate, so a bug in decode, windowing, parsing, banding or "
+    "dedupe breaks the hash",
+)
+def q133_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.align import interval_overlap_join
+    from .sources.audio import audio_energy_segments, wav_encode
+    from .sources.subtitles import srt_write, subtitle_segments
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 512 + 256
+                i = np.arange(n)
+                v = (
+                    ((mid * 37 + i * 11) % 16384 - 8192)
+                    * ((i // 64 + mid) % 3)
+                ).astype(np.int16)
+                rows.append((mid, wav_encode(v, 16000)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def gen_srt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                segs = []
+                for j in range(mid % 5 + 2):
+                    s0 = j * 12 + mid % 9
+                    segs.append((s0, s0 + 10, f"cue {j}"))
+                rows.append((mid, srt_write(segs)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = sel.mapInPandas(gen_wav, "media_id long, payload binary")
+    audio = audio_energy_segments(media, win=64, threshold=0).select(
+        "media_id", "seg_index", "t_start_ms", "t_end_ms"
+    )
+    subs = subtitle_segments(
+        sel.mapInPandas(gen_srt, "media_id long, content string")
+    ).select("media_id", "seg_index", "t_start_ms", "t_end_ms")
+    return interval_overlap_join(audio, subs, band_ms=16)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
