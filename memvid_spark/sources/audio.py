@@ -217,12 +217,18 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Integer-exact waveform statistics over REAL decoded samples, one
     row per audio payload. Integer stats (sum/min/max/abs-sum over all
     channels) are chosen over float moments so a closed-form SQL oracle
     can pin them exactly — any RIFF-walk / width / interleave bug shifts
-    them. Runs per Arrow batch in mapInPandas; payloads never shuffle."""
+    them. Runs per Arrow batch in mapInPandas; payloads never shuffle.
+
+    ``on_error='channel'`` adds an ``err`` column and emits a null-stats
+    row per undecodable payload instead of failing the job — required
+    posture at 100 TB where corrupt media is routine."""
+    channel = on_error == "channel"
+    schema = AUDIO_FEATURE_SCHEMA + (", err string" if channel else "")
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -231,22 +237,29 @@ def audio_features(media: DataFrame) -> DataFrame:
         cols = [
             "media_id", "sample_rate", "channels", "n_frames",
             "duration_ms", "s_sum", "s_min", "s_max", "abs_sum",
-        ]
+        ] + (["err"] if channel else [])
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = wav_decode(bytes(payload))
-                s = np.asarray(a.centered(), dtype=np.int64)
-                rows.append(
-                    (
+                try:
+                    a = wav_decode(bytes(payload))
+                    s = np.asarray(a.centered(), dtype=np.int64)
+                    row = (
                         int(mid), a.sample_rate, a.channels, a.n_frames,
                         a.duration_ms, int(s.sum()), int(s.min()),
                         int(s.max()), int(np.abs(s).sum()),
                     )
-                )
+                    rows.append(row + ((None,) if channel else ()))
+                except Exception as e:
+                    if not channel:
+                        raise
+                    rows.append(
+                        (int(mid),) + (None,) * 8
+                        + (f"{type(e).__name__}: {e}",)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 AUDIO_SEGMENT_SCHEMA = (

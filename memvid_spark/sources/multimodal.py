@@ -35,7 +35,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, mime string, n_bytes long, checksum string, "
-    "feat array<float>"
+    "feat array<float>, err string"
 )
 
 
@@ -168,17 +168,28 @@ def extract_features(
     batch_note: str = "arrow",
 ) -> DataFrame:
     """mapInPandas feature extraction: one Python call per Arrow batch,
-    output strictly columnar (FEATURE_SCHEMA)."""
+    output strictly columnar (FEATURE_SCHEMA).
+
+    Per-payload error channel: at warehouse scale a corpus ALWAYS
+    contains some corrupt media, and one bad payload must not kill a
+    100 TB job. A decode failure yields feat=NULL with the exception
+    text in ``err`` (the readers.py unreadable-payload channel, q117,
+    applied to media); downstream filters on err IS NULL."""
     import hashlib
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats, checks, nbytes = [], [], []
+            feats, checks, nbytes, errs = [], [], [], []
             for payload, mime in zip(pdf["payload"], pdf["mime"]):
                 b = bytes(payload) if payload is not None else b""
-                feats.append(decode(b, mime))
+                try:
+                    feats.append(decode(b, mime))
+                    errs.append(None)
+                except Exception as e:  # channelled, never job-fatal
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
                 checks.append(hashlib.sha256(b).hexdigest())
                 nbytes.append(len(b))
             yield pd.DataFrame(
@@ -188,6 +199,7 @@ def extract_features(
                     "n_bytes": nbytes,
                     "checksum": checks,
                     "feat": feats,
+                    "err": errs,
                 }
             )
 

@@ -426,12 +426,18 @@ MANIFEST_SCHEMA = (
 )
 
 
-def video_manifests(media: DataFrame) -> DataFrame:
+def video_manifests(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """One row per track per MP4 payload: manifest stats over the REAL
     demux, including byte_sum over the bytes actually extracted via the
     resolved stsc/stco/stsz ranges — a wrong chunk-offset resolution
     reads the wrong bytes and shifts the sum. mapInPandas per Arrow
-    batch; payloads never shuffle."""
+    batch; payloads never shuffle.
+
+    ``on_error='channel'`` adds an ``err`` column and emits one
+    null-stats row per unparsable payload instead of failing the job
+    (corrupt media is routine at warehouse scale)."""
+    channel = on_error == "channel"
+    schema = MANIFEST_SCHEMA + (", err string" if channel else "")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -439,12 +445,21 @@ def video_manifests(media: DataFrame) -> DataFrame:
         cols = [
             "media_id", "track_id", "handler", "codec", "n_samples",
             "total_bytes", "duration_ms", "n_keyframes", "byte_sum",
-        ]
+        ] + (["err"] if channel else [])
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                man = mp4_manifest(payload)
+                try:
+                    man = mp4_manifest(payload)
+                except Exception as e:
+                    if not channel:
+                        raise
+                    rows.append(
+                        (int(mid),) + (None,) * 8
+                        + (f"{type(e).__name__}: {e}",)
+                    )
+                    continue
                 for tr in man.tracks:
                     bs = 0
                     for s in tr.samples:
@@ -458,10 +473,11 @@ def video_manifests(media: DataFrame) -> DataFrame:
                             sum(1 for s in tr.samples if s.is_sync),
                             bs,
                         )
+                        + ((None,) if channel else ())
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(run, MANIFEST_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 KEYFRAME_SCHEMA = (

@@ -234,3 +234,20 @@ def test_to_mono_floor_mean():
 
     assert to_mono(np.array([[0, 10], [5, 6], [-3, -4]])).tolist() == [5, 5, -4]
     assert to_mono(np.array([7, 8])).tolist() == [7, 8]  # already mono
+
+
+def test_error_channel_does_not_kill_job(spark):
+    """Warehouse posture: a corrupt payload yields an err row, the rest
+    of the batch still decodes (on_error='channel'); default still
+    raises (oracle fixtures must never silently degrade)."""
+    good = bytearray(wav_encode(np.full(10, 3, dtype=np.int16), 8000))
+    media = spark.createDataFrame(
+        [(1, good), (2, bytearray(b"corrupt bytes"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in
+            audio_features(media, on_error="channel").collect()}
+    assert rows[1]["err"] is None and rows[1]["s_sum"] == 30
+    assert rows[2]["err"] is not None and rows[2]["s_sum"] is None
+    with pytest.raises(Exception):
+        audio_features(media).collect()  # default: loud

@@ -155,3 +155,19 @@ def test_video_operators(spark):
     import hashlib
 
     assert kf[0]["checksum"] == hashlib.sha256(vid[0]).hexdigest()
+
+
+def test_error_channel_does_not_kill_job(spark):
+    good, _, _ = two_track()
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"corrupt not a video"))],
+        "media_id long, payload binary",
+    )
+    rows = video_manifests(media, on_error="channel").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 2 and all(r["err"] is None for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0]["err"] is not None
+    with pytest.raises(Exception):
+        video_manifests(media).collect()
