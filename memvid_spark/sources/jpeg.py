@@ -15,10 +15,11 @@ sequential DCT JPEGs — the overwhelmingly common flavor:
   form), level shift + clamp, YCbCr→RGB (BT.601 full range, the JFIF
   convention) for 3-component scans
 
-Supported: grayscale and 4:4:4 (no chroma subsampling — every
-component 1x1 sampling). Progressive (SOF2), 4:2:0 subsampling and
-arithmetic coding raise a clear error; a deployment swaps in PIL via
-the same seam as before (multimodal.decode_image).
+Supported: grayscale, 4:4:4, 4:2:2 and 4:2:0 (general h×v sampling
+factors — interleaved multi-block MCUs, per-component plane
+reconstruction, nearest-neighbor chroma upsample). Progressive (SOF2)
+and arithmetic coding raise a clear error; a deployment swaps in PIL
+via the same seam as before (multimodal.decode_image).
 
 The encoder exists for fixtures and the sink tier: standard Annex K
 huffman tables, all-ones quant by default — for images constant within
@@ -243,12 +244,15 @@ def jpeg_decode(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
                     raise JpegError(
-                        "chroma subsampling unsupported (4:4:4 only); "
-                        "inject PIL via multimodal.decode_image"
+                        f"non-integer sampling ratio {hi}x{vi} vs "
+                        f"{hmax}x{vmax} unsupported"
                     )
-                comps.append((cid, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise JpegError("progressive/extended JPEG unsupported (SOF0 only)")
@@ -270,53 +274,77 @@ def jpeg_decode(payload: bytes):
     raise JpegError("no scan data found")
 
 
+def _decode_block(reader, dc_codes, ac_codes):
+    zz = [0] * 64
+    size = reader.read_code(dc_codes)
+    diff = _extend(reader.read_bits(size), size) if size else 0
+    zz[0] = diff  # caller adds the DC predictor
+    k = 1
+    while k < 64:
+        rs = reader.read_code(ac_codes)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC index overflow")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return zz
+
+
 def _decode_scan(np, payload, pos, frame, qt, huff, scan_tabs, restart_interval):
+    """General interleaved baseline scan: each MCU carries h_i×v_i
+    blocks per component (4:4:4 / 4:2:2 / 4:2:0 all fall out of the
+    sampling factors); subsampled planes are reconstructed at their own
+    resolution and replicated up to full size (the nearest-neighbor
+    chroma upsample)."""
     h, w, comps = frame
     M = _dct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for _cid, hi, vi, _tq in comps
+    ]
     reader = _BitReader(payload, pos)
     pred = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart()
                 pred = [0] * len(comps)
             try:
-                for ci, (cid, tq) in enumerate(comps):
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
                     dc_id, ac_id = scan_tabs[cid]
                     dc_codes = huff[(0, dc_id)]
                     ac_codes = huff[(1, ac_id)]
-                    zz = [0] * 64
-                    size = reader.read_code(dc_codes)
-                    diff = _extend(reader.read_bits(size), size) if size else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_code(ac_codes)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC index overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
                     q = qt[tq]
-                    coeffs = np.zeros(64, dtype=np.float64)
-                    for i in range(64):
-                        coeffs[ZIGZAG[i]] = zz[i] * q[i]
-                    block = M.T @ coeffs.reshape(8, 8) @ M
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = _decode_block(reader, dc_codes, ac_codes)
+                            pred[ci] += zz[0]
+                            zz[0] = pred[ci]
+                            coeffs = np.zeros(64, dtype=np.float64)
+                            for i in range(64):
+                                coeffs[ZIGZAG[i]] = zz[i] * q[i]
+                            block = M.T @ coeffs.reshape(8, 8) @ M
+                            py = (my * vi + by) * 8
+                            px = (mx * hi + bx) * 8
+                            planes[ci][py : py + 8, px : px + 8] = block
             except _Restart:
                 raise JpegError("restart marker misaligned with DRI interval")
             mcu += 1
-    out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    out = []
+    for (cid, hi, vi, _tq), p in zip(comps, planes):
+        up = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(np.clip(np.round(up[:h, :w] + 128.0), 0, 255))
     if len(out) == 1:
         return out[0].astype(np.uint8)
     y, cb, cr = out
@@ -363,10 +391,16 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
-    """Baseline sequential encoder: grayscale (h, w) or RGB (h, w, 3)
-    4:4:4, uniform quantization value ``quant`` (1 → images constant per
-    8x8 block round-trip exactly). ``restart_interval`` > 0 emits a DRI
+def jpeg_encode(
+    pixels, quant: int = 1, restart_interval: int = 0, subsample: str = "444"
+) -> bytes:
+    """Baseline sequential encoder: grayscale (h, w) or RGB (h, w, 3),
+    uniform quantization value ``quant`` (1 → images constant per 8x8
+    block round-trip exactly in 4:4:4). ``subsample`` picks the chroma
+    layout: '444' (every block full-res), '422' (chroma halved
+    horizontally), '420' (halved both ways — the layout nearly all real
+    photos ship); chroma is box-averaged down, MCUs interleave
+    h_i×v_i blocks per component. ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every N MCUs (exercises the decoder's
     restart resync)."""
     import numpy as np
@@ -387,9 +421,20 @@ def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0]) + bytes(q))
     nc = 1 if gray else 3
+    if gray or subsample == "444":
+        factors = [(1, 1)] * nc
+    elif subsample == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "422":
+        factors = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise JpegError(f"unknown subsampling {subsample!r}")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
     out += _seg(0xC0, sof)
     tables = [(0x00, DC_LUM), (0x10, AC_LUM)]
     if not gray:
@@ -408,20 +453,62 @@ def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
     out += _seg(0xDA, sos)
     enc_dc = [_encode_codes(*DC_LUM), _encode_codes(*DC_CHROM)]
     enc_ac = [_encode_codes(*AC_LUM), _encode_codes(*AC_CHROM)]
-    writer = _BitWriter()
-    pred = [0] * nc
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component plane: edge-replicate to the full MCU grid at full
+    # resolution, then box-average down by the sampling ratio (the
+    # standard chroma downsample)
     padded = []
-    for p in planes:
-        full = np.zeros((bh_ * 8, bw_ * 8))
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
+        full = np.zeros((fh, fw))
         full[:h, :w] = p
-        # edge replicate so padding doesn't ring
         full[h:, :w] = p[h - 1 : h, :]
         full[:, w:] = full[:, w - 1 : w]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
         padded.append(full)
+
+    def encode_block(writer, block, ci):
+        t = 0 if ci == 0 else 1
+        coeffs = M @ block @ M.T
+        zz = [
+            int(np.round(coeffs.ravel()[ZIGZAG[i]])) // quant
+            for i in range(64)
+        ]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        size, bits_v = _magnitude(diff)
+        code, length = enc_dc[t][size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits_v, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = enc_ac[t][0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            size, bits_v = _magnitude(zz[k])
+            code, length = enc_ac[t][(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits_v, size)
+            run = 0
+        if last_nz < 63:
+            code, length = enc_ac[t][0x00]  # EOB
+            writer.write(code, length)
+
+    writer = _BitWriter()
+    pred = [0] * nc
     mcu = 0
-    for by in range(bh_):
-        for bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.flush()
                 out += writer.out
@@ -430,38 +517,14 @@ def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
                 pred = [0] * nc
             mcu += 1
             for ci in range(nc):
-                t = 0 if ci == 0 else 1
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeffs = M @ block @ M.T
-                zz = [
-                    int(np.round(coeffs.ravel()[ZIGZAG[i]])) // quant
-                    for i in range(64)
-                ]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                size, bits_v = _magnitude(diff)
-                code, length = enc_dc[t][size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits_v, size)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = enc_ac[t][0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size, bits_v = _magnitude(zz[k])
-                    code, length = enc_ac[t][(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits_v, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = enc_ac[t][0x00]  # EOB
-                    writer.write(code, length)
+                hi, vi = factors[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        py = (my * vi + by) * 8
+                        px_ = (mx * hi + bx) * 8
+                        encode_block(
+                            writer, padded[ci][py : py + 8, px_ : px_ + 8], ci
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"

@@ -64,10 +64,10 @@ def decode_image(payload: bytes, mime: str):
     PNG, BMP, GIF and baseline JPEG are decoded for real by the
     pure-stdlib codecs (sources/image.py: zlib inflate + per-row
     unfilter / BI_RGB row layouts / full GIF-LZW; sources/jpeg.py:
-    huffman + dequant + IDCT + YCbCr — src/clip.rs:99-102 consumes real
-    pixels and so do these paths). Progressive/subsampled JPEG raises
-    with an inject-PIL message; unknown formats raise
-    NotImplementedError."""
+    huffman + dequant + IDCT + YCbCr, incl. 4:2:0/4:2:2 chroma
+    subsampling — src/clip.rs:99-102 consumes real pixels and so do
+    these paths). Progressive JPEG raises with an inject-PIL message;
+    unknown formats raise NotImplementedError."""
     if mime == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .image import png_decode
 

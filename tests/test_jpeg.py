@@ -87,17 +87,64 @@ def test_unsupported_flavors_raise_clearly():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(JpegError, match="progressive"):
         jpeg_decode(bytes(prog))
-    # 4:2:0 subsampling: patch the sampling byte of component 1
-    sub = bytearray(payload)
-    sub[sof_at + 11] = 0x22
-    with pytest.raises(JpegError, match="subsampling"):
-        jpeg_decode(bytes(sub))
+    # non-integer sampling ratio (3 does not divide hmax 2)
+    rgb = bytearray(jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8),
+                                subsample="420"))
+    sof3 = rgb.find(b"\xff\xc0")
+    bad = bytearray(rgb)
+    bad[sof3 + 11] = 0x33  # component 0: 3x3 vs chroma 1x1 → hmax 3 % 2...
+    bad[sof3 + 14] = 0x22  # component 1: 2x2 → 3 % 2 != 0
+    with pytest.raises(JpegError, match="sampling"):
+        jpeg_decode(bytes(bad))
     # 16-bit quant table: flip Pq nibble
     dqt_at = payload.find(b"\xff\xdb")
     wide = bytearray(payload)
     wide[dqt_at + 4] = 0x10
     with pytest.raises(JpegError, match="quant"):
         jpeg_decode(bytes(wide))
+
+
+class TestChromaSubsampling:
+    def test_420_flat_color_near_exact(self):
+        flat = np.zeros((32, 48, 3), dtype=np.uint8)
+        flat[:] = [180, 90, 40]
+        d = jpeg_decode(jpeg_encode(flat, subsample="420"))
+        assert d.shape == flat.shape
+        assert np.abs(d.astype(int) - flat.astype(int)).max() <= 2
+
+    def test_420_and_422_gradient_bounds(self):
+        yy, xx = np.meshgrid(np.arange(24), np.arange(40), indexing="ij")
+        grad = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        d420 = jpeg_decode(jpeg_encode(grad, subsample="420"))
+        assert np.abs(d420.astype(int) - grad.astype(int)).max() <= 6
+        d422 = jpeg_decode(jpeg_encode(grad, subsample="422"))
+        assert np.abs(d422.astype(int) - grad.astype(int)).max() <= 4
+        # luma survives chroma downsampling almost exactly
+        def luma(a):
+            return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+        assert np.abs(luma(d420) - luma(grad)).max() <= 2.0
+
+    def test_420_ragged_dims_and_restarts(self):
+        # mid-range values so chroma averaging can't clip RGB (clipping
+        # bleeds chroma error into recomputed luma — inherent to 4:2:0)
+        rng = np.random.RandomState(9)
+        odd = rng.randint(96, 160, (19, 21, 3), dtype=np.uint8)
+        payload = jpeg_encode(odd, subsample="420", restart_interval=2)
+        assert b"\xff\xdd" in payload
+        d = jpeg_decode(payload)
+        assert d.shape == odd.shape  # MCU padding cropped correctly
+
+        def luma(a):
+            return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+        assert np.abs(luma(d.astype(float)) - luma(odd.astype(float))).max() <= 3.0
+
+    def test_unknown_subsample_rejected(self):
+        with pytest.raises(JpegError, match="subsampling"):
+            jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsample="411")
 
 
 def test_decode_image_routes_jpeg():
