@@ -6,12 +6,12 @@ this module makes PNG a genuinely first-class format in this container
 (no PIL/ffmpeg installed) — decode is a real zlib inflate + per-row
 unfilter, not a stub.
 
-Coverage: non-interlaced PNG, bit depth 8, color types 0 (gray),
-2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); tRNS ignored (features
-are computed over stored channels). Interlaced / 16-bit / sub-byte
-depths raise a clear error — they are rare in synthetic corpora and a
-deployment with PIL swaps the decoder via the same injection seam as
-multimodal.decode_image.
+Coverage: all five color types (gray / RGB / palette / gray+alpha /
+RGBA), bit depths 1/2/4/8/16 (sub-byte gray scales to full range,
+16-bit keeps the high byte), non-interlaced AND Adam7 interlaced
+(seven independently-filtered sub-images recomposed); tRNS ignored
+(features are computed over stored channels). Also here: BMP pixel
+codec (BI_RGB tiers), GIF codec (full LZW), and the resize transforms.
 
 Scale: decode runs inside Arrow batches (mapInPandas) — one Python call
 per batch, output strictly columnar. The unfilter hot loop is NumPy-
@@ -94,10 +94,84 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_decode(payload: bytes) -> PngImage:
-    """Full decode: inflate IDAT, unfilter scanlines, expand palette.
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Returns pixels as (height, width, channels) uint8."""
+
+def _unfilter(np, raw: bytes, h: int, w: int, ch: int, depth: int):
+    """Undo per-scanline filtering for one (sub-)image; returns the
+    reconstructed bytes as an (h, stride) int array. ``bpp`` — the
+    left-neighbor distance — is in BYTES (1 for sub-byte depths, per
+    spec)."""
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)
+    if len(raw) != h * (1 + stride):
+        raise PngError("IDAT payload size mismatch")
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = buf[:, 0]
+    rows = buf[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    lanes = stride // bpp if stride % bpp == 0 else None
+    for y in range(h):
+        ft = int(ftypes[y])
+        row = rows[y]
+        if ft == 0:  # None
+            cur = row
+        elif ft == 1 and lanes:  # Sub via lane cumsum
+            cur = (row.reshape(lanes, bpp).cumsum(axis=0) % 256).reshape(stride)
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Average / Paeth (or ragged Sub) — serial
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ft == 1:
+                    cur[i] = (row[i] + a) % 256
+                elif ft == 3:
+                    cur[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (row[i] + _paeth(a, b, c)) % 256
+        else:
+            raise PngError(f"unknown filter type {ft} in row {y}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _samples_from_rows(np, rows, h: int, w: int, ch: int, depth: int):
+    """(h, stride) reconstructed bytes → (h, w, ch) sample array.
+    Sub-byte depths unpack MSB-first; 16-bit keeps the high byte (the
+    standard 8-bit downconvert)."""
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch).astype(np.uint8)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0].astype(
+            np.uint8
+        )
+    # 1/2/4-bit: unpack bits per byte, MSB first
+    per_byte = 8 // depth
+    bits = np.zeros((h, rows.shape[1] * per_byte), dtype=np.uint8)
+    for k in range(per_byte):
+        shift = 8 - depth * (k + 1)
+        bits[:, k::per_byte] = (rows >> shift) & ((1 << depth) - 1)
+    return bits[:, : w * ch].reshape(h, w, ch)
+
+
+def png_decode(payload: bytes) -> PngImage:
+    """Full decode: inflate IDAT, unfilter scanlines (including the
+    seven independently-filtered Adam7 sub-images), unpack sub-byte
+    depths, expand palette.
+
+    Returns pixels as (height, width, channels) uint8. Gray samples at
+    depth < 8 scale to full range (PNG's display convention); 16-bit
+    keeps the high byte; palette indices map through PLTE at any
+    depth."""
     import numpy as np
 
     ihdr = None
@@ -115,56 +189,51 @@ def png_decode(payload: bytes) -> PngImage:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise PngError("unsupported compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlace not supported (inject PIL decoder)")
-    if depth != 8:
-        raise PngError(f"bit depth {depth} not supported (8 only)")
     if color not in _CHANNELS:
         raise PngError(f"unknown color type {color}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise PngError(f"bit depth {depth} not supported")
+    if depth < 8 and color not in (0, 3):
+        raise PngError(f"sub-byte depth invalid for color type {color}")
     ch = _CHANNELS[color]
-    stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
-        raise PngError("IDAT payload size mismatch")
-    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    ftypes = buf[:, 0]
-    rows = buf[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft = int(ftypes[y])
-        row = rows[y]
-        if ft == 0:  # None
-            cur = row
-        elif ft == 1:  # Sub — recon[i] = raw[i] + recon[i-bpp]: lane cumsum
-            cur = (row.reshape(w, ch).cumsum(axis=0) % 256).reshape(stride)
-        elif ft == 2:  # Up
-            cur = (row + prev) % 256
-        elif ft in (3, 4):  # Average / Paeth — sequential in x per lane
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                if ft == 3:
-                    cur[i] = (row[i] + (a + b) // 2) % 256
-                else:
-                    c = prev[i - ch] if i >= ch else 0
-                    cur[i] = (row[i] + _paeth(a, b, c)) % 256
-        else:
-            raise PngError(f"unknown filter type {ft} in row {y}")
-        out[y] = cur
-        prev = cur
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        rows = _unfilter(np, raw, h, w, ch, depth)
+        samples = _samples_from_rows(np, rows, h, w, ch, depth)
+    elif interlace == 1:
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            n = ph * (1 + stride)
+            rows = _unfilter(np, raw[pos : pos + n], ph, pw, ch, depth)
+            pos += n
+            sub = _samples_from_rows(np, rows, ph, pw, ch, depth)
+            samples[y0::ys, x0::xs] = sub
+        if pos != len(raw):
+            raise PngError("IDAT payload size mismatch (interlaced)")
+    else:
+        raise PngError(f"unknown interlace method {interlace}")
     if color == 3:  # expand palette indices → RGB
         if plte is None:
             raise PngError("palette image without PLTE chunk")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if px.max() >= len(pal):
+        if samples.max() >= len(pal):
             raise PngError("palette index out of range")
-        px = pal[px.reshape(h, w)]
+        px = pal[samples.reshape(h, w)]
         ch = 3
+    elif color == 0 and depth < 8:
+        # scale to full 8-bit range (255 / (2^d - 1) is exact for 1/2/4)
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = samples
     return PngImage(
-        width=w, height=h, bit_depth=8, color_type=color, channels=ch, pixels=px
+        width=w, height=h, bit_depth=depth, color_type=color, channels=ch,
+        pixels=px,
     )
 
 
