@@ -1,0 +1,113 @@
+"""Property-based codec tests: lossless round trips must hold for ALL
+inputs, not just the synthetic fixtures — arbitrary shapes, values,
+channel counts. Each failure here is a real byte-level bug (stride,
+sign, palette, filter, chunking), which is exactly what hypothesis
+shrinks to a minimal reproducer."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from memvid_spark.sources.audio import wav_decode, wav_encode
+from memvid_spark.sources.image import (
+    bmp_decode,
+    bmp_encode,
+    gif_decode,
+    gif_encode,
+    png_decode,
+    png_encode,
+    resize_nearest,
+)
+from memvid_spark.sources.jpeg import jpeg_decode, jpeg_encode
+from memvid_spark.sources.subtitles import srt_parse, srt_write
+from memvid_spark.sources.video import MuxTrack, mp4_mux, mp4_samples
+
+dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+def arr(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.randint(0, 256, shape, dtype=np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, st.sampled_from([1, 2, 3, 4]), st.integers(0, 10**6))
+def test_png_roundtrip_lossless(d, ch, seed):
+    px = arr(*d, ch, seed)
+    dec = png_decode(png_encode(px)).pixels
+    want = px if px.ndim == 3 else px[:, :, None]
+    assert (dec == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, st.integers(0, 10**6))
+def test_bmp_roundtrip_lossless(d, seed):
+    px = arr(*d, 3, seed)
+    assert (bmp_decode(bmp_encode(px)) == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, st.integers(1, 256), st.integers(0, 10**6))
+def test_gif_roundtrip_lossless(d, ncolors, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.randint(0, ncolors, d, dtype=np.uint8)
+    assert (gif_decode(gif_encode(idx, pal)) == pal[idx]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, st.integers(0, 10**6))
+def test_jpeg_unit_quant_bounded(d, seed):
+    # JPEG is transform-coded: unit quantization bounds error by IDCT
+    # rounding (±2 gray), never more
+    px = arr(*d, 1, seed)
+    dec = jpeg_decode(jpeg_encode(px))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 500), st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]), st.integers(0, 10**6),
+)
+def test_wav_roundtrip_lossless(n, ch, rate, seed):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+    a = wav_decode(wav_encode(s, rate))
+    assert a.sample_rate == rate and a.channels == ch
+    assert (a.samples == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=12),
+    st.integers(1, 4),
+    st.integers(0, 5),
+)
+def test_mp4_sample_bytes_roundtrip(samples, spc, sync_every):
+    payload = mp4_mux([
+        MuxTrack("vide", "mp4v", samples, [100] * len(samples),
+                 samples_per_chunk=spc, sync_every=sync_every),
+    ])
+    assert [b for _, b in mp4_samples(payload, 1)] == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3_000_000), st.integers(1, 60_000)),
+    min_size=1, max_size=10,
+))
+def test_srt_roundtrip(cues):
+    segs = [(t0, t0 + d, f"cue {i}") for i, (t0, d) in enumerate(cues)]
+    parsed = srt_parse(srt_write(segs))
+    assert [(t0, t1, txt) for _i, t0, t1, txt in parsed] == segs
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims, dims, st.integers(0, 10**6))
+def test_resize_nearest_values_come_from_source(d, out_d, seed):
+    px = arr(*d, 1, seed)
+    out = resize_nearest(px, *out_d)
+    assert out.shape == out_d
+    assert np.isin(out, px).all()  # NN never invents values
