@@ -111,3 +111,37 @@ def test_resize_nearest_values_come_from_source(d, out_d, seed):
     out = resize_nearest(px, *out_d)
     assert out.shape == out_d
     assert np.isin(out, px).all()  # NN never invents values
+
+
+# --- adversarial: malformed bytes must raise cleanly, fast ---------------
+
+
+def _collect_decoders():
+    from memvid_spark.sources import binary as B
+    from memvid_spark.sources.audio import wav_decode
+    from memvid_spark.sources.image import bmp_decode, gif_decode, png_decode
+    from memvid_spark.sources.jpeg import jpeg_decode
+    from memvid_spark.sources.video import mp4_manifest
+
+    return [
+        ("png", png_decode, b"\x89PNG\r\n\x1a\n"),
+        ("bmp", bmp_decode, b"BM"),
+        ("gif", gif_decode, b"GIF89a"),
+        ("jpeg", jpeg_decode, b"\xff\xd8"),
+        ("wav", wav_decode, b"RIFF\x40\x00\x00\x00WAVE"),
+        ("mp4", mp4_manifest, b"\x00\x00\x00\x10ftypisom"),
+        ("pdf-txt", B.pdf_extract_text, b"%PDF-1.4\n"),
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 6))
+def test_decoders_fail_closed_on_garbage(junk, which):
+    """Magic prefix + random garbage: every decoder must either return a
+    well-formed result or raise a normal exception — never hang, never
+    kill the interpreter. At 100 TB the corpus WILL contain these."""
+    name, fn, magic = _collect_decoders()[which]
+    try:
+        fn(magic + junk)
+    except Exception:
+        pass  # clean failure is the contract; error CHANNELS wrap this
