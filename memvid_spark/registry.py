@@ -1647,6 +1647,134 @@ def q133_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(audio, subs, band_ms=16)
 
 
+@spec(
+    "q134_media_clean_corpus",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS kind
+      FROM documents WHERE doc_id % 10 = 8),
+    img AS (
+      SELECT doc_id, (doc_id % 12 + 4)::int AS w, (doc_id % 10 + 4)::int AS h
+      FROM sel WHERE kind = 0),
+    ipx AS (
+      SELECT i.doc_id, count(*)::bigint AS n_units,
+             sum((i.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::bigint AS v_sum
+      FROM img i
+      JOIN generate_series(0, 15) x(x) ON x.x < i.w
+      JOIN generate_series(0, 13) y(y) ON y.y < i.h
+      GROUP BY i.doc_id),
+    aud AS (
+      SELECT doc_id, (doc_id % 200 + 50)::int AS n
+      FROM sel WHERE kind = 1),
+    apx AS (
+      SELECT a.doc_id, count(*)::bigint AS n_units,
+             sum((a.doc_id * 37 + i.i * 11) % 65536 - 32768)::bigint AS v_sum
+      FROM aud a JOIN generate_series(0, 249) i(i) ON i.i < a.n
+      GROUP BY a.doc_id)
+    SELECT doc_id AS media_id, 'image' AS modality, n_units, v_sum
+    FROM ipx WHERE n_units >= 60
+    UNION ALL
+    SELECT doc_id AS media_id, 'audio' AS modality, n_units, v_sum
+    FROM apx WHERE n_units >= 100
+    """,
+    "composed multimodal clean-corpus pipeline — the media twin of "
+    "q109: a mixed corpus (formula PNGs, WAVs, planted byte-exact "
+    "DUPLICATES of each 40-block's canonical image, and corrupt "
+    "payloads) flows through real decode with the error channel "
+    "(corrupt rows gated, not fatal) → modality quality gates "
+    "(min-resolution / min-duration) → exact dedup by payload sha256 "
+    "keeping the smallest media_id. The oracle reduces to exactly the "
+    "kind-0/kind-1 survivors in closed form: every dup and corrupt row "
+    "the pipeline fails to drop, or good row it wrongly drops, breaks "
+    "the hash. Scale: decode/stat per Arrow batch; dedup is a "
+    "checksum groupBy (hash shuffle of tiny digests); gates are "
+    "column predicates",
+)
+def q134_media_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.audio import wav_decode, wav_encode
+    from .sources.image import png_decode, png_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 8).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def png_of(did):
+            w, h = did % 12 + 4, did % 10 + 4
+            y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            return png_encode(((did * 31 + x * 7 + y * 13) % 256).astype(np.uint8))
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = (mid // 10) % 4
+                if kind == 0:
+                    payload = png_of(mid)
+                elif kind == 1:
+                    n = mid % 200 + 50
+                    v = ((mid * 37 + np.arange(n) * 11) % 65536 - 32768).astype(
+                        np.int16
+                    )
+                    payload = wav_encode(v, 16000)
+                elif kind == 2:  # byte-exact duplicate of the block base
+                    payload = png_of((mid // 40) * 40 + 8)
+                else:  # corrupt media
+                    payload = b"CORRUPT" + mid.to_bytes(4, "big")
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = sel.mapInPandas(gen, "media_id long, payload binary")
+
+    def stats(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cols = ["media_id", "modality", "n_units", "v_sum", "checksum", "err"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                digest = hashlib.sha256(b).hexdigest()
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        px = png_decode(b).pixels.astype(np.int64)
+                        row = (int(mid), "image", int(px.size), int(px.sum()),
+                               digest, None)
+                    elif b[:4] == b"RIFF":
+                        a = wav_decode(b)
+                        s = np.asarray(a.centered(), dtype=np.int64)
+                        row = (int(mid), "audio", a.n_frames, int(s.sum()),
+                               digest, None)
+                    else:
+                        raise ValueError("unrecognized media payload")
+                except Exception as e:
+                    row = (int(mid), None, None, None, digest,
+                           f"{type(e).__name__}: {e}")
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    feats = media.mapInPandas(
+        stats,
+        "media_id long, modality string, n_units bigint, v_sum bigint, "
+        "checksum string, err string",
+    )
+    ok = feats.filter(F.col("err").isNull())
+    keeper = ok.groupBy("checksum").agg(F.min("media_id").alias("media_id"))
+    deduped = ok.join(keeper, ["checksum", "media_id"])
+    gated = deduped.filter(
+        ((F.col("modality") == "image") & (F.col("n_units") >= 60))
+        | ((F.col("modality") == "audio") & (F.col("n_units") >= 100))
+    )
+    return gated.select("media_id", "modality", "n_units", "v_sum")
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
