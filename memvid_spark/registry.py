@@ -1657,8 +1657,15 @@ def q133_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, (doc_id % 12 + 4)::int AS w, (doc_id % 10 + 4)::int AS h
       FROM sel WHERE kind = 0),
     ipx AS (
+      -- pixels (0,0)/(0,1) carry the doc id so distinct docs can never
+      -- produce byte-identical images (the 31*did%256 formula repeats
+      -- with period lcm(256,12,10)=3840 otherwise and dedup would
+      -- correctly collapse them)
       SELECT i.doc_id, count(*)::bigint AS n_units,
-             sum((i.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::bigint AS v_sum
+             sum(CASE WHEN y.y = 0 AND x.x = 0 THEN i.doc_id % 256
+                      WHEN y.y = 0 AND x.x = 1 THEN (i.doc_id // 256) % 256
+                      ELSE (i.doc_id * 31 + x.x * 7 + y.y * 13) % 256
+                 END)::bigint AS v_sum
       FROM img i
       JOIN generate_series(0, 15) x(x) ON x.x < i.w
       JOIN generate_series(0, 13) y(y) ON y.y < i.h
@@ -1706,7 +1713,11 @@ def q134_media_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         def png_of(did):
             w, h = did % 12 + 4, did % 10 + 4
             y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-            return png_encode(((did * 31 + x * 7 + y * 13) % 256).astype(np.uint8))
+            px = ((did * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+            # id stamp → payloads injective across docs (oracle mirrors)
+            px[0, 0] = did % 256
+            px[0, 1] = (did >> 8) % 256
+            return png_encode(px)
 
         for pdf in batches:
             rows = []
