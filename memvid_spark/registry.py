@@ -1786,6 +1786,152 @@ def q134_media_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.select("media_id", "modality", "n_units", "v_sum")
 
 
+@spec(
+    "q135_warc_records",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 4 + 2)::int AS k
+      FROM documents WHERE doc_id % 10 = 0),
+    rec AS (
+      SELECT s.doc_id, r.r FROM sel s
+      JOIN generate_series(0, 5) r(r) ON r.r < s.k)
+    SELECT doc_id AS archive_id, r::int AS rec_index,
+           'http://site' || (doc_id % 50) || '.example/p' || r AS uri,
+           '2024-01-01T00:00:'
+             || lpad(((doc_id + r) % 60)::varchar, 2, '0') || 'Z'
+             AS warc_date,
+           (CASE WHEN r % 2 = 0 THEN 200 ELSE 404 END)::int AS http_status,
+           CASE WHEN r % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mime,
+           length('page ' || doc_id || ' rec ' || r)::bigint AS body_len,
+           'page ' || doc_id || ' rec ' || r AS body
+    FROM rec
+    """,
+    "WARC (ISO 28500) web-archive ingestion — the format web-scale "
+    "training corpora actually arrive in (Common Crawl): formula "
+    "archives are serialized to real WARC bytes (warcinfo + request "
+    "records interleaved to exercise type filtering; odd docs gzip "
+    "each record as its own member, the Common Crawl layout) and "
+    "re-parsed by the strict-framing parser (sources/warc.py: "
+    "Content-Length-governed blocks, multi-member gunzip, HTTP "
+    "status/header/body split). The oracle pins every response "
+    "record's uri/date/status/mime/body in closed form. Scale: one "
+    "archive per row, parse per Arrow batch, bodies truncated at the "
+    "source",
+)
+def q135_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import warc_records, warc_write
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("archive_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["archive_id"]:
+                aid = int(aid)
+                recs = [{"warc_type": "warcinfo", "block": b"software: t\r\n"}]
+                for r in range(aid % 4 + 2):
+                    uri = f"http://site{aid % 50}.example/p{r}"
+                    recs.append(
+                        {"warc_type": "request", "uri": uri,
+                         "block": b"GET / HTTP/1.1\r\n"}
+                    )
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "uri": uri,
+                            "date": f"2024-01-01T00:00:{(aid + r) % 60:02d}Z",
+                            "http_status": 200 if r % 2 == 0 else 404,
+                            "mime": "text/html" if r % 2 == 0 else "text/plain",
+                            "body": f"page {aid} rec {r}".encode(),
+                        }
+                    )
+                rows.append(
+                    (aid, warc_write(recs, gzip_members=aid % 2 == 1))
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "payload"])
+
+    archives = sel.mapInPandas(gen, "archive_id long, payload binary")
+    return warc_records(archives)
+
+
+@spec(
+    "q136_url_normalize",
+    """
+    WITH sel AS (SELECT doc_id, doc_id % 50 AS s FROM documents),
+    dirty AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'HTTP://WWW.Site' || s || '.Example:80/Doc'
+                           || doc_id || '?b=2&a=1#sec'
+               WHEN 1 THEN 'HTTPS://Site' || s || '.Example:8443/dir/Page#x'
+               ELSE 'https://Host' || s || '.Example:443'
+             END AS url
+      FROM sel),
+    expect AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'http://www.site' || (doc_id % 50)
+                           || '.example/Doc' || doc_id || '?b=2&a=1'
+               WHEN 1 THEN 'https://site' || (doc_id % 50)
+                           || '.example:8443/dir/Page'
+               ELSE 'https://host' || (doc_id % 50) || '.example/'
+             END AS url_norm,
+             CASE doc_id % 3
+               WHEN 0 THEN 'site' || (doc_id % 50) || '.example'
+               WHEN 1 THEN 'site' || (doc_id % 50) || '.example'
+               ELSE 'host' || (doc_id % 50) || '.example'
+             END AS domain,
+             CASE doc_id % 3
+               WHEN 0 THEN '/Doc' || doc_id
+               WHEN 1 THEN '/dir/Page'
+               ELSE '/'
+             END AS path
+      FROM sel)
+    SELECT doc_id, url_norm, domain, path FROM expect
+    """,
+    "URL canonicalization — the dedup/grouping key of a web corpus "
+    "(post-WARC): lowercase scheme+host, strip default ports and "
+    "fragments, default empty path, preserve path case and query "
+    "verbatim, www-stripped domain. All regexp_extract/string column "
+    "algebra (functions/urls.py) — whole-stage codegen, no Python, "
+    "scan-speed over billions of URLs. The oracle constructs the "
+    "expected canonical forms in closed form from the same dirty "
+    "inputs the Spark side actually normalizes",
+)
+def q136_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import url_domain, url_normalize, url_path
+
+    t = catalog.load(spark, sf_dir)
+    s = (F.col("doc_id") % 50).cast("string")
+    did = F.col("doc_id").cast("string")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Site"), s, F.lit(".Example:80/Doc"), did,
+                F.lit("?b=2&a=1#sec"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("HTTPS://Site"), s, F.lit(".Example:8443/dir/Page#x")),
+        )
+        .otherwise(F.concat(F.lit("https://Host"), s, F.lit(".Example:443")))
+    )
+    u = t.documents.select("doc_id", dirty.alias("url"))
+    return u.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        url_domain(F.col("url")).alias("domain"),
+        url_path(F.col("url")).alias("path"),
+    )
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
