@@ -1932,6 +1932,118 @@ def q136_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q137_html_extract",
+    """
+    WITH expect AS (
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Heading ' || (doc_id % 7) || chr(10)
+               || 'Para with bold ' || doc_id || ' and link.'
+               || CASE WHEN doc_id % 2 = 1
+                       THEN chr(10) || 'item one' || chr(10)
+                            || 'item ' || (doc_id % 3)
+                       ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id, title, text, length(text)::int AS n_chars, 1::int AS n_links
+    FROM expect
+    """,
+    "HTML → visible text — the step between WARC ingestion and the "
+    "text pipeline (the deterministic core of a trafilatura-style "
+    "extractor): stdlib HTMLParser drops script/style/noscript "
+    "subtrees whole, dissolves inline markup without injecting spaces "
+    "('<a>link</a>.' stays 'link.'), turns block elements into line "
+    "breaks, decodes entities, extracts <title> and hrefs. The oracle "
+    "constructs the exact expected text in closed form from the same "
+    "formula markup the Spark side actually parses — a skip-depth, "
+    "entity, or block-boundary bug breaks the hash. Scale: parse per "
+    "Arrow batch; single-pass parser",
+)
+def q137_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.htmltext import html_extract
+
+    t = catalog.load(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    markup = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p { margin: 0 }</style>"
+              "<script>var h = '<p>not text</p>';</script></head><body>"
+              "<h1>Heading "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h1><p>Para   with <b>bold "), did,
+        F.lit("</b> and <a href=\"/l/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\">link</a>.</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("<ul><li>item&nbsp;one</li><li>item "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("</li></ul>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<noscript>no js fallback</noscript></body></html>"),
+    )
+    docs = t.documents.select("doc_id", markup.alias("markup"))
+    return html_extract(docs).select(
+        "doc_id", "title", "text", "n_chars", "n_links"
+    )
+
+
+@spec(
+    "q138_boilerplate_lines",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'unique ' || doc_id || ' alpha' || chr(10)
+               || '(c) example corp footer' || chr(10)
+               || 'content ' || (doc_id % 13) || ' beta'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'subscribe now' ELSE '' END AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM synth),
+    lines AS (
+      SELECT s.doc_id, list_extract(s.parts, g.i) AS line, g.i AS ord
+      FROM split s
+      JOIN generate_series(1, 4) g(i) ON g.i <= len(s.parts)),
+    bp AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 100),
+    kept AS (SELECT l.doc_id, l.line, l.ord FROM lines l
+             ANTI JOIN bp b ON l.line = b.line)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text,
+           count(*)::int AS n_lines
+    FROM kept GROUP BY doc_id
+    """,
+    "CCNet-style boilerplate removal — lines verbatim-shared by >= "
+    "min_df documents (footers, banners, nav) are corpus noise: "
+    "posexplode lines, line-frequency groupBy (map-side combined, "
+    "shuffles only distinct lines), left_anti against the boilerplate "
+    "table, order-preserving reassembly via one groupBy + array_sort "
+    "(no corpus-wide window). The oracle runs the SAME algorithm in "
+    "SQL over the same planted corpus (universal footer, 50%-df "
+    "banner, ~7%-df content lines, unique lines), so threshold "
+    "semantics and order preservation are what is actually checked — "
+    "at different SFs different lines cross the threshold and both "
+    "sides must agree",
+)
+def q138_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import drop_boilerplate_lines
+
+    t = catalog.load(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("unique "), did, F.lit(" alpha\n(c) example corp footer\ncontent "),
+        (F.col("doc_id") % 13).cast("string"), F.lit(" beta"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nsubscribe now")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = t.documents.select("doc_id", text.alias("text"))
+    return drop_boilerplate_lines(docs, min_df=100)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
