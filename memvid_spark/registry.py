@@ -2044,6 +2044,102 @@ def q138_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(docs, min_df=100)
 
 
+@spec(
+    "q139_web_corpus_stats",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 3 + 1)::int AS k FROM documents
+      WHERE doc_id % 10 = 6),
+    page AS (
+      SELECT s.doc_id, r.r,
+             's' || ((s.doc_id // 10) % 20) || '.ex' AS domain,
+             'Page ' || s.doc_id || chr(10) || 'page ' || (s.doc_id % 400)
+               || ' rec ' || r.r || repeat(' filler', r.r * 4) AS text
+      FROM sel s JOIN generate_series(0, 2) r(r) ON r.r < s.k)
+    SELECT domain, count(*)::bigint AS n_pages,
+           sum(CASE WHEN length(text) >= 30 THEN 1 ELSE 0 END)::bigint
+             AS n_kept,
+           sum(CASE WHEN length(text) >= 30 THEN length(text) ELSE 0 END)
+             ::bigint AS total_chars_kept
+    FROM page GROUP BY domain
+    """,
+    "composed end-to-end web-ingestion chain — the q109 of the web "
+    "tier: formula page corpora are serialized into real WARC archives "
+    "(gzip members on odd ids), demuxed by the strict-framing parser, "
+    "their HTML bodies extracted to visible text by the stdlib parser "
+    "(heading block + paragraph), grouped by the CANONICALIZED domain "
+    "(functions/urls.py url_domain over each record's WARC-Target-URI) "
+    "with a min-length quality gate, aggregated per domain. The oracle "
+    "mirrors the whole chain in closed form, so a bug in any stage — "
+    "framing, HTTP split, HTML block breaks, URL host extraction, "
+    "gate arithmetic — shifts the per-domain counts and breaks the "
+    "hash. Scale: parse/extract per Arrow batch; the only shuffle is "
+    "the final per-domain aggregation",
+)
+def q139_web_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import url_domain
+    from .sources.htmltext import html_extract
+    from .sources.warc import warc_records, warc_write
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 6).select(
+        F.col("doc_id").alias("archive_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["archive_id"]:
+                aid = int(aid)
+                recs = []
+                for r in range(aid % 3 + 1):
+                    body = (
+                        f"<html><head><title>T{aid}</title></head><body>"
+                        f"<h1>Page {aid}</h1><p>page {aid % 400} rec {r}"
+                        + " filler" * (r * 4)
+                        + "</p></body></html>"
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "uri": f"http://S{(aid // 10) % 20}.Ex/p{r}",
+                            "date": "2024-01-01T00:00:00Z",
+                            "http_status": 200,
+                            "mime": "text/html",
+                            "body": body,
+                        }
+                    )
+                rows.append((aid, warc_write(recs, gzip_members=aid % 2 == 1)))
+            yield pd.DataFrame(rows, columns=["archive_id", "payload"])
+
+    archives = sel.mapInPandas(gen, "archive_id long, payload binary")
+    pages = warc_records(archives).select(
+        F.col("uri"), F.col("body").alias("markup"),
+        F.col("archive_id").alias("doc_id"),
+        F.monotonically_increasing_id().alias("_row"),
+    )
+    # html_extract keys by doc_id; keep uri alongside via a rejoin-free
+    # pass: extract on a composite frame
+    extracted = html_extract(
+        pages.select(F.col("_row").alias("doc_id"), "markup")
+    ).select(F.col("doc_id").alias("_row"), "text", "n_chars")
+    joined = pages.select("_row", "uri").join(extracted, "_row")
+    gated = joined.select(
+        url_domain(F.col("uri")).alias("domain"),
+        F.col("n_chars"),
+        (F.col("n_chars") >= 30).cast("int").alias("keep"),
+    )
+    return gated.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("n_chars")).cast("bigint").alias(
+            "total_chars_kept"
+        ),
+    )
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
