@@ -2140,6 +2140,67 @@ def q139_web_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q140_charlm_quality",
+    """
+    WITH doc AS (SELECT doc_id, lower(text) AS t FROM documents),
+    big AS (
+      SELECT d.doc_id, substr(d.t, i.i, 2) AS bg
+      FROM doc d
+      JOIN generate_series(1, 4000) i(i) ON i.i <= length(d.t) - 1),
+    freq AS (SELECT bg, count(*)::bigint AS n FROM big GROUP BY bg),
+    tot AS (SELECT sum(n)::bigint AS total FROM freq),
+    scaled AS (SELECT f.bg, (f.n * 1000000) // t.total AS w
+               FROM freq f CROSS JOIN tot t),
+    scored AS (
+      SELECT b.doc_id, count(*)::bigint AS n_bigrams,
+             sum(s.w)::bigint AS score
+      FROM big b JOIN scaled s ON s.bg = b.bg GROUP BY b.doc_id)
+    SELECT doc_id, n_bigrams, score,
+           (score // n_bigrams)::bigint AS avg_w,
+           (CASE WHEN score // n_bigrams >= 300 THEN 1 ELSE 0 END)::int
+             AS keep
+    FROM scored
+    """,
+    "character-bigram LM quality filter — the CCNet LM-score analogue "
+    "with corpus-trained statistics and integer-exact arithmetic "
+    "(scaled frequencies via floor division, no float logs to "
+    "hash-drift): one scan explodes bigrams JVM-side (sequence/"
+    "transform/substring), the bigram table groups map-side-combined "
+    "(cardinality ~ alphabet², broadcast back to the scorer join), "
+    "per-doc score is one aggregation. Documents whose average scaled "
+    "bigram frequency falls below the floor read as out-of-"
+    "distribution (gibberish/wrong-language) and are flagged. The "
+    "oracle trains and scores the same model in SQL",
+)
+def q140_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    doc = t.documents.select("doc_id", F.lower("text").alias("t"))
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(length(t) - 1, 0)), "
+        "i -> substring(t, i, 2))"
+    )
+    big = doc.select("doc_id", F.explode(bigrams).alias("bg"))
+    freq = big.groupBy("bg").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    scaled = freq.crossJoin(F.broadcast(total)).select(
+        "bg", F.expr("(n * 1000000) div total").alias("w")
+    )
+    scored = (
+        big.join(F.broadcast(scaled), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "score",
+        F.expr("score div n_bigrams").alias("avg_w"),
+        (F.expr("score div n_bigrams") >= 300).cast("int").alias("keep"),
+    )
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
