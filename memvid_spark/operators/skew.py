@@ -92,3 +92,35 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns (each
+    truncated to ``bits`` low bits) — pure JVM fold, no Python.
+
+    The data-layout key behind multi-column clustering (Delta/Iceberg
+    OPTIMIZE ZORDER): rows close in (x, y) land close in z, so file
+    min/max statistics prune scans filtered on EITHER column — the
+    standard warehouse answer to 'which single sort order serves two
+    filter columns'."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> "
+        f"acc + shiftleft(bigint(({x} >> b) & 1), 2 * b) "
+        f"+ shiftleft(bigint(({y} >> b) & 1), 2 * b + 1))"
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame, x_col: str, y_col: str, n_partitions: int = 32,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-partition + sort by the z-key: every output partition then
+    covers a compact (x, y) rectangle, so per-file column min/max stats
+    are tight on BOTH columns. Write the result with write_partitioned/
+    plain parquet and filters on either column prune files."""
+    keyed = df.withColumn("_z", zorder_key(x_col, y_col, bits))
+    return (
+        keyed.repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -2201,6 +2201,60 @@ def q140_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_TERMS = " + ".join(
+    f"((x >> {b}) & 1) * {1 << (2 * b)}::BIGINT"
+    f" + ((y >> {b}) & 1) * {1 << (2 * b + 1)}::BIGINT"
+    for b in range(16)
+)
+
+
+@spec(
+    "q141_zorder_locality",
+    f"""
+    WITH src AS (
+      SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y,
+             l_orderkey, l_partkey
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    z AS (
+      SELECT l_orderkey, l_partkey, ({_Z_TERMS})::bigint AS zval
+      FROM src)
+    SELECT (zval >> 26)::bigint AS zbucket, count(*)::bigint AS n_rows,
+           min(l_orderkey)::bigint AS min_ok, max(l_orderkey)::bigint AS max_ok,
+           min(l_partkey)::bigint AS min_pk, max(l_partkey)::bigint AS max_pk
+    FROM z GROUP BY zbucket
+    """,
+    "Z-order (Morton) layout key — the multi-column clustering behind "
+    "Delta/Iceberg OPTIMIZE ZORDER: interleave the low 16 bits of two "
+    "join/filter columns with a pure JVM aggregate fold (operators/"
+    "skew.py zorder_key; cluster_by_zorder range-partitions + sorts on "
+    "it so per-file min/max stats prune on EITHER column). The query "
+    "buckets rows by high z-bits and reports per-bucket key ranges — "
+    "the locality a warehouse actually exploits; the oracle recomputes "
+    "the bit interleave and bucketing in closed form. Scale: one scan, "
+    "one groupBy; the key itself is codegen",
+)
+def q141_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import zorder_key
+
+    t = catalog.load(spark, sf_dir)
+    src = t.lineitem.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey", "l_partkey",
+        (F.col("l_orderkey") % 65536).alias("x"),
+        (F.col("l_partkey") % 65536).alias("y"),
+    )
+    z = src.withColumn("zval", zorder_key("x", "y"))
+    return (
+        z.groupBy(F.expr("zval >> 26").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+    )
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

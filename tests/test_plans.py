@@ -193,3 +193,58 @@ def test_quality_gates_single_scan_no_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(quality_gates(docs))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from memvid_spark.operators.skew import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 5), (65535, 65535), (40215, 2442)], "x long, y long"
+    )
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.withColumn("z", zorder_key("x", "y")).collect()}
+
+    def z_py(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == z_py(x, y)
+
+
+def test_cluster_by_zorder_improves_two_column_locality(spark):
+    """After z-order clustering every partition must cover a small
+    rectangle in (x, y) — the property file min/max pruning relies on.
+    Compare per-partition spans against an x-only sort, which leaves y
+    unclustered."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.skew import cluster_by_zorder
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+
+    def spans(df):
+        per = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return (sum(r["sx"] for r in per) / len(per),
+                sum(r["sy"] for r in per) / len(per))
+
+    zx, zy = spans(cluster_by_zorder(grid, "x", "y", n_partitions=16))
+    xx, xy = spans(grid.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    # x-only layout clusters x but leaves y spanning the full range
+    assert xy > n * 0.9
+    # z-order keeps BOTH spans a fraction of the domain
+    assert zx < n * 0.5 and zy < n * 0.5
