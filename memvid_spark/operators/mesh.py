@@ -253,3 +253,54 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-scaled PageRank over a link graph (the quality prior a
+    web corpus derives from sources/htmltext.py's href extraction).
+
+    All arithmetic is integer with floor division — contribution of
+    u→v is rank_u div outdeg_u, and the damped update is
+    base + (damping_pct * Σ contrib) div 100 — so the result is
+    EXACTLY reproducible by a SQL oracle (no float summation-order
+    drift). Dangling-node mass is dropped (the standard simplification;
+    ranks remain a valid relative ordering).
+
+    Scale shape (the connected_components pattern, :203): each
+    iteration is one groupBy(dst) aggregation joined back to nodes —
+    no windows, no driver data; localCheckpoint per round keeps the
+    plan flat. edges: (src, dst); nodes: (node,).
+
+    Returns (node, rank) with rank at the given integer scale.
+    """
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = F.lit(15 * scale // 100)
+    ranks = nodes.select(F.col("node"), F.lit(scale).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (base + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100"))
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2255,6 +2255,56 @@ def q141_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITER = """
+    c{i} AS (SELECT e.dst AS node, sum(r.rank // o.outdeg)::bigint AS s
+             FROM edges e
+             JOIN r{p} r ON r.node = e.src
+             JOIN outd o ON o.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nd.node,
+                    (150000 + (85 * coalesce(c.s, 0)) // 100)::bigint AS rank
+             FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node)"""
+
+
+@spec(
+    "q142_pagerank",
+    """
+    WITH cnt AS (SELECT count(*)::bigint AS n FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM cnt) AS dst
+      FROM documents d
+      JOIN generate_series(0, 2) j(j) ON j.j <= d.doc_id % 3),
+    outd AS (SELECT src, count(*)::bigint AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1000000::bigint AS rank FROM nodes),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, rank FROM r3
+    """,
+    "link-graph PageRank — the quality prior a web corpus computes "
+    "from extracted hrefs (sources/htmltext.py): integer-scaled "
+    "arithmetic (contribution = rank div outdeg, damped update via "
+    "floor division) makes every iteration EXACTLY reproducible, so "
+    "the oracle unrolls three iterations as SQL stages and the hash "
+    "pins the whole fixpoint trajectory — no float summation-order "
+    "drift. Scale: each iteration is one groupBy(dst) + join back "
+    "(the connected-components shape, mesh.py:203), localCheckpoint "
+    "per round; no windows, no driver state beyond the loop counter",
+)
+def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mesh import pagerank_scaled
+
+    t = catalog.load(spark, sf_dir)
+    n = t.documents.count()
+    nodes = t.documents.select(F.col("doc_id").alias("node"))
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    edges = t.documents.select(F.col("doc_id").alias("src"), j).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n).alias("dst")
+    )
+    return pagerank_scaled(edges, nodes, n_iter=3)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -287,3 +287,29 @@ def test_adaptive_cutoff_evaluate_driver(spark):
     # combined = earliest trigger among the three prefixes
     comb = sorted(r.doc_id for r in adaptive_cutoff(hits, "combined").collect())
     assert comb == [0, 1, 2]
+
+
+def test_pagerank_scaled_hand_graph(spark):
+    """3-node chain + cycle with hand-computed integer trajectory:
+    a->b, b->c, c->a plus a->c (a splits its vote)."""
+    from memvid_spark.operators.mesh import pagerank_scaled
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank_scaled(edges, nodes, n_iter=1).collect()}
+    # start 1_000_000 each; outdeg a=2, b=1, c=1
+    # a <- c: 150000 + 85*1000000//100 = 1000000
+    # b <- a/2: 150000 + 85*500000//100 = 575000
+    # c <- a/2 + b: 150000 + 85*(500000+1000000)//100 = 1425000
+    assert r1 == {0: 1000000, 1: 575000, 2: 1425000}
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank_scaled(edges, nodes, n_iter=2).collect()}
+    assert r2[1] == 150000 + 85 * (1000000 // 2) // 100  # from a only
+    # node with no in-edges gets only the base
+    nodes4 = spark.createDataFrame([(0,), (1,), (2,), (3,)], "node long")
+    r = {r["node"]: r["rank"]
+         for r in pagerank_scaled(edges, nodes4, n_iter=1).collect()}
+    assert r[3] == 150000
