@@ -2305,6 +2305,73 @@ def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, nodes, n_iter=3)
 
 
+@spec(
+    "q143_robots_policy",
+    """
+    WITH page AS (
+      SELECT doc_id, 'd' || (doc_id % 25) AS domain,
+             CASE doc_id % 5
+               WHEN 0 THEN '/sec' || (doc_id % 25) || '/x'
+               WHEN 1 THEN '/sec' || (doc_id % 25) || '/open/y'
+               WHEN 2 THEN '/pub/' || doc_id
+               WHEN 3 THEN '/files/a.zip'
+               ELSE '/sec' || ((doc_id + 1) % 25) || '/x'
+             END AS path
+      FROM documents)
+    SELECT domain, path, 'memvidbot' AS user_agent,
+           (CASE doc_id % 5 WHEN 0 THEN 0 WHEN 3 THEN 0 ELSE 1 END)::int
+             AS allowed
+    FROM page
+    """,
+    "robots.txt crawl-policy filtering (RFC 9309) — the compliance "
+    "gate a web-corpus pipeline applies before pages enter training "
+    "data: per-domain policies (group selection with '*' fallback, "
+    "longest-pattern precedence, allow-beats-disallow ties, '*' "
+    "wildcards and '$' anchors) evaluated over page paths. The Spark "
+    "side PARSES real robots.txt text per domain (broadcast-sized "
+    "policy table, compiled once per batch) and the oracle states the "
+    "expected verdict per path class in closed form — a precedence or "
+    "anchoring bug flips flags and breaks the hash. Scale: policies "
+    "are per-domain tiny; evaluation is per Arrow batch",
+)
+def q143_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.robots import robots_filter
+
+    t = catalog.load(spark, sf_dir)
+    dom = F.concat(F.lit("d"), (F.col("doc_id") % 25).cast("string"))
+    sec = (F.col("doc_id") % 25).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/sec"), sec, F.lit("/x")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/sec"), sec, F.lit("/open/y")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/pub/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/files/a.zip"))
+        .otherwise(
+            F.concat(
+                F.lit("/sec"), ((F.col("doc_id") + 1) % 25).cast("string"),
+                F.lit("/x"),
+            )
+        )
+    )
+    pages = t.documents.select(dom.alias("domain"), path.alias("path"))
+    policies = (
+        t.documents.select((F.col("doc_id") % 25).alias("d"))
+        .distinct()
+        .select(
+            F.concat(F.lit("d"), F.col("d").cast("string")).alias("domain"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /sec"),
+                F.col("d").cast("string"),
+                F.lit("/\nAllow: /sec"),
+                F.col("d").cast("string"),
+                F.lit("/open\nDisallow: /*.zip$\n"),
+            ).alias("robots"),
+        )
+    )
+    return robots_filter(pages, F.broadcast(policies), user_agent="memvidbot")
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================
