@@ -106,6 +106,15 @@ class MemvidSpark:
         from .sources.readers import READERS, sniff_format
 
         fmt = sniff_format(payload, uri or "")
+        if fmt == "gzip":
+            # transparent decompression (multi-member aware), then
+            # re-sniff the inner format — .gz corpora are the norm
+            from .sources.warc import gunzip_members
+
+            inner = uri[:-3] if uri and uri.endswith(".gz") else uri
+            return self.put_bytes(
+                gunzip_members(payload), uri=inner, lang=lang, dedup=dedup
+            )
         reader = READERS.get(fmt)
         if reader is None:
             raise ValueError(f"no reader registered for format {fmt!r}")
@@ -117,6 +126,29 @@ class MemvidSpark:
             # cross-modal search / feature extraction / demux
             self._media.append((doc_id, mime, bytes(payload)))
         return doc_id
+
+    def put_warc(
+        self, payload: bytes, lang: str = "en", dedup: bool = True
+    ) -> list[int | None]:
+        """Ingest a WARC archive page-by-page: each response record's
+        HTML body extracts to visible text (sources/htmltext.py), the
+        record's WARC-Target-URI becomes the document uri. Returns one
+        id per response record (None where content dedup suppressed)."""
+        from .sources.htmltext import html_to_text
+        from .sources.warc import warc_parse
+
+        ids: list[int | None] = []
+        for rec in warc_parse(payload):
+            if rec["warc_type"] != "response" or rec["body"] is None:
+                continue
+            body = rec["body"].decode("utf-8", errors="replace")
+            text = (
+                html_to_text(body)
+                if (rec["mime"] or "").startswith("text/html")
+                else body
+            )
+            ids.append(self.put(text, uri=rec["uri"], lang=lang, dedup=dedup))
+        return ids
 
     def media(self, modality: str | None = None) -> DataFrame:
         """Retained media payloads (media_id = doc_id, mime typed),

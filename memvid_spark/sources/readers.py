@@ -56,6 +56,10 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         in (12, 16, 40, 52, 56, 64, 108, 124)
     ):
         return "bmp"
+    if payload[:2] == b"\x1f\x8b":
+        return "gzip"
+    if payload[:5] in (b"WARC/",):
+        return "warc"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
@@ -112,6 +116,26 @@ def _read_mp4(payload: bytes) -> str:
     return mp4_describe(payload)
 
 
+def _read_warc(payload: bytes) -> str:
+    """Single-document view of an archive: response bodies (HTML →
+    visible text) joined by blank lines. Page-per-document ingestion
+    lives on the facade (api.put_warc)."""
+    from .htmltext import html_to_text
+    from .warc import warc_parse
+
+    parts = []
+    for rec in warc_parse(payload):
+        if rec["warc_type"] != "response" or rec["body"] is None:
+            continue
+        body = rec["body"].decode("utf-8", errors="replace")
+        parts.append(
+            html_to_text(body)
+            if (rec["mime"] or "").startswith("text/html")
+            else body
+        )
+    return "\n\n".join(parts)
+
+
 def _image_reader(fmt: str) -> Callable[[bytes], str]:
     def read(payload: bytes) -> str:
         from . import image
@@ -166,6 +190,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     "png": _read_png,
     "wav": _read_wav,
     "mp4": _read_mp4,
+    "warc": _read_warc,
     "jpeg": _image_reader("jpeg"),
     "gif": _image_reader("gif"),
     "bmp": _image_reader("bmp"),

@@ -129,3 +129,34 @@ def test_url_normalize_cases(spark):
     for row, (u, n, d, p, q) in zip(out, URL_CASES):
         assert row["n"] == n, (u, row["n"])
         assert row["d"] == d and row["p"] == p and row["q"] == q
+
+
+def test_facade_put_warc_and_gzip_transparency(spark):
+    import gzip
+
+    from memvid_spark.api import MemvidSpark
+
+    recs = [
+        {"warc_type": "response", "uri": "http://w.test/page1",
+         "date": "2024-01-01T00:00:00Z", "http_status": 200,
+         "mime": "text/html",
+         "body": b"<html><body><h1>Title One</h1><p>body one text</p></body></html>"},
+        {"warc_type": "request", "uri": "http://w.test/page1",
+         "block": b"GET / HTTP/1.1\r\n"},
+        {"warc_type": "response", "uri": "http://w.test/page2",
+         "date": "2024-01-01T00:00:01Z", "http_status": 200,
+         "mime": "text/plain", "body": b"plain body two"},
+    ]
+    mv = MemvidSpark(spark)
+    ids = mv.put_warc(warc_write(recs, gzip_members=True))
+    assert len(ids) == 2 and all(i is not None for i in ids)
+    docs = {r["source"]: r["text"] for r in mv.docs().collect()}
+    assert docs["http://w.test/page1"] == "Title One\nbody one text"
+    assert docs["http://w.test/page2"] == "plain body two"
+
+    # gzip-wrapped single document: put_bytes decompresses + re-sniffs
+    gz = gzip.compress("gzipped markdown body".encode())
+    did = mv.put_bytes(gz, uri="mv2://d/x.md.gz")
+    assert did is not None
+    texts = {r["doc_id"]: r["text"] for r in mv.docs().collect()}
+    assert texts[did] == "gzipped markdown body"
