@@ -125,7 +125,36 @@ class MemvidSpark:
             # the surrogate text indexes lexically, the payload feeds
             # cross-modal search / feature extraction / demux
             self._media.append((doc_id, mime, bytes(payload)))
+        if doc_id is not None and fmt in ("pdf", "docx"):
+            self._extract_embedded_images(doc_id, fmt, payload, uri)
         return doc_id
+
+    def _extract_embedded_images(
+        self, parent_id: int, fmt: str, payload: bytes, uri: str | None
+    ) -> None:
+        """Embedded media become their own frames (role=extracted_image,
+        frame.rs role field): one child doc per image with a real
+        header-parse surrogate text, pixels retained on the media tier
+        so cross-modal search covers document-internal images too."""
+        from .sources import binary as _b
+        from .sources.readers import READERS, sniff_format
+
+        extract = (
+            _b.pdf_extract_images if fmt == "pdf" else _b.docx_extract_images
+        )
+        for i, (mime, img) in enumerate(extract(payload)):
+            reader = READERS.get(sniff_format(img))
+            try:
+                surrogate = reader(img) if reader else f"extracted image {i}"
+            except Exception:
+                surrogate = f"extracted image {i} (unreadable)"
+            child = self.put(
+                surrogate,
+                uri=f"{uri or f'mv2://frames/{parent_id}'}#img{i}",
+                dedup=False,
+            )
+            if child is not None:
+                self._media.append((child, mime, img))
 
     def put_warc(
         self, payload: bytes, lang: str = "en", dedup: bool = True

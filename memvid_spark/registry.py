@@ -2372,6 +2372,74 @@ def q143_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(pages, F.broadcast(policies), user_agent="memvidbot")
 
 
+@spec(
+    "q144_pdf_embedded_images",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 3 + 1)::int AS bw, (doc_id % 2 + 1)::int AS bh
+      FROM documents WHERE doc_id % 10 = 9),
+    px AS (
+      SELECT s.doc_id, s.bw, s.bh,
+             (s.doc_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 23) x(x) ON x.x < s.bw * 8
+      JOIN generate_series(0, 15) y(y) ON y.y < s.bh * 8)
+    SELECT doc_id AS media_id, (bw * 8)::int AS width, (bh * 8)::int AS height,
+           count(*)::bigint AS n_px, sum(v)::bigint AS px_sum,
+           min(v)::int AS px_min, max(v)::int AS px_max
+    FROM px GROUP BY doc_id, bw, bh
+    """,
+    "document-embedded image extraction — the reference's "
+    "role='extracted_image' path (frame.rs role field; PDF images feed "
+    "clip.rs): block-constant formula images are JPEG-encoded, "
+    "embedded as real /DCTDecode XObjects in a text PDF, re-extracted "
+    "by the stream scanner (DCTDecode streams ARE complete JPEGs per "
+    "spec) and decoded by the baseline codec — unit quantization makes "
+    "the whole PDF→JPEG→pixels chain EXACT, so the oracle pins every "
+    "decoded pixel in closed form. Scale: extraction+decode per Arrow "
+    "batch; payloads never shuffle",
+)
+def q144_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.binary import pdf_extract_images, pdf_with_images
+    from .sources.jpeg import jpeg_decode, jpeg_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("media_id")
+    )
+    cols = ["media_id", "width", "height", "n_px", "px_sum", "px_min", "px_max"]
+    schema = (
+        "media_id long, width int, height int, n_px long, px_sum long, "
+        "px_min int, px_max int"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf_b in batches:
+            rows = []
+            for mid in pdf_b["media_id"]:
+                mid = int(mid)
+                w, h = (mid % 3 + 1) * 8, (mid % 2 + 1) * 8
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                img = (
+                    (mid * 31 + (x // 8) * 7 + (y // 8) * 13) % 256
+                ).astype(np.uint8)
+                payload = pdf_with_images(f"doc {mid}", [jpeg_encode(img)])
+                (mime, jpg), = pdf_extract_images(payload)
+                dec = np.asarray(jpeg_decode(jpg), dtype=np.int64)
+                rows.append(
+                    (
+                        mid, w, h, int(dec.size), int(dec.sum()),
+                        int(dec.min()), int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(run, schema)
+
+
 # =========================================================================
 # Events: timeline, rollups, as-of state, sessionization (SURVEY §2.11)
 # =========================================================================

@@ -1114,3 +1114,110 @@ def pptx_from_text(text: str) -> bytes:
             "ppt/slides/slide1.xml": slide,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF / DOCX — embedded image extraction (the reference's
+# role='extracted_image' path: media inside documents become their own
+# frames; src/types/frame.rs role field, image ingestion src/clip.rs)
+# ---------------------------------------------------------------------------
+
+
+def pdf_extract_images(payload: bytes) -> list[tuple[str, bytes]]:
+    """[(mime, image bytes)] for every /Subtype /Image XObject:
+
+    - /DCTDecode streams ARE complete JPEG files (per spec) — returned
+      verbatim, decodable by the repo's baseline codec (sources/jpeg.py)
+    - /FlateDecode DeviceRGB/DeviceGray 8-bit rasters are inflated and
+      re-wrapped as PNG (sources/image.py) so every extracted image is
+      a self-describing payload
+
+    Other filters (JBIG2/JPX/CCITT) are skipped — they need codec
+    libraries; the common real-world cases are the two above."""
+    out: list[tuple[str, bytes]] = []
+    for m in _STREAM_RE.finditer(payload):
+        d = m.group(1)
+        if b"/Subtype" not in d or b"/Image" not in d:
+            continue
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            continue
+        data = payload[start:end]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n") or data.endswith(b"\r"):
+            data = data[:-1]
+        if b"/DCTDecode" in d:
+            out.append(("image/jpeg", data))
+            continue
+        if b"/FlateDecode" in d:
+            wm = re.search(rb"/Width\s+(\d+)", d)
+            hm = re.search(rb"/Height\s+(\d+)", d)
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+            if not (wm and hm) or (bm and bm.group(1) != b"8"):
+                continue
+            w, h = int(wm.group(1)), int(hm.group(1))
+            try:
+                raw = zlib.decompress(data)
+            except zlib.error:
+                continue
+            ch = 3 if b"/DeviceRGB" in d else 1
+            if len(raw) != w * h * ch:
+                continue
+            import numpy as np
+
+            from .image import png_encode
+
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+            out.append(("image/png", png_encode(px)))
+    return out
+
+
+def pdf_with_images(text: str, images: list[bytes]) -> bytes:
+    """Writer tier: a text PDF plus embedded JPEG XObjects (DCTDecode
+    passthrough — the way real PDFs carry photos). Fixture generator
+    for the extracted-image path; the images must be JPEG bytes."""
+    from .jpeg import jpeg_decode  # validates + reads dims
+
+    base = pdf_from_text(text, compress=False)
+    # splice image objects before the xref: renumber is avoided by
+    # appending objects with ids beyond the writer's five
+    xref_at = base.find(b"xref\n")
+    body = bytearray(base[:xref_at])
+    for k, img in enumerate(images):
+        dec = jpeg_decode(img)
+        h, w = dec.shape[:2]
+        ch = 1 if dec.ndim == 2 else dec.shape[2]
+        cs = b"/DeviceGray" if ch == 1 else b"/DeviceRGB"
+        obj = (
+            b"%d 0 obj\n<< /Type /XObject /Subtype /Image /Width %d "
+            b"/Height %d /ColorSpace %s /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n"
+            % (6 + k, w, h, cs, len(img))
+        ) + img + b"\nendstream\nendobj\n"
+        body += obj
+    body += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n0\n%%%%EOF\n"
+        % (6 + len(images))
+    )
+    return bytes(body)
+
+
+def docx_extract_images(payload: bytes) -> list[tuple[str, bytes]]:
+    """[(mime, bytes)] for every word/media/* member of a DOCX
+    container (jpeg/png/gif/bmp by extension)."""
+    mimes = {"jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+             "gif": "image/gif", "bmp": "image/bmp"}
+    out: list[tuple[str, bytes]] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            for name in sorted(z.namelist()):
+                if name.startswith("word/media/"):
+                    ext = name.rsplit(".", 1)[-1].lower()
+                    mime = mimes.get(ext)
+                    if mime:
+                        out.append((mime, z.read(name)))
+    except zipfile.BadZipFile:
+        return []
+    return out
