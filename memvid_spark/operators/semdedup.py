@@ -1,0 +1,283 @@
+"""Semantic & passage-level corpus dedup: SemDeDup, fingerprint-overlap
+survivor selection, and exact-substring (window-hash) duplicate spans.
+
+These extend the engine's dedup family (operators/dedup.py — the
+reference's content-hash dedup, src/memvid/mutation.rs:3302-3316, and
+its SimHash sketch, src/search/mod.rs:189-230) with the cluster-level
+operations a large-scale training-data pipeline layers on top:
+
+- ``seed_assign`` + ``semdedup``: the SemDeDup recipe (Abbas et al.
+  2023, arXiv:2303.09540) — cluster the embedding space, then drop all
+  but one member of every within-cluster group whose pairwise cosine
+  exceeds a threshold. Clustering here is deterministic seed
+  assignment (k lowest-id vectors as seeds, one nearest-seed pass) so
+  the DuckDB oracle can replay it exactly; the sample-trained Lloyd's
+  kernel (functions/vector.py:63) slots in where replayability is not
+  required.
+- ``survivor_selection``: after any pairwise dedup produced edges,
+  pick WHICH document of each duplicate group to keep — connected
+  components (mesh.connected_components) then a deterministic quality
+  pick (longest text, then lowest doc_id) per cluster.
+- ``passage_dup_stats``: the hashed analogue of exact-substring dedup
+  (Lee et al. 2021, arXiv:2107.06499) — hash every w-token sliding
+  window, a window whose hash occurs in more than one document is
+  duplicated text; per-doc duplicated-window fraction drives the
+  filter decision.
+
+Scale posture (100 TB):
+- ``seed_assign``: the seed table is k rows — broadcast; assignment is
+  a narrow map over the corpus (k cosines per row), no shuffle. At
+  warehouse scale k grows with the corpus (SemDeDup uses k≈11k for
+  233M docs) and seeds stay a broadcast table.
+- ``semdedup``: the pairwise stage is an equi-join on the cluster id —
+  pair generation is bounded per cluster, never O(n²) global. Skewed
+  (oversized) clusters are the known failure mode; cap members per
+  cluster upstream or re-shard hot clusters (AQE skew join handles
+  moderate skew).
+- ``survivor_selection``: edges come in pre-bucketed (fingerprint
+  equi-join with a df ceiling that prunes stop-grams); components via
+  min-label propagation with localCheckpoint per round; the final pick
+  is one window per cluster — partitioned by cluster, never global.
+- ``passage_dup_stats``: one explode (≤ tokens-w+1 rows per doc)
+  collapsing into per-hash doc counts with map-side combine, then one
+  equi-join back on the 8-byte hash. This is the shuffle-once layout;
+  the suffix-array construction of the paper is replaced by hashing,
+  which is what production pipelines (e.g. Dolma, RedPajama-2) do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import tokens
+from ..functions.vector import cosine
+from .mesh import connected_components
+
+SEM_K = 8  # deterministic seed count at test scale (k ∝ corpus size)
+SEM_TAU = 0.999  # within-cluster cosine threshold (paper: eps-dedup)
+PASSAGE_W = 8  # window width in tokens (paper uses 50; 8 at test scale)
+COS_ROUND = 9  # argmax stability: round cosine before comparing seeds
+
+
+def seed_assign(
+    emb: DataFrame,
+    k: int = SEM_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest of k deterministic seeds.
+
+    Seeds are the k lowest-id vectors (replayable by the oracle, unlike
+    k-means); nearest = max cosine, ties broken by lowest seed id.
+    Returns (id_col, vec_col as double array, cluster).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    seeds = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("seed_id"), F.col("v").alias("sv"))
+    )
+    scored = base.join(F.broadcast(seeds)).select(
+        id_col,
+        "v",
+        "seed_id",
+        F.round(cosine(F.col("v"), F.col("sv")), COS_ROUND).alias("c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("seed_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("seed_id").alias("cluster"))
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = SEM_K,
+    tau: float = SEM_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster, then mark within-cluster near-dups.
+
+    A vector is a duplicate iff an earlier (lower-id) member of its
+    cluster has cosine >= tau with it — exactly one survivor per
+    cosine-connected chain seed. Returns (id_col, cluster, is_dup).
+    """
+    assigned = seed_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
+    left = assigned.select(
+        F.col(id_col).alias("_lid"), F.col("v").alias("_lv"), "cluster"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_rid"), F.col("v").alias("_rv"), "cluster"
+    )
+    dups = (
+        left.join(right, "cluster")
+        .filter(F.col("_lid") < F.col("_rid"))
+        .filter(cosine(F.col("_lv"), F.col("_rv")) >= F.lit(tau))
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def fingerprint_overlap_edges(
+    docs: DataFrame,
+    k: int = 3,
+    p: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup edges: pairs of docs sharing >= min_shared sampled
+    rolling fingerprints (token k-gram hashes, 0-mod-p selected).
+
+    ``max_df`` is the stop-gram ceiling: fingerprints present in more
+    than max_df docs carry no dedup signal and would otherwise explode
+    the self-join — the df-floor trick from the collocation miner, in
+    reverse. Returns (a, b) with a < b.
+    """
+    # Pre-filter short docs: Spark's sequence(1, 0) is descending, not
+    # empty, so the window count must be >= 1 before generate.
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    t = F.col("_t")
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ).alias("gram"),
+    )
+    fp = (
+        grams.select(id_col, hash64(F.col("gram")).alias("fp"))
+        .distinct()
+        .filter(F.col("fp") % p == 0)
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp", "left_semi")
+    pairs = (
+        fp.select(F.col(id_col).alias("a"), "fp")
+        .join(fp.select(F.col(id_col).alias("b"), "fp"), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("a", "b")
+    )
+    return pairs
+
+
+def survivor_selection(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick one survivor per duplicate component: longest text wins,
+    ties to the lowest doc id. Docs with no edges survive trivially
+    (they are not emitted — output covers duplicate groups only).
+
+    Returns (cluster, survivor_doc, n_members, n_removed).
+    """
+    cc = connected_components(edges)  # (node, cluster)
+    members = cc.join(
+        docs.select(F.col(id_col).alias("node"), F.length(text_col).alias("n_chars")),
+        "node",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("node"))).alias("survivor_doc"),
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_removed"),
+        )
+    )
+
+
+def passage_windows(
+    docs: DataFrame,
+    w: int = PASSAGE_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All w-token sliding-window hashes per doc: (id, pos, whash).
+
+    Docs with fewer than w tokens yield zero rows (pre-filtered —
+    Spark's sequence(1, 0) is descending, not empty).
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") >= w
+    )
+    t = F.col("_t")
+    return toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - w + 1),
+                lambda i: hash64(F.concat_ws(" ", F.slice(t, i, w))),
+            )
+        ).alias("pos", "whash"),
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    w: int = PASSAGE_W,
+    flag_threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-window fraction (exact-substring dedup stats).
+
+    A window is duplicated iff its hash occurs in >1 distinct doc.
+    Returns (id, n_windows, n_dup_windows, dup_fraction, flagged);
+    docs with < w tokens yield zero windows and are not emitted.
+    """
+    win = passage_windows(docs, w=w, id_col=id_col, text_col=text_col)
+    shared = (
+        win.select(id_col, "whash")
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("whash")
+    )
+    marked = win.join(shared, "whash", "left_semi")
+    per_doc = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dup = marked.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    out = (
+        per_doc.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+        .withColumn("flagged", F.col("dup_fraction") >= F.lit(flag_threshold))
+    )
+    return out

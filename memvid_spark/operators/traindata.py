@@ -340,3 +340,73 @@ def vocabulary_size(
     if group_col:
         return toks.groupBy(group_col).agg(agg)
     return toks.agg(agg)
+
+
+DSIR_BUCKETS = 512  # hashed unigram feature space (paper: 10k buckets)
+DSIR_SCALE = 1_000_000  # integer-scaled log-ratios: exact cross-engine sums
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169).
+
+    Data Selection via Importance Resampling: score every raw document
+    by how target-like its hashed unigram distribution is —
+    ``weight = Σ_tokens log p_target(bucket) − log p_raw(bucket)``
+    with add-1 smoothing over ``buckets`` hashed features. ``target_pred``
+    is a Column predicate choosing the in-domain subset (e.g.
+    ``F.col("lang") == "en"``); raw = the whole corpus.
+
+    Log-ratios are rounded to micro units and summed as integers
+    (``weight_micro``), so the per-doc sum is exact and identical in
+    any engine regardless of float summation order — the same trick as
+    the integer-scaled PageRank. Sampling the top of this ranking IS
+    the (deterministic flavor of the) paper's resampling step.
+
+    Scale posture: the bucket distribution tables are ``buckets`` rows
+    — broadcast; scoring is one explode collapsing into per-doc sums
+    with map-side combine; a single scan of the corpus, no self-join.
+
+    Output: (id, n_toks, weight_micro) for docs with >= 1 token.
+    """
+    from ..functions.hashing import hash64
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).withColumn("bucket", F.pmod(hash64("token"), F.lit(buckets)))
+
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    ratios = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("n_tgt") + 1) / (F.col("tot_tgt") + buckets))
+                - F.log((F.col("n_raw") + 1) / (F.col("tot_raw") + buckets))
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("lr_micro").alias("weight_micro"),
+        )
+    )

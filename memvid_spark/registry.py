@@ -5851,6 +5851,240 @@ def q115_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Corpus-curation tier 2 (SURVEY §2.13): semantic dedup, survivor
+# selection, substring-level dedup, importance resampling — the
+# cluster-level operations layered on top of the pairwise dedup family
+# =========================================================================
+
+
+@spec(
+    "q144_semdedup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::double[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::double[], x -> x * 1.001)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, v AS sv FROM base ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT b.vec_id, b.v, s.seed_id,
+             round({SQL_COS.format(a='b.v', b='s.sv')}, 9) AS c
+      FROM base b CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, v, seed_id AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      WHERE {SQL_COS.format(a='l.v', b='r.v')} >= 0.999
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    "SemDeDup (Abbas et al. 2023): deterministic seed clustering of the "
+    "embedding space (k lowest-id vectors as seeds — the replayable "
+    "stand-in for k-means), then within-cluster cosine>=tau marks all "
+    "but the earliest member duplicate; planted scaled copies are the "
+    "ground truth. Seeds broadcast, pair gen bounded per cluster.",
+)
+def q144_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import semdedup as sd
+
+    t = catalog.load(spark, sf_dir)
+    planted = dedup.plant_near_dups(t.embeddings, every=10)
+    return sd.semdedup(planted, k=8, tau=0.999)
+
+
+@spec(
+    "q145_passage_dedup",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(
+               ({SQL_TOKS.format(x='text')})[1:greatest(len({SQL_TOKS.format(x='text')}) // 2, 8)],
+               ' ') || ' ' || repeat('u' || doc_id::varchar || ' ', 7) AS text
+      FROM documents WHERE doc_id < 40
+    ),
+    toks AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS t FROM docs2),
+    win AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 7),
+          i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::bigint
+        )) AS whash
+      FROM toks WHERE len(t) >= 8
+    ),
+    shared AS (
+      SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM win)
+      GROUP BY whash HAVING count(*) > 1
+    ),
+    per_doc AS (SELECT doc_id, count(*)::bigint AS n_windows FROM win GROUP BY doc_id),
+    dup AS (
+      SELECT doc_id, count(*)::bigint AS n_dup_windows
+      FROM win WHERE whash IN (SELECT whash FROM shared) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_windows,
+           coalesce(d.n_dup_windows, 0)::bigint AS n_dup_windows,
+           round(coalesce(d.n_dup_windows, 0) / p.n_windows, 6) AS dup_fraction,
+           (round(coalesce(d.n_dup_windows, 0) / p.n_windows, 6) >= 0.3) AS flagged
+    FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+    """,
+    "exact-substring dedup, hashed flavor (Lee et al. 2021): every "
+    "8-token sliding window hashed; a window occurring in >1 doc is "
+    "duplicated text; per-doc duplicated-window fraction drives the "
+    "filter. Planted half-copies are ground truth. One explode + one "
+    "equi-join on the 8-byte hash — the shuffle-once layout that "
+    "replaces the paper's suffix array at warehouse scale.",
+)
+def q145_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens as _toks
+    from .operators import semdedup as sd
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    tk = _toks(F.col("text"))
+    half = F.greatest(F.floor(F.size(tk) / 2).cast("int"), F.lit(8))
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(tk, 1, half)),
+            F.lit(" "),
+            F.repeat(
+                F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(" ")), 7
+            ),
+        ).alias("text"),
+    )
+    return sd.passage_dup_stats(
+        docs.unionByName(planted), w=8, flag_threshold=0.3
+    )
+
+
+@spec(
+    "q146_dedup_survivors",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra appended duplicate marker tail'
+      FROM documents WHERE doc_id < 30
+    ),
+    toks AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS t FROM corpus),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::bigint AS fp
+      FROM grams
+    ),
+    fps AS (SELECT doc_id, fp FROM fp WHERE fp % 4 = 0),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    ff AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare)),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM ff x JOIN ff y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+    ),
+    cc AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+    members AS (
+      SELECT cc.cluster, cc.node, length(c.text) AS n_chars
+      FROM cc JOIN corpus c ON c.doc_id = cc.node
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster ORDER BY n_chars DESC, node) AS rn
+      FROM members
+    )
+    SELECT cluster, min(CASE WHEN rn = 1 THEN node END) AS survivor_doc,
+           count(*)::bigint AS n_members, (count(*) - 1)::bigint AS n_removed
+    FROM ranked GROUP BY cluster
+    """,
+    "survivor selection after near-dup detection: fingerprint-overlap "
+    "edges (sampled token 3-gram hashes with a stop-gram df ceiling, "
+    ">=3 shared) -> connected components -> keep the longest member "
+    "(ties to lowest id) per duplicate group — the decision step every "
+    "dedup pipeline needs after q20-q25/q102 find the pairs.",
+)
+def q146_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import semdedup as sd
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" extra appended duplicate marker tail")
+            ).alias("text"),
+        )
+    )
+    edges = sd.fingerprint_overlap_edges(
+        corpus, k=3, p=4, min_shared=3, max_df=50
+    )
+    return sd.survivor_selection(corpus, edges)
+
+
+@spec(
+    "q147_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest({SQL_TOKS.format(x='text')}) AS token
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(token), 1, 15))::bigint % 512 AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT bucket, count(*) AS n_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+      FROM bt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM counts),
+    ratios AS (
+      SELECT bucket,
+             round((ln((n_tgt + 1) / (tt + 512)) - ln((n_raw + 1) / (tr + 512)))
+                   * 1000000)::bigint AS lr
+      FROM counts, tot
+    )
+    SELECT doc_id, count(*)::bigint AS n_toks, sum(lr)::bigint AS weight_micro
+    FROM bt JOIN ratios USING (bucket) GROUP BY doc_id
+    """,
+    "DSIR importance weights (Xie et al. 2023): hashed unigram bucket "
+    "distributions for target (lang='en') vs raw corpus; per-doc weight "
+    "= sum of integer-scaled log-likelihood ratios (micro units — exact "
+    "cross-engine sums, the PageRank trick). Bucket tables broadcast; "
+    "one corpus scan, no self-join.",
+)
+def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.dsir_weights(
+        t.documents, F.col("lang") == "en", buckets=512
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -1,0 +1,144 @@
+"""Semantic pins for the cluster-level dedup tier
+(operators/semdedup.py, traindata.dsir_weights): seed-assignment
+determinism, SemDeDup survivor semantics, window-guard behavior,
+survivor-selection quality pick, the stop-gram df ceiling, and DSIR's
+integer-exact target-likeness ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memvid_spark.operators import semdedup as sd
+from memvid_spark.operators import traindata
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_seed_assign_nearest_seed(spark):
+    # Two orthogonal seeds; later vectors land on the nearer one.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # -> seed 0
+        (3, [0.1, 0.9]),   # -> seed 1
+        (4, [2.0, 0.0]),   # scale-invariant: -> seed 0
+    ]
+    out = {r.vec_id: r.cluster for r in sd.seed_assign(_emb(spark, rows), k=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_seed_assign_tie_breaks_to_lowest_seed(spark):
+    # Equidistant from both seeds -> lowest seed id wins.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    out = {r.vec_id: r.cluster for r in sd.seed_assign(_emb(spark, rows), k=2).collect()}
+    assert out[2] == 0
+
+
+def test_semdedup_marks_later_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.001, 0.0]),  # scaled copy of 0 -> dup
+        (3, [0.9, 0.1]),    # cluster 0 but cosine ~0.994 < tau -> kept
+    ]
+    out = {r.vec_id: (r.cluster, r.is_dup) for r in
+           sd.semdedup(_emb(spark, rows), k=2, tau=0.999).collect()}
+    assert out[0] == (0, False)   # earliest member survives
+    assert out[2] == (0, True)    # scaled copy removed
+    assert out[3] == (0, False)   # below tau -> kept
+    assert out[1] == (1, False)
+
+
+def test_passage_windows_short_doc_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    out = sd.passage_windows(docs, w=8).collect()
+    # doc 1 has 7 tokens -> zero windows; doc 2 has 9 -> two windows.
+    assert {r.doc_id for r in out} == {2}
+    assert len(out) == 2
+
+
+def test_passage_dup_stats_full_and_partial_copy(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # exact copy: fraction 1.0
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),  # unique: fraction 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in sd.passage_dup_stats(docs, w=8).collect()}
+    assert out[1].dup_fraction == 1.0 and out[1].flagged
+    assert out[2].dup_fraction == 1.0 and out[2].flagged
+    assert out[3].dup_fraction == 0.0 and not out[3].flagged
+    assert out[1].n_windows == 5  # 12 tokens, w=8 -> 5 windows
+
+
+def test_fingerprint_edges_df_ceiling_prunes_stop_grams(spark):
+    # Every doc shares the same boilerplate; with max_df below the doc
+    # count those grams carry no edges, so no pairs emerge.
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    none = sd.fingerprint_overlap_edges(docs, k=3, p=1, min_shared=1, max_df=3)
+    assert none.count() == 0
+    # With the ceiling lifted the shared grams connect everything.
+    some = sd.fingerprint_overlap_edges(docs, k=3, p=1, min_shared=1, max_df=100)
+    assert some.count() > 0
+
+
+def test_survivor_selection_longest_then_lowest(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short text"),
+            (2, "short text plus a longer tail"),
+            (3, "short text plus a longer tail"),  # same length as 2
+            (9, "unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = sd.survivor_selection(docs, edges).collect()
+    assert len(out) == 1
+    row = out[0]
+    # Longest wins; tie between 2 and 3 -> lowest id.
+    assert row.survivor_doc == 2
+    assert row.n_members == 3 and row.n_removed == 2
+    assert row.cluster == 1  # min-label component id
+
+
+def test_dsir_targetlike_docs_score_higher(spark):
+    target_text = "protein genome enzyme receptor cell biology research"
+    raw_text = "stock market futures trading revenue quarterly earnings"
+    docs = spark.createDataFrame(
+        [(i, target_text, "en") for i in range(5)]
+        + [(10 + i, raw_text, "de") for i in range(5)]
+        + [(100, target_text, "de"), (101, raw_text, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.weight_micro for r in
+           traindata.dsir_weights(docs, F.col("lang") == "en").collect()}
+    # A doc made of target-distribution tokens outscores one made of
+    # raw-only tokens, regardless of its own label.
+    assert out[100] > out[101]
+    assert out[0] > out[10]
+    # Integer micro units: exact equality across identical docs.
+    assert out[0] == out[100]
+
+
+def test_dsir_deterministic_across_runs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared common words here", "en" if i % 2 else "fr")
+         for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(map(tuple, traindata.dsir_weights(docs, F.col("lang") == "en").collect()))
+    b = sorted(map(tuple, traindata.dsir_weights(docs, F.col("lang") == "en").collect()))
+    assert a == b
