@@ -121,6 +121,16 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)
 
+    # cluster-level dedup tier (round-3): SemDeDup, window-hash passage
+    # dedup, fingerprint-CC survivor pick, DSIR importance weights
+    for name in (
+        "q144_semdedup", "q145_passage_dedup",
+        "q146_dedup_survivors", "q147_dsir_weights",
+    ):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     # batch-model embedding path (src/text_embed.rs batch loop): real
     # mapInPandas plumbing; the encoder is sentence-transformers when
     # installed, else the deterministic projection stand-in

@@ -290,3 +290,91 @@ def stem_py(word: str) -> str:
         if word.endswith(suffix) and len(word) - len(suffix) >= min_len:
             return word[: len(word) - len(suffix)] + repl
     return word
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (web-text cleaning tier; the ftfy top fixes).
+#
+# UTF-8 bytes decoded as Windows-1252/Latin-1 leave characteristic
+# artifact sequences ("A-tilde copyright" where an e-acute was meant,
+# "a-circumflex euro right-quote" for a right single quote). The catalog
+# is GENERATED from the intended characters by replaying the faulty
+# decode ("sloppy cp1252": cp1252 where defined, latin-1 control
+# fallback otherwise -- exactly how the corruption arises), so the
+# artifact strings never appear literally in source. Spark chain, DuckDB
+# SQL and the Python twin are all emitted from the same catalog (the
+# Porter pattern -- parity by construction). No entry is a prefix of
+# another (3-byte artifacts all start with a-circumflex, 2-byte with
+# A-tilde / A-circumflex), so application order cannot matter.
+# ---------------------------------------------------------------------------
+
+def _sloppy_cp1252(b: bytes) -> str:
+    out = []
+    for x in b:
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(x))  # latin-1 keeps C1 controls verbatim
+    return "".join(out)
+
+
+MOJIBAKE_TARGETS = (
+    "\u2019\u201c\u201d\u2013\u2014\u2026"  # quotes, dashes, ellipsis
+    "\u00e1\u00e9\u00ed\u00f3\u00fa\u00f1"  # a e i o u acute, n tilde
+    "\u00fc\u00f6\u00e4\u00df\u00e8\u00ea\u00e7"  # umlauts, grave, cedilla
+    "\u00a0"  # non-breaking space artifact
+)
+
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    (_sloppy_cp1252(ch.encode("utf-8")), ch) for ch in MOJIBAKE_TARGETS
+]
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Apply every catalog fix (JVM-side chained replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def mojibake_count(col: Column | str) -> Column:
+    """Number of artifact occurrences (per-pattern length-delta trick;
+    valid because catalog entries never overlap)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for bad, _ in MOJIBAKE_MAP:
+        total = total + (
+            (F.length(c) - F.length(F.replace(c, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        )
+    return total.cast("long")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_repair_mojibake(e: str) -> str:
+    """DuckDB twin of :func:`repair_mojibake`."""
+    out = e
+    for bad, good in MOJIBAKE_MAP:
+        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    return out
+
+
+def sql_mojibake_count(e: str) -> str:
+    """DuckDB twin of :func:`mojibake_count`."""
+    parts = [
+        f"((length({e}) - length(replace({e}, {_sql_quote(bad)}, ''))) "
+        f"// {len(bad)})"
+        for bad, _ in MOJIBAKE_MAP
+    ]
+    return "(" + " + ".join(parts) + ")::bigint"
+
+
+def repair_mojibake_py(text: str) -> str:
+    """Driver-side twin (query strings, tests)."""
+    for bad, good in MOJIBAKE_MAP:
+        text = text.replace(bad, good)
+    return text

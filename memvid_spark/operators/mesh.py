@@ -222,10 +222,15 @@ def connected_components(
     scale hazard). Output: (node, cluster). Nodes without edges are not
     emitted (singletons are their own trivial cluster).
     """
-    und = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # Checkpoint the undirected edge list ONCE: every iteration joins
+    # against it, and without this the whole upstream edge-producing
+    # pipeline (shingle explodes, LSH joins, ...) re-executes per round.
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
     )
     labels = (
         und.select(F.col("src").alias("node"))

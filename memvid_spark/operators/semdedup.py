@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
 from ..functions.text import tokens
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm as vnorm
 from .mesh import connected_components
 
 SEM_K = 8  # deterministic seed count at test scale (k ∝ corpus size)
@@ -70,10 +70,20 @@ def seed_assign(
 
     Seeds are the k lowest-id vectors (replayable by the oracle, unlike
     k-means); nearest = max cosine, ties broken by lowest seed id.
-    Returns (id_col, vec_col as double array, cluster).
+    Returns (id_col, v = UNIT-normalized double vector, cluster) — the
+    normalization is paid once here so every downstream cosine
+    (k per row against seeds, then the within-cluster pairs) is a
+    single dot product instead of dot + two norms. Zero vectors
+    normalize to null and never match any threshold.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), v.alias("v"))
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), raw.alias("_raw")).select(
+        F.col(id_col),
+        F.transform(
+            F.col("_raw"),
+            lambda x: x / F.nullif(vnorm(F.col("_raw")), F.lit(0.0)),
+        ).alias("v"),
+    )
     seeds = (
         base.orderBy(id_col)
         .limit(k)
@@ -83,7 +93,7 @@ def seed_assign(
         id_col,
         "v",
         "seed_id",
-        F.round(cosine(F.col("v"), F.col("sv")), COS_ROUND).alias("c"),
+        F.round(dot(F.col("v"), F.col("sv")), COS_ROUND).alias("c"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("seed_id"))
     return (
@@ -105,30 +115,41 @@ def semdedup(
     A vector is a duplicate iff an earlier (lower-id) member of its
     cluster has cosine >= tau with it — exactly one survivor per
     cosine-connected chain seed. Returns (id_col, cluster, is_dup).
+
+    The pairwise stage runs as ONE vectorized NumPy matmul per cluster
+    (applyInPandas, Arrow-batched) — the shape the SemDeDup paper runs
+    on GPUs. An expression-level pair join would evaluate an
+    interpreted higher-order dot per pair (measured ~2.5× slower at
+    sf0.1 and worse with dimension); the kernel is O(m²) per cluster,
+    which is exactly the paper's contract — k grows with the corpus so
+    cluster size m stays bounded.
     """
+    import numpy as np
+    import pandas as pd
+
     assigned = seed_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
-    left = assigned.select(
-        F.col(id_col).alias("_lid"), F.col("v").alias("_lv"), "cluster"
-    )
-    right = assigned.select(
-        F.col(id_col).alias("_rid"), F.col("v").alias("_rv"), "cluster"
-    )
-    dups = (
-        left.join(right, "cluster")
-        .filter(F.col("_lid") < F.col("_rid"))
-        .filter(cosine(F.col("_lv"), F.col("_rv")) >= F.lit(tau))
-        .select(F.col("_rid").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
-    return (
-        assigned.join(dups, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+
+    def cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        vs = pdf["v"]
+        ok = vs.map(lambda a: a is not None).to_numpy()
+        is_dup = np.zeros(len(pdf), dtype=bool)
+        if ok.sum() >= 2:
+            X = np.stack(vs[ok].to_numpy())  # unit vectors
+            sim = X @ X.T
+            # dup iff any EARLIER member is >= tau (strict upper triangle)
+            dup_ok = (np.triu(sim >= tau, k=1)).any(axis=0)
+            is_dup[np.flatnonzero(ok)] = dup_ok
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "is_dup": is_dup,
+            }
         )
-    )
+
+    out_schema = f"{id_col} long, cluster long, is_dup boolean"
+    return assigned.groupBy("cluster").applyInPandas(cluster_dups, out_schema)
 
 
 def fingerprint_overlap_edges(

@@ -410,3 +410,48 @@ def dsir_weights(
             F.sum("lr_micro").alias("weight_micro"),
         )
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    output: position = portable 60-bit hash of (salt, id), shard =
+    position mod n_shards.
+
+    Training runs care about data ORDER (curriculum effects, dedup of
+    adjacent near-identical examples); a hash position is a full
+    deterministic permutation that needs no RNG state, is reproducible
+    across engines/runs, and is embarrassingly parallel — pure narrow
+    column arithmetic, no shuffle to ASSIGN. Writing then needs exactly
+    one `repartition(n_shards, "shard")` + `sortWithinPartitions("pos")`
+    — one shuffle to LAY OUT, the minimum any global permutation costs.
+
+    Output: input columns + (pos, shard).
+    """
+    pos = hash64(
+        F.concat(F.lit(salt + "#"), F.col(id_col).cast("string"))
+    )
+    return docs.withColumn("pos", pos).withColumn(
+        "shard", F.pmod(F.col("pos"), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard balance report: (shard, n_docs, n_tokens) — the check
+    that hash sharding spread the corpus evenly (skew here means a salt
+    or id-distribution problem before any expensive write)."""
+    assigned = shard_assign(docs, n_shards=n_shards, id_col=id_col, salt=salt)
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )

@@ -6085,6 +6085,94 @@ def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q148_shard_assign",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('shard#' || doc_id::varchar), 1, 15))::bigint
+               AS pos
+      FROM documents
+    )
+    SELECT (pos % 16)::int AS shard, count(*)::bigint AS n_docs,
+           sum(len({SQL_TOKS.format(x='text')}))::bigint AS n_tokens
+    FROM assigned GROUP BY 1
+    """,
+    "deterministic global shuffle + sharding for training output: "
+    "position = portable hash of (salt, id), shard = pos mod n — a full "
+    "reproducible permutation with zero RNG state and zero shuffle to "
+    "assign (one repartition to lay out); per-shard balance report",
+)
+def q148_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.shard_stats(t.documents, n_shards=16)
+
+
+@spec(
+    "q149_length_quantiles",
+    """
+    SELECT lang, count(*)::bigint AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+    "corpus health summary: exact interpolated length percentiles per "
+    "language (Spark percentile == DuckDB quantile_cont, verified "
+    "identical interpolation) — the distribution check before setting "
+    "chunking budgets / quality-gate thresholds; at 100 TB swap in "
+    "approx_percentile (t-digest) the same way vocabulary_size swaps "
+    "exact distinct for HLL",
+)
+def q149_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return t.documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99_chars"),
+    )
+
+
+@spec(
+    "q150_mojibake_repair",
+    None,  # filled by _computed_oracles from the shared mojibake catalog
+    "encoding-artifact repair (ftfy's top fixes): UTF-8-seen-through-"
+    "cp1252 sequences detected and repaired via a generated catalog; "
+    "one emitter writes the Spark replace chain, the DuckDB SQL and the "
+    "Python twin (Porter pattern). Planted corruption (accented copies "
+    "re-decoded the faulty way) is ground truth; repaired text is "
+    "compared by sha256. Pure JVM column ops, one scan.",
+)
+def q150_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import mojibake_count, repair_mojibake
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    # plant: accent a vowel pattern, then corrupt it the faulty-decode way
+    accented = F.replace(
+        F.col("text"), F.lit("ma"), F.concat(F.lit("m"), F.lit("á"))
+    )
+    corrupted = F.replace(
+        accented,
+        F.lit("á"),
+        F.lit("á".encode("utf-8").decode("latin-1")),
+    )
+    planted = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), corrupted.alias("text")
+    )
+    corpus = docs.unionByName(planted)
+    return corpus.select(
+        "doc_id",
+        mojibake_count(F.col("text")).alias("n_artifacts"),
+        F.length("text").alias("len_before"),
+        F.length(repair_mojibake(F.col("text"))).alias("len_after"),
+        F.sha2(repair_mojibake(F.col("text")), 256).alias("repaired_sha"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
@@ -6402,6 +6490,24 @@ def _computed_oracles() -> None:
            coalesce(tc.n_triplets, 0) AS n_triplets,
            'Enriched' AS enrichment_state
     FROM base b LEFT JOIN ec USING (doc_id) LEFT JOIN tc USING (doc_id)
+    """
+
+    from .functions.text import sql_mojibake_count, sql_repair_mojibake
+
+    art = "á".encode("utf-8").decode("latin-1")
+    by_name["q150_mojibake_repair"].oracle = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             replace(replace(text, 'ma', 'má'), 'á', '{art}') AS text
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, {sql_mojibake_count('text')} AS n_artifacts,
+           length(text) AS len_before,
+           length({sql_repair_mojibake('text')}) AS len_after,
+           sha256({sql_repair_mojibake('text')}) AS repaired_sha
+    FROM corpus
     """
 
 
