@@ -50,9 +50,14 @@ TABLES = (
 
 def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
     """Materialize a factor-x documents blowup (cached on disk): each
-    copy gets a distinct doc_id band and a per-copy text suffix so
-    near-dup mining sees a bigger corpus, not a duplicated one. All
-    other tables symlink to the source sf dir."""
+    copy gets a distinct doc_id band AND per-copy marker tokens woven
+    in every 3 tokens, so copies are genuinely distinct documents —
+    near-dup miners (SimHash/MinHash shingles) must see a 10x corpus,
+    not a corpus where every doc has 9 planted near-duplicates (a
+    suffix-only perturbation keeps Jaccard≈1 and makes candidate pairs
+    grow quadratically in the copy count, measuring output blowup
+    instead of scaling). All other tables symlink to the source sf
+    dir."""
     from pyspark.sql import functions as F
 
     docs_path = os.path.join(out_dir, "documents.parquet")
@@ -61,13 +66,27 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = docs.selectExpr("max(doc_id) + 1 AS n").head()[0]
         copies = spark.range(factor).withColumnRenamed("id", "copy")
+        toks = F.split(F.col("text"), " ")
+        marker = lambda i: F.concat(  # noqa: E731 — per-copy, per-slot token
+            F.lit("c"), F.col("copy").cast("string"),
+            F.lit("m"), i.cast("string"),
+        )
+        woven = F.array_join(
+            F.flatten(
+                F.transform(
+                    toks,
+                    lambda x, i: F.when(
+                        (i % 3 == 0) & (F.col("copy") > 0),
+                        F.array(marker(i), x),
+                    ).otherwise(F.array(x)),
+                )
+            ),
+            " ",
+        )
         blown = (
             docs.crossJoin(copies)
             .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n))
-            .withColumn(
-                "text",
-                F.concat(F.col("text"), F.lit(" rev"), F.col("copy")),
-            )
+            .withColumn("text", woven)
             .drop("copy")
         )
         blown.write.mode("overwrite").parquet(docs_path)
@@ -126,6 +145,8 @@ def main() -> None:
     for name in (
         "q144_semdedup", "q145_passage_dedup",
         "q146_dedup_survivors", "q147_dsir_weights",
+        "q148_shard_assign", "q149_length_quantiles",
+        "q150_mojibake_repair",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -4049,6 +4049,27 @@ def q117_binary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q151_xls_extract",
+    """
+    SELECT doc_id, 'mv2://docs/' || doc_id || '.xls' AS uri, 'xls' AS fmt,
+           text, length(text)::bigint AS n_chars
+    FROM documents
+    """,
+    "REAL legacy .xls round-trip: each document serialized to a valid "
+    "CFB+BIFF8 file (sources/xls.py from the MS-CFB/MS-XLS specs — "
+    "miniFAT placement, SST, NUMBER/BOOLERR cells) then sniffed by the "
+    "OLE2 magic and extracted back by the BIFF reader — the reference's "
+    "XlsReader tier (src/reader/xls.rs via calamine); the oracle is "
+    "exact text identity",
+)
+def q151_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import extract_documents, xls_payloads
+
+    t = catalog.load(spark, sf_dir)
+    return extract_documents(xls_payloads(t.documents))
+
+
+@spec(
     "q84_sheet_tables",
     """
     WITH wds AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),

@@ -22,6 +22,7 @@ Python in the path.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -58,6 +59,19 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         return "bmp"
     if payload[:2] == b"\x1f\x8b":
         return "gzip"
+    if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2/CFB compound file: legacy Office. Disambiguate by the
+        # directory stream names (mutation.rs routes by mime/ext; we
+        # can do better with the magic in hand).
+        from .xls import CfbError, CfbFile
+
+        try:
+            names = CfbFile(payload).stream_names()
+        except (CfbError, struct.error):
+            return "binary"
+        if any(n in ("Workbook", "Book") for n in names):
+            return "xls"
+        return "binary"
     if payload[:5] in (b"WARC/",):
         return "warc"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -181,6 +195,22 @@ def _ooxml_reader(
     return read
 
 
+def _read_xls(payload: bytes) -> str:
+    """Legacy Excel 97-2003: real BIFF8 parse (src/reader/xls.rs via
+    calamine; here sources/xls.py from the MS-CFB/MS-XLS specs). ZIP
+    payloads carrying an .xls extension are OOXML in disguise and fall
+    through to the .xlsx extractor — the reference reaches the same
+    outcome via its reader-fallback chain (xls.rs:75-101)."""
+    if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        from .xls import xls_extract_text
+
+        text = xls_extract_text(payload)
+        if text is not None:
+            return text
+        raise NotImplementedError("unreadable xls payload")
+    return _ooxml_reader(binary.xlsx_extract_text, "xls")(payload)
+
+
 READERS: dict[str, Callable[[bytes], str]] = {
     "text": _read_text,
     "pdf": _read_pdf,
@@ -196,7 +226,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     "bmp": _image_reader("bmp"),
     "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
     "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),
-    "xls": _ooxml_reader(binary.xlsx_extract_text, "xls"),
+    "xls": _read_xls,
     "pptx": _ooxml_reader(binary.pptx_extract_text, "pptx"),
 }
 
@@ -252,6 +282,34 @@ def binary_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(writers[fmt](text or ""))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "uri": uris, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, uri string, payload binary"
+    )
+
+
+def xls_payloads(docs: DataFrame) -> DataFrame:
+    """Serialize each document's text into a REAL legacy .xls file
+    (CFB + BIFF8, sources/xls.py) — one cell per line, so extraction
+    re-renders the exact original text. Arrow-batched mapInPandas like
+    binary_payloads."""
+    from .xls import xls_from_text
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": [
+                        f"mv2://docs/{int(d)}.xls" for d in pdf["doc_id"]
+                    ],
+                    "payload": [
+                        xls_from_text(t or "") for t in pdf["text"]
+                    ],
+                }
             )
 
     return docs.select("doc_id", "text").mapInPandas(
