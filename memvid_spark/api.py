@@ -98,14 +98,16 @@ class MemvidSpark:
         uri: str | None = None,
         lang: str = "en",
         dedup: bool = True,
+        mime: str | None = None,
     ) -> int | None:
-        """Binary ingestion: sniff the format (magic bytes + extension +
-        zip members) and extract text through the reader registry — real
-        stdlib PDF/DOCX/XLSX/PPTX codecs — then the text put path
-        (mutation.rs:229-321 put_bytes → reader dispatch → frame)."""
+        """Binary ingestion: sniff the format (magic bytes + MIME hint +
+        extension catalog + zip members) and extract text through the
+        reader registry — real stdlib PDF/DOCX/XLSX/XLS/PPTX codecs —
+        then the text put path (mutation.rs:229-321 put_bytes → reader
+        dispatch → frame)."""
         from .sources.readers import READERS, sniff_format
 
-        fmt = sniff_format(payload, uri or "")
+        fmt = sniff_format(payload, uri or "", mime=mime)
         if fmt == "gzip":
             # transparent decompression (multi-member aware), then
             # re-sniff the inner format — .gz corpora are the norm

@@ -36,11 +36,59 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 READ_SCHEMA = "doc_id long, uri string, fmt string, text string, n_chars long"
 
 
-def sniff_format(payload: bytes, uri: str = "") -> str:
-    """Magic-bytes + extension inference (mutation.rs:229-321): PDF by
-    %PDF; OOXML containers by ZIP magic disambiguated on extension;
-    UTF-8 decodable → text; else binary."""
-    if payload.startswith(PDF_MAGIC):
+# MIME → format (mutation.rs:252-273); text/* not listed falls to text
+_MIME_FORMATS = {
+    "application/pdf": "pdf",
+    "text/plain": "text",
+    "text/markdown": "markdown",
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document": "docx",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xlsx",
+    "application/vnd.ms-excel": "xls",
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation": "pptx",
+    "application/x-ndjson": "jsonl",
+    "application/jsonlines": "jsonl",
+}
+
+# extension → format (mutation.rs:281-300: the plain-text catalog
+# covers config + source-code files; md/html get their own readers)
+_TEXT_EXTS = {
+    "txt", "text", "log", "cfg", "ini", "json", "yaml", "yml", "toml",
+    "csv", "tsv", "rs", "py", "js", "ts", "tsx", "jsx", "c", "h", "cpp",
+    "hpp", "go", "rb", "php", "css", "scss", "sh", "bash", "swift",
+    "kt", "java", "scala", "sql",
+}
+_EXT_FORMATS = {
+    "pdf": "pdf", "docx": "docx", "xlsx": "xlsx", "xls": "xls",
+    "pptx": "pptx", "md": "markdown", "markdown": "markdown",
+    "html": "html", "htm": "html", "jsonl": "jsonl",
+    **{e: "text" for e in _TEXT_EXTS},
+}
+
+
+def _detect_pdf_magic(payload: bytes) -> bool:
+    """%PDF magic tolerant of a UTF-8 BOM and leading whitespace
+    (mutation.rs:303-318 detect_pdf_magic)."""
+    head = payload[:1024]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    return head.lstrip(b" \t\r\n\x0b\x0c").startswith(b"%PDF")
+
+
+def _ext_of(uri: str) -> str:
+    tail = uri.rsplit("/", 1)[-1]
+    return tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
+
+
+def sniff_format(payload: bytes, uri: str = "", mime: str | None = None) -> str:
+    """Format inference ladder (mutation.rs:229-321
+    infer_document_format): magic bytes first (PDF BOM/whitespace-
+    tolerant; our extras for the media and archive tiers), ZIP
+    containers disambiguated by extension then zip members, then the
+    MIME map, then the extension catalog, then a UTF-8 text fallback
+    with a cheap HTML-shape check."""
+    if _detect_pdf_magic(payload):
         return "pdf"
     if payload.startswith(PNG_MAGIC):
         return "png"
@@ -79,7 +127,7 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload.startswith(ZIP_MAGIC):
-        ext = uri.rsplit(".", 1)[-1].lower() if "." in uri else ""
+        ext = _ext_of(uri)
         if ext in ("docx", "xlsx", "xls", "pptx"):
             return ext
         # no extension hint: disambiguate OOXML containers by zip members
@@ -91,11 +139,29 @@ def sniff_format(payload: bytes, uri: str = "") -> str:
         if any(n.startswith("ppt/") for n in names):
             return "pptx"
         return "zip"
+    hinted = None
+    if mime:
+        m = mime.split(";", 1)[0].strip().lower()
+        hinted = _MIME_FORMATS.get(m)
+        if hinted is None and m.startswith("text/"):
+            hinted = "text"
+    if hinted is None:
+        hinted = _EXT_FORMATS.get(_ext_of(uri))
+    if hinted in ("pdf", "docx", "xlsx", "xls", "pptx"):
+        # binary-capable hint without the matching magic: trust it and
+        # let the reader's error channel surface a mismatch
+        # (mutation.rs falls back through the reader chain the same way)
+        return hinted
     try:
-        payload.decode("utf-8")
-        return "text"
+        text = payload.decode("utf-8")
     except UnicodeDecodeError:
-        return "binary"
+        return "binary"  # a text-ish hint can't override non-UTF-8 bytes
+    if hinted is not None:
+        return hinted
+    head = text[:256].lstrip().lower()
+    if head.startswith(("<!doctype html", "<html")):
+        return "html"
+    return "text"
 
 
 def _demo_container_text(payload: bytes, magic: bytes) -> str | None:
@@ -211,8 +277,22 @@ def _read_xls(payload: bytes) -> str:
     return _ooxml_reader(binary.xlsx_extract_text, "xls")(payload)
 
 
+def _read_html(payload: bytes) -> str:
+    """HTML → visible text via the web-ingestion extractor (the
+    reference routes DocumentFormat::Html through its passthrough
+    extractor, which does the same markup strip)."""
+    from .htmltext import html_to_text
+
+    return html_to_text(payload.decode("utf-8"))
+
+
 READERS: dict[str, Callable[[bytes], str]] = {
     "text": _read_text,
+    # markdown/jsonl index as text (passthrough.rs:24-27 routes both
+    # through the plain extractor); html strips markup first
+    "markdown": _read_text,
+    "jsonl": _read_text,
+    "html": _read_html,
     "pdf": _read_pdf,
     # images: real header parse → one-line surrogate text; pixel features
     # live on the media/features path (sources/image.py, multimodal.py);
