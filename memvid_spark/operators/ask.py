@@ -240,7 +240,7 @@ def promote_extremes(
         F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
     )
     extremes = (
-        pool.join(bounds)
+        pool.join(F.broadcast(bounds))
         .filter((F.col(ts_col) == F.col("lo")) | (F.col(ts_col) == F.col("hi")))
         .drop("lo", "hi")
         .select(*hits.columns)

@@ -156,7 +156,10 @@ def embedding_quality(
     s = emb.filter(F.col(id_col) < sample_ids)
     a = s.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = s.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("a") < F.col("b")).select(
+    # explicit broadcast: the sample side is bounded, and the hint keeps
+    # the theta-join a BroadcastNestedLoopJoin (never CartesianProduct)
+    # independent of the session's broadcast threshold
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b")).select(
         cosine("va", "vb").alias("sim")
     )
     return pairs.agg(

@@ -138,6 +138,11 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            # get(key, None) returns None when the key was never set
+            # explicitly — unset to fall back to Spark's own default
+            # instead of leaving broadcasts disabled for later tests
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_emb")
 
@@ -248,3 +253,18 @@ def test_cluster_by_zorder_improves_two_column_locality(spark):
     assert xy > n * 0.9
     # z-order keeps BOTH spans a fraction of the domain
     assert zx < n * 0.5 and zy < n * 0.5
+
+
+def test_plan_lint_no_cartesian_product_any_query(spark):
+    """Sweep EVERY registry query's physical plan for CartesianProduct —
+    the one join shape that is always wrong at 100 TB. Legitimate
+    1-row/broadcast cross joins compile to BroadcastNestedLoopJoin and
+    pass; an accidental unkeyed join regression fails here by name."""
+    from memvid_spark import registry
+
+    offenders = []
+    for s in registry.SPECS:
+        df = s.fn(spark, SF_DIR)
+        if "CartesianProduct" in _plan(df):
+            offenders.append(s.name)
+    assert offenders == [], f"CartesianProduct in: {offenders}"
