@@ -409,6 +409,61 @@ class MemvidSpark:
             id_col=self.id_col, text_col=self.text_col,
         )
 
+    def audit(
+        self,
+        question: str,
+        top_k: int = 10,
+        include_snippets: bool = True,
+        mask_pii: bool = False,
+    ) -> tuple[dict, DataFrame]:
+        """Provenance report for a question (audit.rs:44-158): run the
+        ask() pipeline, then decorate every citation with frame
+        metadata — uri, inferred title, auto tags, content dates — and
+        (optionally) the hit snippet. Returns ``(report, sources)``:
+        ``report`` mirrors AuditReport's scalar fields; ``sources`` is
+        one row per citation in rank order (SourceSpan analogue). The
+        citation list is top-k rows, so it broadcasts into the frame
+        join; metadata derivation is scan-side column algebra."""
+        from .functions.extract import (
+            auto_tags,
+            extract_dates,
+            infer_title_from_uri,
+        )
+
+        res = self.ask(question, top_k=top_k, mask_pii=mask_pii)
+        cit = self.spark.createDataFrame(
+            [
+                (i + 1, int(fid), float(score))
+                for i, (fid, score) in enumerate(res.citations)
+            ],
+            "rank int, doc_id long, score double",
+        )
+        meta = self.docs().select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col("source").alias("uri"),
+            infer_title_from_uri(F.col("source")).alias("title"),
+            auto_tags(F.col(self.text_col)).alias("tags"),
+            extract_dates(F.col(self.text_col)).alias("content_dates"),
+        )
+        sources = meta.join(F.broadcast(cit), "doc_id").select(
+            "rank", "doc_id", "uri", "title", "score", "tags",
+            "content_dates",
+        )
+        if include_snippets:
+            snip = res.hits.select(
+                F.col(self.id_col).alias("doc_id"), "snippet"
+            )
+            sources = sources.join(F.broadcast(snip), "doc_id", "left")
+        report = {
+            "version": "1.0",
+            "question": question,
+            "answer": res.answer,
+            "kind": res.kind,
+            "total_hits": len(res.citations),
+            "notes": [],
+        }
+        return report, sources.orderBy("rank")
+
     def knn(self, embeddings: DataFrame, query_vec, k: int = 10) -> DataFrame:
         return knn_mod.knn(embeddings, query_vec, k=k)
 

@@ -230,3 +230,29 @@ def test_put_bytes_real_formats_and_helpers(spark):
     ments = mv.temporal_mentions().collect()
     assert {r.doc_id for r in ments} == {i1}
     assert ments[0].lo == "2023-05-06"
+
+
+def test_facade_audit_provenance(spark):
+    mv = MemvidSpark(spark)
+    a = mv.put(
+        "spark joins use hash partitioning released on 2024-03-15",
+        uri="mv2://docs/joins.md",
+    )
+    mv.put("window functions rank rows within partitions")
+    report, sources = mv.audit("what do spark joins use", top_k=3)
+    assert report["version"] == "1.0"
+    assert report["question"].startswith("what do spark joins")
+    assert report["answer"]
+    rows = sources.collect()
+    assert rows, "audit must cite at least one source"
+    top = rows[0]
+    assert top.rank == 1 and top.doc_id == a
+    assert top.uri == "mv2://docs/joins.md"
+    assert top.title  # inferred from the uri
+    assert "2024-03-15" in list(top.content_dates)
+    assert top.snippet and "joins" in top.snippet
+    # rank order preserved, indexes contiguous from 1
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # snippets can be omitted
+    _, bare = mv.audit("what do spark joins use", include_snippets=False)
+    assert "snippet" not in bare.columns
