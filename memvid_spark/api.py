@@ -481,7 +481,8 @@ class MemvidSpark:
 
     CARD_SCHEMA = (
         "entity string, slot string, value string, "
-        "version_relation string, ts long, seq long"
+        "version_relation string, ts long, seq long, "
+        "kind string, polarity string"
     )
 
     def remember(
@@ -491,14 +492,20 @@ class MemvidSpark:
         value: str,
         relation: str = "Updates",
         ts: int | None = None,
+        kind: str = "Fact",
+        polarity: str = "Positive",
     ) -> None:
         """Append a memory card; ``relation`` ∈ Updates|Extends|Retracts
-        (memory_card.rs:76-90). ``ts`` defaults to a logical clock (the
-        card sequence) so sessions replay deterministically."""
+        (memory_card.rs:76-90), ``kind`` ∈ Fact|Preference|Event|...
+        and ``polarity`` ∈ Positive|Negative (memory_card.rs:116-127).
+        ``ts`` defaults to a logical clock (the card sequence) so
+        sessions replay deterministically."""
         if not hasattr(self, "_cards"):
             self._cards: list[tuple] = []
         seq = len(self._cards)
-        self._cards.append((entity, slot, value, relation, ts or seq, seq))
+        self._cards.append(
+            (entity, slot, value, relation, ts or seq, seq, kind, polarity)
+        )
 
     def cards(self) -> DataFrame:
         rows = getattr(self, "_cards", [])
@@ -538,6 +545,45 @@ class MemvidSpark:
     def memory_entities_df(self) -> DataFrame:
         """Distributed twin of :meth:`memory_entities` (no driver cap)."""
         return self.cards().select("entity").distinct()
+
+    def memory_timeline(self, entity: str) -> DataFrame:
+        """Event-kind cards for an entity in effective-timestamp order
+        (get_memory_timeline, memories_track.rs:451-460)."""
+        return (
+            self.cards()
+            .filter((F.col("entity") == entity) & (F.col("kind") == "Event"))
+            .orderBy("ts", "seq")
+        )
+
+    def preferences(self, entity: str, positive_only: bool = False) -> DataFrame:
+        """Preference-kind cards for an entity (get_preferences /
+        get_positive_preferences, memories_track.rs:462-477)."""
+        p = self.cards().filter(
+            (F.col("entity") == entity) & (F.col("kind") == "Preference")
+        )
+        if positive_only:
+            p = p.filter(F.col("polarity") == "Positive")
+        return p.orderBy("seq")
+
+    def memories_stats(self) -> dict:
+        """Card/entity/slot counts plus per-kind histogram
+        (memories_stats, memories_track.rs:591-605)."""
+        cards = self.cards()
+        agg = cards.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("entity").alias("entities"),
+            F.count_distinct("entity", "slot").alias("slots"),
+        ).head()
+        by_kind = {
+            r.kind: r.n
+            for r in cards.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "card_count": int(agg.n),
+            "entity_count": int(agg.entities),
+            "slot_count": int(agg.slots),
+            "cards_by_kind": by_kind,
+        }
 
     def aggregate_memory_slot(self) -> DataFrame:
         from .operators import memory

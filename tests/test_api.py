@@ -256,3 +256,31 @@ def test_facade_audit_provenance(spark):
     # snippets can be omitted
     _, bare = mv.audit("what do spark joins use", include_snippets=False)
     assert "snippet" not in bare.columns
+
+
+def test_facade_memory_kinds_timeline_preferences(spark):
+    mv = MemvidSpark(spark)
+    mv.remember("user:1", "city", "Paris")  # Fact (default)
+    mv.remember("user:1", "visited", "Rome", kind="Event", ts=200)
+    mv.remember("user:1", "visited", "Oslo", kind="Event", ts=100)
+    mv.remember("user:1", "food", "likes sushi", kind="Preference")
+    mv.remember(
+        "user:1", "food", "dislikes celery", kind="Preference",
+        polarity="Negative",
+    )
+    mv.remember("user:2", "city", "Lyon")
+
+    # timeline: Event cards only, effective-timestamp order
+    tl = mv.memory_timeline("user:1").collect()
+    assert [r.value for r in tl] == ["Oslo", "Rome"]
+
+    prefs = mv.preferences("user:1").collect()
+    assert {r.value for r in prefs} == {"likes sushi", "dislikes celery"}
+    pos = mv.preferences("user:1", positive_only=True).collect()
+    assert [r.value for r in pos] == ["likes sushi"]
+
+    st = mv.memories_stats()
+    assert st["card_count"] == 6
+    assert st["entity_count"] == 2
+    assert st["cards_by_kind"] == {"Fact": 2, "Event": 2, "Preference": 2}
+    assert st["slot_count"] == 4  # (u1,city),(u1,visited),(u1,food),(u2,city)
