@@ -455,3 +455,70 @@ def shard_stats(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens(text_col))).alias("n_tokens"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    phi: float = 0.002,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phi-heavy hitters via a two-pass Misra-Gries sketch.
+
+    Pass 1 runs a k-counter Misra-Gries summary PER PARTITION
+    (mapInPandas; counters persist across the partition's Arrow
+    batches) with k = ceil(1/phi). Pigeonhole: any token with global
+    frequency > phi*N exceeds n_p/k in at least one partition, so the
+    union of per-partition candidates is a SUPERSET of the true heavy
+    hitters — the sketch can only over-admit, never miss. Pass 2
+    recounts ONLY the candidates exactly (broadcast semi-join) and
+    filters on the true threshold, so the output is EXACTLY
+    ``GROUP BY token HAVING count >= ceil(phi*N)`` — sketch-accelerated
+    but oracle-exact.
+
+    Scale posture: the full-vocabulary shuffle never happens. Pass 1 is
+    scan + O(partitions * k) candidate rows; pass 2 shuffles only
+    candidate tokens. At 100 TB this is the difference between a
+    trillion-row groupBy and a few-thousand-row one.
+
+    Output: (token, n, threshold) for tokens with n >= threshold.
+    """
+    import math
+
+    from ..functions.text import tokens as _tokens
+
+    k = max(int(math.ceil(1.0 / phi)), 1)
+    toks = docs.select(F.explode(_tokens(text_col)).alias("token"))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = toks.mapInPandas(mg, "token string").distinct()
+    counted = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = toks.agg(F.count("*").alias("_N"))
+    return (
+        counted.join(F.broadcast(total))
+        .withColumn("threshold", F.ceil(F.lit(phi) * F.col("_N")).cast("long"))
+        .filter(F.col("n") >= F.col("threshold"))
+        .drop("_N")
+    )

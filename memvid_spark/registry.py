@@ -6107,6 +6107,30 @@ def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q152_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKS.format(x='text')}) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    counted AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY token)
+    SELECT token, n, ceil(0.002 * n_total)::bigint AS threshold
+    FROM counted, tot WHERE n >= ceil(0.002 * n_total)
+    """,
+    "exact phi-heavy hitters, sketch-accelerated: per-partition "
+    "Misra-Gries (k=1/phi counters, mapInPandas) yields a guaranteed "
+    "candidate SUPERSET (pigeonhole over partitions), then an exact "
+    "recount of candidates only — output identical to the full groupBy "
+    "the oracle runs, but the full-vocabulary shuffle never happens",
+)
+def q152_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.heavy_hitters(t.documents, phi=0.002)
+
+
+@spec(
     "q148_shard_assign",
     f"""
     WITH assigned AS (

@@ -153,3 +153,39 @@ def test_vocabulary_size_hll_error_bound(spark):
         for r in vocabulary_size(docs, group_col="source", approx=True).collect()
     }
     assert per_src and all(v > 0 for v in per_src.values())
+
+
+def test_heavy_hitters_exact_with_planted_skew(spark):
+    # 40 docs of filler + one token planted heavily: 'hot' appears 400x
+    rows = [(i, "filler" + str(i) + " words vary here") for i in range(40)]
+    rows += [(100 + i, "hot " * 10) for i in range(40)]  # 400 'hot'
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: (r.n, r.threshold)
+           for r in traindata.heavy_hitters(docs, phi=0.1).collect()}
+    # total tokens = 40*4 + 400 = 560; threshold = ceil(0.1*560) = 56
+    assert "hot" in out and out["hot"][0] == 400
+    assert out["hot"][1] == 56
+    # no token below threshold sneaks through (sketch over-admits are
+    # filtered by the exact recount)
+    assert all(n >= th for n, th in out.values())
+    # per-doc filler tokens (freq 1) never appear
+    assert "filler0" not in out
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 17} tok{i % 5}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    got = {(r.token, r.n)
+           for r in traindata.heavy_hitters(docs, phi=0.02).collect()}
+    from pyspark.sql import functions as F2
+    from memvid_spark.functions.text import tokens as _tk
+    toks = docs.select(F2.explode(_tk("text")).alias("token"))
+    total = toks.count()
+    import math
+    th = math.ceil(0.02 * total)
+    want = {(r.token, r.n) for r in
+            toks.groupBy("token").agg(F2.count("*").alias("n"))
+            .filter(F2.col("n") >= th).collect()}
+    assert got == want
