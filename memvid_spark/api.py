@@ -236,6 +236,23 @@ class MemvidSpark:
             self.docs(), phrase, window=window, max_snippets=max_snippets
         )
 
+    def frame_context(self, doc_id: int, query: str) -> tuple[str, int]:
+        """Query-relevant context for ONE frame (frame_context,
+        frame.rs:368-380): the ranked snippet slices of the frame's
+        text stitched together, plus the occurrence count. A single-
+        frame filter pushes down to the scan; the snippet machinery is
+        the same column algebra search uses."""
+        from .operators.ask import snippet_slices
+
+        one = self.docs().filter(F.col(self.id_col) == doc_id)
+        rows = snippet_slices(
+            one, query, id_col=self.id_col, text_col=self.text_col
+        ).collect()
+        if not rows:
+            txt = one.select(self.text_col).head()
+            return (txt[0][:500] if txt else "", 0)
+        return (" … ".join(r.snippet for r in rows), len(rows))
+
     def temporal_mentions(self) -> DataFrame:
         """Sliding-anchor in-text temporal mentions for the active corpus
         (src/analysis/temporal_enrich.rs; the temporal-index feed)."""

@@ -284,3 +284,18 @@ def test_facade_memory_kinds_timeline_preferences(spark):
     assert st["entity_count"] == 2
     assert st["cards_by_kind"] == {"Fact": 2, "Event": 2, "Preference": 2}
     assert st["slot_count"] == 4  # (u1,city),(u1,visited),(u1,food),(u2,city)
+
+
+def test_facade_frame_context(spark):
+    mv = MemvidSpark(spark)
+    long_text = ("intro filler " * 30) + "the hash join algorithm shines " + \
+        ("middle padding " * 40) + "hash join again appears here " + \
+        ("tail filler " * 30)
+    a = mv.put(long_text)
+    mv.put("unrelated document about sorting networks")
+    ctx, n = mv.frame_context(a, "hash join")
+    assert n >= 2 and "hash join" in ctx
+    # no occurrences: falls back to a bounded text preview
+    ctx2, n2 = mv.frame_context(a, "zebra quantum")
+    assert n2 == 0 and ctx2.startswith("intro filler")
+    assert len(ctx2) <= 500
