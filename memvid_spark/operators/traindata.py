@@ -522,3 +522,41 @@ def heavy_hitters(
         .filter(F.col("n") >= F.col("threshold"))
         .drop("_N")
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    bench_pred,
+    tau: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-tier decontamination: flag corpus vectors whose cosine
+    to ANY benchmark vector reaches ``tau`` — catching paraphrased or
+    reformatted eval contamination that n-gram decontamination
+    (:func:`decontaminate`) misses.
+
+    The benchmark side is an eval suite — thousands of rows, not
+    billions — so it BROADCASTS and the check is one scan of the
+    corpus with k cosines per row; exact, no ANN recall caveats. The
+    n-gram and embedding tiers compose: run both, union the flags.
+
+    Output: (id, max_bench_cos round6, contaminated).
+    """
+    from ..functions.vector import cosine
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bench = emb.filter(bench_pred).select(
+        F.col(id_col).alias("_bid"), v.alias("_bv")
+    )
+    corpus = emb.filter(~bench_pred).select(F.col(id_col), v.alias("_cv"))
+    scored = (
+        corpus.join(F.broadcast(bench))
+        .groupBy(id_col)
+        .agg(F.max(cosine(F.col("_cv"), F.col("_bv"))).alias("_m"))
+    )
+    return scored.select(
+        id_col,
+        F.round("_m", 6).alias("max_bench_cos"),
+        (F.col("_m") >= tau).alias("contaminated"),
+    )

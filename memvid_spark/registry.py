@@ -6107,6 +6107,43 @@ def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q153_semantic_decontamination",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::double[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000001, list_transform(embedding::double[], x -> x * 1.003)
+      FROM embeddings WHERE vec_id % 25 = 3
+    ),
+    bench AS (SELECT vec_id AS bid, v AS bv FROM base WHERE vec_id % 25 = 3),
+    corpus AS (SELECT vec_id, v AS cv FROM base WHERE vec_id % 25 <> 3)
+    SELECT vec_id,
+           round(max({SQL_COS.format(a='cv', b='bv')}), 6) AS max_bench_cos,
+           (max({SQL_COS.format(a='cv', b='bv')}) >= 0.999) AS contaminated
+    FROM corpus, bench GROUP BY vec_id
+    """,
+    "embedding-tier decontamination (the paraphrase-robust complement "
+    "of q94's 8-gram tier): flag corpus vectors with cosine >= tau to "
+    "any benchmark vector; planted scaled copies of the benchmark rows "
+    "are the contamination ground truth. Benchmark side broadcasts — "
+    "one corpus scan, exact, no ANN recall caveat.",
+)
+def q153_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    planted = t.embeddings.select("vec_id", "embedding").unionByName(
+        t.embeddings.filter(F.col("vec_id") % 25 == 3).select(
+            (F.col("vec_id") + 1000001).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.003).alias("embedding"),
+        )
+    )
+    return traindata.semantic_decontaminate(
+        planted, F.col("vec_id") % 25 == 3, tau=0.999
+    )
+
+
+@spec(
     "q152_heavy_hitters",
     f"""
     WITH toks AS (

@@ -189,3 +189,24 @@ def test_heavy_hitters_matches_exact_groupby(spark):
             toks.groupBy("token").agg(F2.count("*").alias("n"))
             .filter(F2.col("n") >= th).collect()}
     assert got == want
+
+
+def test_semantic_decontaminate_flags_scaled_copies(spark):
+    import math
+    rows = []
+    # benchmark: two orthogonal-ish vectors
+    rows.append((0, [1.0, 0.0, 0.0]))
+    rows.append((1, [0.0, 1.0, 0.0]))
+    # corpus: a scaled copy of bench 0 (contaminated), an orthogonal
+    # vector (clean), and a 45-degree vector (cos ~0.707, clean)
+    rows.append((10, [2.0, 0.0, 0.0]))
+    rows.append((11, [0.0, 0.0, 1.0]))
+    rows.append((12, [1.0, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.max_bench_cos, r.contaminated)
+           for r in traindata.semantic_decontaminate(
+               emb, F.col("vec_id") < 2, tau=0.999).collect()}
+    assert out[10][1] is True and out[10][0] == 1.0
+    assert out[11][1] is False and out[11][0] == 0.0
+    assert out[12][1] is False
+    assert abs(out[12][0] - round(1 / math.sqrt(2), 6)) < 1e-6
