@@ -145,3 +145,40 @@ def test_decoders_fail_closed_on_garbage(junk, which):
         fn(magic + junk)
     except Exception:
         pass  # clean failure is the contract; error CHANNELS wrap this
+
+
+cell_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+sheet_rows = st.lists(
+    st.lists(cell_text, min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=sheet_rows, name=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           blacklist_categories=("Cs",)),
+    min_size=1, max_size=20))
+def test_xls_roundtrip_arbitrary_sheets(rows, name):
+    """CFB+BIFF8 writer→reader must re-render EXACTLY the text the
+    reader contract promises for any cell content — including cells
+    that look numeric/boolean (written as NUMBER/BOOLERR) and unicode
+    up to astral planes."""
+    from memvid_spark.sources.xls import xls_extract_rows, xls_from_rows
+
+    # every cell (including empty strings) gets a record, so the round
+    # trip is EXACT — same contract the multisheet unit test pins
+    sheets = [(name, rows)]
+    got = xls_extract_rows(xls_from_rows(sheets))
+    assert got == [(name, [list(r) for r in rows])]
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=600))
+def test_xls_fails_closed_on_garbage(junk):
+    from memvid_spark.sources.xls import CFB_MAGIC, xls_extract_text
+
+    assert xls_extract_text(CFB_MAGIC + junk) is None or isinstance(
+        xls_extract_text(CFB_MAGIC + junk), str
+    )
