@@ -1,0 +1,66 @@
+"""ANN artifact persistence pins: save→load round trips must preserve
+search behavior exactly (same codes, same top-k), and the envelope
+rejects kind/version mismatches before they can silently degrade
+recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from memvid_spark.operators import annindex, knn, pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from tests.conftest import SF_DIR
+
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_pq_roundtrip_search_parity(spark, emb, tmp_path):
+    model = pq.train_pq(emb, n_sub=4, k=8)
+    path = str(tmp_path / "pq.json")
+    annindex.save_pq(model, path)
+    loaded = annindex.load_pq(path)
+    assert (loaded.n_sub, loaded.sub_dim, loaded.k) == (
+        model.n_sub, model.sub_dim, model.k,
+    )
+    assert loaded.centroids == model.centroids
+    qvec = [float(x) for x in emb.filter("vec_id = 1").head().embedding]
+    codes_a = pq.encode(model, emb)
+    codes_b = pq.encode(loaded, emb)
+    a = [(r.vec_id, r.approx_dist) for r in pq.adc_topk(model, codes_a, qvec, k=5).collect()]
+    b = [(r.vec_id, r.approx_dist) for r in pq.adc_topk(loaded, codes_b, qvec, k=5).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_ivf_centroids_roundtrip(spark, emb, tmp_path):
+    cents = knn.train_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf.json")
+    annindex.save_centroids(cents, path)
+    loaded = annindex.load_centroids(spark, path)
+    want = sorted((r.centroid_id, list(r.centroid)) for r in cents.collect())
+    got = sorted((r.centroid_id, list(r.centroid)) for r in loaded.collect())
+    assert got == want
+
+
+def test_hyperplanes_roundtrip(tmp_path):
+    planes = knn.srp_hyperplanes(dim=16, n_planes=8)
+    path = str(tmp_path / "srp.json")
+    annindex.save_hyperplanes(planes, path)
+    assert annindex.load_hyperplanes(path) == planes
+
+
+def test_envelope_rejects_mismatches(tmp_path):
+    planes = knn.srp_hyperplanes(dim=4, n_planes=2)
+    path = str(tmp_path / "srp.json")
+    annindex.save_hyperplanes(planes, path)
+    with pytest.raises(ValueError, match="expected 'pq'"):
+        annindex.load_pq(path)
+    import json
+
+    env = json.load(open(path))
+    env["version"] = 99
+    json.dump(env, open(path, "w"))
+    with pytest.raises(ValueError, match="version"):
+        annindex.load_hyperplanes(path)
