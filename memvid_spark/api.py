@@ -758,6 +758,36 @@ class MemvidSpark:
         """The recorded session as a replay_actions table (SURVEY §1.2)."""
         return self._replay_rows(self._replay)
 
+    def save_replay(self, path: str) -> int:
+        """Persist the recorded session (save_replay_sessions,
+        replay_ops.rs:236-247): a versioned JSON envelope like the ANN
+        artifacts — replay logs are action-count sized, never
+        corpus-sized. Returns the number of actions saved."""
+        import json
+        import os
+
+        env = {"version": 1, "kind": "replay", "actions": self._replay}
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(env, f)
+        os.replace(tmp, path)
+        return len(self._replay)
+
+    def load_replay(self, path: str) -> int:
+        """Restore a recorded session for re-execution/divergence diff
+        (replay_ops.rs list/get session surface)."""
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            env = json.load(f)
+        if env.get("kind") != "replay" or env.get("version") != 1:
+            raise ValueError(f"not a replay artifact: {path}")
+        self._replay = [
+            (int(seq), q, int(k), [int(i) for i in ids])
+            for seq, q, k, ids in env["actions"]
+        ]
+        return len(self._replay)
+
     def replay(self) -> DataFrame:
         """Deterministic re-execution + divergence diff
         (replay/engine.rs:118-637): re-run every recorded action against

@@ -61,3 +61,27 @@ def test_doctor_and_heal(spark):
     assert plan[("embeddings", "missing")] == "rebuild_derived_table"
     assert plan[("embeddings", "orphaned")] == "vacuum_derived_table"
     assert plan[("frames", "duplicate_key")] == "dedup_frames"
+
+
+def test_replay_save_load_roundtrip(spark, tmp_path):
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    mv.put("hash joins shuffle both sides on the key")
+    mv.put("broadcast joins ship the small side to every executor")
+    mv.record_search("joins", top_k=5)
+    mv.record_search("broadcast", top_k=3)
+    path = str(tmp_path / "session.json")
+    assert mv.save_replay(path) == 2
+
+    # a fresh facade over the same corpus restores and re-executes
+    mv2 = MemvidSpark(spark)
+    mv2.put("hash joins shuffle both sides on the key")
+    mv2.put("broadcast joins ship the small side to every executor")
+    assert mv2.load_replay(path) == 2
+    assert [tuple(r) for r in mv2.replay_log().collect()] == [
+        tuple(r) for r in mv.replay_log().collect()
+    ]
+    # divergence diff over the restored log is empty (same corpus)
+    div = mv2.replay()
+    assert div.filter("status <> 'same'").count() == 0

@@ -176,3 +176,48 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     n_distinct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a second run over the SAME
+    checkpointLocation must process only files the first run never
+    committed — the WAL→checkpoint→commit contract (MV2_SPEC.md:80-95)
+    realized by Structured Streaming's offset log + file-sink metadata."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def write_batch(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id", "id * 2 AS double_id"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(0, 50)
+    write_batch(50, 80)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, double_id long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 80
+
+    # new data lands AFTER the first run committed; restart from the
+    # same checkpoint
+    write_batch(80, 100)
+    run_once()
+    final = spark.read.parquet(out).collect()
+    ids = sorted(r.id for r in final)
+    # exactly once: every id exactly one row, none reprocessed
+    assert ids == list(range(100))
+    assert all(r.double_id == r.id * 2 for r in final)
