@@ -225,3 +225,67 @@ def streaming_dedup(
     keys = key_cols or ["event_id"]
     ev = with_event_time(events)
     return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def dedup_stream_tws(
+    docs_stream: DataFrame,
+    key_col: str = "sha",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence streaming dedup on the modern
+    ``transformWithStateInPandas`` surface (Spark 4.x StatefulProcessor):
+    a per-key ValueState remembers whether the key was emitted; with
+    ``ttl_ms`` the state carries a native TTL, so the seen-set stops
+    growing without a watermark column — the state-lifecycle answer for
+    keys (content hashes) that have no event time.
+
+    Emits each key's FIRST row only (lowest doc_id within a batch for
+    determinism). Complements :func:`streaming_dedup`: that one evicts
+    by watermark on event time; this one by TTL on processing time.
+
+    Optional-dependency note: Spark's transformWithState Python worker
+    protocol needs ``protobuf`` at runtime. Where it is absent the
+    query fails at start — the watermark-based :func:`streaming_dedup`
+    is the no-extra-deps path; the test suite skips this operator when
+    protobuf is unavailable (same convention as the model-inference
+    seams).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} string, doc_id long"
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if ttl_ms is None:
+                self._seen = handle.getValueState("seen", "emitted boolean")
+            else:
+                self._seen = handle.getValueState(
+                    "seen", "emitted boolean", ttlDurationMs=ttl_ms
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._seen.exists():
+                return
+            first = None
+            for pdf in rows:
+                lo = int(pdf["doc_id"].min())
+                first = lo if first is None else min(first, lo)
+            self._seen.update((True,))
+            yield pd.DataFrame({key_col: [key[0]], "doc_id": [first]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        docs_stream.groupBy(key_col)
+        .transformWithStateInPandas(
+            FirstSeen(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none" if ttl_ms is None else "processingTime",
+        )
+    )

@@ -221,3 +221,44 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # exactly once: every id exactly one row, none reprocessed
     assert ids == list(range(100))
     assert all(r.double_id == r.id * 2 for r in final)
+
+
+def test_tws_dedup_first_occurrence(spark, tmp_path):
+    """transformWithStateInPandas first-seen dedup: re-deliveries of a
+    content hash across micro-batches are dropped; only each key's
+    first doc survives. Requires protobuf (Spark's TWS worker
+    protocol) — skipped where absent, like the model-inference seams."""
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "twssrc")
+    out_rows = []
+
+    # batch 1: two distinct keys, one intra-batch duplicate
+    spark.createDataFrame(
+        [("k1", 10), ("k1", 11), ("k2", 20)], "sha string, doc_id long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (separate file): re-delivery of k1/k2 + a new key
+    spark.createDataFrame(
+        [("k1", 30), ("k2", 31), ("k3", 32)], "sha string, doc_id long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    from memvid_spark.streaming.enrichment import dedup_stream_tws
+
+    stream = (
+        spark.readStream.schema("sha string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sha, r.doc_id) for r in spark.sql("SELECT * FROM tws_dedup").collect()
+    }
+    # each key exactly once, first doc_id wins within its arrival batch
+    assert got == {("k1", 10), ("k2", 20), ("k3", 32)}
