@@ -184,10 +184,14 @@ def fingerprint_overlap_edges(
             )
         ).alias("gram"),
     )
+    # checkpoint the sampled fingerprint table once: it feeds the df
+    # ceiling AND both sides of the pair join — without this the gram
+    # explode + distinct re-executes three times
     fp = (
         grams.select(id_col, hash64(F.col("gram")).alias("fp"))
         .distinct()
         .filter(F.col("fp") % p == 0)
+        .localCheckpoint()
     )
     rare = (
         fp.groupBy("fp")
