@@ -6107,6 +6107,48 @@ def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q154_paragraph_dedup",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             text || chr(10) || substr(text, 1, 40) || chr(10) || text
+             || chr(10) || substr(text, 1, 40) AS text
+      FROM documents
+    ),
+    segs AS (SELECT doc_id, string_split(text, chr(10)) AS s FROM docs2),
+    kept AS (
+      SELECT doc_id, s,
+             list_filter(s, (x, i) -> length(x) < 1 OR list_position(s, x) = i)
+               AS k
+      FROM segs
+    )
+    SELECT doc_id, array_to_string(k, chr(10)) AS text,
+           len(s) AS n_paras, (len(s) - len(k)) AS n_removed
+    FROM kept
+    """,
+    "intra-document repetition removal: first occurrence of each "
+    "repeated paragraph survives, shorter-than-min always survives — "
+    "split + array_position first-occurrence filter + re-join, pure "
+    "narrow column algebra with ZERO shuffles (drop_boilerplate_lines "
+    "is the cross-doc twin); planted full-text and prefix repeats are "
+    "the ground truth",
+)
+def q154_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    planted = t.documents.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.col("text"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return dedup.dedup_paragraphs(planted)
+
+
+@spec(
     "q153_semantic_decontamination",
     f"""
     WITH base AS (

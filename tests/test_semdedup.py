@@ -142,3 +142,20 @@ def test_dsir_deterministic_across_runs(spark):
     a = sorted(map(tuple, traindata.dsir_weights(docs, F.col("lang") == "en").collect()))
     b = sorted(map(tuple, traindata.dsir_weights(docs, F.col("lang") == "en").collect()))
     assert a == b
+
+
+def test_dedup_paragraphs_first_occurrence_and_short_kept(spark):
+    from memvid_spark.operators.dedup import dedup_paragraphs
+
+    text = "alpha beta\n\nrepeated para\nmiddle\nrepeated para\n\nend"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = dedup_paragraphs(docs).head()
+    # second 'repeated para' dropped; BOTH empty separators survive
+    assert row.text == "alpha beta\n\nrepeated para\nmiddle\n\nend"
+    assert row.n_paras == 7 and row.n_removed == 1
+    # no repeats -> unchanged
+    clean = spark.createDataFrame(
+        [(2, "one\ntwo\nthree")], "doc_id long, text string"
+    )
+    r2 = dedup_paragraphs(clean).head()
+    assert r2.text == "one\ntwo\nthree" and r2.n_removed == 0
