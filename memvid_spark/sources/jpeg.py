@@ -17,9 +17,13 @@ sequential DCT JPEGs — the overwhelmingly common flavor:
 
 Supported: grayscale, 4:4:4, 4:2:2 and 4:2:0 (general h×v sampling
 factors — interleaved multi-block MCUs, per-component plane
-reconstruction, nearest-neighbor chroma upsample). Progressive (SOF2)
-and arithmetic coding raise a clear error; a deployment swaps in PIL
-via the same seam as before (multimodal.decode_image).
+reconstruction, nearest-neighbor chroma upsample), and PROGRESSIVE
+(SOF2, T.81 Annex G): spectral selection, successive approximation
+(DC first/refine, AC first/refine with EOB-run coding and correction
+bits), multi-scan coefficient accumulation — the flavor large web
+images actually ship. A matching progressive ENCODER
+(jpeg_encode_progressive) emits all four scan kinds for round-trip
+tests; hierarchical and arithmetic coding raise a clear error.
 
 The encoder exists for fixtures and the sink tier: standard Annex K
 huffman tables, all-ones quant by default — for images constant within
@@ -212,6 +216,8 @@ def jpeg_decode(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → codes
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs: list = []  # progressive: per-component (by, bx, 64) zigzag ints
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise JpegError(f"marker expected at {pos}")
@@ -254,8 +260,29 @@ def jpeg_decode(payload: bytes):
                         f"{hmax}x{vmax} unsupported"
                     )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise JpegError("progressive/extended JPEG unsupported (SOF0 only)")
+        elif marker == 0xC2:  # SOF2 progressive DCT
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise JpegError("non-integer sampling ratio unsupported")
+            frame = (h, w, comps)
+            progressive = True
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                for _cid, hi, vi, _tq in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError("hierarchical/arithmetic JPEG unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -263,14 +290,26 @@ def jpeg_decode(payload: bytes):
                 raise JpegError("SOS before SOF")
             ns = body[0]
             scan_tabs = {}
+            scan_comps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                np, payload, pos + 2 + seglen, frame, qt, huff, scan_tabs,
+                scan_comps.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    np, payload, pos + 2 + seglen, frame, qt, huff,
+                    scan_tabs, restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _progressive_scan(
+                np, payload, pos + 2 + seglen, frame, huff, scan_tabs,
+                scan_comps, coefs, ss, se, ahal >> 4, ahal & 0x0F,
                 restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if progressive and frame is not None:
+        return _reconstruct_progressive(np, frame, qt, coefs)
     raise JpegError("no scan data found")
 
 
@@ -344,6 +383,233 @@ def _decode_scan(np, payload, pos, frame, qt, huff, scan_tabs, restart_interval)
     out = []
     for (cid, hi, vi, _tq), p in zip(comps, planes):
         up = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(np.clip(np.round(up[:h, :w] + 128.0), 0, 255))
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoder (T.81 Annex G) ----------------------------------
+
+
+def _comp_block_grid(frame, ci):
+    """True (rows, cols) of a component's block grid for NON-interleaved
+    scans (can be smaller than the MCU-padded grid)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _cid, hi, vi, _tq = comps[ci]
+    cw = (-(-(w * hi) // hmax) + 7) // 8
+    ch = (-(-(h * vi) // vmax) + 7) // 8
+    return ch, cw
+
+
+def _ac_first_block(reader, ac_codes, blk, ss, se, al, eobrun):
+    """AC first scan for one block (G.1.2.2): returns new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_code(ac_codes)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                return (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC index overflow in progressive scan")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_codes, blk, ss, se, al, eobrun):
+    """AC refinement for one block (G.1.2.3): newly-significant
+    coefficients arrive as ±1<<Al; previously-significant ones receive
+    one correction bit each (two's-complement magnitude append, the
+    libjpeg-documented convention). Returns new EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        if reader.read_bit():
+            if (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_code(ac_codes)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("AC refinement magnitude != 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    np, payload, pos, frame, huff, scan_tabs, scan_comps, coefs,
+    ss, se, ah, al, ri,
+):
+    """Decode ONE progressive scan into the coefficient store; returns
+    the offset of the next marker. DC scans may interleave all frame
+    components; AC scans are single-component per T.81 G.1."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    idx = {c[0]: ci for ci, c in enumerate(comps)}
+    members = [idx[cs] for cs in scan_comps]
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    try:
+        if ss == 0:
+            if se != 0:
+                raise JpegError("DC scan with Se != 0")
+            pred = {ci: 0 for ci in members}
+            if len(members) > 1:  # interleaved over the MCU grid
+                unit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if ri and unit and unit % ri == 0:
+                            reader.sync_restart()
+                            pred = {ci: 0 for ci in members}
+                        for ci in members:
+                            cid, hi, vi, _tq = comps[ci]
+                            dc_codes = huff[(0, scan_tabs[cid][0])]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    blk = coefs[ci][my * vi + by, mx * hi + bx]
+                                    if ah == 0:
+                                        size = reader.read_code(dc_codes)
+                                        diff = (
+                                            _extend(reader.read_bits(size), size)
+                                            if size
+                                            else 0
+                                        )
+                                        pred[ci] += diff
+                                        blk[0] = pred[ci] << al
+                                    else:
+                                        blk[0] = int(blk[0]) | (
+                                            reader.read_bit() << al
+                                        )
+                        unit += 1
+            else:  # non-interleaved single component
+                ci = members[0]
+                cid = comps[ci][0]
+                dc_codes = huff[(0, scan_tabs[cid][0])]
+                ch, cw = _comp_block_grid(frame, ci)
+                unit = 0
+                for by in range(ch):
+                    for bx in range(cw):
+                        if ri and unit and unit % ri == 0:
+                            reader.sync_restart()
+                            pred[ci] = 0
+                        blk = coefs[ci][by, bx]
+                        if ah == 0:
+                            size = reader.read_code(dc_codes)
+                            diff = (
+                                _extend(reader.read_bits(size), size)
+                                if size
+                                else 0
+                            )
+                            pred[ci] += diff
+                            blk[0] = pred[ci] << al
+                        else:
+                            blk[0] = int(blk[0]) | (reader.read_bit() << al)
+                        unit += 1
+        else:
+            if len(members) != 1:
+                raise JpegError("interleaved AC progressive scan")
+            ci = members[0]
+            cid = comps[ci][0]
+            ac_codes = huff[(1, scan_tabs[cid][1])]
+            ch, cw = _comp_block_grid(frame, ci)
+            unit = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    if ri and unit and unit % ri == 0:
+                        reader.sync_restart()
+                        eobrun = 0
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        eobrun = _ac_first_block(
+                            reader, ac_codes, blk, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            reader, ac_codes, blk, ss, se, al, eobrun
+                        )
+                    unit += 1
+    except _Restart:
+        raise JpegError("restart marker misaligned with DRI interval")
+    # skip padding bits / restart markers up to the next true marker
+    p = reader.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise JpegError("unterminated progressive scan")
+
+
+def _reconstruct_progressive(np, frame, qt, coefs):
+    """All scans consumed: dequantize the coefficient store, IDCT every
+    block (one einsum per component), upsample and color-convert —
+    identical math to the baseline tail."""
+    h, w, comps = frame
+    M = _dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = []
+    for (cid, hi, vi, tq), arr in zip(comps, coefs):
+        if tq not in qt:
+            raise JpegError(f"missing quant table {tq}")
+        q = qt[tq]
+        by_n, bx_n, _ = arr.shape
+        nat = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+        for i in range(64):
+            nat[:, :, ZIGZAG[i]] = arr[:, :, i] * float(q[i])
+        blocks = nat.reshape(by_n, bx_n, 8, 8)
+        idct = np.einsum("ij,abjk,kl->abil", M.T, blocks, M)
+        plane = idct.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+        up = np.repeat(
+            np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+        )
         out.append(np.clip(np.round(up[:h, :w] + 128.0), 0, 255))
     if len(out) == 1:
         return out[0].astype(np.uint8)
@@ -527,5 +793,278 @@ def jpeg_encode(
                         )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (fixtures: spectral selection + successive
+# approximation, T.81 Annex G encode side) --------------------------------
+
+# Flat custom tables: Annex K's AC tables lack the EOBn symbols
+# (0x10..0xE0) progressive needs, so fixtures carry uniform-length
+# canonical tables covering the full progressive alphabet. 12 DC size
+# categories at 4 bits; all 176 (run, size<=10) AC symbols at 8 bits —
+# valid canonical prefix sets (incomplete trees; all-ones code unused).
+PROG_DC = (
+    [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _trunc_pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def jpeg_encode_progressive(
+    pixels, quant: int = 1, subsample: str = "444",
+    dc_al: int = 1, ac_al: int = 1,
+) -> bytes:
+    """Progressive encoder covering ALL four scan kinds the decoder
+    implements: interleaved DC first (Al=dc_al) + DC refinements down
+    to 0, then per-component AC first (Ss=1..63, Al=ac_al) + AC
+    refinements with EOB-run coding and correction bits. Set
+    dc_al=ac_al=0 for a spectral-selection-only stream."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px - 128.0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    nc = 1 if gray else 3
+    if gray or subsample == "444":
+        factors = [(1, 1)] * nc
+    elif subsample == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "422":
+        factors = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise JpegError(f"unknown subsampling {subsample!r}")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    M = _dct_matrix()
+
+    # per-component quantized zigzag coefficients over the padded grid
+    coef_arrays = []
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
+        full = np.zeros((fh, fw))
+        full[:h, :w] = p
+        full[h:, :w] = p[h - 1 : h, :]
+        full[:, w:] = full[:, w - 1 : w]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        bh, bw = full.shape[0] // 8, full.shape[1] // 8
+        blocks = full.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        C = np.einsum("ij,abjk,kl->abil", M, blocks, M.T)
+        Cn = np.floor_divide(
+            np.round(C).astype(np.int64), quant
+        )  # same rounding as the baseline encoder
+        arr = np.zeros((bh, bw, 64), dtype=np.int32)
+        flat = Cn.reshape(bh, bw, 64)
+        for i in range(64):
+            arr[:, :, i] = flat[:, :, ZIGZAG[i]]
+        coef_arrays.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([quant] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += _seg(0xC2, sof)
+    dht = bytes([0x00]) + bytes(PROG_DC[0]) + bytes(PROG_DC[1])
+    dht += bytes([0x10]) + bytes(PROG_AC[0]) + bytes(PROG_AC[1])
+    out += _seg(0xC4, dht)
+    enc_dc = _encode_codes(*PROG_DC)
+    enc_ac = _encode_codes(*PROG_AC)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def comp_grid(ci):
+        hi, vi = factors[ci]
+        cw = (-(-(w * hi) // hmax) + 7) // 8
+        ch = (-(-(h * vi) // vmax) + 7) // 8
+        return ch, cw
+
+    # --- scan 1: interleaved DC first ------------------------------------
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, dc_al)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hi, vi = factors[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(coef_arrays[ci][my * vi + by, mx * hi + bx, 0])
+                        v >>= dc_al  # arithmetic shift (G.1.2.1)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        size, bits_v = _magnitude(diff)
+                        code, length = enc_dc[size]
+                        wtr.write(code, length)
+                        if size:
+                            wtr.write(bits_v, size)
+    wtr.flush()
+    out += wtr.out
+
+    # --- DC refinement scans ---------------------------------------------
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(1, nc + 1)), 0, 0, al + 1, al)
+        wtr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    hi, vi = factors[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(
+                                coef_arrays[ci][my * vi + by, mx * hi + bx, 0]
+                            )
+                            wtr.write((v >> al) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
+    # --- AC scans: per component, first then refinements ------------------
+    for ci in range(nc):
+        ch, cw = comp_grid(ci)
+        arr = coef_arrays[ci]
+
+        # AC first at Al=ac_al with EOB-run coding
+        out += sos_header([ci + 1], 1, 63, 0, ac_al)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, length = enc_ac[rr << 4]
+                wtr.write(code, length)
+                if rr:
+                    wtr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for by in range(ch):
+            for bx in range(cw):
+                vals = [_trunc_pt(int(arr[by, bx, k]), ac_al) for k in range(64)]
+                last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
+                if last_nz == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = enc_ac[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    size, bits_v = _magnitude(v)
+                    if size > 10:
+                        raise JpegError("AC magnitude too large for table")
+                    code, length = enc_ac[(run << 4) | size]
+                    wtr.write(code, length)
+                    wtr.write(bits_v, size)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+        # AC refinements (jcphuff-style correction-bit emission)
+        for al in range(ac_al - 1, -1, -1):
+            out += sos_header([ci + 1], 1, 63, al + 1, al)
+            wtr = _BitWriter()
+            eobrun = 0
+            pending_bits: list[int] = []
+
+            def flush_eob_refine():
+                nonlocal eobrun, pending_bits
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    code, length = enc_ac[rr << 4]
+                    wtr.write(code, length)
+                    if rr:
+                        wtr.write(eobrun - (1 << rr), rr)
+                    eobrun = 0
+                for bit in pending_bits:
+                    wtr.write(bit, 1)
+                pending_bits = []
+
+            for by in range(ch):
+                for bx in range(cw):
+                    absv = [
+                        abs(_trunc_pt(int(arr[by, bx, k]), al)) for k in range(64)
+                    ]
+                    eob = 0
+                    for k in range(1, 64):
+                        if absv[k] == 1:
+                            eob = k
+                    run = 0
+                    br: list[int] = []
+                    for k in range(1, 64):
+                        t = absv[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        if t > 1:  # history coefficient: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
+                        while run > 15 and k <= eob:
+                            flush_eob_refine()
+                            code, length = enc_ac[0xF0]
+                            wtr.write(code, length)
+                            run -= 16
+                            for bit in br:
+                                wtr.write(bit, 1)
+                            br = []
+                        flush_eob_refine()
+                        code, length = enc_ac[(run << 4) | 1]
+                        wtr.write(code, length)
+                        wtr.write(1 if arr[by, bx, k] >= 0 else 0, 1)
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eobrun += 1
+                        pending_bits.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob_refine()
+            flush_eob_refine()
+            wtr.flush()
+            out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

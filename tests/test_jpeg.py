@@ -82,10 +82,12 @@ def test_unsupported_flavors_raise_clearly():
     img = np.full((8, 8), 9, dtype=np.uint8)
     payload = bytearray(jpeg_encode(img))
     sof_at = payload.find(b"\xff\xc0")
-    # progressive: flip SOF0 → SOF2
+    # SOF2 is now SUPPORTED; relabeling a baseline stream makes it a
+    # MALFORMED progressive one (its single scan spans Ss=0..Se=63,
+    # illegal for a progressive DC scan) — must still fail closed
     prog = bytearray(payload)
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="Se"):
         jpeg_decode(bytes(prog))
     # non-integer sampling ratio (3 does not divide hmax 2)
     rgb = bytearray(jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8),
@@ -152,3 +154,98 @@ def test_decode_image_routes_jpeg():
         np.array([[10, 200], [60, 140]], dtype=np.uint8), np.ones((8, 8), np.uint8)
     )
     assert (decode_image(jpeg_encode(img), "image/jpeg") == img).all()
+
+
+# --- progressive (SOF2) ---------------------------------------------------
+
+
+def test_progressive_matches_baseline_decode_exactly():
+    """Progressive and baseline streams carry the SAME quantized
+    coefficients here, so their decodes must be bit-identical."""
+    import numpy as np
+
+    from memvid_spark.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape, sub in [((16, 16, 3), "444"), ((21, 19, 3), "420"),
+                       ((24, 18, 3), "422")]:
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(px, quant=1, subsample=sub))
+        for dc_al, ac_al in [(0, 0), (1, 1), (2, 2)]:
+            prog = jpeg_decode(
+                jpeg_encode_progressive(
+                    px, quant=1, subsample=sub, dc_al=dc_al, ac_al=ac_al
+                )
+            )
+            assert np.array_equal(prog, base), (shape, sub, dc_al, ac_al)
+
+
+def test_progressive_grayscale_near_lossless_quant1():
+    import numpy as np
+
+    from memvid_spark.sources.jpeg import jpeg_decode, jpeg_encode_progressive
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    d = jpeg_decode(jpeg_encode_progressive(g, quant=1, dc_al=1, ac_al=1))
+    assert d.shape == g.shape
+    assert int(np.abs(d.astype(int) - g.astype(int)).max()) <= 2
+
+
+def test_progressive_eob_runs_and_zrl():
+    """Flat blocks force long EOB runs; an alternating-sign block puts
+    its only AC coefficient at zigzag 63 (62 leading zeros → ZRL
+    chains) — the run-coding paths dense noise never hits."""
+    import numpy as np
+
+    from memvid_spark.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    g = np.full((32, 40), 90, dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    g[8:16, 16:24] = 90 + 40 * ((xx + yy) % 2)  # highest-frequency block
+    base = jpeg_decode(jpeg_encode(g, quant=1))
+    for dc_al, ac_al in [(0, 0), (1, 1)]:
+        prog = jpeg_decode(
+            jpeg_encode_progressive(g, quant=1, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert np.array_equal(prog, base), (dc_al, ac_al)
+
+
+def test_progressive_quantized_general_image():
+    """Non-trivial quant: progressive must still equal baseline decode
+    (same coefficient math, different scan order)."""
+    import numpy as np
+
+    from memvid_spark.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (40, 33, 3), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(px, quant=4))
+    prog = jpeg_decode(jpeg_encode_progressive(px, quant=4, dc_al=1, ac_al=1))
+    assert np.array_equal(prog, base)
+
+
+def test_hierarchical_still_rejected():
+    import pytest as _pytest
+
+    from memvid_spark.sources.jpeg import JpegError, jpeg_decode, jpeg_encode
+
+    import numpy as np
+
+    b = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC3  # lossless sequential SOF
+    with _pytest.raises(JpegError):
+        jpeg_decode(bytes(b))

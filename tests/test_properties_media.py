@@ -182,3 +182,24 @@ def test_xls_fails_closed_on_garbage(junk):
     assert xls_extract_text(CFB_MAGIC + junk) is None or isinstance(
         xls_extract_text(CFB_MAGIC + junk), str
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(d=dims, seed=st.integers(0, 10_000),
+       al=st.integers(0, 2), sub=st.sampled_from(["444", "420", "422"]))
+def test_progressive_equals_baseline_decode(d, seed, al, sub):
+    """For any image, a progressive stream carrying the same quantized
+    coefficients must decode bit-identically to the baseline stream —
+    scan order cannot change the math."""
+    from memvid_spark.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    px = arr(d[0], d[1], 3, seed)
+    base = jpeg_decode(jpeg_encode(px, quant=1, subsample=sub))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(px, quant=1, subsample=sub, dc_al=al, ac_al=al)
+    )
+    assert np.array_equal(prog, base)
