@@ -96,6 +96,17 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
             os.symlink(f"{sf_dir}/{name}.parquet", dst)
 
 
+def _release_checkpoints(spark) -> None:
+    """Unpersist every pinned RDD (localCheckpoint blocks) between
+    queries: checkpoint storage is NOT LRU-evictable, so 40+ queries of
+    accumulated checkpoints shrink execution memory and the tail of the
+    bench pays in spills (measured: the 10x q22 probe ran 3.4x slower
+    at the end of a full bench than standalone). A long-lived service
+    does the same after each request."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -118,6 +129,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     total = round(sum(times.values()), 3)
 
@@ -129,6 +141,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     # multimodal codec throughput (round-3 tiers): real encode+decode of
     # PNG pixels / PCM samples / MP4 demux / JPEG entropy decode per doc
@@ -139,6 +152,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     # cluster-level dedup tier (round-3): SemDeDup, window-hash passage
     # dedup, fingerprint-CC survivor pick, DSIR importance weights
@@ -151,6 +165,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     # batch-model embedding path (src/text_embed.rs batch loop): real
     # mapInPandas plumbing; the encoder is sentence-transformers when
@@ -192,6 +207,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, probe_dir).write.mode("overwrite").format("noop").save()
         extras[f"probe10x:{name}"] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     print(
         json.dumps(
