@@ -6107,6 +6107,47 @@ def q147_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "q155_curation_pipeline",
+    None,  # assembled by _computed_oracles: cleaned-corpus CTE shadows
+    # the documents view, then q104's oracle runs verbatim on top
+    "composed curation pipeline: mojibake repair → intra-doc paragraph "
+    "dedup → quality gates, one narrow column-algebra chain feeding the "
+    "gate scan (planted corruption + repeated paragraphs are the "
+    "ground truth). The oracle REUSES q104's SQL verbatim over a "
+    "cleaned-documents CTE — stage composition can't drift from the "
+    "stages it composes.",
+)
+def q155_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repair_mojibake
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    art = "á".encode("utf-8").decode("latin-1")
+    corrupt = F.replace(
+        F.replace(F.col("text"), F.lit("ma"), F.lit("má")),
+        F.lit("á"),
+        F.lit(art),
+    )
+    dirty = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(corrupt, F.lit("\n"), corrupt),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    repaired = dirty.select(
+        "doc_id", repair_mojibake(F.col("text")).alias("text")
+    )
+    cleaned = dedup.dedup_paragraphs(repaired).select("doc_id", "text")
+    labeled = traindata.quality_gates(cleaned)
+    return labeled.groupBy("verdict").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+
+
+@spec(
     "q154_paragraph_dedup",
     """
     WITH docs2 AS (
@@ -6619,6 +6660,38 @@ def _computed_oracles() -> None:
     from .functions.text import sql_mojibake_count, sql_repair_mojibake
 
     art = "á".encode("utf-8").decode("latin-1")
+
+    # q155: cleaned-documents CTE (corrupt → repair → paragraph-dedup)
+    # shadowing the documents view, then q104's oracle text VERBATIM on
+    # top. DuckDB flags a same-named CTE body reference as circular, so
+    # the inner read is schema-qualified (main.documents = the view).
+    q104_sql = by_name["q104_quality_gates"].oracle.strip()
+    assert q104_sql.startswith("WITH ")
+    by_name["q155_curation_pipeline"].oracle = f"""
+    WITH documents AS (
+      WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN replace(replace(text, 'ma', 'má'), 'á', '{art}')
+                      || chr(10)
+                      || replace(replace(text, 'ma', 'má'), 'á', '{art}')
+                 ELSE text END AS text
+        FROM main.documents
+      ),
+      repaired AS (
+        SELECT doc_id, {sql_repair_mojibake('text')} AS text FROM dirty
+      ),
+      segs AS (SELECT doc_id, string_split(text, chr(10)) AS s FROM repaired)
+      SELECT doc_id,
+             array_to_string(
+               list_filter(s, (x, i) -> length(x) < 1
+                                        OR list_position(s, x) = i),
+               chr(10)) AS text
+      FROM segs
+    ),
+    {q104_sql[5:]}
+    """
+
     by_name["q150_mojibake_repair"].oracle = f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
