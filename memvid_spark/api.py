@@ -278,6 +278,87 @@ class MemvidSpark:
         self._tombstones.add(doc_id)
         self._tombstoned_at.setdefault(doc_id, self._next_id)
 
+    def put_many(
+        self,
+        texts,
+        uris=None,
+        lang: str = "en",
+        dedup: bool = True,
+    ) -> list[int | None]:
+        """Batch ingestion (put_parallel, builder.rs:108-160): append
+        many documents in one call, returning one id (or None on dedup
+        skip) per input. Buffered driver-side like put(); at warehouse
+        scale this is the call that becomes a parquet append job."""
+        uris = uris or [None] * len(texts)
+        return [
+            self.put(t, uri=u, lang=lang, dedup=dedup)
+            for t, u in zip(texts, uris)
+        ]
+
+    def verify_integrity(self, deep: bool = False) -> dict:
+        """Store verification report (maintenance.rs:12-160 verify):
+        named checks, each passed/failed with details; overall status
+        fails when any check fails. Shallow checks are driver-side
+        bookkeeping invariants; ``deep`` recomputes content hashes over
+        the corpus (one scan) the way deep verify re-reads payloads."""
+        checks: list[dict] = []
+
+        def push(name: str, ok: bool, details: str | None = None):
+            checks.append(
+                {"name": name, "status": "passed" if ok else "failed",
+                 "details": details}
+            )
+
+        ids = {r[0] for r in self.frames().select(self.id_col).collect()}
+        dangling_tomb = sorted(t for t in self._tombstones if t not in ids)
+        push(
+            "TombstonesReferenceFrames",
+            not dangling_tomb,
+            f"dangling: {dangling_tomb}" if dangling_tomb else None,
+        )
+        bad_sup = sorted(
+            (nk, ok_)
+            for nk, ok_ in self._supersedes.items()
+            if nk not in ids or ok_ not in ids
+        )
+        push(
+            "SupersedeChainResolves",
+            not bad_sup,
+            f"broken: {bad_sup}" if bad_sup else None,
+        )
+        dangling_media = sorted(
+            {m[0] for m in self._media if m[0] not in ids}
+        )
+        push(
+            "MediaFramesExist",
+            not dangling_media,
+            f"dangling: {dangling_media}" if dangling_media else None,
+        )
+        push(
+            "FrameIdsWithinAllocation",
+            max(ids, default=-1) < self._next_id,
+            None,
+        )
+        if deep:
+            # recompute content hashes over the ACTIVE corpus: every
+            # active doc's sha must be in the dedup registry (one scan)
+            rows = self.docs().select(
+                F.sha2(self.text_col, 256).alias("sha")
+            ).collect()
+            missing = sum(1 for r in rows if self._shas and r.sha not in self._shas)
+            seeded = self._seed is not None
+            push(
+                "ContentHashesRegistered",
+                seeded or missing == 0,
+                None if seeded or missing == 0 else f"{missing} unregistered",
+            )
+        overall = (
+            "passed"
+            if all(c["status"] == "passed" for c in checks)
+            else "failed"
+        )
+        return {"status": overall, "checks": checks, "deep": deep}
+
     def vacuum(self) -> DataFrame:
         """Active view with tombstones physically dropped
         (mutation.rs:2999-3084); at scale: INSERT OVERWRITE."""

@@ -299,3 +299,26 @@ def test_facade_frame_context(spark):
     ctx2, n2 = mv.frame_context(a, "zebra quantum")
     assert n2 == 0 and ctx2.startswith("intro filler")
     assert len(ctx2) <= 500
+
+
+def test_facade_put_many_and_verify_integrity(spark):
+    mv = MemvidSpark(spark)
+    ids = mv.put_many(
+        ["doc one text", "doc two text", "doc one text"],
+        uris=["u1", "u2", "u3"],
+    )
+    assert ids[0] == 0 and ids[1] == 1 and ids[2] is None  # dedup skip
+
+    rep = mv.verify_integrity(deep=True)
+    assert rep["status"] == "passed"
+    names = {c["name"] for c in rep["checks"]}
+    assert {"TombstonesReferenceFrames", "SupersedeChainResolves",
+            "MediaFramesExist", "FrameIdsWithinAllocation",
+            "ContentHashesRegistered"} <= names
+
+    # corrupt the bookkeeping: a tombstone for a frame that never existed
+    mv._tombstones.add(999)
+    bad = mv.verify_integrity()
+    assert bad["status"] == "failed"
+    failing = [c for c in bad["checks"] if c["status"] == "failed"]
+    assert failing and "999" in failing[0]["details"]
