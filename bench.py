@@ -196,6 +196,8 @@ def main() -> None:
         "q21_simhash_near_dups",
         "q22_minhash_lsh",
         "q66_semantic_rerank",
+        "q145_passage_dedup",
+        "q152_heavy_hitters",
         "q109_clean_corpus_pipeline",
     ]
     probe_dir = os.path.join(
