@@ -132,6 +132,18 @@ def model_binding(emb: DataFrame, embedder) -> DataFrame:
     return emb.withColumn("model", F.lit(embedder.model))
 
 
+def _fan_out(sel: DataFrame) -> DataFrame:
+    """Spread an inference input over the cluster. Encoder compute is the
+    slow path, so a shuffle of (id, text) is negligible next to it — but a
+    single small parquet file arrives as ONE input split, which would
+    serialize the whole encode on one core. At warehouse scale inputs
+    already carry >= defaultParallelism splits and this is a no-op."""
+    target = sel.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        return sel.repartition(target)
+    return sel
+
+
 class BatchModelEmbedder:
     """Local-model batch embedding over mapInPandas — the
     src/text_embed.rs:171-210 batch loop re-expressed for executors.
@@ -216,7 +228,7 @@ class BatchModelEmbedder:
                     {id_col: pdf[id_col], "embedding": list(map(list, vecs))}
                 )
 
-        return docs.select(id_col, text_col).mapInPandas(run, schema)
+        return _fan_out(docs.select(id_col, text_col)).mapInPandas(run, schema)
 
     def embed_query(self, text: str) -> list[float]:
         factory = self.model_factory or self._default_factory()
@@ -355,7 +367,7 @@ class ApiEmbedder:
                     vecs.extend(out)
                 yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
-        return docs.select(id_col, text_col).mapInPandas(run, schema)
+        return _fan_out(docs.select(id_col, text_col)).mapInPandas(run, schema)
 
     def embed_query(self, text: str) -> list[float]:
         if self.transport is None:
