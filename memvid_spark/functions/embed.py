@@ -132,16 +132,7 @@ def model_binding(emb: DataFrame, embedder) -> DataFrame:
     return emb.withColumn("model", F.lit(embedder.model))
 
 
-def _fan_out(sel: DataFrame) -> DataFrame:
-    """Spread an inference input over the cluster. Encoder compute is the
-    slow path, so a shuffle of (id, text) is negligible next to it — but a
-    single small parquet file arrives as ONE input split, which would
-    serialize the whole encode on one core. At warehouse scale inputs
-    already carry >= defaultParallelism splits and this is a no-op."""
-    target = sel.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
-        return sel.repartition(target)
-    return sel
+from ..session import fan_out as _fan_out  # noqa: E402
 
 
 class BatchModelEmbedder:

@@ -44,6 +44,22 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def fan_out(df):
+    """Spread a compute-bound mapInPandas input over the cluster.
+
+    Pure-Python / model-kernel stages (codec round trips, encoders) cost
+    far more per row than a shuffle of their narrow input — but a single
+    small parquet file arrives as ONE input split, which would serialize
+    the whole kernel chain on one core. Repartition up to the cluster's
+    parallelism when the input has fewer splits; at warehouse scale inputs
+    already carry >= defaultParallelism splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app_name: str = "memvid-spark") -> SparkSession:
     """Create (or get) a local session sized from SPARK_GRAFT_CPUS.
 

@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, Window, functions as F
 
 from . import binary
+from ..session import fan_out
 
 PDF_MAGIC = b"%PDF"
 ZIP_MAGIC = b"PK\x03\x04"
@@ -364,7 +365,7 @@ def binary_payloads(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "uri": uris, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, uri string, payload binary"
     )
 
@@ -392,7 +393,7 @@ def xls_payloads(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, uri string, payload binary"
     )
 
