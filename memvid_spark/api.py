@@ -309,8 +309,29 @@ class MemvidSpark:
                  "details": details}
             )
 
-        ids = {r[0] for r in self.frames().select(self.id_col).collect()}
-        dangling_tomb = sorted(t for t in self._tombstones if t not in ids)
+        # Referenced-id resolution stays distributed: the driver-side
+        # bookkeeping sets are small (bounded by session mutations), so
+        # anti-join THEM against the frame log instead of collecting
+        # every frame id (O(corpus) driver memory at warehouse scale).
+        frame_ids = self.frames().select(F.col(self.id_col).alias("_fid"))
+        referenced = sorted(
+            set(self._tombstones)
+            | {i for kv in self._supersedes.items() for i in kv}
+            | {m[0] for m in self._media}
+        )
+        if referenced:
+            ref_df = self.spark.createDataFrame(
+                [(int(i),) for i in referenced], "_rid long"
+            )
+            missing_ids = {
+                r[0]
+                for r in ref_df.join(
+                    frame_ids, F.col("_rid") == F.col("_fid"), "left_anti"
+                ).collect()
+            }
+        else:
+            missing_ids = set()
+        dangling_tomb = sorted(t for t in self._tombstones if t in missing_ids)
         push(
             "TombstonesReferenceFrames",
             not dangling_tomb,
@@ -319,7 +340,7 @@ class MemvidSpark:
         bad_sup = sorted(
             (nk, ok_)
             for nk, ok_ in self._supersedes.items()
-            if nk not in ids or ok_ not in ids
+            if nk in missing_ids or ok_ in missing_ids
         )
         push(
             "SupersedeChainResolves",
@@ -327,26 +348,37 @@ class MemvidSpark:
             f"broken: {bad_sup}" if bad_sup else None,
         )
         dangling_media = sorted(
-            {m[0] for m in self._media if m[0] not in ids}
+            {m[0] for m in self._media if m[0] in missing_ids}
         )
         push(
             "MediaFramesExist",
             not dangling_media,
             f"dangling: {dangling_media}" if dangling_media else None,
         )
+        max_id = frame_ids.agg(F.max("_fid")).first()[0]
         push(
             "FrameIdsWithinAllocation",
-            max(ids, default=-1) < self._next_id,
+            (max_id if max_id is not None else -1) < self._next_id,
             None,
         )
         if deep:
             # recompute content hashes over the ACTIVE corpus: every
             # active doc's sha must be in the dedup registry (one scan)
-            rows = self.docs().select(
-                F.sha2(self.text_col, 256).alias("sha")
-            ).collect()
-            missing = sum(1 for r in rows if self._shas and r.sha not in self._shas)
             seeded = self._seed is not None
+            if seeded or not self._shas:
+                missing = 0
+            else:
+                # distributed: recompute hashes in the scan, anti-join
+                # the (broadcast) registry — no corpus rows on the driver
+                sha_df = self.spark.createDataFrame(
+                    [(s,) for s in sorted(self._shas)], "sha string"
+                )
+                missing = (
+                    self.docs()
+                    .select(F.sha2(self.text_col, 256).alias("sha"))
+                    .join(F.broadcast(sha_df), "sha", "left_anti")
+                    .count()
+                )
             push(
                 "ContentHashesRegistered",
                 seeded or missing == 0,
