@@ -70,6 +70,16 @@ class MemvidSpark:
             self._next_id = int(row[0] or 0) + 1
         self._shas: set[str] = set()
         self._media: list[tuple[int, str, bytes]] = []  # (doc_id, mime, payload)
+        # capacity tickets (ticket.rs:135-260): applied-ticket state, the
+        # API binding, the trusted control-plane key, and the cumulative
+        # ingest-tier payload size the write gate meters
+        from .operators.tickets import TicketRef
+
+        self._ticket = TicketRef()
+        self._memory_id: str | None = None
+        self._trusted_pubkey: bytes | None = None
+        self._tier = "free"
+        self._payload_tail = 0
 
     # -- ingestion (mutation.rs:3090-3316) --------------------------------
 
@@ -82,9 +92,17 @@ class MemvidSpark:
     ) -> int | None:
         """Append one document; returns its id, or None when skipped by
         content dedup (the blake3-skip analogue)."""
-        sha = hashlib.sha256(text.encode()).hexdigest()
+        raw = text.encode()
+        sha = hashlib.sha256(raw).hexdigest()
         if dedup and sha in self._shas:
             return None
+        # write-path capacity gate (mutation.rs:3407-3415): dedup skips
+        # consume no capacity; the gate meters the ingest tier (seed
+        # tables are external storage with their own governance)
+        from .operators.tickets import check_capacity
+
+        check_capacity(self._ticket, self._payload_tail, len(raw), self._tier)
+        self._payload_tail += len(raw)
         self._shas.add(sha)
         doc_id = self._next_id
         self._next_id += 1
@@ -125,7 +143,14 @@ class MemvidSpark:
         if doc_id is not None and mime is not None:
             # media frames keep their bytes (blob tier, metadata.rs):
             # the surrogate text indexes lexically, the payload feeds
-            # cross-modal search / feature extraction / demux
+            # cross-modal search / feature extraction / demux. Retained
+            # payloads count against the capacity ticket like any frame.
+            from .operators.tickets import check_capacity
+
+            check_capacity(
+                self._ticket, self._payload_tail, len(payload), self._tier
+            )
+            self._payload_tail += len(payload)
             self._media.append((doc_id, mime, bytes(payload)))
         if doc_id is not None and fmt in ("pdf", "docx"):
             self._extract_embedded_images(doc_id, fmt, payload, uri)
@@ -156,6 +181,7 @@ class MemvidSpark:
                 dedup=False,
             )
             if child is not None:
+                self._payload_tail += len(img)
                 self._media.append((child, mime, img))
 
     def put_warc(
@@ -918,18 +944,104 @@ class MemvidSpark:
             rerun.append((seq, q, k, ids))
         return divergence_diff(self.replay_log(), self._replay_rows(rerun))
 
-    # -- stats (frame.rs:92-145) ------------------------------------------
+    # -- capacity tickets (ticket.rs:135-260, signature.rs) ----------------
+
+    def bind(self, memory_id: str, trusted_pubkey_base64: str) -> None:
+        """Bind this store to a control-plane identity: the memory id
+        signed tickets must name, and the base64 Ed25519 key they must
+        verify against (the reference embeds its own key at
+        constants.rs:42; a rebuild takes the trust root explicitly)."""
+        from .operators.tickets import parse_public_key_base64
+
+        self._memory_id = memory_id
+        self._trusted_pubkey = parse_public_key_base64(trusted_pubkey_base64)
+
+    def apply_ticket(self, ticket) -> None:
+        """Unsigned capacity ticket (deprecated surface, ticket.rs:135):
+        sequence-monotonic, marked unverified."""
+        from .operators import tickets as _t
+
+        self._ticket = _t.apply_ticket(self._ticket, ticket)
+
+    def apply_signed_ticket(self, ticket) -> None:
+        """Signed capacity ticket (ticket.rs:189-260): requires bind(),
+        a matching memory id, a verifying Ed25519 signature over the
+        canonical payload, and a strictly increasing sequence."""
+        from .operators import tickets as _t
+
+        if self._trusted_pubkey is None:
+            raise _t.TicketError(
+                "cannot apply signed ticket: memory is not bound"
+            )
+        self._ticket = _t.apply_signed_ticket(
+            self._ticket, ticket, self._trusted_pubkey, self._memory_id
+        )
+
+    def get_capacity(self) -> int:
+        """Applied-ticket capacity, else the tier default
+        (mutation.rs:2857-2863)."""
+        from .operators.tickets import capacity_limit
+
+        return capacity_limit(self._ticket, self._tier)
+
+    # -- stats (ticket.rs:8-123, frame.rs:92-145) --------------------------
 
     def stats(self) -> dict:
-        d = self.docs()
-        row = d.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(token_count(self.text_col)).alias("n_tokens"),
-            F.round(F.avg(quality_score(self.text_col)), 4).alias("avg_quality"),
+        """Corpus + storage report. One aggregate over the frame log
+        computes the corpus counts and active payload footprint; the
+        capacity block mirrors ticket.rs stats() (utilisation meters the
+        ingest tier — seed tables live in external storage whose at-rest
+        compression parquet owns, so stored == logical here and the
+        zstd-savings fields of the reference's file format are reported
+        as the identity)."""
+        fr = self.frames()
+        active = F.col("status") == "active"
+        row = fr.agg(
+            F.count("*").alias("frame_count"),
+            F.sum(active.cast("long")).alias("n_docs"),
+            F.sum(F.when(active, token_count(self.text_col)).otherwise(0))
+            .alias("n_tokens"),
+            F.round(
+                F.avg(F.when(active, quality_score(self.text_col))), 4
+            ).alias("avg_quality"),
+            F.sum(
+                F.when(active, F.octet_length(self.text_col)).otherwise(0)
+            ).alias("text_bytes"),
         ).head()
+        media_bytes = sum(
+            len(p) for i, _m, p in self._media if i not in self._tombstones
+        )
+        payload_bytes = int(row["text_bytes"] or 0) + media_bytes
+        capacity = self.get_capacity()
+        n_active = int(row["n_docs"] or 0)
         return {
-            "n_docs": row["n_docs"],
+            "n_docs": n_active,
             "n_tokens": row["n_tokens"] or 0,
             "avg_quality": row["avg_quality"],
             "n_tombstones": len(self._tombstones),
+            "frame_count": int(row["frame_count"] or 0),
+            "active_frame_count": n_active,
+            "payload_bytes": payload_bytes,
+            "logical_bytes": payload_bytes,
+            "saved_bytes": 0,
+            "compression_ratio_percent": 100.0,
+            "savings_percent": 0.0,
+            "average_frame_payload_bytes": (
+                payload_bytes // n_active if n_active else 0
+            ),
+            "tier": self._tier,
+            "capacity_bytes": capacity,
+            "remaining_capacity_bytes": max(capacity - self._payload_tail, 0),
+            "storage_utilisation_percent": round(
+                self._payload_tail / capacity * 100, 2
+            )
+            if capacity
+            else 0.0,
+            "seq_no": self._ticket.seq_no or None,
+            "ticket_verified": self._ticket.verified,
+            "clip_image_count": sum(
+                1
+                for i, m, _p in self._media
+                if i not in self._tombstones and m.startswith("image/")
+            ),
         }
