@@ -560,3 +560,90 @@ def semantic_decontaminate(
         F.round("_m", 6).alias("max_bench_cos"),
         (F.col("_m") >= tau).alias("contaminated"),
     )
+
+
+BUDGET_SALT = "strat"  # salt for the stratified-sample hash
+
+
+def budget_select(
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select the best documents under a global token budget WITHOUT a
+    global sort: the corpus-selection step that turns "we can afford N
+    training tokens" into a concrete doc set.
+
+    Semantics (exactly what the oracle's window cumsum computes): order
+    docs by (quality desc, id asc), keep the longest prefix whose
+    running token total stays <= token_budget. Quality is an integer
+    lexical-diversity score, distinct_tokens*1000 div tokens — integer
+    division, so every engine agrees bit-for-bit.
+
+    Scale shape: a global ORDER BY + cumulative window would funnel
+    100 TB through one reducer. Instead: (1) one scan builds a <=1001-row
+    score histogram (map-side combine), (2) the driver finds the
+    boundary score b* where the running total first exceeds the budget
+    — a broadcast-sized decision, (3) docs scoring above b* pass with a
+    filter (no sort anywhere), and only the boundary bucket — ~1/1000 of
+    the corpus, set by the score resolution — pays a partitioned window
+    to fill the remaining budget. Returns (id, n_toks, score_q).
+    """
+    scored = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_toks"),
+        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n_uniq"),
+    ).filter(F.col("n_toks") > 0)
+    scored = scored.select(
+        id_col,
+        "n_toks",
+        F.expr("n_uniq * 1000 div n_toks").alias("score_q"),
+    )
+    hist = sorted(
+        scored.groupBy("score_q").agg(F.sum("n_toks").alias("tok")).collect(),
+        key=lambda r: -r["score_q"],
+    )
+    cum = 0
+    boundary, remaining = None, 0
+    for r in hist:
+        if cum + r["tok"] > token_budget:
+            boundary, remaining = r["score_q"], token_budget - cum
+            break
+        cum += r["tok"]
+    if boundary is None:
+        return scored  # everything fits
+    full = scored.filter(F.col("score_q") > boundary)
+    w = Window.partitionBy("score_q").orderBy(F.asc(id_col))
+    partial = (
+        scored.filter(F.col("score_q") == boundary)
+        .withColumn("run", F.sum("n_toks").over(w))
+        .filter(F.col("run") <= remaining)
+        .drop("run")
+    )
+    return full.unionByName(partial)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = BUDGET_SALT,
+) -> DataFrame:
+    """Exactly k docs per stratum, chosen by a deterministic pseudo-
+    random order (portable md5 hash of the id, ties to the id) — eval
+    sets and human-review draws that reproduce across runs, engines and
+    cluster sizes, with no RNG state.
+
+    One shuffle by stratum; rank is a per-stratum window, so no global
+    sort. A hot stratum is one reducer's sort of that stratum — for
+    pathological skew, pre-filter with a hash threshold (keep
+    hash % M < c*M*k/stratum_count) before ranking."""
+    h = hash64(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.asc(id_col))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -6338,6 +6338,72 @@ def q150_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q156_budget_select",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, len(toks)::bigint AS n_toks,
+             (len(list_distinct(toks)) * 1000 // len(toks))::bigint AS score_q
+      FROM (SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    cum AS (
+      SELECT *, sum(n_toks) OVER (ORDER BY score_q DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS run
+      FROM scored
+    )
+    SELECT doc_id, n_toks, score_q FROM cum WHERE run <= 12000
+    """,
+    "corpus selection under a global token budget ('we can afford N "
+    "training tokens'): longest (quality desc, id) prefix with running "
+    "token total <= budget. Quality = distinct*1000 div tokens (integer "
+    "division — bit-exact cross-engine). The oracle pays a global "
+    "cumulative window; the engine does NOT: a <=1001-row score "
+    "histogram (one scan, map-side combine) gives the driver the "
+    "boundary score, full buckets pass as a filter, and only the "
+    "boundary bucket (~1/1000 of the corpus, set by score resolution) "
+    "pays a partitioned window for the remainder — no global sort at "
+    "100 TB.",
+)
+def q156_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.budget_select(t.documents, token_budget=12000)
+
+
+@spec(
+    "q157_stratified_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source, n_chars,
+             ('0x' || substr(md5(doc_id::varchar || '#strat'), 1, 15))::bigint
+               AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               AS rk
+      FROM h
+    )
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 20
+    """,
+    "deterministic stratified sampling: exactly k docs per stratum in "
+    "portable-hash order (ties to id) — eval-set and review draws that "
+    "reproduce across runs/engines/cluster sizes with zero RNG state. "
+    "One shuffle by stratum, per-stratum window rank; hot strata can "
+    "pre-thin with a hash threshold before ranking.",
+)
+def q157_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.stratified_sample(
+        t.documents.select("doc_id", "lang", "source", "n_chars"), k=20
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

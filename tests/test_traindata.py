@@ -210,3 +210,48 @@ def test_semantic_decontaminate_flags_scaled_copies(spark):
     assert out[11][1] is False and out[11][0] == 0.0
     assert out[12][1] is False
     assert abs(out[12][0] - round(1 / math.sqrt(2), 6)) < 1e-6
+
+
+def test_budget_select_prefix_semantics(spark):
+    from memvid_spark.operators.traindata import budget_select
+
+    # scores: doc 0/1 high diversity, doc 2 low (repeated token)
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # 4 toks, q=1000
+            (1, "one two three four five six"),     # 6 toks, q=1000
+            (2, "spam spam spam spam spam spam"),   # 6 toks, q=166
+        ],
+        "doc_id long, text string",
+    )
+    # budget 11: both q=1000 docs fit (4+6=10); boundary bucket q=166
+    # has remaining=1 < 6, so doc 2 is excluded
+    got = {r.doc_id for r in budget_select(docs, 11).collect()}
+    assert got == {0, 1}
+    # budget 5: prefix within the q=1000 bucket orders by doc_id asc —
+    # doc 0 (4 toks) fits, doc 1 would overflow
+    got = {r.doc_id for r in budget_select(docs, 5).collect()}
+    assert got == {0}
+    # everything fits
+    got = {r.doc_id for r in budget_select(docs, 1000).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from memvid_spark.operators.traindata import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "s" + str(i % 3)) for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = stratified_sample(docs, k=5, stratum_col="source")
+    counts = {r.source: r.n for r in a.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic across invocations
+    ids1 = sorted(r.doc_id for r in a.collect())
+    ids2 = sorted(
+        r.doc_id for r in stratified_sample(docs, k=5, stratum_col="source").collect()
+    )
+    assert ids1 == ids2
