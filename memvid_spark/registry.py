@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import catalog
+from .session import fan_out
 from .functions import text as T
 from .operators import asof, dedup, knn, rrf, search, topk
 
@@ -809,7 +810,7 @@ def q121_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 from .operators import crossmodal as _xm  # noqa: E402
@@ -903,7 +904,7 @@ def q122_crossmodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, png_encode(px)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
     vecs = crossmodal.embed_images(media)
     return crossmodal.crossmodal_knn(vecs, _XM_QUERY, k=10)
 
@@ -966,7 +967,7 @@ def q124_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, wav_encode(v, rate)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
     return audio_features(media)
 
 
@@ -1036,7 +1037,7 @@ def q125_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, wav_encode(v, 16000)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
     return audio_energy_segments(media, win=64, threshold=0)
 
 
@@ -1139,7 +1140,7 @@ def q126_video_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
     return video_manifests(media)
 
 
@@ -1234,7 +1235,7 @@ def q127_bmp_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 @spec(
@@ -1300,7 +1301,7 @@ def q128_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 @spec(
@@ -1372,7 +1373,7 @@ def q129_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 @spec(
@@ -1439,7 +1440,7 @@ def q130_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 @spec(
@@ -1544,7 +1545,7 @@ def q132_srt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, srt_write(segs)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    subs = sel.mapInPandas(gen, "media_id long, content string")
+    subs = fan_out(sel).mapInPandas(gen, "media_id long, content string")
     return subtitle_segments(subs, fmt="srt")
 
 
@@ -1637,12 +1638,12 @@ def q133_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, srt_write(segs)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = sel.mapInPandas(gen_wav, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen_wav, "media_id long, payload binary")
     audio = audio_energy_segments(media, win=64, threshold=0).select(
         "media_id", "seg_index", "t_start_ms", "t_end_ms"
     )
     subs = subtitle_segments(
-        sel.mapInPandas(gen_srt, "media_id long, content string")
+        fan_out(sel).mapInPandas(gen_srt, "media_id long, content string")
     ).select("media_id", "seg_index", "t_start_ms", "t_end_ms")
     return interval_overlap_join(audio, subs, band_ms=16)
 
@@ -1739,7 +1740,7 @@ def q134_media_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = sel.mapInPandas(gen, "media_id long, payload binary")
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
 
     def stats(batches):
         import hashlib
@@ -1855,7 +1856,7 @@ def q135_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["archive_id", "payload"])
 
-    archives = sel.mapInPandas(gen, "archive_id long, payload binary")
+    archives = fan_out(sel).mapInPandas(gen, "archive_id long, payload binary")
     return warc_records(archives)
 
 
@@ -2114,7 +2115,7 @@ def q139_web_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((aid, warc_write(recs, gzip_members=aid % 2 == 1)))
             yield pd.DataFrame(rows, columns=["archive_id", "payload"])
 
-    archives = sel.mapInPandas(gen, "archive_id long, payload binary")
+    archives = fan_out(sel).mapInPandas(gen, "archive_id long, payload binary")
     pages = warc_records(archives).select(
         F.col("uri"), F.col("body").alias("markup"),
         F.col("archive_id").alias("doc_id"),
@@ -2437,7 +2438,7 @@ def q144_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return sel.mapInPandas(run, schema)
+    return fan_out(sel).mapInPandas(run, schema)
 
 
 # =========================================================================
