@@ -1037,10 +1037,11 @@ def jpeg_encode_progressive(
                         if t == 0:
                             run += 1
                             continue
-                        if t > 1:  # history coefficient: correction bit
-                            br.append(t & 1)
-                            continue
-                        # newly significant (t == 1)
+                        # ZRL check runs at EVERY nonzero coefficient
+                        # (G.7): a history coefficient sitting past the
+                        # 16th zero must get its correction bit buffered
+                        # AFTER the ZRL that covers those zeros, or the
+                        # decoder's skip loop reads it one code early
                         while run > 15 and k <= eob:
                             flush_eob_refine()
                             code, length = enc_ac[0xF0]
@@ -1049,6 +1050,10 @@ def jpeg_encode_progressive(
                             for bit in br:
                                 wtr.write(bit, 1)
                             br = []
+                        if t > 1:  # history coefficient: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
                         flush_eob_refine()
                         code, length = enc_ac[(run << 4) | 1]
                         wtr.write(code, length)

@@ -5,7 +5,7 @@ sign, palette, filter, chunking), which is exactly what hypothesis
 shrinks to a minimal reproducer."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from memvid_spark.sources.audio import wav_decode, wav_encode
 from memvid_spark.sources.image import (
@@ -187,6 +187,10 @@ def test_xls_fails_closed_on_garbage(junk):
 @settings(max_examples=20, deadline=None)
 @given(d=dims, seed=st.integers(0, 10_000),
        al=st.integers(0, 2), sub=st.sampled_from(["444", "420", "422"]))
+# regression: a history AC coefficient past the 16th zero of a run must
+# have its correction bit follow the covering ZRL (G.7) — this example
+# desynced the refinement decode before the fix
+@example(d=(17, 11), seed=0, al=1, sub="444")
 def test_progressive_equals_baseline_decode(d, seed, al, sub):
     """For any image, a progressive stream carrying the same quantized
     coefficients must decode bit-identically to the baseline stream —
