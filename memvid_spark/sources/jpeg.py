@@ -657,6 +657,40 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _quantized_zigzag(np, planes, factors, h, w, mcuy, mcux, M, quant):
+    """Per-component quantized zigzag coefficient arrays (bh, bw, 64).
+
+    SHARED by the baseline and progressive encoders: float summation
+    order changes which side of a rounding boundary a coefficient lands
+    on (observed: a DC term computing 27.5 via einsum but 27.4999... via
+    per-block matmul), so both encoders must derive their coefficients
+    from this exact computation or identical inputs can quantize
+    differently between them."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    out = []
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
+        full = np.zeros((fh, fw))
+        full[:h, :w] = p
+        full[h:, :w] = p[h - 1 : h, :]
+        full[:, w:] = full[:, w - 1 : w]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        bh, bw = full.shape[0] // 8, full.shape[1] // 8
+        blocks = full.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        C = np.einsum("ij,abjk,kl->abil", M, blocks, M.T)
+        Cn = np.floor_divide(np.round(C).astype(np.int64), quant)
+        arr = np.zeros((bh, bw, 64), dtype=np.int32)
+        flat = Cn.reshape(bh, bw, 64)
+        for i in range(64):
+            arr[:, :, i] = flat[:, :, ZIGZAG[i]]
+        out.append(arr)
+    return out
+
+
 def jpeg_encode(
     pixels, quant: int = 1, restart_interval: int = 0, subsample: str = "444"
 ) -> bytes:
@@ -724,26 +758,12 @@ def jpeg_encode(
     # per-component plane: edge-replicate to the full MCU grid at full
     # resolution, then box-average down by the sampling ratio (the
     # standard chroma downsample)
-    padded = []
-    for ci, p in enumerate(planes):
-        hi, vi = factors[ci]
-        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
-        full = np.zeros((fh, fw))
-        full[:h, :w] = p
-        full[h:, :w] = p[h - 1 : h, :]
-        full[:, w:] = full[:, w - 1 : w]
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:
-            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
-        padded.append(full)
+    coef_arrays = _quantized_zigzag(
+        np, planes, factors, h, w, mcuy, mcux, M, quant
+    )
 
-    def encode_block(writer, block, ci):
+    def encode_block(writer, zz, ci):
         t = 0 if ci == 0 else 1
-        coeffs = M @ block @ M.T
-        zz = [
-            int(np.round(coeffs.ravel()[ZIGZAG[i]])) // quant
-            for i in range(64)
-        ]
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
         size, bits_v = _magnitude(diff)
@@ -786,10 +806,11 @@ def jpeg_encode(
                 hi, vi = factors[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        py = (my * vi + by) * 8
-                        px_ = (mx * hi + bx) * 8
                         encode_block(
-                            writer, padded[ci][py : py + 8, px_ : px_ + 8], ci
+                            writer,
+                            [int(v) for v in
+                             coef_arrays[ci][my * vi + by, mx * hi + bx]],
+                            ci,
                         )
     writer.flush()
     out += writer.out
@@ -858,28 +879,10 @@ def jpeg_encode_progressive(
     M = _dct_matrix()
 
     # per-component quantized zigzag coefficients over the padded grid
-    coef_arrays = []
-    for ci, p in enumerate(planes):
-        hi, vi = factors[ci]
-        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
-        full = np.zeros((fh, fw))
-        full[:h, :w] = p
-        full[h:, :w] = p[h - 1 : h, :]
-        full[:, w:] = full[:, w - 1 : w]
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:
-            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
-        bh, bw = full.shape[0] // 8, full.shape[1] // 8
-        blocks = full.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        C = np.einsum("ij,abjk,kl->abil", M, blocks, M.T)
-        Cn = np.floor_divide(
-            np.round(C).astype(np.int64), quant
-        )  # same rounding as the baseline encoder
-        arr = np.zeros((bh, bw, 64), dtype=np.int32)
-        flat = Cn.reshape(bh, bw, 64)
-        for i in range(64):
-            arr[:, :, i] = flat[:, :, ZIGZAG[i]]
-        coef_arrays.append(arr)
+    # (shared with the baseline encoder — see _quantized_zigzag)
+    coef_arrays = _quantized_zigzag(
+        np, planes, factors, h, w, mcuy, mcux, M, quant
+    )
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0]) + bytes([quant] * 64))

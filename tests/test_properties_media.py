@@ -186,7 +186,7 @@ def test_xls_fails_closed_on_garbage(junk):
 
 @settings(max_examples=20, deadline=None)
 @given(d=dims, seed=st.integers(0, 10_000),
-       al=st.integers(0, 2), sub=st.sampled_from(["444", "420", "422"]))
+       al=st.integers(0, 3), sub=st.sampled_from(["444", "420", "422"]))
 # regression: a history AC coefficient past the 16th zero of a run must
 # have its correction bit follow the covering ZRL (G.7) — this example
 # desynced the refinement decode before the fix
