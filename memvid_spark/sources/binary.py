@@ -379,6 +379,21 @@ def _pdf_escape(line: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+_XML_INVALID = {c: None for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)}
+_XML_INVALID[0xFFFE] = None
+_XML_INVALID[0xFFFF] = None
+
+
+def _canon_newlines(text: str) -> str:
+    """Writers store LINES: CRLF and lone CR canonicalize to LF before
+    splitting, the way word processors do — a stray CR left inside a
+    line would re-render as its own break on extraction (fuzz-found).
+    C0 controls (and FFFE/FFFF) are dropped uniformly: XML 1.0 cannot
+    carry them at all, and the writers share one text contract."""
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    return text.translate(_XML_INVALID)
+
+
 def pdf_from_text(text: str, compress: bool = True) -> bytes:
     """Serialize text into a minimal valid PDF (one page, Helvetica, one
     text block; ``Tj`` for the first line then ``'`` per following line —
@@ -392,7 +407,7 @@ def pdf_from_text(text: str, compress: bool = True) -> bytes:
         text.encode("latin-1")
     except UnicodeEncodeError:
         return pdf_from_text_cid(text, compress=compress)
-    lines = text.split("\n")
+    lines = _canon_newlines(text).split("\n")
     ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
     for k, ln in enumerate(lines):
         ops.append(b"(" + _pdf_escape(ln) + (b") Tj" if k == 0 else b") '"))
@@ -435,7 +450,7 @@ def pdf_from_text_cid(text: str, compress: bool = True) -> bytes:
     real-world PDFs ship. The fixture exercises both bfchar entries and
     a bfrange for the longest contiguous code run. Full Unicode round-
     trips (unlike the Latin-1 simple-font tier)."""
-    lines = text.split("\n")
+    lines = _canon_newlines(text).split("\n")
     chars: dict[str, int] = {}
     for ch in text.replace("\n", ""):
         if ch not in chars:
@@ -594,7 +609,7 @@ def docx_from_text(text: str) -> bytes:
     """Serialize text into a minimal valid .docx (one paragraph per line)."""
     body = "".join(
         f"<w:p><w:r><w:t xml:space=\"preserve\">{_xesc(ln)}</w:t></w:r></w:p>"
-        for ln in text.split("\n")
+        for ln in _canon_newlines(text).split("\n")
     )
     doc = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -1042,7 +1057,9 @@ def xlsx_from_text(text: str) -> bytes:
     """One sheet, one row per line, one cell per row — text round-trips
     bit-exactly through :func:`xlsx_extract_text` (single cells never gain
     commas)."""
-    return xlsx_from_rows([("sheet1", [[ln] for ln in text.split("\n")])])
+    return xlsx_from_rows(
+        [("sheet1", [[ln] for ln in _canon_newlines(text).split("\n")])]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1079,7 +1096,8 @@ def pptx_extract_text(payload: bytes) -> str | None:
 def pptx_from_text(text: str) -> bytes:
     """Minimal valid .pptx: one slide, one paragraph per line."""
     paras = "".join(
-        f'<a:p><a:r><a:t>{_xesc(ln)}</a:t></a:r></a:p>' for ln in text.split("\n")
+        f'<a:p><a:r><a:t>{_xesc(ln)}</a:t></a:r></a:p>'
+        for ln in _canon_newlines(text).split("\n")
     )
     slide = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

@@ -648,8 +648,14 @@ def xls_from_rows(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
     return cfb_write("Workbook", book)
 
 
+def _canon(text: str) -> str:
+    from .binary import _canon_newlines
+
+    return _canon_newlines(text)
+
+
 def xls_from_text(text: str) -> bytes:
     """One sheet, one cell per line — the put_bytes fixture shape."""
     return xls_from_rows(
-        [("Sheet1", [[line] for line in text.split("\n")])]
+        [("Sheet1", [[line] for line in _canon(text).split("\n")])]
     )

@@ -207,3 +207,30 @@ def test_progressive_equals_baseline_decode(d, seed, al, sub):
         jpeg_encode_progressive(px, quant=1, subsample=sub, dc_al=al, ac_al=al)
     )
     assert np.array_equal(prog, base)
+
+
+doc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(t=doc_text, which=st.integers(0, 4))
+def test_document_writers_roundtrip_text(t, which):
+    """Every document writer→extractor pair re-renders the exact text
+    modulo newline canonicalization (CRLF / lone CR store as LF, the
+    word-processor convention — fuzz-found: a CR left inside a line
+    doubled the break on extraction)."""
+    from memvid_spark.sources import binary as B
+    from memvid_spark.sources.xls import xls_extract_text, xls_from_text
+
+    pairs = [
+        lambda s: B.pdf_extract_text(B.pdf_from_text(s)),
+        lambda s: B.docx_extract_text(B.docx_from_text(s)),
+        lambda s: B.xlsx_extract_text(B.xlsx_from_text(s)),
+        lambda s: B.pptx_extract_text(B.pptx_from_text(s)),
+        lambda s: xls_extract_text(xls_from_text(s)),
+    ]
+    from memvid_spark.sources.binary import _canon_newlines
+
+    assert (pairs[which](t) or "") == _canon_newlines(t)
