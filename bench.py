@@ -195,6 +195,7 @@ def main() -> None:
         "q146_dedup_survivors", "q147_dsir_weights",
         "q148_shard_assign", "q149_length_quantiles",
         "q150_mojibake_repair", "q151_xls_extract", "q152_heavy_hitters",
+        "q156_budget_select", "q157_stratified_sample",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
