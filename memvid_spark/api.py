@@ -92,6 +92,7 @@ class MemvidSpark:
     ) -> int | None:
         """Append one document; returns its id, or None when skipped by
         content dedup (the blake3-skip analogue)."""
+        self._ensure_writable()
         raw = text.encode()
         sha = hashlib.sha256(raw).hexdigest()
         if dedup and sha in self._shas:
@@ -292,6 +293,7 @@ class MemvidSpark:
         log position — the append-only update model (updates never
         mutate, mutation.rs:3150-3287). History stays reachable through
         ``frames()`` and ``as_of()``."""
+        self._ensure_writable()
         new_id = self.put(text, uri=uri, dedup=False)
         assert new_id is not None
         self._supersedes[new_id] = doc_id
@@ -301,6 +303,7 @@ class MemvidSpark:
 
     def delete(self, doc_id: int) -> None:
         """Tombstone (logical delete, mutation.rs:3150-3287)."""
+        self._ensure_writable()
         self._tombstones.add(doc_id)
         self._tombstoned_at.setdefault(doc_id, self._next_id)
 
@@ -943,6 +946,120 @@ class MemvidSpark:
             ]
             rerun.append((seq, q, k, ids))
         return divergence_diff(self.replay_log(), self._replay_rows(rerun))
+
+    # -- lifecycle persistence (lifecycle.rs create/open; SURVEY §1.1) ----
+
+    MANIFEST_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Persist the store to a directory: the full frame log as
+        parquet (the .mv2 analogue, Spark-first — a table, not a file),
+        media payloads as parquet, and the non-derivable driver-side
+        state (tombstones, supersede chain, replay log, ticket ref,
+        binding, allocation) as a versioned JSON manifest. Derived
+        state (postings, sketches, dedup registry) is NOT saved — it is
+        a function of the content table and rebuilds on demand
+        (rebuild_indexes model, api.rs:1038-1106)."""
+        import base64
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self._union_docs().write.mode("overwrite").parquet(
+            os.path.join(path, "frames.parquet")
+        )
+        media_rows = [
+            (int(i), m, bytes(p)) for i, m, p in self._media
+        ]
+        self.spark.createDataFrame(
+            media_rows, "media_id long, mime string, payload binary"
+        ).write.mode("overwrite").parquet(os.path.join(path, "media.parquet"))
+        manifest = {
+            "version": self.MANIFEST_VERSION,
+            "kind": "memvid-spark-store",
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "next_id": self._next_id,
+            "payload_tail": self._payload_tail,
+            "tier": self._tier,
+            "tombstones": sorted(self._tombstones),
+            "tombstoned_at": {str(k): v for k, v in self._tombstoned_at.items()},
+            "supersedes": {str(k): v for k, v in self._supersedes.items()},
+            "replay": self._replay,
+            "memory_id": self._memory_id,
+            "trusted_pubkey": (
+                base64.b64encode(self._trusted_pubkey).decode()
+                if self._trusted_pubkey
+                else None
+            ),
+            "ticket": vars(self._ticket),
+        }
+        tmp = os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        read_only: bool = False,
+        rebuild_dedup: bool = False,
+    ) -> "MemvidSpark":
+        """Reopen a saved store. ``read_only`` maps open_read_only
+        (lifecycle.rs): mutating calls raise. ``rebuild_dedup=True``
+        re-collects the content-hash registry so put-dedup spans the
+        reopened corpus — O(corpus) driver memory, the same in-memory
+        scope the live registry has; at warehouse scale the registry is
+        itself a table and dedup is the q24 anti-join."""
+        import base64
+        import json
+        import os
+
+        with open(os.path.join(path, "manifest.json"), encoding="utf-8") as f:
+            man = json.load(f)
+        if man.get("kind") != "memvid-spark-store" or man.get("version") != 1:
+            raise ValueError(f"not a memvid-spark store: {path}")
+        from .operators.tickets import TicketRef
+
+        seed = spark.read.parquet(os.path.join(path, "frames.parquet"))
+        mv = cls(
+            spark, seed=seed, id_col=man["id_col"], text_col=man["text_col"]
+        )
+        mv._next_id = int(man["next_id"])
+        mv._payload_tail = int(man["payload_tail"])
+        mv._tier = man["tier"]
+        mv._tombstones = set(man["tombstones"])
+        mv._tombstoned_at = {int(k): v for k, v in man["tombstoned_at"].items()}
+        mv._supersedes = {int(k): v for k, v in man["supersedes"].items()}
+        mv._replay = [
+            (int(s), q, int(k), [int(i) for i in ids])
+            for s, q, k, ids in man["replay"]
+        ]
+        mv._memory_id = man["memory_id"]
+        if man["trusted_pubkey"]:
+            mv._trusted_pubkey = base64.b64decode(man["trusted_pubkey"])
+        mv._ticket = TicketRef(**man["ticket"])
+        mv._media = [
+            (int(r.media_id), r.mime, bytes(r.payload))
+            for r in spark.read.parquet(
+                os.path.join(path, "media.parquet")
+            ).collect()
+        ]
+        if rebuild_dedup:
+            mv._shas = {
+                r.sha
+                for r in mv.docs()
+                .select(F.sha2(mv.text_col, 256).alias("sha"))
+                .collect()
+            }
+        mv._read_only = read_only
+        return mv
+
+    def _ensure_writable(self) -> None:
+        if getattr(self, "_read_only", False):
+            raise PermissionError("store opened read-only")
 
     # -- capacity tickets (ticket.rs:135-260, signature.rs) ----------------
 

@@ -322,3 +322,60 @@ def test_facade_put_many_and_verify_integrity(spark):
     assert bad["status"] == "failed"
     failing = [c for c in bad["checks"] if c["status"] == "failed"]
     assert failing and "999" in failing[0]["details"]
+
+
+def test_save_open_roundtrip(spark, tmp_path):
+    """Full lifecycle: create → mutate (puts, media, update, delete,
+    ticket, replay) → save → open restores every surface; read-only
+    open rejects mutation (lifecycle.rs create/open/open_read_only)."""
+    import base64
+
+    from memvid_spark.api import MemvidSpark
+    from memvid_spark.functions import ed25519
+    from memvid_spark.operators import tickets as T
+    from memvid_spark.sources.image import png_encode
+
+    import numpy as np
+
+    seed32 = bytes(range(32))
+    pub = ed25519.publickey(seed32)
+
+    mv = MemvidSpark(spark)
+    a = mv.put("alpha document about spark engines")
+    b = mv.put("beta document about parquet tables")
+    mv.update(a, "alpha document v2 about spark engines")
+    mv.delete(b)
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    mv.put_bytes(png_encode(px), uri="mv2://img/1.png")
+    mv.bind("mem-1", base64.b64encode(pub).decode())
+    mv.apply_signed_ticket(
+        T.issue_ticket(seed32, "mem-1", "ctl", 1, 0, 10_000_000)
+    )
+    mv.record_search("spark", top_k=3)
+
+    path = str(tmp_path / "store")
+    mv.save(path)
+
+    back = MemvidSpark.open(spark, path, rebuild_dedup=True)
+    want = {r.text for r in mv.docs().select("text").collect()}
+    got = {r.text for r in back.docs().select("text").collect()}
+    assert got == want
+    assert back._tombstones == mv._tombstones
+    assert back._supersedes == mv._supersedes
+    assert back._next_id == mv._next_id
+    assert back.get_capacity() == 10_000_000
+    assert back._ticket.verified and back._ticket.seq_no == 1
+    assert len(back.media().collect()) == len(mv.media().collect())
+    assert back._replay == mv._replay
+    # dedup registry rebuilt: same content put again is skipped
+    assert back.put("alpha document v2 about spark engines") is None
+
+    ro = MemvidSpark.open(spark, path, read_only=True)
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        ro.put("nope")
+    with _pytest.raises(PermissionError):
+        ro.delete(0)
+    # reads still work
+    assert ro.docs().count() == mv.docs().count()
