@@ -8,11 +8,15 @@ Layout:
 - registry: the query inventory with DuckDB oracle twins
 """
 
-from .catalog import Catalog, load
-from .session import configure, get_spark
-
-__all__ = ["Catalog", "load", "configure", "get_spark"]
-
 from .api import MemvidSpark
+from .catalog import Catalog, load
+from .session import configure, fan_out, get_spark
 
-__all__ = ["MemvidSpark"]
+__all__ = [
+    "Catalog",
+    "MemvidSpark",
+    "configure",
+    "fan_out",
+    "get_spark",
+    "load",
+]

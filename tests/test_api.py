@@ -379,3 +379,44 @@ def test_save_open_roundtrip(spark, tmp_path):
         ro.delete(0)
     # reads still work
     assert ro.docs().count() == mv.docs().count()
+
+
+def test_save_open_random_mutation_sequences(spark, tmp_path):
+    """Persistence must commute with ANY mutation sequence: applying ops
+    then save/open yields the same active view, frame log, and as-of
+    answers as the live store."""
+    import random
+
+    from memvid_spark.api import MemvidSpark
+
+    rng = random.Random(7)
+    for trial in range(3):
+        mv = MemvidSpark(spark)
+        live_ids = []
+        for step in range(rng.randint(3, 12)):
+            op = rng.choice(["put", "put", "update", "delete"])
+            if op == "put" or not live_ids:
+                i = mv.put(f"doc {trial}-{step} " + "tok " * rng.randint(1, 5))
+                if i is not None:
+                    live_ids.append(i)
+            elif op == "update":
+                tgt = rng.choice(live_ids)
+                live_ids.remove(tgt)
+                live_ids.append(mv.update(tgt, f"updated {trial}-{step}"))
+            else:
+                tgt = rng.choice(live_ids)
+                live_ids.remove(tgt)
+                mv.delete(tgt)
+        path = str(tmp_path / f"store{trial}")
+        mv.save(path)
+        back = MemvidSpark.open(spark, path)
+        live = sorted(map(tuple, mv.docs().select("doc_id", "text").collect()))
+        rest = sorted(map(tuple, back.docs().select("doc_id", "text").collect()))
+        assert live == rest
+        lf = sorted(map(tuple, mv.frames().select("doc_id", "status").collect()))
+        rf = sorted(map(tuple, back.frames().select("doc_id", "status").collect()))
+        assert lf == rf
+        mid = mv._next_id // 2
+        la = sorted(r.doc_id for r in mv.as_of(mid).select("doc_id").collect())
+        ra = sorted(r.doc_id for r in back.as_of(mid).select("doc_id").collect())
+        assert la == ra
