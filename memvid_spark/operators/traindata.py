@@ -624,6 +624,340 @@ def budget_select(
     return full.unionByName(partial)
 
 
+LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+LM_SCALE = 1_000_000  # micro-nats: integer log-prob units
+NB_BUCKETS = 1024  # hashed feature space of the NB quality classifier
+NB_SPLIT_SALT = "nbsplit"  # deterministic train/eval assignment salt
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    ref_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): train a token-bigram stupid-backoff LM (Brants et
+    al. 2007 — "Large Language Models in Machine Translation") on an
+    in-domain reference split, score every document by mean log-prob,
+    and bucket each ``group_col`` population into head/middle/tail
+    terciles — the classic perplexity-filtering signal for pretraining
+    corpora.
+
+    Model (reference split only):
+      p(w|v) = c2(v,w)/c1ctx(v)                 if the bigram was seen
+             = 0.4 * (c1(w)+1)/(T+V)            otherwise (backoff to an
+                                                 add-1 unigram, so OOV
+                                                 tokens score too)
+    Per-bigram log-probs are rounded to integer micro-nats and summed
+    as longs — the per-doc total is exact and engine-independent (the
+    DSIR trick); the mean (one IEEE division of two exact ints) and the
+    tercile ordering on it are therefore bit-portable too.
+
+    Scale posture: the model tables are (distinct reference bigrams) and
+    (reference vocab) rows — data-bounded, built with one map-side-
+    combinable groupBy each. Scoring is one equi-join of corpus bigrams
+    against the model on a portable 60-bit gram hash (8-byte join keys,
+    AQE broadcasts the model side when it is small) collapsing straight
+    into per-doc sums. Terciles are per-group windows — no global sort.
+
+    Output: (id, group, n_big, lp_sum_micro, avg_lp, bucket) for docs
+    with >= 2 tokens; bucket in {'head','middle','tail'}.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        ref_pred.alias("_ref"),
+        F.explode(bigrams).alias("bg"),
+    ).withColumn("bh", hash64("bg"))
+
+    ref = base.filter("_ref")
+    # bigram tier: c2 per gram + c1ctx per context (sum of c2 over w)
+    c2 = ref.groupBy("bg", "bh").agg(F.count("*").alias("c2"))
+    c1ctx = (
+        c2.withColumn("prev", F.split("bg", " ")[0])
+        .groupBy("prev")
+        .agg(F.sum("c2").alias("c1ctx"))
+    )
+    bg_model = (
+        c2.withColumn("prev", F.split("bg", " ")[0])
+        .join(c1ctx, "prev")
+        .select(
+            "bh",
+            F.round(F.log(F.col("c2") / F.col("c1ctx")) * LM_SCALE)
+            .cast("long")
+            .alias("lp2_micro"),
+        )
+    )
+    # unigram tier over reference SECOND tokens (the backoff target is
+    # always the continuation word) plus totals for add-1 smoothing
+    uni = ref.select(F.split("bg", " ")[1].alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").alias("_T"), F.count("*").alias("_V")
+    )
+    ug_model = c1.join(F.broadcast(totals)).select(
+        hash64("w").alias("wh"),
+        F.round(
+            (F.log(F.lit(LM_BACKOFF))
+             + F.log((F.col("c1") + 1) / (F.col("_T") + F.col("_V"))))
+            * LM_SCALE
+        )
+        .cast("long")
+        .alias("lp1_micro"),
+    )
+    scored = (
+        base.withColumn("wh", hash64(F.split("bg", " ")[1]))
+        .join(bg_model, "bh", "left")
+        .join(ug_model, "wh", "left")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lp_micro",
+            F.coalesce(
+                "lp2_micro",
+                "lp1_micro",
+                F.round(
+                    (F.log(F.lit(LM_BACKOFF))
+                     - F.log(F.col("_T") + F.col("_V"))) * LM_SCALE
+                ).cast("long"),
+            ),
+        )
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count("*").alias("n_big"),
+            F.sum("lp_micro").alias("lp_sum_micro"),
+        )
+    )
+    # mean of two exact longs: one IEEE division — bit-portable; the
+    # tercile rank orders on the UNSCALED ratio (the exact expression
+    # the oracle sorts on — rescaling could merge ulp-distinct values),
+    # ties to id, per group, never globally
+    ratio = F.col("lp_sum_micro") / F.col("n_big")
+    scored = scored.withColumn("avg_lp", ratio / F.lit(LM_SCALE))
+    w = Window.partitionBy(group_col).orderBy(ratio.desc(), F.asc(id_col))
+    cnt = Window.partitionBy(group_col)
+    rk = F.row_number().over(w)
+    n_grp = F.count("*").over(cnt)
+    return (
+        scored.withColumn("_rk", rk)
+        .withColumn("_n", n_grp)
+        .select(
+            id_col,
+            group_col,
+            "n_big",
+            "lp_sum_micro",
+            F.round("avg_lp", 6).alias("avg_lp"),
+            F.when(F.col("_rk") * 3 <= F.col("_n"), F.lit("head"))
+            .when(F.col("_rk") * 3 <= F.col("_n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    token_budget: int,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights — the alpha-sampling
+    recipe multilingual/multi-domain pretraining uses (GPT-3 / XLM-R /
+    LLaMA data recipes): sampling weight w_d proportional to p_d^alpha
+    with alpha=0.5, which up-weights small domains relative to their
+    natural share without letting any domain dominate.
+
+    alpha is FIXED at 0.5 so the power is ``sqrt`` — the one libm
+    function IEEE-754 requires correctly rounded, hence bit-identical
+    across engines (pow(x, 0.5) is not). All derived quantities are
+    integer arithmetic over exact micro-unit longs: per-domain raw
+    weight rounds to nano units once, the normalization is integer
+    division against the exact long total, and the epoch factor
+    (how many times the domain's tokens repeat to fill its share of
+    ``token_budget``) is integer micro math — no cross-engine float
+    summation anywhere.
+
+    Scale posture: one scan with a map-side-combinable groupBy to
+    (n_domains) rows; everything after is driver-trivial arithmetic
+    kept as column algebra.
+
+    Output: (stratum, n_docs, n_toks, share_ppm, weight_ppm,
+    tokens_drawn, epochs_micro).
+    """
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_toks"),
+    )
+    tot = per.agg(F.sum("n_toks").alias("_tot"))
+    # raw weight: sqrt(p_d) scaled to nano units, rounded ONCE — the
+    # only float step, and sqrt of an exact ratio is correctly rounded
+    raw = per.join(F.broadcast(tot)).withColumn(
+        "_w_nano",
+        F.round(F.sqrt(F.col("n_toks") / F.col("_tot")) * 1_000_000_000)
+        .cast("long"),
+    )
+    wtot = raw.agg(F.sum("_w_nano").alias("_wtot"))
+    out = raw.join(F.broadcast(wtot)).select(
+        "stratum",
+        "n_docs",
+        "n_toks",
+        F.expr("n_toks * 1000000 div _tot").alias("share_ppm"),
+        F.expr("_w_nano * 1000000 div _wtot").alias("weight_ppm"),
+        F.expr(f"(_w_nano * 1000000 div _wtot) * {token_budget} div 1000000")
+        .alias("tokens_drawn"),
+    )
+    return out.withColumn(
+        "epochs_micro", F.expr("tokens_drawn * 1000000 div n_toks")
+    )
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = NB_BUCKETS,
+    train_frac_pct: int = 80,
+) -> DataFrame:
+    """In-engine quality classifier — the fastText-style linear text
+    classifier the GPT-3/LLaMA pipelines use for quality filtering,
+    as multinomial Naive Bayes over hashed unigram+bigram features.
+    NB training is closed-form (count ratios), so unlike SGD models the
+    WHOLE pipeline — weak labels, train/eval split, training, scoring —
+    is exact relational algebra an independent SQL engine can replay.
+
+    Stages:
+      1. weak labels: ``quality_gates`` verdict == 'kept' (label 1/0) —
+         classic weak supervision (the gates are the labeling function);
+      2. deterministic split: portable hash of the id, ``train`` when
+         ``h % 100 < train_frac_pct``;
+      3. training (train split only): per hashed feature bucket, add-1
+         smoothed log-likelihood ratio in integer micro-nats, plus the
+         class-prior logit;
+      4. scoring (every doc): prior + sum of bucket LLRs over the doc's
+         feature occurrences; predict positive when the logit > 0.
+
+    Features hash through the portable 60-bit md5: unigrams as
+    ``u#tok``, bigrams as ``b#prev tok`` — bigrams give the classifier
+    word-order signal a bag of words lacks, for free in the same scan.
+
+    Scale posture: the model is <= ``buckets`` rows (broadcast); label
+    + split + featurize is one scan; training is one map-side-combined
+    groupBy; scoring is one broadcast join collapsing into per-doc
+    sums. No shuffle grows with corpus size except the per-doc combine.
+
+    Output: (id, split, label, n_feats, score_micro, pred).
+    """
+    from ..functions.text import STOPWORDS
+
+    toks = tokens(text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    label = (
+        (n_tok >= GATE_MIN_TOKENS)
+        & (n_tok <= GATE_MAX_TOKENS)
+        & (n_stop > 0)
+    ).cast("int")
+    split = F.when(
+        F.pmod(
+            hash64(F.concat(F.col(id_col).cast("string"),
+                            F.lit(f"#{NB_SPLIT_SALT}"))),
+            F.lit(100),
+        )
+        < train_frac_pct,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    unis = F.transform(toks, lambda t: F.concat(F.lit("u#"), t))
+    bis = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat(F.lit("b#"), a, F.lit(" "), b),
+    )
+    base = (
+        docs.select(
+            F.col(id_col),
+            label.alias("label"),
+            split.alias("split"),
+            F.explode(F.concat(unis, bis)).alias("feat"),
+        )
+        .withColumn("bucket", F.pmod(hash64("feat"), F.lit(buckets)))
+    )
+
+    train = base.filter(F.col("split") == "train")
+    counts = train.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("c_neg"),
+    )
+    feat_tot = counts.agg(
+        F.sum("c_pos").alias("_tp"), F.sum("c_neg").alias("_tn")
+    )
+    llr = counts.join(F.broadcast(feat_tot)).select(
+        "bucket",
+        F.round(
+            (F.log((F.col("c_pos") + 1) / (F.col("_tp") + buckets))
+             - F.log((F.col("c_neg") + 1) / (F.col("_tn") + buckets)))
+            * LM_SCALE
+        )
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    # class prior from train-split DOC counts (distinct docs, not tokens)
+    doc_labels = (
+        base.select(id_col, "label", "split").distinct()
+    )
+    prior = doc_labels.filter(F.col("split") == "train").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("_nn"),
+    )
+    prior_micro = F.round(
+        (F.log((F.col("_np") + 1) / (F.col("_np") + F.col("_nn") + 2))
+         - F.log((F.col("_nn") + 1) / (F.col("_np") + F.col("_nn") + 2)))
+        * LM_SCALE
+    ).cast("long")
+
+    scored = (
+        base.join(F.broadcast(llr), "bucket", "left")
+        .join(F.broadcast(feat_tot))
+        .withColumn(
+            "_llr",
+            F.coalesce(
+                "llr_micro",
+                # unseen bucket: add-1 numerators over the same totals
+                F.round(
+                    (F.log(F.lit(1.0) / (F.col("_tp") + buckets))
+                     - F.log(F.lit(1.0) / (F.col("_tn") + buckets)))
+                    * LM_SCALE
+                ).cast("long"),
+            ),
+        )
+        .groupBy(id_col, "split", "label")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("_llr").alias("_evidence"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(prior))
+        .withColumn("score_micro", F.col("_evidence") + prior_micro)
+        .select(
+            id_col,
+            "split",
+            "label",
+            "n_feats",
+            "score_micro",
+            (F.col("score_micro") > 0).cast("int").alias("pred"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     k: int,

@@ -6405,6 +6405,311 @@ def q157_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_H = "('0x' || substr(md5({x}), 1, 15))::bigint"  # SQL twin of hash64
+
+_Q158_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, lang = 'en' AS ref,
+                      {SQL_TOKS.format(x='text')} AS toks
+               FROM documents),
+    b AS (SELECT doc_id, lang, ref,
+                 toks[i] || ' ' || toks[i+1] AS bg,
+                 toks[i+1] AS w2
+          FROM (SELECT doc_id, lang, ref, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t)),
+    bh AS (SELECT doc_id, lang, bg, ref,
+                  {_H.format(x='bg')} AS bh,
+                  {_H.format(x='w2')} AS wh
+           FROM b),
+    c2 AS (SELECT bg, count(*) AS c2 FROM b WHERE ref GROUP BY bg),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS prev, sum(c2) AS c1ctx
+            FROM c2 GROUP BY 1),
+    bgm AS (SELECT {_H.format(x='c2.bg')} AS bh,
+                   round(ln(c2 / c1ctx) * 1000000)::bigint AS lp2
+            FROM c2 JOIN ctx ON string_split(c2.bg, ' ')[1] = ctx.prev),
+    c1 AS (SELECT w2 AS w, count(*) AS c1 FROM b WHERE ref GROUP BY w2),
+    tot AS (SELECT sum(c1) AS T, count(*) AS V FROM c1),
+    ugm AS (SELECT {_H.format(x='w')} AS wh,
+                   round((ln(0.4) + ln((c1 + 1) / (T + V))) * 1000000)::bigint
+                     AS lp1
+            FROM c1, tot),
+    scored AS (
+      SELECT bh.doc_id, bh.lang, count(*)::bigint AS n_big,
+             sum(coalesce(lp2, lp1,
+                 round((ln(0.4) - ln(T + V)) * 1000000)::bigint))::bigint
+               AS lp_sum_micro
+      FROM bh LEFT JOIN bgm USING (bh) LEFT JOIN ugm USING (wh)
+      CROSS JOIN tot
+      GROUP BY bh.doc_id, bh.lang)
+    SELECT doc_id, lang, n_big, lp_sum_micro,
+           round(lp_sum_micro / n_big / 1000000, 6) AS avg_lp,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY lp_sum_micro / n_big DESC,
+                                             doc_id) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+"""
+
+
+@spec(
+    "q158_lm_perplexity",
+    _Q158_SQL,
+    "CCNet-style perplexity filtering (Wenzek et al., arXiv:1911.00359): "
+    "token-bigram stupid-backoff LM (Brants et al. 2007) trained on the "
+    "in-domain split (lang='en'), every doc scored by mean log-prob in "
+    "integer micro-nats, per-language head/middle/tail terciles — the "
+    "classic pretraining quality signal. Model tables are data-bounded "
+    "groupBys; scoring is one equi-join on portable 60-bit gram hashes "
+    "collapsing into per-doc sums; terciles are per-language windows, "
+    "no global sort. The mean is one IEEE division of two exact longs, "
+    "so ordering and display round identically cross-engine.",
+)
+def q158_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.lm_perplexity(
+        t.documents, F.col("lang") == "en", group_col="lang"
+    )
+
+
+@spec(
+    "q159_mixture_weights",
+    f"""
+    WITH per AS (SELECT lang AS stratum, count(*)::bigint AS n_docs,
+                        sum(len({SQL_TOKS.format(x='text')}))::bigint
+                          AS n_toks
+                 FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_toks)::bigint AS t FROM per),
+    raw AS (SELECT per.*,
+                   round(sqrt(n_toks / t) * 1000000000)::bigint AS w
+            FROM per, tot),
+    wt AS (SELECT sum(w)::bigint AS wtot FROM raw)
+    SELECT stratum, n_docs, n_toks,
+           (n_toks * 1000000 // t)::bigint AS share_ppm,
+           (w * 1000000 // wtot)::bigint AS weight_ppm,
+           ((w * 1000000 // wtot) * 50000 // 1000000)::bigint
+             AS tokens_drawn,
+           (((w * 1000000 // wtot) * 50000 // 1000000) * 1000000
+            // n_toks)::bigint AS epochs_micro
+    FROM raw, tot, wt
+    """,
+    "temperature-scaled domain-mixture weights (alpha-sampling, the "
+    "GPT-3/XLM-R/LLaMA data recipe): per-language sampling share "
+    "proportional to p^0.5 — alpha fixed at 0.5 so the power is sqrt, "
+    "the one libm call IEEE requires correctly rounded (pow is not "
+    "cross-engine safe). One scan to n_domains rows; every derived "
+    "quantity is integer micro-unit arithmetic over exact longs — "
+    "share, normalized weight, tokens drawn at a 50k budget, and the "
+    "per-domain epoch factor (how often a domain's data repeats).",
+)
+def q159_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.mixture_weights(
+        t.documents, token_budget=50000, stratum_col="lang"
+    )
+
+
+def _pii_plant_sql() -> str:
+    return """
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id::varchar || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' ssn 123-45-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0')
+                     || '-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                ELSE '' END
+        AS t2
+      FROM documents
+    """
+
+
+def _q160_oracle() -> str:
+    from .functions.extract import EMAIL_RE, PHONE_RE, SSN_RE, sql_mask_pii
+
+    return f"""
+    WITH p AS ({_pii_plant_sql()})
+    SELECT doc_id,
+           len(regexp_extract_all(t2, '{EMAIL_RE}'))::bigint AS n_emails,
+           len(regexp_extract_all(t2, '{SSN_RE}'))::bigint AS n_ssns,
+           len(regexp_extract_all(t2, '{PHONE_RE}'))::bigint AS n_phones,
+           CASE WHEN len(regexp_extract_all(t2, '{EMAIL_RE}'))
+                     + len(regexp_extract_all(t2, '{SSN_RE}'))
+                     + len(regexp_extract_all(t2, '{PHONE_RE}')) > 0
+                THEN 1 ELSE 0 END AS has_pii,
+           sha256({sql_mask_pii('t2')}) AS masked_sha
+    FROM p
+    """
+
+
+@spec(
+    "q160_pii_incidence",
+    None,  # assembled by _computed_oracles from the shared regex catalog
+    "corpus-wide PII incidence report — the compliance scan a training "
+    "pipeline runs before release: per-document email/SSN/phone match "
+    "counts (src/pii.rs:30-71 regex catalog, planted deterministically "
+    "so every kind is exercised), a has_pii flag, and the sha256 of the "
+    "masked text proving the redaction path at corpus scale. One scan, "
+    "pure regexp column algebra, no shuffle at all.",
+)
+def q160_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.extract import EMAIL_RE, PHONE_RE, SSN_RE, mask_pii
+
+    t = catalog.load(spark, sf_dir)
+    did = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((did % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    planted = t.documents.select("doc_id", t2.alias("t2"))
+    n_em = F.size(F.regexp_extract_all("t2", F.lit(EMAIL_RE), F.lit(0)))
+    n_ssn = F.size(F.regexp_extract_all("t2", F.lit(SSN_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all("t2", F.lit(PHONE_RE), F.lit(0)))
+    return planted.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ssn.cast("long").alias("n_ssns"),
+        n_ph.cast("long").alias("n_phones"),
+        F.when(n_em + n_ssn + n_ph > 0, 1).otherwise(0).alias("has_pii"),
+        F.sha2(mask_pii(F.col("t2")), 256).alias("masked_sha"),
+    )
+
+
+def _q161_sql() -> str:
+    from .operators.traindata import (
+        GATE_MAX_TOKENS,
+        GATE_MIN_TOKENS,
+        NB_BUCKETS,
+        NB_SPLIT_SALT,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+               FROM main.documents),
+    lab AS (SELECT doc_id, ts,
+              CASE WHEN len(ts) >= {GATE_MIN_TOKENS}
+                    AND len(ts) <= {GATE_MAX_TOKENS}
+                    AND len(list_filter(ts,
+                          x -> list_contains({_GATE_STOP_SQL}, x))) > 0
+                   THEN 1 ELSE 0 END AS label,
+              CASE WHEN {_H.format(
+                  x="doc_id::varchar || '#" + NB_SPLIT_SALT + "'")} % 100
+                   < 80
+                   THEN 'train' ELSE 'eval' END AS split
+            FROM t),
+    feats AS (
+      SELECT doc_id, label, split,
+             unnest(list_transform(ts, x -> 'u#' || x)) AS feat
+      FROM lab
+      UNION ALL
+      SELECT doc_id, label, split,
+             'b#' || ts[i] || ' ' || ts[i+1] AS feat
+      FROM (SELECT doc_id, label, split, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM lab)),
+    fb AS (SELECT doc_id, label, split,
+                  {_H.format(x='feat')} % {NB_BUCKETS} AS bucket
+           FROM feats),
+    counts AS (SELECT bucket,
+                      sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c_neg
+               FROM fb WHERE split = 'train' GROUP BY bucket),
+    ft AS (SELECT sum(c_pos) AS tp, sum(c_neg) AS tn FROM counts),
+    llr AS (SELECT bucket,
+                   round((ln((c_pos + 1) / (tp + {NB_BUCKETS}))
+                          - ln((c_neg + 1) / (tn + {NB_BUCKETS})))
+                         * 1000000)::bigint AS llr_micro
+            FROM counts, ft),
+    prior AS (SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+                     sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+              FROM (SELECT DISTINCT doc_id, label, split FROM fb)
+              WHERE split = 'train'),
+    sc AS (SELECT doc_id, split, label, count(*)::bigint AS n_feats,
+                  sum(coalesce(llr_micro,
+                      round((ln(1.0 / (tp + {NB_BUCKETS}))
+                             - ln(1.0 / (tn + {NB_BUCKETS})))
+                            * 1000000)::bigint))::bigint AS ev
+           FROM fb LEFT JOIN llr USING (bucket) CROSS JOIN ft
+           GROUP BY doc_id, split, label)
+    SELECT doc_id, split, label, n_feats,
+           (ev + round((ln((np + 1) / (np + nn + 2))
+                        - ln((nn + 1) / (np + nn + 2)))
+                       * 1000000)::bigint)::bigint AS score_micro,
+           CASE WHEN (ev + round((ln((np + 1) / (np + nn + 2))
+                                  - ln((nn + 1) / (np + nn + 2)))
+                                 * 1000000)::bigint) > 0
+                THEN 1 ELSE 0 END AS pred
+    FROM sc, prior
+    """
+
+
+@spec(
+    "q161_quality_classifier",
+    None,  # assembled by _computed_oracles from shared gate/hash constants
+    "in-engine quality classifier — the fastText-style filter of the "
+    "GPT-3/LLaMA pipelines as multinomial Naive Bayes over hashed "
+    "unigram+bigram features: weak labels from the q104 quality gates "
+    "(weak supervision), a deterministic 80/20 hash split, closed-form "
+    "training (add-1 LLR per bucket in integer micro-nats + class-prior "
+    "logit), corpus-wide scoring. NB, unlike SGD models, is exact "
+    "relational algebra — the full train+score pipeline replays in SQL. "
+    "Model is <=1024 rows (broadcast); one scan to featurize, one "
+    "map-side-combined groupBy to train, one broadcast join to score.",
+)
+def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    return traindata.nb_quality_classifier(t.documents)
+
+
+@spec(
+    "q162_classifier_eval",
+    None,  # assembled by _computed_oracles: wraps q161's SQL as a CTE
+    "held-out evaluation of the q161 classifier: confusion matrix on "
+    "the eval split (label x pred counts) — the acceptance gate before "
+    "a quality filter is trusted over a whole corpus. Reuses the "
+    "classifier pipeline verbatim (the q155 oracle-composition "
+    "pattern), then a 4-row aggregate.",
+)
+def q162_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import traindata
+
+    t = catalog.load(spark, sf_dir)
+    scored = traindata.nb_quality_classifier(t.documents)
+    return (
+        scored.filter(F.col("split") == "eval")
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
@@ -6772,6 +7077,15 @@ def _computed_oracles() -> None:
            length({sql_repair_mojibake('text')}) AS len_after,
            sha256({sql_repair_mojibake('text')}) AS repaired_sha
     FROM corpus
+    """
+
+    by_name["q160_pii_incidence"].oracle = _q160_oracle()
+    q161_sql = _q161_sql()
+    by_name["q161_quality_classifier"].oracle = q161_sql
+    by_name["q162_classifier_eval"].oracle = f"""
+    WITH scored AS ({q161_sql})
+    SELECT label, pred, count(*)::bigint AS n
+    FROM scored WHERE split = 'eval' GROUP BY label, pred
     """
 
 

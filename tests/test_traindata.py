@@ -255,3 +255,128 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
         r.doc_id for r in stratified_sample(docs, k=5, stratum_col="source").collect()
     )
     assert ids1 == ids2
+
+
+def test_lm_perplexity_backoff_tiers_hand_computed(spark):
+    """Pin all three scoring tiers of the stupid-backoff LM against
+    hand-computed micro-nat values on a 4-doc corpus.
+
+    Reference split (lang='en'): "a b a b" and "a c"
+      bigrams: (a b) x2, (b a), (a c)  ->  c1ctx(a)=3, c1ctx(b)=1
+      unigram (continuation) counts: b=2, a=1, c=1 -> T=4, V=3
+    """
+    import math
+
+    from memvid_spark.operators.traindata import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a c", "en"),
+            (3, "a b", "zh"),   # seen bigram tier
+            (4, "b c", "zh"),   # unigram backoff tier (c seen, (b c) not)
+            (5, "x y", "zh"),   # OOV tier (y unseen anywhere)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity(docs, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    micro = lambda x: round(x * 1_000_000)  # noqa: E731
+    assert out[3].lp_sum_micro == micro(math.log(2 / 3))
+    assert out[4].lp_sum_micro == micro(math.log(0.4) + math.log(2 / 7))
+    assert out[5].lp_sum_micro == micro(math.log(0.4) - math.log(7))
+    # doc 1: (a b)+(b a)+(a b) = 2*ln(2/3) + ln(1/1)
+    assert out[1].lp_sum_micro == 2 * micro(math.log(2 / 3)) + micro(0.0)
+    assert out[1].n_big == 3
+    # terciles partition each lang group: en has 2 docs -> ranks 1,2 of 2
+    # give buckets middle/tail (rk*3<=n fails for both)
+    assert {out[1].bucket, out[2].bucket} == {"middle", "tail"}
+    assert sorted(out[d].bucket for d in (3, 4, 5)) == [
+        "head", "middle", "tail"
+    ]
+
+
+def test_mixture_weights_alpha_flattening(spark):
+    """sqrt-temperature sampling upweights the small domain relative to
+    its natural share, weights sum to ~1e6, and every derived integer
+    matches the closed-form recomputation."""
+    import math
+
+    from memvid_spark.operators.traindata import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 90), "big") for i in range(3)]
+        + [(100 + i, " ".join(["tok"] * 10), "small") for i in range(1)],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.stratum: r
+        for r in mixture_weights(docs, token_budget=50000).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert big.n_toks == 270 and small.n_toks == 10
+    w_big = round(math.sqrt(270 / 280) * 1_000_000_000)
+    w_small = round(math.sqrt(10 / 280) * 1_000_000_000)
+    tot = w_big + w_small
+    assert big.weight_ppm == w_big * 1_000_000 // tot
+    assert small.weight_ppm == w_small * 1_000_000 // tot
+    # flattening: small domain's sampling weight exceeds natural share
+    assert small.weight_ppm > small.share_ppm
+    assert big.weight_ppm < big.share_ppm
+    # weights sum to 1e6 up to per-stratum truncation
+    assert 1_000_000 - 2 <= big.weight_ppm + small.weight_ppm <= 1_000_000
+    # epoch factor: tokens drawn over tokens owned
+    assert small.epochs_micro == small.tokens_drawn * 1_000_000 // 10
+
+
+def test_pii_regex_counts_ground_truth(spark):
+    """The PII catalog actually matches what it claims to match —
+    non-zero ground-truth counts, not just cross-engine agreement."""
+    from memvid_spark.functions.extract import (
+        EMAIL_RE,
+        PHONE_RE,
+        SSN_RE,
+        mask_pii,
+    )
+
+    txt = (
+        "mail a@b.co and c.d+e@f.org call 555-123-4567 "
+        "ssn 123-45-6789 but not 12-345-6789 or 1234-56-7890"
+    )
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = df.select(
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("e"),
+        F.size(F.regexp_extract_all("text", F.lit(SSN_RE), F.lit(0))).alias("s"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias("p"),
+        mask_pii(F.col("text")).alias("m"),
+    ).head()
+    assert (r.e, r.s, r.p) == (2, 1, 1)
+    assert "[EMAIL]" in r.m and "[SSN]" in r.m and "[PHONE]" in r.m
+    assert "a@b.co" not in r.m and "123-45-6789" not in r.m
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    """The NB quality classifier must actually learn: positives (gate-
+    passing prose built from vocab A) and negatives (too-short docs from
+    vocab B) are perfectly separable, so held-out accuracy is 1.0."""
+    from memvid_spark.operators.traindata import nb_quality_classifier
+
+    pos_text = " ".join(
+        ["the data table merge spark row batch scan key value"] * 3
+    )  # 30 tokens, has stopword 'the' -> label 1
+    rows = [(i, pos_text) for i in range(40)] + [
+        (100 + i, "zork blip quux flerb") for i in range(40)
+    ]  # 4 tokens -> too_short -> label 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = nb_quality_classifier(docs).collect()
+    assert len(out) == 80
+    splits = {r.split for r in out}
+    assert splits == {"train", "eval"}  # both splits populated
+    ev = [r for r in out if r.split == "eval"]
+    assert len(ev) >= 5
+    assert all(r.pred == r.label for r in ev), [
+        (r.doc_id, r.label, r.pred) for r in ev if r.pred != r.label
+    ]
