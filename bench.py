@@ -196,6 +196,9 @@ def main() -> None:
         "q148_shard_assign", "q149_length_quantiles",
         "q150_mojibake_repair", "q151_xls_extract", "q152_heavy_hitters",
         "q156_budget_select", "q157_stratified_sample",
+        # round-4 quality tier: bigram-LM perplexity filtering and the
+        # NB quality classifier (train + corpus scoring in one plan)
+        "q158_lm_perplexity", "q161_quality_classifier",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -234,6 +237,8 @@ def main() -> None:
         "q145_passage_dedup",
         "q152_heavy_hitters",
         "q109_clean_corpus_pipeline",
+        "q158_lm_perplexity",
+        "q161_quality_classifier",
         # ANN family: codebook/centroid training is bounded-sample, the
         # scans are probe-only — the 10x wall should grow well under 10x
         "q34_pq_recall",
