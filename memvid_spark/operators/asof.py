@@ -151,3 +151,54 @@ def asof_join(
         .drop("_side", "_rv")
         .withColumnRenamed("_asof", f"asof_{val_col}")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the earliest time each
+    step completed STRICTLY AFTER the previous step's completion — the
+    classic view→click→purchase conversion query.
+
+    Semantics: t_1 = min ts of step 1; t_i = min ts of step i with
+    ts > t_{i-1}. A key enters the funnel only if step 1 occurred;
+    ``steps_done`` counts the completed prefix.
+
+    Scale posture: one filtered aggregation per step, every groupBy and
+    join keyed on ``key`` — the exchanges co-partition and AQE reuses
+    them; no window over the full event stream and no per-key event
+    collection (the sequence constraint folds into a conditional min).
+    ``ts`` is the engine's epoch-ns long; outputs surface as micros.
+
+    Output: (key, t_<step>_us ... nullable, steps_done).
+    """
+    # integer div: ns -> us without a double round-trip (epoch-ns exceeds
+    # 2^53, a float division would corrupt the low digits)
+    us = F.expr(f"{ts_col} div 1000")
+    e = events.select(F.col(key), F.col(type_col).alias("_t"), us.alias("_us"))
+    cur = (
+        e.filter(F.col("_t") == steps[0])
+        .groupBy(key)
+        .agg(F.min("_us").alias(f"t_{steps[0]}_us"))
+    )
+    out = cur
+    prev_col = f"t_{steps[0]}_us"
+    for s in steps[1:]:
+        nxt = (
+            e.filter(F.col("_t") == s)
+            .join(cur, key)
+            .filter(F.col("_us") > F.col(prev_col))
+            .groupBy(key)
+            .agg(F.min("_us").alias(f"t_{s}_us"))
+        )
+        out = out.join(nxt, key, "left")
+        cur = nxt
+        prev_col = f"t_{s}_us"
+    done = F.lit(1)
+    for s in steps[1:]:
+        done = done + F.when(F.col(f"t_{s}_us").isNotNull(), 1).otherwise(0)
+    return out.withColumn("steps_done", done.cast("int"))

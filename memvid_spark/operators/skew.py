@@ -124,3 +124,35 @@ def cluster_by_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_expr: Column | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: scatter the big side's hot keys over
+    ``n_salts`` composite keys and replicate the small side to match —
+    the classic remedy when a shuffle join's hottest key overwhelms one
+    reducer and the small side is too large to broadcast outright.
+
+    The salt comes from ``salt_expr`` (default: crc32 of the join key's
+    row — pass a finer-grained column like a line number for keys whose
+    rows must spread); it is deterministic (no rand()) so task retries
+    reproduce the same placement, and it never escapes: the joined
+    multiset is IDENTICAL to the plain join (the q165 oracle proves it
+    end-to-end). AQE's skew-join split is the runtime flavor of the
+    same idea; this is the explicit, planner-independent form that also
+    covers aggregate-after-join pipelines AQE won't split.
+    """
+    if salt_expr is None:
+        salt_expr = F.col(on)
+    salt = (F.crc32(salt_expr.cast("string")) % n_salts).cast("int")
+    big2 = big.withColumn("_salt", salt)
+    small2 = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return big2.join(small2, [on, "_salt"]).drop("_salt")

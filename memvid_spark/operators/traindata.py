@@ -849,9 +849,16 @@ def nb_quality_classifier(
     word-order signal a bag of words lacks, for free in the same scan.
 
     Scale posture: the model is <= ``buckets`` rows (broadcast); label
-    + split + featurize is one scan; training is one map-side-combined
-    groupBy; scoring is one broadcast join collapsing into per-doc
-    sums. No shuffle grows with corpus size except the per-doc combine.
+    + split + featurize is one scan that COLLAPSES immediately into a
+    per-(doc, bucket) count table (map-side combine), pinned with
+    localCheckpoint because training, priors and scoring all read it —
+    without the pin the broadcast-model subquery and the scoring pass
+    each replay the feature explode + hashing. Labels ride a separate
+    per-doc scan joined on the id (an expression dragged through the
+    explode re-evaluates per feature occurrence — measured 38 s of a
+    0.4 s labeling at sf0.1). Scoring is one broadcast join over the
+    compact table collapsing into per-doc sums; evidence =
+    sum(n_occ * llr), exact integer arithmetic.
 
     Output: (id, split, label, n_feats, score_micro, pred).
     """
@@ -881,20 +888,37 @@ def nb_quality_classifier(
         F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
         lambda a, b: F.concat(F.lit("b#"), a, F.lit(" "), b),
     )
+    # The explode carries ONLY the id: any expression referencing the
+    # token array that rides through a Generate is re-evaluated per
+    # OUTPUT row — the tokenizer + stopword filter behind `label` ran
+    # once per feature occurrence instead of once per doc (measured 16 s
+    # for a 0.4 s projection at sf0.1). Labels/splits get their own
+    # per-doc scan and join back on the id.
     base = (
-        docs.select(
-            F.col(id_col),
-            label.alias("label"),
-            split.alias("split"),
-            F.explode(F.concat(unis, bis)).alias("feat"),
-        )
+        docs.select(F.col(id_col), F.explode(F.concat(unis, bis)).alias("feat"))
         .withColumn("bucket", F.pmod(hash64("feat"), F.lit(buckets)))
     )
+    meta = docs.select(
+        F.col(id_col), label.alias("label"), split.alias("split")
+    )
+    # Collapse the feature stream ONCE to per-(doc, bucket) occurrence
+    # counts and pin it: training counts, class priors and corpus scoring
+    # all derive from this compact table. Without the checkpoint each of
+    # those consumers (including the broadcast-subquery that materializes
+    # the model) re-runs the explode + md5 hashing of every feature
+    # occurrence.
+    fb = (
+        base.groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("n_occ"))
+        .join(meta, id_col)
+        .localCheckpoint()
+    )
 
-    train = base.filter(F.col("split") == "train")
-    counts = train.groupBy("bucket").agg(
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("c_neg"),
+    counts = fb.filter(F.col("split") == "train").groupBy("bucket").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("n_occ")).otherwise(0))
+        .alias("c_pos"),
+        F.sum(F.when(F.col("label") == 0, F.col("n_occ")).otherwise(0))
+        .alias("c_neg"),
     )
     feat_tot = counts.agg(
         F.sum("c_pos").alias("_tp"), F.sum("c_neg").alias("_tn")
@@ -909,9 +933,10 @@ def nb_quality_classifier(
         .cast("long")
         .alias("llr_micro"),
     )
-    # class prior from train-split DOC counts (distinct docs, not tokens)
+    # class prior from train-split DOC counts (distinct docs, not tokens);
+    # via fb's distinct ids so zero-token docs stay out, as before
     doc_labels = (
-        base.select(id_col, "label", "split").distinct()
+        fb.select(id_col, "label", "split").distinct()
     )
     prior = doc_labels.filter(F.col("split") == "train").agg(
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("_np"),
@@ -924,7 +949,7 @@ def nb_quality_classifier(
     ).cast("long")
 
     scored = (
-        base.join(F.broadcast(llr), "bucket", "left")
+        fb.join(F.broadcast(llr), "bucket", "left")
         .join(F.broadcast(feat_tot))
         .withColumn(
             "_llr",
@@ -940,8 +965,8 @@ def nb_quality_classifier(
         )
         .groupBy(id_col, "split", "label")
         .agg(
-            F.count("*").alias("n_feats"),
-            F.sum("_llr").alias("_evidence"),
+            F.sum("n_occ").alias("n_feats"),
+            F.sum(F.col("n_occ") * F.col("_llr")).alias("_evidence"),
         )
     )
     return (

@@ -6710,6 +6710,163 @@ def q162_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q163_flac_roundtrip",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 400 + 200)::int AS n,
+             (doc_id % 2 + 1)::int AS ch
+      FROM documents WHERE doc_id % 10 = 4),
+    smp AS (
+      SELECT s.doc_id, s.n, s.ch, i.i AS i, c.c AS c,
+             CASE WHEN s.doc_id % 3 = 0
+                  THEN (s.doc_id * 7919 + i.i * 104729 + c.c * 31) % 512
+                       - 256
+                  ELSE (s.doc_id * 7919 + i.i * 104729 + c.c * 31) % 65536
+                       - 32768
+             END AS v
+      FROM sel s
+      JOIN generate_series(0, 599) i(i) ON i.i < s.n
+      JOIN generate_series(0, 1)  c(c) ON c.c < s.ch)
+    SELECT doc_id AS media_id, n::bigint AS n_samples, ch AS channels,
+           sum(v)::bigint AS s_sum, min(v)::int AS s_min,
+           max(v)::int AS s_max,
+           sum((i + 1) * (c + 1) * v)::bigint AS osum
+    FROM smp GROUP BY doc_id, n, ch
+    """,
+    "lossless compressed-audio tier: each doc's deterministic formula "
+    "waveform is encoded to a REAL FLAC stream (sources/flac.py — "
+    "fixed+LPC prediction, rice residuals, stereo decorrelation cycling "
+    "through all four channel assignments, STREAMINFO MD5) and decoded "
+    "back with CRC+MD5 verification before integer waveform stats; the "
+    "kernel raises on any sample mismatch, so a hash match proves "
+    "encode→decode identity over the corpus. The oracle computes the "
+    "same stats in closed form; osum is position-and-channel-weighted "
+    "so reordering or interleave bugs break the hash. Scale: fan_out + "
+    "mapInPandas per Arrow batch; payloads never shuffle (the q124/q128 "
+    "codec-kernel shape). Multimodal audio per src/whisper.rs:49-116, "
+    "src/types/metadata.rs.",
+)
+def q163_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 4).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .sources.flac import flac_decode, flac_encode
+
+        modes = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n, ch = mid % 400 + 200, mid % 2 + 1
+                i, c = np.meshgrid(
+                    np.arange(n), np.arange(ch), indexing="ij"
+                )
+                raw = mid * 7919 + i * 104729 + c * 31
+                v = (
+                    raw % 512 - 256 if mid % 3 == 0
+                    else raw % 65536 - 32768
+                )
+                chans = [v[:, k].tolist() for k in range(ch)]
+                enc = flac_encode(
+                    chans, 16000, bps=16, block_size=256,
+                    stereo_mode=modes[mid % 4] if ch == 2 else "auto",
+                )
+                dec = flac_decode(enc, verify_md5=True)
+                if [list(x) for x in dec.channels] != chans:
+                    raise ValueError(f"FLAC round-trip mismatch doc {mid}")
+                arr = np.array(dec.channels)  # (ch, n)
+                w = (np.arange(n) + 1)[None, :] * (np.arange(ch) + 1)[:, None]
+                rows.append((
+                    mid, n, ch, int(arr.sum()), int(arr.min()),
+                    int(arr.max()), int((w * arr).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "channels", "s_sum",
+                         "s_min", "s_max", "osum"],
+            )
+
+    return fan_out(sel).mapInPandas(
+        gen,
+        "media_id long, n_samples long, channels int, s_sum long, "
+        "s_min int, s_max int, osum long",
+    )
+
+
+@spec(
+    "q164_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, min(us) AS t_view_us
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(us) AS t_click_us
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > t_view_us
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(us) AS t_purchase_us
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > t_click_us
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us,
+           (1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)::int
+             AS steps_done
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    "ordered conversion funnel (view -> click -> purchase): earliest "
+    "completion of each step strictly after the previous step, per "
+    "user — the sequential-constraint query a naive min-per-type gets "
+    "wrong (a click BEFORE the first view must not count). One "
+    "filtered aggregation per step, everything keyed on user_id so the "
+    "exchanges co-partition; no full-stream window, no per-key event "
+    "collection.",
+)
+def q164_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return asof.funnel_steps(t.events, ["view", "click", "purchase"])
+
+
+@spec(
+    "q165_salted_join",
+    """
+    SELECT s.s_name, count(*)::bigint AS n_items,
+           sum(l_quantity::bigint)::bigint AS qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    "skew-mitigated equi-join (operators/skew.py salted_join): the big "
+    "side's keys scatter over (key, salt) with a deterministic crc32 "
+    "salt and the dimension replicates n_salts times, so a hot key "
+    "spreads across n_salts reducers instead of melting one — the "
+    "explicit, planner-independent form of AQE's skew-join split for "
+    "when the dimension is too big to broadcast. The salt never "
+    "escapes: the oracle is the PLAIN join + aggregate, proving the "
+    "joined multiset is identical. Quantities summed as exact longs.",
+)
+def q165_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    t = catalog.load(spark, sf_dir)
+    joined = salted_join(
+        t.lineitem.withColumnRenamed("l_suppkey", "s_suppkey"),
+        t.supplier.select("s_suppkey", "s_name"),
+        on="s_suppkey",
+        salt_expr=F.col("l_orderkey"),
+        n_salts=8,
+    )
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
