@@ -9,9 +9,9 @@ Real byte-level parsers — no third-party libraries:
   simple-encoding tier (Standard/WinAnsi one-byte fonts → latin-1), and
   the subsetted-font tier — ``/ToUnicode`` CMaps (bfchar/bfrange,
   codespace widths) are parsed per font resource and show strings decode
-  through them with ``Tf`` switching fonts mid-stream. PDFs whose
-  objects live in compressed object streams (/ObjStm) fall back to
-  raw-code extraction.
+  through them with ``Tf`` switching fonts mid-stream. Font and page
+  dictionaries packed in /ObjStm compressed object streams (PDF 1.5+,
+  where most modern writers put them) are expanded before resolution.
 - DOCX / XLSX / PPTX: the OOXML containers are ZIP + XML, parsed with
   :mod:`zipfile` + :mod:`xml.etree` — paragraphs/runs for DOCX
   (``w:p``/``w:t``), sheet rows + shared/inline strings for XLSX
@@ -297,18 +297,49 @@ def _object_stream_bytes(body: bytes) -> bytes | None:
     return data
 
 
+def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """Objects packed inside ``/Type /ObjStm`` compressed object streams
+    (PDF 1.5+, ISO 32000-1 §7.5.7) — where most modern writers put font
+    and page dictionaries. Layout: the decoded stream opens with ``/N``
+    pairs of ``objnum offset`` integers, then object bodies start at
+    ``/First``, each at its offset. Streams themselves can never nest in
+    an ObjStm, so the returned bodies are plain dict/value objects.
+    Indirect ``/N``/``/First`` values (legal but unseen in practice) are
+    skipped rather than chased."""
+    found: dict[int, bytes] = {}
+    for body in objs.values():
+        sm = re.search(rb"stream\r?\n", body)
+        head = body[: sm.start()] if sm else body
+        if b"/ObjStm" not in head:
+            continue
+        # (?![0-9]) pins the full number first (no backtrack-shortening),
+        # then the indirect-reference lookahead can veto cleanly
+        n_m = re.search(rb"/N\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", head)
+        f_m = re.search(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", head)
+        data = _object_stream_bytes(body)
+        if n_m is None or f_m is None or data is None:
+            continue
+        n, first = int(n_m.group(1)), int(f_m.group(1))
+        ints = [int(x) for x in re.findall(rb"\d+", data[:first])]
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            found[num] = data[first + off : first + end]
+    return found
+
+
 def _pdf_font_cmaps(payload: bytes) -> dict[bytes, ToUnicodeCMap]:
     """Resource-name → ToUnicode CMap table (subsetted-font tier,
-    src/table/pdf_extractor.rs coverage): scan ``N 0 obj`` bodies, read
-    ``/Font << /Fx N 0 R >>`` resource dicts, follow each font object's
-    ``/ToUnicode M 0 R`` to its CMap stream and parse it. Font names
-    are merged globally (per-page resource scoping is rare enough in
-    practice that last-wins is documented behavior); PDFs with
-    cross-reference-compressed object streams (/ObjStm) are out of
-    scope for this tier and fall back to raw-code extraction."""
+    src/table/pdf_extractor.rs coverage): scan ``N 0 obj`` bodies —
+    including objects packed in /ObjStm compressed object streams —
+    read ``/Font << /Fx N 0 R >>`` resource dicts, follow each font
+    object's ``/ToUnicode M 0 R`` to its CMap stream and parse it.
+    Font names are merged globally (per-page resource scoping is rare
+    enough in practice that last-wins is documented behavior)."""
     objs: dict[int, bytes] = {
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
     }
+    objs.update(_expand_object_streams(objs))
     fonts: dict[bytes, ToUnicodeCMap] = {}
     cmap_cache: dict[int, ToUnicodeCMap | None] = {}
 

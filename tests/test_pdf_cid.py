@@ -117,3 +117,57 @@ def test_unmapped_codes_degrade_visibly():
         + cmap + b"\nendstream\nendobj\n"
     )
     assert B.pdf_extract_text(pdf) == "A\x00\x09"
+
+
+# ---- /ObjStm (compressed object streams, PDF 1.5+) -----------------------
+# Same CMap and content as HAND_PDF, but the page (with its /Font
+# resource dict) and the font object live INSIDE a compressed object
+# stream — the layout modern PDF writers actually emit. Assembled by
+# hand from ISO 32000-1 §7.5.7; no repo writer produces ObjStm files.
+
+
+def _objstm_pdf(compress: bool) -> bytes:
+    import zlib as _z
+
+    inner_page = (
+        b"<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F7 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    inner_font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /XYZABC+Foo "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    )
+    # pair table: "3 0 5 <off>" then bodies at /First
+    off2 = len(inner_page) + 1
+    header = b"3 0 5 " + str(off2).encode()
+    first = len(header) + 1
+    stm = header + b"\n" + inner_page + b"\n" + inner_font
+    filt = b""
+    if compress:
+        stm = _z.compress(stm)
+        filt = b" /Filter /FlateDecode"
+    return (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"7 0 obj\n<< /Type /ObjStm /N 2 /First " + str(first).encode()
+        + filt + b" /Length " + str(len(stm)).encode() + b" >>\nstream\n"
+        + stm + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(_CONTENT)).encode()
+        + b" >>\nstream\n" + _CONTENT + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(_CMAP)).encode()
+        + b" >>\nstream\n" + _CMAP + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_objstm_packed_font_resolves():
+    for compress in (False, True):
+        assert B.pdf_extract_text(_objstm_pdf(compress)) == 'Hi!"'
+
+
+def test_objstm_indirect_n_skipped_gracefully():
+    # /N as an indirect reference: the expander must skip, not misparse
+    pdf = _objstm_pdf(False).replace(b"/N 2 /First", b"/N 8 0 R /First")
+    out = B.pdf_extract_text(pdf)
+    assert out == "\x00\x01\x00\x02\x00\x03\x00\x04"  # raw-code fallback
