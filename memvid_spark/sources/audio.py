@@ -180,6 +180,33 @@ def wav_describe(payload: bytes) -> str:
     )
 
 
+def decode_audio_any(payload: bytes, mime: str | None = None) -> WavAudio:
+    """Route an audio payload to the right pure-stdlib decoder by magic
+    (mime as fallback hint): RIFF/WAVE → :func:`wav_decode`, fLaC →
+    sources/flac.py's full decoder, normalized into the same
+    :class:`WavAudio` shape so every downstream consumer (features,
+    segmentation, resample, transcription seam) is container-agnostic."""
+    if payload[:4] == b"fLaC" or mime == "audio/flac":
+        import numpy as np
+
+        from .flac import flac_decode
+
+        a = flac_decode(payload)
+        samples = (
+            np.asarray(a.channels, dtype=np.int64).T
+            if a.channels
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        return WavAudio(
+            sample_rate=a.sample_rate,
+            channels=a.n_channels,
+            sampwidth=(a.bits_per_sample + 7) // 8,
+            is_float=False,
+            samples=samples.astype(np.int32),
+        )
+    return wav_decode(payload)
+
+
 def audio_feature_vec(payload: bytes, mime: str = "audio/wav") -> list[float]:
     """Decoded-waveform feature vector (8 floats) for the
     extract_features pipeline — twin of multimodal.image_feature_vec.
@@ -188,7 +215,7 @@ def audio_feature_vec(payload: bytes, mime: str = "audio/wav") -> list[float]:
     centered signal."""
     import numpy as np
 
-    a = wav_decode(payload)
+    a = decode_audio_any(payload, mime)
     ch0 = np.asarray(a.centered(), dtype=np.float64)[:, 0]
     if ch0.size == 0:
         rms = peak = zcr = dc = 0.0
@@ -242,7 +269,7 @@ def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    a = wav_decode(bytes(payload))
+                    a = decode_audio_any(bytes(payload))
                     s = np.asarray(a.centered(), dtype=np.int64)
                     row = (
                         int(mid), a.sample_rate, a.channels, a.n_frames,
@@ -319,7 +346,7 @@ def audio_energy_segments(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = wav_decode(bytes(payload))
+                a = decode_audio_any(bytes(payload))
                 for seg in energy_segments(
                     a.centered(), a.sample_rate, win=win, threshold=threshold
                 ):

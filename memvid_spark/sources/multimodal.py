@@ -93,13 +93,18 @@ def decode_image(payload: bytes, mime: str):
 
 
 def decode_audio(payload: bytes, mime: str):
-    """Decode an audio payload to a WavAudio (real samples). WAV/RIFF is
-    decoded for real by the pure-stdlib parser (sources/audio.py); other
-    containers (mp3/ogg/flac) need a library the container doesn't ship."""
-    if mime == "audio/wav" or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
-        from .audio import wav_decode
+    """Decode an audio payload to a WavAudio (real samples). WAV/RIFF
+    and FLAC are decoded for real by the pure-stdlib parsers
+    (sources/audio.py, sources/flac.py); other containers (mp3/ogg)
+    need a library the container doesn't ship."""
+    if (
+        mime in ("audio/wav", "audio/flac")
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+        or payload[:4] == b"fLaC"
+    ):
+        from .audio import decode_audio_any
 
-        return wav_decode(payload)
+        return decode_audio_any(payload, mime)
     raise NotImplementedError(
         f"no stdlib decoder for {mime!r}; inject a decoder (ffmpeg/soundfile) "
         "or use fake_decode"

@@ -50,6 +50,8 @@ _MIME_FORMATS = {
     "application/vnd.openxmlformats-officedocument.presentationml.presentation": "pptx",
     "application/x-ndjson": "jsonl",
     "application/jsonlines": "jsonl",
+    "audio/flac": "flac",
+    "audio/x-flac": "flac",
 }
 
 # extension → format (mutation.rs:281-300: the plain-text catalog
@@ -125,6 +127,8 @@ def sniff_format(payload: bytes, uri: str = "", mime: str | None = None) -> str:
         return "warc"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload.startswith(ZIP_MAGIC):
@@ -189,6 +193,17 @@ def _read_wav(payload: bytes) -> str:
     from .audio import wav_describe
 
     return wav_describe(payload)
+
+
+def _read_flac(payload: bytes) -> str:
+    from .flac import flac_metadata
+
+    m = flac_metadata(payload)
+    dur = m["n_samples"] * 1000 // m["sample_rate"] if m["sample_rate"] else 0
+    return (
+        f"flac audio {m['sample_rate']}hz {m['n_channels']}ch "
+        f"{m['bits_per_sample']}bit {m['n_samples']} frames ({dur}ms)"
+    )
 
 
 def _read_mp4(payload: bytes) -> str:
@@ -300,6 +315,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     # PNG additionally decodes for real
     "png": _read_png,
     "wav": _read_wav,
+    "flac": _read_flac,
     "mp4": _read_mp4,
     "warc": _read_warc,
     "jpeg": _image_reader("jpeg"),

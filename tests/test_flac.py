@@ -256,3 +256,50 @@ def test_decode_fuzz_fail_closed():
             flac_decode(b"fLaC" + junk)
         except FlacError:
             pass
+
+
+def test_flac_integrated_into_format_ladder():
+    """put_bytes-level integration: magic sniff routes FLAC, the reader
+    registry describes it, and the audio feature/decode surface treats
+    WAV and FLAC of the same waveform identically."""
+    from memvid_spark.sources.audio import (
+        audio_feature_vec,
+        decode_audio_any,
+        wav_encode,
+    )
+    from memvid_spark.sources.readers import READERS, sniff_format
+
+    random.seed(21)
+    wave_ = [[random.randint(-3000, 3000) for _ in range(500)],
+             [random.randint(-3000, 3000) for _ in range(500)]]
+    f = flac_encode(wave_, 16000)
+    w = wav_encode(list(zip(*wave_)), 16000)
+    assert sniff_format(f) == "flac"
+    desc = READERS["flac"](f)
+    assert "flac audio 16000hz 2ch 16bit 500 frames" in desc
+    assert audio_feature_vec(f, "audio/flac") == audio_feature_vec(
+        w, "audio/wav"
+    )
+    a, b = decode_audio_any(f), decode_audio_any(w)
+    assert (a.samples == b.samples).all()
+    assert (a.sample_rate, a.channels) == (b.sample_rate, b.channels)
+
+
+def test_flac_audio_features_df_matches_wav(spark):
+    """The DataFrame feature kernel produces identical stats whether the
+    payload arrived as WAV or FLAC."""
+    from memvid_spark.sources.audio import audio_features, wav_encode
+
+    random.seed(22)
+    clips = {
+        mid: [random.randint(-2000, 2000) for _ in range(300 + mid)]
+        for mid in range(4)
+    }
+    rows_w = [(mid, wav_encode(clip, 8000)) for mid, clip in clips.items()]
+    rows_f = [(mid, flac_encode([clip], 8000)) for mid, clip in clips.items()]
+    schema = "media_id long, payload binary"
+    out_w = sorted(map(tuple, audio_features(
+        spark.createDataFrame(rows_w, schema)).collect()))
+    out_f = sorted(map(tuple, audio_features(
+        spark.createDataFrame(rows_f, schema)).collect()))
+    assert out_w == out_f
