@@ -6867,6 +6867,91 @@ def q165_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q166_tiff_pixels",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 16 + 4)::int AS w, (doc_id % 14 + 3)::int AS h,
+             (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::int
+               AS ch
+      FROM documents WHERE doc_id % 10 = 6),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch, x.x, y.y, c.c,
+             (s.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 5) % 256 AS v
+      FROM sel s
+      JOIN generate_series(0, 19) x(x) ON x.x < s.w
+      JOIN generate_series(0, 16) y(y) ON y.y < s.h
+      JOIN generate_series(0, 3)  c(c) ON c.c < s.ch)
+    SELECT doc_id AS media_id, w, h, ch,
+           sum(v)::bigint AS px_sum, min(v)::int AS px_min,
+           max(v)::int AS px_max,
+           sum((x + 1) * (y + 1) * (c + 1) * v)::bigint AS wsum
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+    "TIFF raster tier: per doc a deterministic formula image is encoded "
+    "to a REAL TIFF (sources/tiff.py) cycling byte order (II/MM), "
+    "compression (none / TIFF-LZW with the early code-width change / "
+    "PackBits) and the LZW horizontal-differencing predictor, then "
+    "decoded back; the kernel raises on any pixel mismatch, so a hash "
+    "match proves the whole encode matrix round-trips over the corpus. "
+    "The oracle recomputes the pixel stats in closed form; wsum is "
+    "position-and-channel weighted so layout/strip/predictor bugs break "
+    "the hash. fan_out + mapInPandas, payloads never shuffle.",
+)
+def q166_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 6).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .sources.tiff import tiff_decode, tiff_encode
+
+        comps = ["none", "lzw", "packbits"]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 16 + 4, mid % 14 + 3
+                ch = {0: 1, 1: 3, 2: 4}[mid % 3]
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+                )
+                v = ((mid * 31 + x * 7 + y * 13 + c * 5) % 256).astype(
+                    np.uint8
+                )
+                enc = tiff_encode(
+                    v,
+                    byte_order="II" if mid % 2 else "MM",
+                    compression=comps[(mid // 3) % 3],
+                    rows_per_strip=5,
+                    predictor=(mid % 5 == 0),
+                )
+                dec = tiff_decode(enc)
+                if not (dec == v).all():
+                    raise ValueError(f"TIFF round-trip mismatch doc {mid}")
+                a = dec.astype(np.int64)
+                wgt = (y + 1) * (x + 1) * (c + 1)
+                rows.append((
+                    mid, w, h, ch, int(a.sum()), int(a.min()),
+                    int(a.max()), int((wgt * a).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "w", "h", "ch", "px_sum", "px_min",
+                         "px_max", "wsum"],
+            )
+
+    return fan_out(sel).mapInPandas(
+        gen,
+        "media_id long, w int, h int, ch int, px_sum long, px_min int, "
+        "px_max int, wsum long",
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -390,6 +390,12 @@ def image_metadata(payload: bytes) -> dict:
         return gif_metadata(payload)
     if payload.startswith(BMP_MAGIC):
         return bmp_metadata(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_metadata
+
+        m = tiff_metadata(payload)
+        return {"format": "tiff", "width": m["width"],
+                "height": m["height"], "channels": m["channels"]}
     raise PngError("unrecognized image format")
 
 

@@ -86,6 +86,10 @@ def decode_image(payload: bytes, mime: str):
         from .jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if mime == "image/tiff" or payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_decode
+
+        return tiff_decode(payload)
     raise NotImplementedError(
         f"no stdlib decoder for {mime!r}; inject a decoder (PIL/ffmpeg) "
         "or use fake_decode"

@@ -52,6 +52,7 @@ _MIME_FORMATS = {
     "application/jsonlines": "jsonl",
     "audio/flac": "flac",
     "audio/x-flac": "flac",
+    "image/tiff": "tiff",
 }
 
 # extension → format (mutation.rs:281-300: the plain-text catalog
@@ -99,6 +100,8 @@ def sniff_format(payload: bytes, uri: str = "", mime: str | None = None) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if (
         payload.startswith(b"BM")
         and len(payload) >= 26
@@ -204,6 +207,12 @@ def _read_flac(payload: bytes) -> str:
         f"flac audio {m['sample_rate']}hz {m['n_channels']}ch "
         f"{m['bits_per_sample']}bit {m['n_samples']} frames ({dur}ms)"
     )
+
+
+def _read_tiff(payload: bytes) -> str:
+    from .tiff import tiff_describe
+
+    return tiff_describe(payload)
 
 
 def _read_mp4(payload: bytes) -> str:
@@ -320,6 +329,7 @@ READERS: dict[str, Callable[[bytes], str]] = {
     "warc": _read_warc,
     "jpeg": _image_reader("jpeg"),
     "gif": _image_reader("gif"),
+    "tiff": _read_tiff,
     "bmp": _image_reader("bmp"),
     "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
     "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),
