@@ -24,7 +24,7 @@ exactly like the reference's compaction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def frames_from_documents(docs: DataFrame) -> DataFrame:
@@ -87,3 +87,45 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), change.alias("change"))
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part_key",
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-pack step of a
+    Delta/Iceberg-style table maintenance pass (completing the triad
+    with vacuum() above and the Z-order layout in operators/skew.py).
+
+    Files within a partition are packed first-fit in deterministic id
+    order: bin = exclusive-prefix-sum div target. A bin may overshoot
+    the target by at most one file (the standard streaming bin-pack
+    bound); in exchange the whole plan is pure per-partition window
+    algebra — no driver-side loop over the file listing, which at
+    warehouse scale is itself a big table. One shuffle by partition;
+    rewriting then maps each (partition, bin) group to one output file.
+
+    Output: (part_col, id_col, bytes_col, bin, bin_files, bin_bytes).
+    """
+    w = Window.partitionBy(part_col).orderBy(F.asc(id_col))
+    cum = F.sum(bytes_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # floor() on both engines (a bare double→bigint cast truncates in
+    # Spark but rounds in DuckDB — a cross-engine trap)
+    binned = files.withColumn(
+        "bin",
+        F.floor((cum - F.col(bytes_col)) / F.lit(target_bytes)).cast("long"),
+    )
+    g = Window.partitionBy(part_col, "bin")
+    return binned.select(
+        part_col,
+        id_col,
+        bytes_col,
+        "bin",
+        F.count("*").over(g).alias("bin_files"),
+        F.sum(bytes_col).over(g).alias("bin_bytes"),
+    )

@@ -6952,6 +6952,49 @@ def q166_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q167_compaction_plan",
+    """
+    WITH files AS (
+      SELECT l_returnflag || l_linestatus AS part_key,
+             l_orderkey % 50 AS file_id,
+             sum(l_quantity::bigint * 997)::bigint AS bytes
+      FROM lineitem GROUP BY 1, 2),
+    binned AS (
+      SELECT part_key, file_id, bytes,
+             floor((sum(bytes) OVER (PARTITION BY part_key
+                                     ORDER BY file_id
+                                     ROWS UNBOUNDED PRECEDING) - bytes)
+                   / 400000)::bigint AS bin
+      FROM files)
+    SELECT part_key, file_id, bytes, bin,
+           count(*) OVER (PARTITION BY part_key, bin)::bigint AS bin_files,
+           sum(bytes) OVER (PARTITION BY part_key, bin)::bigint AS bin_bytes
+    FROM binned
+    """,
+    "small-file compaction planning (the Delta/Iceberg OPTIMIZE "
+    "bin-pack, completing the vacuum + Z-order maintenance triad): "
+    "files pack first-fit by exclusive-prefix-sum div target within "
+    "each partition — pure per-partition window algebra, because at "
+    "warehouse scale the file listing is itself a big table and a "
+    "driver-side greedy loop over it is the anti-pattern. A bin may "
+    "overshoot by at most one file (standard streaming-pack bound). "
+    "floor() on both engines: a bare double->bigint cast truncates in "
+    "Spark but rounds in DuckDB.",
+)
+def q167_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioning import compaction_plan
+
+    t = catalog.load(spark, sf_dir)
+    files = t.lineitem.groupBy(
+        F.concat("l_returnflag", "l_linestatus").alias("part_key"),
+        (F.col("l_orderkey") % 50).alias("file_id"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long") * 997).alias("bytes")
+    )
+    return compaction_plan(files, target_bytes=400000)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

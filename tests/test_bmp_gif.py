@@ -140,8 +140,12 @@ def test_decode_image_routing():
 
     with pytest.raises(JpegError):  # JPEG is routed for real now
         decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
-    with pytest.raises(NotImplementedError):  # genuinely uncovered format
+    from memvid_spark.sources.tiff import TiffError
+
+    with pytest.raises(TiffError):  # TIFF routes for real now too
         decode_image(b"II*\x00tiffish", "image/tiff")
+    with pytest.raises(NotImplementedError):  # genuinely uncovered format
+        decode_image(b"RIFFxxxxWEBPwebpish", "image/webp")
 
 
 class TestResize:

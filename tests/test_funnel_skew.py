@@ -91,3 +91,24 @@ def test_salted_join_default_salt_and_counts(spark):
     out = salted_join(big, small, on="k")
     assert out.count() == 99
     assert "_salt" not in out.columns  # salt never escapes
+
+
+def test_compaction_plan_invariants(spark):
+    from memvid_spark.operators.versioning import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p1", i, s) for i, s in enumerate([50, 60, 70, 200, 10, 10, 95])]
+        + [("p2", 0, 500), ("p2", 1, 1)],
+        "part_key string, file_id long, bytes long",
+    )
+    out = compaction_plan(files, target_bytes=100).collect()
+    by_file = {(r.part_key, r.file_id): r for r in out}
+    # first-fit by exclusive prefix sum: cum before each p1 file is
+    # 0,50,110,180,380,390,400 -> bins 0,0,1,1,3,3,4
+    assert [by_file[("p1", i)].bin for i in range(7)] == [0, 0, 1, 1, 3, 3, 4]
+    # p2: 500-byte file alone in bin 0 (overshoot bounded by one file),
+    # next file starts bin 5
+    assert by_file[("p2", 0)].bin == 0 and by_file[("p2", 1)].bin == 5
+    # bin aggregates consistent
+    r = by_file[("p1", 0)]
+    assert r.bin_files == 2 and r.bin_bytes == 110

@@ -262,3 +262,75 @@ def test_tws_dedup_first_occurrence(spark, tmp_path):
     }
     # each key exactly once, first doc_id wins within its arrival batch
     assert got == {("k1", 10), ("k2", 20), ("k3", 32)}
+
+
+def test_streaming_incremental_index_equals_batch_rebuild(spark, tmp_path):
+    """Streaming ingestion driving incremental index maintenance: a
+    foreachBatch loop applies each micro-batch (inserts + updates +
+    tombstones) to a live postings table via operators/incremental
+    apply_delta, and the final table must equal a from-scratch
+    build_postings over the final corpus — the reference's
+    WAL-delta-at-commit vs rebuild-indexes equivalence (q101), here
+    proven through the actual Structured Streaming surface."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.incremental import incremental_postings
+    from memvid_spark.operators.search import build_postings
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    schema = "doc_id long, text string, deleted boolean"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        import glob as _g
+        import shutil as _sh
+
+        src = _g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        _sh.copy(src, str(d / name))
+
+    # batch 1: docs 0-9 v1
+    write_batch("b1.parquet",
+                [(i, f"alpha beta doc{i} common", False) for i in range(10)])
+
+    state = {"postings": None}
+
+    def on_batch(batch_df, _bid):
+        batch_df = batch_df.localCheckpoint()
+        changed_ids = batch_df.select("doc_id").distinct()
+        active = batch_df.filter(~F.col("deleted")).select("doc_id", "text")
+        if state["postings"] is None:
+            state["postings"] = build_postings(active).localCheckpoint()
+        else:
+            state["postings"] = incremental_postings(
+                state["postings"], changed_ids, active
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: update docs 5-9 (new text), insert 10-14, tombstone 0-1
+    write_batch(
+        "b2.parquet",
+        [(i, f"gamma delta rev{i} common", False) for i in range(5, 15)]
+        + [(0, "", True), (1, "", True)],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final_corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} common") for i in range(2, 5)]
+        + [(i, f"gamma delta rev{i} common") for i in range(5, 15)],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, state["postings"].collect()))
+    want = sorted(map(tuple, build_postings(final_corpus).collect()))
+    assert got == want and len(got) > 0

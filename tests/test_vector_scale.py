@@ -81,8 +81,12 @@ def test_multimodal_pipeline(spark):
     from memvid_spark.sources.image import PngError
     from memvid_spark.sources.multimodal import decode_audio, decode_image
 
-    with pytest.raises(NotImplementedError):
+    from memvid_spark.sources.tiff import TiffError
+
+    with pytest.raises(TiffError):  # TIFF routes to the real decoder now
         decode_image(b"x", "image/tiff")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", "image/webp")
     with pytest.raises(NotImplementedError):
         decode_audio(b"x", "audio/mpeg")
     with pytest.raises(PngError):
