@@ -171,7 +171,8 @@ def main() -> None:
     # kept OUT of the headline set/total so round-over-round comparison
     # of the 19 stays apples-to-apples
     extras: dict[str, float] = {}
-    for name in ("q115_hnsw_recall", "q34_pq_recall", "q35_ivf_knn"):
+    for name in ("q115_hnsw_recall", "q34_pq_recall", "q35_ivf_knn",
+                 "q168_sq8_knn"):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)

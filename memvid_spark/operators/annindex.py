@@ -112,3 +112,21 @@ def save_hyperplanes(planes: list[list[float]], path: str) -> None:
 
 def load_hyperplanes(path: str) -> list[list[float]]:
     return _load(path, "srp")["data"]
+
+
+def save_sq8(model, path: str) -> None:
+    """Persist an SQ8 model (operators/pq.py SQ8Model) in the versioned
+    envelope."""
+    _write(path, _envelope(
+        "sq8", {"dim": len(model.mins)},
+        {"mins": model.mins, "scales": model.scales},
+    ))
+
+
+def load_sq8(path: str):
+    from .pq import SQ8Model
+
+    env = _load(path, "sq8")
+    d = env["data"]
+    return SQ8Model(mins=list(map(float, d["mins"])),
+                    scales=list(map(float, d["scales"])))

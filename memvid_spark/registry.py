@@ -6995,6 +6995,103 @@ def q167_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, target_bytes=400000)
 
 
+@spec(
+    "q168_sq8_knn",
+    """
+    WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+    dims AS (
+      SELECT i.i AS dim, min(v[i.i]) AS mn,
+             greatest((max(v[i.i]) - min(v[i.i])) / 255.0, 1e-12) AS s
+      FROM e, generate_series(1, 64) i(i) GROUP BY i.i),
+    model AS (SELECT list(mn ORDER BY dim) AS mins,
+                     list(s ORDER BY dim) AS ss
+              FROM dims),
+    codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64), d ->
+               least(greatest(round((v[d] - mins[d]) / ss[d])::int, 0),
+                     255)) AS code
+      FROM e, model),
+    q AS (SELECT code AS qcode FROM codes WHERE vec_id = 3),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 64), d ->
+               (code[d] - qcode[d]) * (code[d] - qcode[d])))::bigint
+               AS dist2
+      FROM codes, q WHERE vec_id <> 3)
+    SELECT vec_id, dist2,
+           row_number() OVER (ORDER BY dist2, vec_id) AS rank
+    FROM scored ORDER BY dist2, vec_id LIMIT 20
+    """,
+    "SQ8 scalar quantization — the FAISS SQ8 tier between raw float32 "
+    "and PQ's 16x codes: per-dimension affine uint8 codes (4x smaller "
+    "at rest and in shuffle), trained by a closed-form per-dim min/max "
+    "— which, unlike k-means codebooks, an independent SQL engine can "
+    "replay, so this quantization tier is FULLY oracle-checked (q34/"
+    "q35 are rows-only by necessity). The scan uses symmetric integer "
+    "code-space distance (exact cross-engine, no float summation); the "
+    "asymmetric float scan + recall-vs-exact bound live in "
+    "operators/pq.py sq8_topk/sq8_recall and tests. Scale: stats are "
+    "one map-side-combined 64-group aggregate; encode and scan are "
+    "pure JVM column algebra, model broadcast as literals.",
+)
+def q168_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    stats = (
+        e.select(F.posexplode("v").alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    scales = [1e-12] * dim
+    for r in stats:
+        mins[r.p] = float(r.mn)
+        scales[r.p] = max((float(r.mx) - float(r.mn)) / 255.0, 1e-12)
+    mins_c = F.array(*[F.lit(m) for m in mins])
+    ss_c = F.array(*[F.lit(s) for s in scales])
+    code = F.transform(
+        F.col("v"),
+        lambda x, i: F.least(
+            F.greatest(
+                F.round(
+                    (x - F.element_at(mins_c, i + 1))
+                    / F.element_at(ss_c, i + 1)
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    codes = e.select("vec_id", code.alias("code"))
+    qcode = codes.filter(F.col("vec_id") == 3).head().code
+    q_c = F.array(*[F.lit(int(c)) for c in qcode])
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("code"), q_c,
+            lambda a, b: ((a - b) * (a - b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.filter(F.col("vec_id") != 3)
+        .select("vec_id", dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("vec_id"))
+        .limit(20)
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.asc("dist2"), F.asc("vec_id"))
+        ),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -64,3 +64,35 @@ def test_envelope_rejects_mismatches(tmp_path):
     json.dump(env, open(path, "w"))
     with pytest.raises(ValueError, match="version"):
         annindex.load_hyperplanes(path)
+
+
+def test_sq8_recall_and_persistence(spark, tmp_path):
+    """SQ8 keeps all 64 dims at 8-bit precision, so recall@10 vs exact
+    must sit near 1.0 (well above the PQ bound); the model persists
+    through the versioned artifact envelope."""
+    from memvid_spark.operators.annindex import load_sq8, save_sq8
+    from memvid_spark.operators.pq import (
+        sq8_encode,
+        sq8_recall,
+        sq8_topk,
+        train_sq8,
+    )
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 5").head().embedding]
+    r = sq8_recall(emb, qvec, k=10)
+    assert r >= 0.9, r
+
+    model = train_sq8(emb)
+    p = str(tmp_path / "sq8.json")
+    save_sq8(model, p)
+    loaded = load_sq8(p)
+    assert loaded.mins == model.mins and loaded.scales == model.scales
+    codes = sq8_encode(loaded, emb)
+    row = codes.head()
+    assert all(0 <= c <= 255 for c in row.code) and len(row.code) == 64
+    top = sq8_topk(loaded, codes, qvec, k=5).collect()
+    assert len(top) == 5
+    assert top[0].approx_dist <= top[-1].approx_dist

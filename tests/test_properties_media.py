@@ -234,3 +234,56 @@ def test_document_writers_roundtrip_text(t, which):
     from memvid_spark.sources.binary import _canon_newlines
 
     assert (pairs[which](t) or "") == _canon_newlines(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 1200),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8, 16, 24]),
+    st.sampled_from(["auto", "independent", "left_side", "right_side",
+                     "mid_side"]),
+    st.sampled_from([192, 256, 301, 4096]),
+    st.integers(0, 10**6),
+)
+def test_flac_roundtrip_lossless(n, n_ch, bps, mode, bs, seed):
+    from memvid_spark.sources.flac import flac_decode, flac_encode
+
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bps - 1)
+    # mix of noisy and smooth content so every predictor family fires
+    base = rng.randint(-lim, lim, n)
+    smooth = np.cumsum(rng.randint(-50, 51, n))
+    chans = [
+        np.clip(base if c % 2 else smooth, -lim, lim - 1).tolist()
+        for c in range(n_ch)
+    ]
+    if n_ch == 1:
+        mode = "auto"
+    dec = flac_decode(
+        flac_encode(chans, 16000, bps=bps, block_size=bs, stereo_mode=mode),
+        verify_md5=True,
+    )
+    assert [list(c) for c in dec.channels] == chans
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    dims,
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from(["II", "MM"]),
+    st.sampled_from(["none", "lzw", "packbits"]),
+    st.booleans(),
+    st.integers(1, 9),
+    st.integers(0, 10**6),
+)
+def test_tiff_roundtrip_lossless(d, ch, bo, comp, pred, rps, seed):
+    from memvid_spark.sources.tiff import tiff_decode, tiff_encode
+
+    px = arr(*d, ch, seed)
+    dec = tiff_decode(
+        tiff_encode(px, byte_order=bo, compression=comp,
+                    rows_per_strip=rps, predictor=pred)
+    )
+    want = px if px.ndim == 3 else px[:, :, None]
+    assert (dec == want).all()
