@@ -331,3 +331,56 @@ def train_centroids(
     spark = emb.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
     return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def late_interaction_topk(
+    chunks: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 20,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over multi-
+    vector documents: score(doc) = Σ_q max_chunk cos(q, chunk) — each
+    query vector picks its best-matching chunk, then evidence sums
+    across query vectors. This is the modern multi-vector ranking the
+    reference's per-chunk embeddings surface invites
+    (put_with_chunk_embeddings, src/memvid/mutation.rs:3100-3148).
+
+    Per-(q, chunk) cosines round to integer micro-units BEFORE the
+    max/sum, so the doc score is an exact long — no cross-engine float
+    summation. Scale: the query side is a handful of vectors
+    (broadcast); one scan of the chunk table, two map-side-combinable
+    aggregations (doc×q max, then doc sum), one top-k. No windows over
+    the corpus, no self-join.
+
+    Output: (doc_col, score_micro, rank), top-k by score.
+    """
+    from ..functions.vector import cosine
+
+    joined = chunks.join(F.broadcast(query_vecs))
+    ms = (
+        joined.select(
+            F.col(doc_col),
+            F.col(q_id_col),
+            F.round(cosine(vec_col, q_vec_col) * 1_000_000)
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .groupBy(doc_col, q_id_col)
+        .agg(F.max("cos_micro").alias("ms"))
+    )
+    scored = (
+        ms.groupBy(doc_col)
+        .agg(F.sum("ms").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc(doc_col))
+        .limit(k)
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), F.asc(doc_col))
+        ),
+    )

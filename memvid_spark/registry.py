@@ -7092,6 +7092,32 @@ def q168_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q169_late_interaction",
+    None,  # assembled by _computed_oracles from the shared SQL_COS twin
+    "late-interaction (ColBERT MaxSim) retrieval over multi-vector "
+    "documents: chunks grouped 4-per-doc (the put_with_chunk_embeddings "
+    "surface, mutation.rs:3100-3148), three query vectors, score = "
+    "sum over queries of the best-chunk cosine — in integer micro-units "
+    "so the doc score is exact cross-engine. Query side broadcast, one "
+    "chunk-table scan, two map-side-combinable aggregations, top-k; no "
+    "corpus window, no self-join.",
+)
+def q169_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import late_interaction_topk
+
+    t = catalog.load(spark, sf_dir)
+    chunks = t.embeddings.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    qvs = t.embeddings.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return late_interaction_topk(chunks, qvs, k=20)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
@@ -7459,6 +7485,22 @@ def _computed_oracles() -> None:
            length({sql_repair_mojibake('text')}) AS len_after,
            sha256({sql_repair_mojibake('text')}) AS repaired_sha
     FROM corpus
+    """
+
+    by_name["q169_late_interaction"].oracle = f"""
+    WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::double[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding::double[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    s AS (SELECT c.doc_id, q.q_id,
+                 max(round({SQL_COS.format(a='c.v', b='q.qv')}
+                           * 1000000)::bigint) AS ms
+          FROM c, q GROUP BY c.doc_id, q.q_id),
+    d AS (SELECT doc_id, sum(ms)::bigint AS score_micro
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+    FROM d ORDER BY score_micro DESC, doc_id LIMIT 20
     """
 
     by_name["q160_pii_incidence"].oracle = _q160_oracle()

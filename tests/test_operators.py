@@ -313,3 +313,30 @@ def test_pagerank_scaled_hand_graph(spark):
     r = {r["node"]: r["rank"]
          for r in pagerank_scaled(edges, nodes4, n_iter=1).collect()}
     assert r[3] == 150000
+
+
+def test_late_interaction_maxsim_hand_computed(spark):
+    """MaxSim semantics: each query vector scores its BEST chunk; doc
+    score sums those maxima. Doc 1's first chunk matches q1 exactly and
+    its second matches q2 exactly -> score 2.0; doc 2 only half-matches
+    either query."""
+    from memvid_spark.operators.knn import late_interaction_topk
+
+    chunks = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (1, [0.0, 1.0]),   # doc 1: both axes
+            (2, [1.0, 1.0]),                     # doc 2: diagonal only
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    qvs = spark.createDataFrame(
+        [(101, [1.0, 0.0]), (102, [0.0, 1.0])],
+        "q_id long, qv array<double>",
+    )
+    out = late_interaction_topk(chunks, qvs, k=5).collect()
+    scores = {r.doc_id: r.score_micro for r in out}
+    assert scores[1] == 2_000_000  # 1.0 + 1.0
+    # doc 2: cos(diag, axis) = 1/sqrt(2) per query
+    assert scores[2] == 2 * round(1_000_000 / 2**0.5)
+    assert [r.doc_id for r in out] == [1, 2]
+    assert [r.rank for r in out] == [1, 2]
