@@ -180,3 +180,92 @@ def recency_boosted(
         score_col
     ) * decay
     return hits.withColumn("combined", F.round(combined, 6))
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_tokens: int = 4,
+    title_weight: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Field-weighted BM25 (BM25F, simplified Robertson form): term
+    frequencies and document lengths combine across fields with integer
+    field weights BEFORE one shared saturation — a title hit counts
+    ``title_weight`` times a body hit. The reference approximates field
+    weighting by OR-ing exact tags/uri/track matches into the content
+    query (src/search/tantivy/query.rs:172-217); BM25F is the principled
+    form of the same idea, and the integer weighted-tf keeps the score
+    algebra bit-portable to the SQL twin.
+
+    Fields here: title = the first ``title_tokens`` tokens (the
+    infer_title_from_uri convention), body = the rest. df/idf stay
+    per-term over whole docs (field-independent, the standard choice).
+
+    Plan shape identical to bm25_topk: vocab-filtered explodes,
+    broadcast stats, one scoring groupBy, top-k.
+    """
+    terms_lc = sorted({t.lower() for t in terms})
+    vset = F.array(*[F.lit(v) for v in terms_lc])
+    toks = tokens(text_col)
+    title = F.slice(toks, 1, title_tokens)
+    body = F.slice(
+        toks, title_tokens + 1,
+        F.greatest(F.size(toks) - title_tokens, F.lit(0)),
+    )
+
+    def field_post(field_col, alias):
+        kept = F.filter(field_col, lambda x: F.array_contains(vset, x))
+        return (
+            docs.select(F.col(id_col), F.explode(kept).alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias(alias))
+        )
+
+    tp = field_post(title, "tf_t")
+    bp = field_post(body, "tf_b")
+    post = (
+        tp.join(bp, [id_col, "token"], "full")
+        .fillna(0, ["tf_t", "tf_b"])
+        .withColumn(
+            "wtf", title_weight * F.col("tf_t") + F.col("tf_b")
+        )
+    )
+    # weighted doc length: same field weights over ALL tokens
+    wdl = docs.select(
+        F.col(id_col),
+        (
+            title_weight * F.least(F.size(toks), F.lit(title_tokens))
+            + F.greatest(F.size(toks) - title_tokens, F.lit(0))
+        ).alias("wdl"),
+    )
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    avgdl = wdl.agg(F.avg("wdl").alias("avgdl"))
+    df_tbl = post.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        post.join(F.broadcast(df_tbl), "token")
+        .join(wdl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("wtf") * (k1 + 1))
+            / (F.col("wtf")
+               + k1 * (1 - b + b * F.col("wdl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

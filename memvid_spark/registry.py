@@ -7118,6 +7118,56 @@ def q169_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_interaction_topk(chunks, qvs, k=20)
 
 
+@spec(
+    "q170_bm25f",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(x='text')} AS ts
+               FROM documents),
+    f AS (SELECT doc_id, ts[1:4] AS title, ts[5:] AS body,
+                 len(ts) AS n FROM t),
+    tp AS (SELECT doc_id, tok, count(*) AS tf_t
+           FROM (SELECT doc_id, unnest(title) AS tok FROM f)
+           WHERE tok IN ('merge', 'row', 'table') GROUP BY doc_id, tok),
+    bp AS (SELECT doc_id, tok, count(*) AS tf_b
+           FROM (SELECT doc_id, unnest(body) AS tok FROM f)
+           WHERE tok IN ('merge', 'row', 'table') GROUP BY doc_id, tok),
+    post AS (SELECT doc_id, tok,
+                    coalesce(tf_t, 0) * 3 + coalesce(tf_b, 0) AS wtf
+             FROM tp FULL JOIN bp USING (doc_id, tok)),
+    wdl AS (SELECT doc_id,
+                   3 * least(n, 4) + greatest(n - 4, 0) AS wdl FROM f),
+    stats AS (SELECT count(*)::double AS n_docs FROM documents),
+    avgdl AS (SELECT avg(wdl) AS avgdl FROM wdl),
+    dft AS (SELECT tok, count(*)::double AS df FROM post GROUP BY tok),
+    weights AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.wtf * (1.2 + 1))
+               / (p.wtf + 1.2 * (1 - 0.75 + 0.75 * l.wdl / a.avgdl)) AS w
+      FROM post p
+      JOIN dft d USING (tok)
+      JOIN wdl l USING (doc_id), stats s, avgdl a)
+    SELECT doc_id, round(sum(w), 6) AS score
+    FROM weights GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    "BM25F field-weighted ranking (simplified Robertson form): title "
+    "hits (first 4 tokens, the infer_title_from_uri convention) count "
+    "3x body hits, with field-weighted tf and doc length combined "
+    "BEFORE one shared saturation — the principled form of the "
+    "reference's OR-in-the-field-matches weighting (src/search/"
+    "tantivy/query.rs:172-217). Integer weighted-tf keeps the score "
+    "algebra bit-portable. Same plan shape as q12: vocab-filtered "
+    "explodes, broadcast stats, one scoring groupBy, top-k.",
+)
+def q170_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    return search.bm25f_topk(
+        t.documents, ["merge", "row", "table"], k=15,
+        title_tokens=4, title_weight=3,
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

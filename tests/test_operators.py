@@ -340,3 +340,28 @@ def test_late_interaction_maxsim_hand_computed(spark):
     assert scores[2] == 2 * round(1_000_000 / 2**0.5)
     assert [r.doc_id for r in out] == [1, 2]
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_bm25f_title_weight_changes_ranking(spark):
+    """A term in the title must outrank the same term deeper in an
+    otherwise-identical doc; with title_weight=1 the field split is a
+    no-op and scores equal plain BM25 on the same corpus."""
+    from memvid_spark.operators.search import bm25_topk, bm25f_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine notes intro spark body filler words here"),
+            (2, "engine notes intro filler spark body spark words here"),
+            (3, "unrelated content entirely about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25f_topk(docs, ["spark"], k=3, title_tokens=4, title_weight=3)
+    rows = out.collect()
+    assert [r.doc_id for r in rows][:2] == [1, 2]  # title hit wins
+    # degenerate weight: BM25F(w=1) == plain BM25 (same wtf, same wdl)
+    f1 = {r.doc_id: r.score for r in bm25f_topk(
+        docs, ["spark"], k=3, title_tokens=4, title_weight=1).collect()}
+    plain = {r.doc_id: r.score for r in bm25_topk(
+        docs, ["spark"], k=3).collect()}
+    assert f1 == plain
