@@ -7168,6 +7168,54 @@ def q170_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q171_triangles",
+    """
+    WITH cnt AS (SELECT count(*)::bigint AS n FROM documents),
+    raw AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM cnt) AS dst
+      FROM documents d
+      JOIN generate_series(0, 2) j(j) ON j.j <= d.doc_id % 3),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL
+      SELECT z FROM tri),
+    counts AS (SELECT node, count(*)::bigint AS n_tri
+               FROM corners GROUP BY node),
+    deg AS (SELECT node, count(*)::bigint AS degree FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node)
+    SELECT c.node, d.degree, c.n_tri
+    FROM counts c JOIN deg d USING (node)
+    """,
+    "per-node triangle counts over the q142 link graph — the third "
+    "classic graph statistic beside PageRank and connected components "
+    "(local cohesion: communities, mutual-citation rings, link farms). "
+    "Node-iterator on canonicalized a<b edges finds each triangle "
+    "exactly once via three equi-joins — no windows, no double "
+    "counting; hub skew is AQE's skew-join case, and the "
+    "degree-orientation refinement composes unchanged.",
+)
+def q171_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mesh import triangle_counts
+
+    t = catalog.load(spark, sf_dir)
+    n = t.documents.count()
+    j = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j")
+    edges = t.documents.select(F.col("doc_id").alias("src"), j).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n).alias("dst")
+    )
+    return triangle_counts(edges)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -365,3 +365,17 @@ def test_bm25f_title_weight_changes_ranking(spark):
     plain = {r.doc_id: r.score for r in bm25_topk(
         docs, ["spark"], k=3).collect()}
     assert f1 == plain
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges of the complete graph
+    without (1,4) -> triangles {1,2,3} and {2,3,4} only. Duplicate and
+    reversed input edges must not change counts."""
+    from memvid_spark.operators.mesh import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (3, 4), (4, 3), (2, 2)],
+        "src long, dst long",
+    )
+    out = {r.node: (r.degree, r.n_tri) for r in triangle_counts(edges).collect()}
+    assert out == {1: (2, 1), 2: (3, 2), 3: (3, 2), 4: (2, 1)}
