@@ -7216,6 +7216,87 @@ def q171_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@spec(
+    "q172_tar_ingest",
+    """
+    WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+    members AS (
+      SELECT doc_id AS archive_id,
+             'm' || j.j || '.txt' AS member_name,
+             'doc' || doc_id || ' member' || j.j || ' '
+               || substr(text, 1 + j.j * 20, 30) AS content
+      FROM sel JOIN generate_series(0, 2) j(j) ON true)
+    SELECT archive_id, member_name,
+           strlen(content)::bigint AS n_bytes,
+           sha256(content) AS sha
+    FROM members
+    """,
+    "archive-container ingestion: per doc a 3-member tar.gz is built "
+    "(stdlib tarfile — an independent implementation), then extracted "
+    "back member-by-member; the kernel raises on any content mismatch, "
+    "so the hash match proves the archive round-trip at corpus scale. "
+    "Completes the container tier (ZIP/OOXML, gzip, WARC, CFB, now "
+    "tar), and readers.py treats gzip as a transparent wrapper "
+    "(gunzip -> re-sniff -> inner reader) so doc.pdf.gz / corpus.tar.gz "
+    "ingest with no special-casing. fan_out + mapInPandas; payloads "
+    "never shuffle.",
+)
+def q172_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", "text"
+    )
+
+    def gen(batches):
+        import hashlib
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                members = [
+                    (f"m{j}.txt",
+                     f"doc{did} member{j} " + text[j * 20 : j * 20 + 30])
+                    for j in range(3)
+                ]
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                    for name, content in members:
+                        b = content.encode("utf-8")
+                        info = tarfile.TarInfo(name=name)
+                        info.size = len(b)
+                        tf.addfile(info, io.BytesIO(b))
+                back = {}
+                with tarfile.open(
+                    fileobj=io.BytesIO(buf.getvalue())
+                ) as tf:
+                    for m in tf.getmembers():
+                        back[m.name] = tf.extractfile(m).read()
+                for name, content in members:
+                    b = content.encode("utf-8")
+                    if back.get(name) != b:
+                        raise ValueError(
+                            f"tar round-trip mismatch doc {did} {name}"
+                        )
+                    rows.append((
+                        did, name, len(b),
+                        hashlib.sha256(b).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["archive_id", "member_name", "n_bytes", "sha"],
+            )
+
+    return fan_out(sel).mapInPandas(
+        gen,
+        "archive_id long, member_name string, n_bytes long, sha string",
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -128,6 +128,8 @@ def sniff_format(payload: bytes, uri: str = "", mime: str | None = None) -> str:
         return "binary"
     if payload[:5] in (b"WARC/",):
         return "warc"
+    if len(payload) > 262 and payload[257:262] == b"ustar":
+        return "tar"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"fLaC":
@@ -207,6 +209,54 @@ def _read_flac(payload: bytes) -> str:
         f"flac audio {m['sample_rate']}hz {m['n_channels']}ch "
         f"{m['bits_per_sample']}bit {m['n_samples']} frames ({dur}ms)"
     )
+
+
+def _read_gzip(payload: bytes) -> str:
+    """gzip is a transparent wrapper: gunzip, re-sniff, route to the
+    inner format's reader — so doc.pdf.gz / corpus.tar.gz / notes.txt.gz
+    all ingest without special-casing (mutation.rs's inference ladder
+    treats encodings the same way)."""
+    import gzip as _gz
+
+    try:
+        inner = _gz.decompress(payload)
+    except OSError as e:
+        raise NotImplementedError(f"unreadable gzip payload: {e}") from None
+    fmt = sniff_format(inner)
+    if fmt == "gzip":
+        raise NotImplementedError("unreadable gzip payload (nested wrapper)")
+    reader = READERS.get(fmt)
+    if reader is None:
+        raise NotImplementedError(f"unreadable gzip payload (inner {fmt!r})")
+    return reader(inner)
+
+
+def _read_tar(payload: bytes) -> str:
+    """Archive-as-one-document view (the _read_warc shape): every
+    regular member routes through the reader registry by its own
+    sniffed format; member texts join with blank lines in archive
+    order. Member-per-document ingestion lives on the facade."""
+    import io
+    import tarfile
+
+    parts = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                data = tf.extractfile(m).read()
+                fmt = sniff_format(data, uri=m.name)
+                reader = READERS.get(fmt)
+                if reader is None:
+                    continue
+                try:
+                    parts.append(reader(data))
+                except NotImplementedError:
+                    continue
+    except tarfile.TarError as e:
+        raise NotImplementedError(f"unreadable tar payload: {e}") from None
+    return "\n\n".join(parts)
 
 
 def _read_tiff(payload: bytes) -> str:
@@ -330,6 +380,8 @@ READERS: dict[str, Callable[[bytes], str]] = {
     "jpeg": _image_reader("jpeg"),
     "gif": _image_reader("gif"),
     "tiff": _read_tiff,
+    "tar": _read_tar,
+    "gzip": _read_gzip,
     "bmp": _image_reader("bmp"),
     "docx": _ooxml_reader(binary.docx_extract_text, "docx"),
     "xlsx": _ooxml_reader(binary.xlsx_extract_text, "xlsx"),

@@ -62,3 +62,44 @@ def test_html_reader_strips_markup():
 def test_markdown_jsonl_read_as_text():
     assert READERS["markdown"](b"# Title\nbody") == "# Title\nbody"
     assert READERS["jsonl"](b'{"t":"x"}\n{"t":"y"}') == '{"t":"x"}\n{"t":"y"}'
+
+
+def test_tar_and_gzip_transparent_routing():
+    """gzip is a transparent wrapper (gunzip -> re-sniff -> inner
+    reader) and tar archives read as one document with every member
+    routed by its own sniffed format — so doc.pdf.gz and corpus.tar.gz
+    ingest with no special-casing."""
+    import gzip
+    import io
+    import tarfile
+
+    import pytest
+
+    from memvid_spark.sources.binary import pdf_from_text
+    from memvid_spark.sources.readers import READERS, sniff_format
+
+    pz = gzip.compress(pdf_from_text("hello gz world"))
+    assert sniff_format(pz) == "gzip"
+    assert READERS["gzip"](pz) == "hello gz world"
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, content in (
+            ("a.txt", b"plain text one"),
+            ("b.pdf", pdf_from_text("pdf in tar")),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    t = buf.getvalue()
+    assert sniff_format(t) == "tar"
+    assert READERS["tar"](t) == "plain text one\n\npdf in tar"
+    # tar.gz chains through both layers
+    tz = gzip.compress(t)
+    assert sniff_format(tz) == "gzip"
+    assert READERS["gzip"](tz) == "plain text one\n\npdf in tar"
+    # fail-closed on junk (the q117 unreadable-payload channel)
+    with pytest.raises(NotImplementedError):
+        READERS["gzip"](b"\x1f\x8bjunkjunk")
+    with pytest.raises(NotImplementedError):
+        READERS["tar"](b"x" * 600)
