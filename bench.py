@@ -183,7 +183,7 @@ def main() -> None:
     for name in (
         "q121_image_features", "q124_audio_features",
         "q126_video_manifest", "q128_jpeg_pixels",
-        "q163_flac_roundtrip", "q166_tiff_pixels",
+        "q163_flac_roundtrip", "q166_tiff_pixels", "q172_tar_ingest",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
