@@ -16,7 +16,7 @@ so every time/track-filtered query prunes partitions at plan time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def salted_agg(
@@ -138,17 +138,20 @@ def salted_join(
     the classic remedy when a shuffle join's hottest key overwhelms one
     reducer and the small side is too large to broadcast outright.
 
-    The salt comes from ``salt_expr`` (default: crc32 of the join key's
-    row — pass a finer-grained column like a line number for keys whose
-    rows must spread); it is deterministic (no rand()) so task retries
-    reproduce the same placement, and it never escapes: the joined
-    multiset is IDENTICAL to the plain join (the q165 oracle proves it
-    end-to-end). AQE's skew-join split is the runtime flavor of the
-    same idea; this is the explicit, planner-independent form that also
-    covers aggregate-after-join pipelines AQE won't split.
+    The salt comes from ``salt_expr`` (default:
+    ``monotonically_increasing_id()`` — row-varying, so a hot key's
+    rows genuinely spread over all ``n_salts`` reducers; a key-derived
+    salt would give every row of the hot key the SAME salt and defeat
+    the point). It is deterministic for a given partition layout (no
+    rand()) so task retries reproduce the same placement, and it never
+    escapes: the joined multiset is IDENTICAL to the plain join (the
+    q165 oracle proves it end-to-end). AQE's skew-join split is the
+    runtime flavor of the same idea; this is the explicit,
+    planner-independent form that also covers aggregate-after-join
+    pipelines AQE won't split.
     """
     if salt_expr is None:
-        salt_expr = F.col(on)
+        salt_expr = F.monotonically_increasing_id()
     salt = (F.crc32(salt_expr.cast("string")) % n_salts).cast("int")
     big2 = big.withColumn("_salt", salt)
     small2 = small.withColumn(

@@ -197,10 +197,17 @@ def decode_audio_any(payload: bytes, mime: str | None = None) -> WavAudio:
             if a.channels
             else np.zeros((0, 1), dtype=np.int64)
         )
+        sampwidth = (a.bits_per_sample + 7) // 8
+        if sampwidth == 1:
+            # FLAC stores 8-bit samples SIGNED (-128..127); WavAudio's
+            # 1-byte convention is WAV's UNSIGNED 0..255 (centered()
+            # subtracts 128). Re-bias so downstream consumers see the
+            # same signal either container delivered.
+            samples = samples + 128
         return WavAudio(
             sample_rate=a.sample_rate,
             channels=a.n_channels,
-            sampwidth=(a.bits_per_sample + 7) // 8,
+            sampwidth=sampwidth,
             is_float=False,
             samples=samples.astype(np.int32),
         )

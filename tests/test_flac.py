@@ -285,6 +285,19 @@ def test_flac_integrated_into_format_ladder():
     assert (a.sample_rate, a.channels) == (b.sample_rate, b.channels)
 
 
+def test_8bit_flac_centered_matches_signed_source():
+    """FLAC stores 8-bit samples SIGNED; WavAudio's 1-byte convention is
+    WAV's UNSIGNED (centered() subtracts 128). decode_audio_any must
+    re-bias on the way in, so centered() returns the original signed
+    waveform — not the doubly-shifted one."""
+    from memvid_spark.sources.audio import decode_audio_any
+
+    src = [10, -10, 50, -50, 127, -128, 0, 64]
+    a = decode_audio_any(flac_encode([src], 8000, bps=8))
+    assert a.sampwidth == 1
+    assert list(a.centered()[:, 0]) == src
+
+
 def test_flac_audio_features_df_matches_wav(spark):
     """The DataFrame feature kernel produces identical stats whether the
     payload arrived as WAV or FLAC."""
