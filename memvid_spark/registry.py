@@ -7297,6 +7297,54 @@ def q172_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q173_pdf_table_extract",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 4 + 2)::int AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 'lattice' ELSE 'stream' END AS mode,
+             (CASE WHEN doc_id % 4 + 2 > 3 THEN 2 ELSE 1 END)::int AS page_end
+      FROM documents WHERE doc_id % 3 = 1),
+    hdr AS (
+      SELECT doc_id, 0::int AS table_index, 1::int AS rn,
+             h.col_index, h.cell, mode, 1::int AS page_start, page_end
+      FROM sel,
+           (VALUES (0::int, 'item'), (1::int, 'qty'), (2::int, 'price'))
+             AS h(col_index, cell)),
+    idx AS (
+      SELECT doc_id, mode, page_end,
+             unnest(generate_series(1, n))::int AS i
+      FROM sel),
+    data_ AS (
+      SELECT doc_id, 0::int AS table_index, (i + 1)::int AS rn,
+             unnest([0, 1, 2])::int AS col_index,
+             unnest(['it' || (doc_id % 50) || '_' || i,
+                     (doc_id + i)::varchar,
+                     (doc_id % 90 + i)::varchar || '.5']) AS cell,
+             mode, 1::int AS page_start, page_end
+      FROM idx)
+    SELECT * FROM hdr UNION ALL SELECT * FROM data_
+    """,
+    "PDF positional-layout table detection end to end "
+    "(src/table/layout.rs:10-25 TextBox geometry, pdf_extractor.rs "
+    "Lattice+Stream detection, multi_page.rs continuation merge): every "
+    "third document becomes a REAL multi-page PDF whose cells are "
+    "placed by Tm coordinates only — no delimiters — odd docs "
+    "whitespace-aligned (stream detector), even docs with a stroked "
+    "ruling grid (lattice detector); tables >3 data rows spill to a "
+    "second page with the header reprinted, and the merge must stitch "
+    "them back into ONE logical table (page_end=2) dropping the "
+    "repeated header. The oracle recomputes every planted cell, so a "
+    "hash match proves geometry→rows→cols→cells reconstruction exactly. "
+    "fan_out + mapInPandas bytes kernels; payloads never shuffle.",
+)
+def q173_pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import extract_pdf_table_cells, pdf_table_payloads
+
+    t = catalog.load(spark, sf_dir)
+    return extract_pdf_table_cells(pdf_table_payloads(t.documents))
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -729,3 +729,113 @@ def sheet_tables(sheets: DataFrame, text_col: str = "sheet_text") -> DataFrame:
         "doc_id", "table_index", "col_index", "header",
         dtype.alias("dtype"), "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF positional table extraction (src/table/ semantics; sources/pdf_layout.py)
+# ---------------------------------------------------------------------------
+
+
+def pdf_table_payloads(docs: DataFrame, ruled_mod: int = 2) -> DataFrame:
+    """Deterministic PDF-table corpus: every third document becomes a
+    REAL multi-page PDF whose cells are positioned with ``Tm``
+    coordinates only — no delimiters — so extraction must rebuild the
+    grid from geometry. Tables longer than 3 data rows spill onto a
+    second page with the header reprinted (the multi-page-merge case);
+    even doc_ids additionally stroke the full ruling grid so both the
+    lattice and the stream detector are exercised in one corpus.
+    Arrow-batched mapInPandas like binary_payloads."""
+
+    sel = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .pdf_layout import pdf_from_table
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 4 + 2
+                rows = [
+                    [f"it{d % 50}_{i}", str(d + i), f"{d % 90 + i}.5"]
+                    for i in range(1, n + 1)
+                ]
+                payloads.append(
+                    pdf_from_table(
+                        ["item", "qty", "price"],
+                        rows,
+                        rows_per_page=3,
+                        ruled=(d % ruled_mod == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fan_out(sel).mapInPandas(run, "doc_id long, payload binary")
+
+
+PDF_TABLE_CELL_SCHEMA = (
+    "doc_id long, table_index int, rn int, col_index int, cell string, "
+    "mode string, page_start int, page_end int"
+)
+
+
+def extract_pdf_table_cells(payloads: DataFrame) -> DataFrame:
+    """Run positional table detection over PDF payloads and explode the
+    merged logical tables to cells — the same (doc_id, table_index, rn,
+    col_index, cell) grain the XLSX sheet tier uses, so downstream
+    chunking/typing is format-agnostic. rn=1 is the header row."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .pdf_layout import pdf_extract_tables
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "table_index": [], "rn": [], "col_index": [],
+                "cell": [], "mode": [], "page_start": [], "page_end": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                tables = pdf_extract_tables(bytes(payload))
+                for ti, t in enumerate(tables):
+                    rows = ([t["headers"]] if t["headers"] else []) + t["rows"]
+                    for rn, row in enumerate(rows, start=1):
+                        for ci, cell in enumerate(row):
+                            out["doc_id"].append(int(d))
+                            out["table_index"].append(ti)
+                            out["rn"].append(rn)
+                            out["col_index"].append(ci)
+                            out["cell"].append(cell)
+                            out["mode"].append(t["mode"])
+                            out["page_start"].append(t["page_start"])
+                            out["page_end"].append(t["page_end"])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, PDF_TABLE_CELL_SCHEMA)
+
+
+def pdf_sheet_texts(payloads: DataFrame) -> DataFrame:
+    """Render each PDF's detected tables in the sheet-text shape
+    (comma-joined rows, blank line between tables) so the XLSX tier's
+    sheet_tables / sheet_chunks run unchanged on PDF tables —
+    structural chunking treats both formats identically."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .pdf_layout import pdf_extract_tables, tables_as_sheet_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sheet_text": [
+                        tables_as_sheet_text(pdf_extract_tables(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(run, "doc_id long, sheet_text string")

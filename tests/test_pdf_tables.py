@@ -1,0 +1,302 @@
+"""PDF positional-layout table detection (sources/pdf_layout.py).
+
+Round-trip tests run the positional writer's output through detection;
+the hand-written fixtures break that circularity: they use operator
+shapes the writer never emits (relative ``Td`` cell walks, uncompressed
+streams, ``/Contents`` arrays, ``re``-drawn grids, fonts declared before
+pages) with geometry verified by hand against ISO 32000-1 §9.4.
+"""
+
+import pytest
+
+from memvid_spark.sources.pdf_layout import (
+    cluster_values,
+    merge_multi_page_tables,
+    pdf_extract_tables,
+    pdf_from_table,
+    pdf_layout,
+)
+
+HDR = ["item", "qty", "price"]
+
+
+def _rows(n, d=7):
+    return [
+        [f"it{d}_{i}", str(d + i), f"{d + i}.5"] for i in range(1, n + 1)
+    ]
+
+
+# --- round trips ---------------------------------------------------------
+
+
+def test_stream_single_page_round_trip():
+    t, = pdf_extract_tables(pdf_from_table(HDR, _rows(4)))
+    assert (t["mode"], t["page_start"], t["page_end"]) == ("stream", 1, 1)
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(4)
+    assert (t["n_rows"], t["n_cols"]) == (4, 3)
+
+
+def test_lattice_round_trip():
+    t, = pdf_extract_tables(pdf_from_table(HDR, _rows(3), ruled=True))
+    assert t["mode"] == "lattice"
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(3)
+
+
+@pytest.mark.parametrize("ruled", [False, True])
+def test_multi_page_continuation_merges(ruled):
+    """A 5-row table at 3 rows/page prints on 2 pages with the header
+    reprinted; extraction must return ONE logical table spanning both
+    pages with the repeated header dropped (src/table/multi_page.rs)."""
+    payload = pdf_from_table(HDR, _rows(5), rows_per_page=3, ruled=ruled)
+    tables = pdf_extract_tables(payload)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t["page_start"], t["page_end"]) == (1, 2)
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(5)
+
+
+def test_no_merge_across_different_column_counts():
+    a = {"page_start": 1, "page_end": 1, "mode": "stream", "headers": ["a", "b"],
+         "rows": [["1", "2"]], "n_rows": 1, "n_cols": 2, "quality": 0.8}
+    b = {"page_start": 2, "page_end": 2, "mode": "stream", "headers": ["x", "y", "z"],
+         "rows": [["1", "2", "3"]], "n_rows": 1, "n_cols": 3, "quality": 0.8}
+    assert len(merge_multi_page_tables([a, b])) == 2
+
+
+def test_no_merge_nonconsecutive_pages():
+    a = {"page_start": 1, "page_end": 1, "mode": "stream", "headers": ["a", "b"],
+         "rows": [["1", "2"]], "n_rows": 1, "n_cols": 2, "quality": 0.8}
+    b = {"page_start": 4, "page_end": 4, "mode": "stream", "headers": ["a", "b"],
+         "rows": [["3", "4"]], "n_rows": 1, "n_cols": 2, "quality": 0.8}
+    assert len(merge_multi_page_tables([a, b])) == 2
+
+
+def test_cells_with_pdf_special_chars_round_trip():
+    rows = [["a(1)", "b\\c", "50"], ["d(2)", "e\\f", "60"]]
+    t, = pdf_extract_tables(pdf_from_table(["n", "v", "w"], rows))
+    assert t["rows"] == rows
+
+
+def test_cluster_values():
+    assert cluster_values([10.0, 11.0, 12.0, 50.0, 51.0, 100.0], 5.0) == [
+        11.0, 50.5, 100.0,
+    ]
+    assert cluster_values([], 5.0) == []
+
+
+# --- geometry evaluator --------------------------------------------------
+
+
+def test_tj_kerning_advances_cursor():
+    """A large negative TJ adjustment moves the cursor right by
+    adj/1000 × size (ISO 32000-1 §9.4.4) — two runs in one TJ land as
+    two boxes with a real gap between them."""
+    content = b"BT /F1 10 Tf 1 0 0 1 100 500 Tm [(ab) -2000 (cd)] TJ ET"
+    pdf = _envelope([content])
+    (lay,) = pdf_layout(pdf)
+    boxes = sorted(lay["boxes"], key=lambda b: b.x)
+    assert [b.text for b in boxes] == ["ab", "cd"]
+    # ab: x=100 w=0.5*10*2=10 → cursor 110; gap 2000/1000*10 = 20 → cd at 130
+    assert boxes[0].x == pytest.approx(100.0)
+    assert boxes[1].x == pytest.approx(130.0)
+    assert boxes[0].y == boxes[1].y == pytest.approx(500.0)
+
+
+# --- hand-written fixtures (non-circular) --------------------------------
+
+
+def _envelope(contents, fonts_first=True, contents_array=False):
+    """Minimal valid multi-page envelope assembled in-test, deliberately
+    NOT the writer's: font object declared before the page tree, object
+    numbers in a different order, streams uncompressed, and optionally
+    a /Contents ARRAY (one-element) — shapes pdf_from_table never
+    produces."""
+    n = len(contents)
+    objs = []
+    # 1 font, 2 catalog, 3 pages, 4..3+n pages, 4+n..3+2n contents
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    objs.append(b"<< /Type /Catalog /Pages 3 0 R >>")
+    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n))
+    objs.append(b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n))
+    for i in range(n):
+        ref = (
+            b"[%d 0 R]" % (4 + n + i) if contents_array else b"%d 0 R" % (4 + n + i)
+        )
+        objs.append(
+            b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 1 0 R >> >> /Contents %s >>" % ref
+        )
+    for c in contents:
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c), c))
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root 2 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref_at,
+    )
+    return bytes(buf)
+
+
+# Cells positioned by RELATIVE Td walks (never emitted by the writer,
+# which uses absolute Tm): col lefts at x=72 and x=200, rows at
+# y=700/680/660. Hand-traced: "128 0 Td" from (72,700) → (200,700);
+# "-128 -20 Td" → (72,680); etc.
+HAND_TABLE_PAGE = (
+    b"BT\n/F1 12 Tf\n"
+    b"72 700 Td (Name) Tj\n"
+    b"128 0 Td (Score) Tj\n"
+    b"-128 -20 Td (alice) Tj\n"
+    b"128 0 Td (91) Tj\n"
+    b"-128 -20 Td (bob) Tj\n"
+    b"128 0 Td (87) Tj\n"
+    b"ET"
+)
+
+
+def test_hand_written_td_walk_table():
+    pdf = _envelope([HAND_TABLE_PAGE], contents_array=True)
+    t, = pdf_extract_tables(pdf)
+    assert t["mode"] == "stream"
+    assert t["headers"] == ["Name", "Score"]
+    assert t["rows"] == [["alice", "91"], ["bob", "87"]]
+
+
+HAND_PAGE2 = (
+    b"BT\n/F1 12 Tf\n"
+    b"72 700 Td (Name) Tj\n"
+    b"128 0 Td (Score) Tj\n"
+    b"-128 -20 Td (carol) Tj\n"
+    b"128 0 Td (78) Tj\n"
+    b"-128 -20 Td (dave) Tj\n"
+    b"128 0 Td (65) Tj\n"
+    b"ET"
+)
+
+
+def test_hand_written_two_page_continuation():
+    """Two hand-written pages, same Td-walk layout, header repeated —
+    must come back as one 4-row logical table."""
+    pdf = _envelope([HAND_TABLE_PAGE, HAND_PAGE2])
+    tables = pdf_extract_tables(pdf)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t["page_start"], t["page_end"]) == (1, 2)
+    assert t["rows"] == [
+        ["alice", "91"], ["bob", "87"], ["carol", "78"], ["dave", "65"],
+    ]
+
+
+# Grid drawn with `re` rectangles (writer strokes m/l paths): a 3×2
+# grid of cells, each its own 100×20 rect; text centered in each cell.
+# Rect edges: x ∈ {70,170,270}, y ∈ {655,675,695,715}.
+HAND_LATTICE_PAGE = (
+    b"BT /F1 12 Tf\n"
+    b"1 0 0 1 80 700 Tm (City) Tj\n"
+    b"1 0 0 1 180 700 Tm (Pop) Tj\n"
+    b"1 0 0 1 80 680 Tm (Oslo) Tj\n"
+    b"1 0 0 1 180 680 Tm (700) Tj\n"
+    b"1 0 0 1 80 660 Tm (Bergen) Tj\n"
+    b"1 0 0 1 180 660 Tm (280) Tj\n"
+    b"ET\n"
+    b"70 695 100 20 re S\n"
+    b"170 695 100 20 re S\n"
+    b"70 675 100 20 re S\n"
+    b"170 675 100 20 re S\n"
+    b"70 655 100 20 re S\n"
+    b"170 655 100 20 re S\n"
+)
+
+
+def test_hand_written_re_grid_lattice():
+    pdf = _envelope([HAND_LATTICE_PAGE])
+    t, = pdf_extract_tables(pdf)
+    assert t["mode"] == "lattice"
+    assert t["headers"] == ["City", "Pop"]
+    assert t["rows"] == [["Oslo", "700"], ["Bergen", "280"]]
+
+
+def test_line_based_fallback_on_flowed_text():
+    """Linearized label/value text (every cell its own line, no usable
+    geometry spread) falls back to the 2-column pair heuristic
+    (pdf_extractor.rs:608-930)."""
+    from memvid_spark.sources.binary import pdf_from_text
+
+    text = "Gross Pay\n2500.00\nFederal Tax\n312.50\nNet Pay\n2187.50"
+    tables = pdf_extract_tables(pdf_from_text(text))
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["mode"] == "lines"
+    assert t["rows"] == [
+        ["Gross Pay", "2500.00"],
+        ["Federal Tax", "312.50"],
+        ["Net Pay", "2187.50"],
+    ]
+
+
+# --- Spark surface + routing into the sheet tier -------------------------
+
+
+def test_pdf_table_cells_df(spark):
+    from memvid_spark.sources.readers import (
+        extract_pdf_table_cells,
+        pdf_table_payloads,
+    )
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    cells = extract_pdf_table_cells(pdf_table_payloads(docs)).collect()
+    by_doc = {}
+    for r in cells:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # docs 1,4,...,28 selected
+    assert set(by_doc) == {d for d in range(30) if d % 3 == 1}
+    for d, rows in by_doc.items():
+        n = d % 4 + 2
+        assert len(rows) == 3 * (n + 1)  # header + n data rows, 3 cols
+        mode = "lattice" if d % 2 == 0 else "stream"
+        assert {r.mode for r in rows} == {mode}
+        assert {r.page_end for r in rows} == {2 if n > 3 else 1}
+        hdr = sorted(
+            (r for r in rows if r.rn == 1), key=lambda r: r.col_index
+        )
+        assert [r.cell for r in hdr] == ["item", "qty", "price"]
+
+
+def test_pdf_tables_route_into_sheet_tier(spark):
+    """Detected PDF tables render as sheet text and flow through the
+    XLSX tier's sheet_tables + sheet_chunks unchanged — structural
+    chunking is format-agnostic."""
+    from memvid_spark.sources.readers import (
+        pdf_sheet_texts,
+        pdf_table_payloads,
+        sheet_chunks,
+        sheet_tables,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    sheets = pdf_sheet_texts(pdf_table_payloads(docs)).cache()
+    cols = {
+        (r.doc_id, r.col_index): r
+        for r in sheet_tables(sheets).collect()
+    }
+    d = 13  # stream-mode doc (odd), n = 13 % 4 + 2 = 3 data rows
+    assert cols[(d, 0)].header == "item"
+    assert cols[(d, 0)].dtype == "str"
+    assert cols[(d, 1)].header == "qty"
+    assert cols[(d, 1)].dtype == "int"
+    assert cols[(d, 2)].header == "price"
+    assert cols[(d, 2)].dtype == "double"
+    assert cols[(d, 0)].n_rows == 3
+    chunks = sheet_chunks(sheets).filter("doc_id = 13").collect()
+    assert len(chunks) == 1
+    assert "[Table: t0]" in chunks[0].chunk_text
+    assert "item | qty | price" in chunks[0].chunk_text
+    assert "item: it13_1 | qty: 14 | price: 14.5" in chunks[0].chunk_text
