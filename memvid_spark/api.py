@@ -69,7 +69,14 @@ class MemvidSpark:
             row = seed.agg(F.max(id_col)).head()
             self._next_id = int(row[0] or 0) + 1
         self._shas: set[str] = set()
-        self._media: list[tuple[int, str, bytes]] = []  # (doc_id, mime, payload)
+        # media track (blob tier): a parquet-backed seed DataFrame plus a
+        # small in-session put buffer — the same union model as the frame
+        # log, so payloads NEVER round-trip through the driver on open()
+        # and stats/integrity aggregate executor-side. The buffer is
+        # bounded by session mutations; at warehouse scale put batches
+        # append parquet files exactly like text puts.
+        self._media_seed: DataFrame | None = None
+        self._media_puts: list[tuple[int, str, bytes]] = []
         # capacity tickets (ticket.rs:135-260): applied-ticket state, the
         # API binding, the trusted control-plane key, and the cumulative
         # ingest-tier payload size the write gate meters
@@ -152,7 +159,7 @@ class MemvidSpark:
                 self._ticket, self._payload_tail, len(payload), self._tier
             )
             self._payload_tail += len(payload)
-            self._media.append((doc_id, mime, bytes(payload)))
+            self._media_puts.append((doc_id, mime, bytes(payload)))
         if doc_id is not None and fmt in ("pdf", "docx"):
             self._extract_embedded_images(doc_id, fmt, payload, uri)
         return doc_id
@@ -183,7 +190,7 @@ class MemvidSpark:
             )
             if child is not None:
                 self._payload_tail += len(img)
-                self._media.append((child, mime, img))
+                self._media_puts.append((child, mime, img))
 
     def put_warc(
         self, payload: bytes, lang: str = "en", dedup: bool = True
@@ -208,20 +215,49 @@ class MemvidSpark:
             ids.append(self.put(text, uri=rec["uri"], lang=lang, dedup=dedup))
         return ids
 
+    MEDIA_SCHEMA = "media_id long, mime string, payload binary"
+
+    def _media_all(self) -> DataFrame:
+        """Full media log (tombstones included): parquet seed ∪ session
+        puts — payloads stay executor-side; the driver only ever holds
+        the bounded in-session buffer."""
+        parts: list[DataFrame] = []
+        if self._media_seed is not None:
+            parts.append(self._media_seed)
+        if self._media_puts:
+            parts.append(
+                self.spark.createDataFrame(
+                    [
+                        (int(i), m, bytes(p))
+                        for i, m, p in self._media_puts
+                    ],
+                    self.MEDIA_SCHEMA,
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], self.MEDIA_SCHEMA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _has_media(self) -> bool:
+        return self._media_seed is not None or bool(self._media_puts)
+
     def media(self, modality: str | None = None) -> DataFrame:
         """Retained media payloads (media_id = doc_id, mime typed),
         tombstones dropped — the blob source for cross-modal search,
         feature extraction and demux. ``modality`` filters by mime
-        prefix ('image', 'audio', 'video')."""
-        rows = [
-            (i, m, p)
-            for i, m, p in self._media
-            if i not in self._tombstones
-            and (modality is None or m.startswith(modality + "/"))
-        ]
-        return self.spark.createDataFrame(
-            rows, "media_id long, mime string, payload binary"
-        )
+        prefix ('image', 'audio', 'video'). The tombstone set is
+        session-bounded, so the filter is an isin, not a join."""
+        df = self._media_all()
+        if self._tombstones:
+            df = df.filter(
+                ~F.col("media_id").isin([int(t) for t in self._tombstones])
+            )
+        if modality is not None:
+            df = df.filter(F.col("mime").startswith(modality + "/"))
+        return df
 
     def search_images(self, text: str, k: int = 10) -> DataFrame:
         """Text→image kNN over REAL decoded pixels in the shared
@@ -346,7 +382,6 @@ class MemvidSpark:
         referenced = sorted(
             set(self._tombstones)
             | {i for kv in self._supersedes.items() for i in kv}
-            | {m[0] for m in self._media}
         )
         if referenced:
             ref_df = self.spark.createDataFrame(
@@ -376,13 +411,24 @@ class MemvidSpark:
             not bad_sup,
             f"broken: {bad_sup}" if bad_sup else None,
         )
-        dangling_media = sorted(
-            {m[0] for m in self._media if m[0] in missing_ids}
-        )
+        # media ids can be corpus-sized — anti-join them against the
+        # frame log executor-side instead of collecting them
+        if self._has_media():
+            dangling_media = sorted(
+                r[0]
+                for r in self._media_all()
+                .select(F.col("media_id").alias("_rid"))
+                .distinct()
+                .join(frame_ids, F.col("_rid") == F.col("_fid"), "left_anti")
+                .limit(21)
+                .collect()
+            )
+        else:
+            dangling_media = []
         push(
             "MediaFramesExist",
             not dangling_media,
-            f"dangling: {dangling_media}" if dangling_media else None,
+            f"dangling: {dangling_media[:20]}" if dangling_media else None,
         )
         max_id = frame_ids.agg(F.max("_fid")).first()[0]
         push(
@@ -965,15 +1011,20 @@ class MemvidSpark:
         import os
 
         os.makedirs(path, exist_ok=True)
-        self._union_docs().write.mode("overwrite").parquet(
-            os.path.join(path, "frames.parquet")
+        # Both tables write-to-temp then swap: the session's seed
+        # DataFrames may be lazily reading the very paths being
+        # replaced, and a direct overwrite deletes the input files
+        # mid-scan (save() over the store you open()ed from). After the
+        # swap each track re-roots on the compacted parquet and its
+        # session put buffer drains — exactly the state open() builds.
+        self._seed = self._write_swap(
+            self._union_docs(), os.path.join(path, "frames.parquet")
         )
-        media_rows = [
-            (int(i), m, bytes(p)) for i, m, p in self._media
-        ]
-        self.spark.createDataFrame(
-            media_rows, "media_id long, mime string, payload binary"
-        ).write.mode("overwrite").parquet(os.path.join(path, "media.parquet"))
+        self._puts = []
+        self._media_seed = self._write_swap(
+            self._media_all(), os.path.join(path, "media.parquet")
+        )
+        self._media_puts = []
         manifest = {
             "version": self.MANIFEST_VERSION,
             "kind": "memvid-spark-store",
@@ -999,6 +1050,22 @@ class MemvidSpark:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, "manifest.json"))
 
+    def _write_swap(self, df: DataFrame, final_path: str) -> DataFrame:
+        """Write ``df`` to ``final_path`` via a temp directory + rename,
+        refresh Spark's cached file listing (stale entries would point
+        at the deleted pre-swap files), and return a fresh lazy reader
+        rooted on the new files."""
+        import os
+        import shutil
+
+        tmp = final_path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final_path):
+            shutil.rmtree(final_path)
+        os.replace(tmp, final_path)
+        self.spark.catalog.refreshByPath(final_path)
+        return self.spark.read.parquet(final_path)
+
     @classmethod
     def open(
         cls,
@@ -1023,7 +1090,9 @@ class MemvidSpark:
             raise ValueError(f"not a memvid-spark store: {path}")
         from .operators.tickets import TicketRef
 
-        seed = spark.read.parquet(os.path.join(path, "frames.parquet"))
+        frames_path = os.path.join(path, "frames.parquet")
+        spark.catalog.refreshByPath(frames_path)
+        seed = spark.read.parquet(frames_path)
         mv = cls(
             spark, seed=seed, id_col=man["id_col"], text_col=man["text_col"]
         )
@@ -1041,12 +1110,12 @@ class MemvidSpark:
         if man["trusted_pubkey"]:
             mv._trusted_pubkey = base64.b64decode(man["trusted_pubkey"])
         mv._ticket = TicketRef(**man["ticket"])
-        mv._media = [
-            (int(r.media_id), r.mime, bytes(r.payload))
-            for r in spark.read.parquet(
-                os.path.join(path, "media.parquet")
-            ).collect()
-        ]
+        # lazy parquet-backed media seed: payloads stay on executors;
+        # nothing is collected at open time (refresh first — a save()
+        # in this session may have swapped the directory contents)
+        media_path = os.path.join(path, "media.parquet")
+        spark.catalog.refreshByPath(media_path)
+        mv._media_seed = spark.read.parquet(media_path)
         if rebuild_dedup:
             mv._shas = {
                 r.sha
@@ -1125,9 +1194,18 @@ class MemvidSpark:
                 F.when(active, F.octet_length(self.text_col)).otherwise(0)
             ).alias("text_bytes"),
         ).head()
-        media_bytes = sum(
-            len(p) for i, _m, p in self._media if i not in self._tombstones
-        )
+        if self._has_media():
+            mrow = self.media().agg(
+                F.sum(F.octet_length("payload")).alias("media_bytes"),
+                F.sum(
+                    F.col("mime").startswith("image/").cast("long")
+                ).alias("n_images"),
+            ).head()
+            media_bytes = int(mrow["media_bytes"] or 0)
+            clip_image_count = int(mrow["n_images"] or 0)
+        else:
+            media_bytes = 0
+            clip_image_count = 0
         payload_bytes = int(row["text_bytes"] or 0) + media_bytes
         capacity = self.get_capacity()
         n_active = int(row["n_docs"] or 0)
@@ -1156,9 +1234,5 @@ class MemvidSpark:
             else 0.0,
             "seq_no": self._ticket.seq_no or None,
             "ticket_verified": self._ticket.verified,
-            "clip_image_count": sum(
-                1
-                for i, m, _p in self._media
-                if i not in self._tombstones and m.startswith("image/")
-            ),
+            "clip_image_count": clip_image_count,
         }

@@ -381,6 +381,55 @@ def test_save_open_roundtrip(spark, tmp_path):
     assert ro.docs().count() == mv.docs().count()
 
 
+def test_media_track_is_distributed(spark, tmp_path):
+    """The media track must never round-trip payloads through the
+    driver: open() roots on a lazy parquet DataFrame (no list), save()
+    drains the session put buffer into parquet, re-save over the same
+    path works while the seed lazily reads it, and stats/integrity
+    aggregate executor-side."""
+    from pyspark.sql import DataFrame
+
+    from memvid_spark.api import MemvidSpark
+    from memvid_spark.sources.audio import wav_encode
+    from memvid_spark.sources.image import png_encode
+
+    import numpy as np
+
+    mv = MemvidSpark(spark)
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    img = mv.put_bytes(png_encode(px), uri="mv2://img/a.png")
+    mv.put_bytes(wav_encode([0, 100, -100, 50], 8000), uri="mv2://a.wav")
+    path = str(tmp_path / "store")
+    mv.save(path)
+    # save drains the buffer and re-roots on the parquet seed
+    assert mv._media_puts == []
+    assert isinstance(mv._media_seed, DataFrame)
+
+    back = MemvidSpark.open(spark, path)
+    assert not hasattr(back, "_media")  # the driver-resident list is gone
+    assert back._media_puts == []
+    assert isinstance(back._media_seed, DataFrame)
+    assert {r.mime for r in back.media().collect()} == {
+        "image/png", "audio/wav",
+    }
+    st = back.stats()
+    assert st["clip_image_count"] == 1
+    assert st["payload_bytes"] > 0
+    assert all(
+        c["status"] == "passed" for c in back.verify_integrity()["checks"]
+    )
+    # mutate the reopened store and save BACK OVER THE SAME PATH — the
+    # tmp+swap write must not truncate the parquet it is reading from
+    back.put_bytes(png_encode(px[:2]), uri="mv2://img/b.png")
+    back.save(path)
+    again = MemvidSpark.open(spark, path)
+    assert again.media("image").count() == 2
+    # tombstoned media drops from the view and the stats
+    again.delete(img)
+    assert again.media("image").count() == 1
+    assert again.stats()["clip_image_count"] == 1
+
+
 def test_save_open_random_mutation_sequences(spark, tmp_path):
     """Persistence must commute with ANY mutation sequence: applying ops
     then save/open yields the same active view, frame log, and as-of
