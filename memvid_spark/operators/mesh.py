@@ -318,16 +318,20 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     triangles measure local cohesion (communities, link farms, mutual
     citation rings in a web corpus).
 
-    Node-iterator via canonicalized edges: every undirected edge
-    becomes (a < b); a triangle a<b<c is found exactly once as
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — three equi-joins, no double counting,
+    Degree-oriented node-iterator: every undirected edge orients from
+    its lower-rank to its higher-rank endpoint under the total order
+    (degree, node id), and a triangle is found exactly once as
+    o(x,y) ⋈ o(y,z) ⋈ o(x,z) — three equi-joins, no double counting,
     no windows. Each found triangle credits its three corners.
 
-    Scale posture: joins are on node keys (co-partitioned, AQE handles
-    hub skew; the standard refinement — orienting edges from lower to
-    higher DEGREE instead of id — drops hub fan-out from d² to
-    candidate pairs and composes with this plan unchanged). Output:
-    (node, degree, n_tri) for triangle members.
+    Scale posture: the orientation is WHY this survives a web-scale
+    link graph — a hub of degree d under naive id-orientation fans out
+    up to d² wedge candidates from one reducer, while degree
+    orientation caps every node's out-degree at O(√m), so total wedge
+    work is O(m^1.5) regardless of skew (the standard bound; two extra
+    narrow joins against the degree table buy it). Joins stay on node
+    keys (co-partitioned, AQE on residual skew). Output: (node,
+    degree, n_tri) for triangle members.
     """
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
@@ -336,24 +340,42 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    oriented = _orient_by_degree(und, deg)
     wedge = (
-        und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .join(
-            und.select(F.col("a").alias("y"), F.col("b").alias("z")),
+            oriented.select(F.col("u").alias("y"), F.col("v").alias("z")),
             "y",
         )
     )
     tri = wedge.join(
-        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("z")),
         ["x", "z"],
     )
     corners = tri.select(
         F.explode(F.array("x", "y", "z")).alias("node")
     )
     counts = corners.groupBy("node").agg(F.count("*").alias("n_tri"))
-    deg = (
-        und.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
     return counts.join(deg, "node").select("node", "degree", "n_tri")
+
+
+def _orient_by_degree(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges (a, b) low→high under the
+    total order (degree, node id): (u, v) with rank(u) < rank(v). A
+    hub's edges thus point INTO it, capping out-degrees at O(√m) and
+    with them the wedge fan-out."""
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )

@@ -379,3 +379,65 @@ def test_triangle_counts_hand_graph(spark):
     )
     out = {r.node: (r.degree, r.n_tri) for r in triangle_counts(edges).collect()}
     assert out == {1: (2, 1), 2: (3, 2), 3: (3, 2), 4: (2, 1)}
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    """Degree-oriented counting must agree with a driver-side brute
+    force over every node triple on a random graph (including hubs and
+    ties in degree)."""
+    import itertools
+    import random
+
+    from memvid_spark.operators.mesh import triangle_counts
+
+    random.seed(5)
+    n = 18
+    und = {
+        tuple(sorted(random.sample(range(n), 2))) for _ in range(60)
+    }
+    expect: dict[int, int] = {}
+    for t in itertools.combinations(range(n), 3):
+        if all(e in und for e in itertools.combinations(t, 2)):
+            for v in t:
+                expect[v] = expect.get(v, 0) + 1
+    edges = spark.createDataFrame(list(und), "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+    assert got == expect
+
+
+def test_triangle_orientation_caps_hub_fanout(spark):
+    """Planted hub: a star (hub degree 1000) plus one triangle off to
+    the side. Degree orientation points every spoke INTO the hub, so
+    the hub emits ZERO wedges — id orientation would fan out
+    C(1000, 2) ≈ 500k wedge candidates from one node. The wedge count
+    is measured on the actual oriented plan."""
+    from memvid_spark.operators.mesh import _orient_by_degree, triangle_counts
+    from pyspark.sql import functions as F
+
+    hub_edges = [(0, i) for i in range(10, 1010)]
+    tri_edges = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        hub_edges + tri_edges, "src long, dst long"
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    oriented = _orient_by_degree(und, deg)
+    wedges = (
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(
+            oriented.select(F.col("u").alias("y"), F.col("v").alias("z")),
+            "y",
+        )
+        .count()
+    )
+    # only the planted triangle contributes a wedge; the 1000-degree
+    # hub contributes none (all its edges point inward)
+    assert wedges <= 3
+    got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
