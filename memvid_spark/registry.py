@@ -1465,10 +1465,11 @@ def q130_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Scale: the corpus is scanned once for word frequencies; pair "
     "counting explodes symbol arrays JVM-side (sequence/transform, no "
     "Python) and shuffles only distinct pairs with map-side partial "
-    "aggregation. The full iterative trainer (functions/bpe.py "
-    "train_bpe: K rounds of count→argmax→merge-apply with "
-    "localCheckpoint) is pinned distributed==pure-Python-twin by tests "
-    "— this query oracle-checks round 0 exactly",
+    "aggregation. The full trainer (functions/bpe.py train_bpe) runs "
+    "the sequential merge loop driver-side over the collected capped "
+    "word table — ONE Spark job for K merges, identical output to the "
+    "per-round distributed loop (train_bpe_rounds), equality pinned by "
+    "tests — this query oracle-checks round 0 exactly",
 )
 def q131_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

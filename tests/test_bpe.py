@@ -53,6 +53,16 @@ def test_distributed_equals_local_twin(spark):
     assert len(got) == 8
 
 
+def test_one_job_trainer_equals_per_round_trainer(spark):
+    """The single-job trainer (collected word table + local merge loop)
+    must produce the IDENTICAL merge sequence as the per-round
+    distributed loop when the word cap doesn't bind."""
+    from memvid_spark.functions.bpe import train_bpe_rounds
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    assert train_bpe(docs, k=6) == train_bpe_rounds(docs, k=6)
+
+
 def test_bpe_encode_df_conserves_tokens(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     merges = train_bpe(docs, k=5)
