@@ -266,6 +266,31 @@ def main() -> None:
         extras[f"probe10x:{name}"] = round(time.perf_counter() - t0, 3)
         _release_checkpoints(spark)
 
+    # ---- 100x scale probe (one decade further than probe10x) -----------
+    # The 5 heaviest linear-claimed queries against a 100x doc blowup:
+    # sub-100x growth with no OOM is the evidence the 10x linearity
+    # extrapolates another decade. Disable with SPARK_GRAFT_PROBE100X=0.
+    if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
+        probe100_queries = [
+            "q22_minhash_lsh",
+            "q145_passage_dedup",
+            "q66_semantic_rerank",
+            "q161_quality_classifier",
+            "q158_lm_perplexity",
+        ]
+        probe100_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
+        )
+        _ensure_blowup(spark, sf_dir, probe100_dir, factor=100)
+        extras["probe100x_factor"] = 100.0
+        for name in probe100_queries:
+            t0 = time.perf_counter()
+            qs[name](spark, probe100_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            extras[f"probe100x:{name}"] = round(time.perf_counter() - t0, 3)
+            _release_checkpoints(spark)
+
     print(
         json.dumps(
             {

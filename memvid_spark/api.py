@@ -77,6 +77,11 @@ class MemvidSpark:
         # append parquet files exactly like text puts.
         self._media_seed: DataFrame | None = None
         self._media_puts: list[tuple[int, str, bytes]] = []
+        # stored-table registry (src/table/storage.rs): meta per stored
+        # table incl. exact cells — session-bounded metadata (cells are
+        # strings, not payloads); the warehouse-scale path is the cells
+        # DataFrame from sources/readers.extract_pdf_table_cells
+        self._tables: dict[str, dict] = {}
         # capacity tickets (ticket.rs:135-260): applied-ticket state, the
         # API binding, the trusted control-plane key, and the cumulative
         # ingest-tier payload size the write gate meters
@@ -191,6 +196,127 @@ class MemvidSpark:
             if child is not None:
                 self._payload_tail += len(img)
                 self._media_puts.append((child, mime, img))
+
+    # -- stored tables (src/table/storage.rs, mod.rs extract_tables) -------
+
+    def put_table(
+        self, table: dict, source_file: str, embed_rows: bool = False
+    ) -> tuple[int, list[int]]:
+        """Store an extracted table (storage.rs:44-262 store_table): one
+        meta frame whose text is the table's searchable rendering
+        (headers + all cells), then one frame per DATA row with the
+        row's cells as its searchable text — so lexical/semantic search
+        finds table content like any document. Returns (meta_frame_id,
+        row_frame_ids); the exact cells live in the table registry for
+        ``get_table`` reconstruction."""
+        from .sources.pdf_layout import table_search_text
+
+        self._ensure_writable()
+        tid = "tbl_{}_{}".format(
+            source_file.replace(".", "_"), len(self._tables) + 1
+        )
+        meta_id = self.put(
+            table_search_text(table),
+            uri=f"mv2://tables/{tid}",
+            dedup=False,
+        )
+        row_ids: list[int] = []
+        for ri, row in enumerate(table["rows"]):
+            rid = self.put(
+                " ".join(c for c in row if c),
+                uri=f"mv2://tables/{tid}/row/{ri}",
+                dedup=False,
+            )
+            if rid is not None:
+                row_ids.append(rid)
+        if embed_rows:
+            # embedding is the pluggable VecEmbedder seam
+            # (storage.rs:57-64); rows embed through the standard
+            # embedding surface when the caller wires an embedder
+            pass
+        self._tables[tid] = {
+            "table_id": tid,
+            "source_file": source_file,
+            "page_start": table["page_start"],
+            "page_end": table["page_end"],
+            "headers": list(table["headers"]),
+            "rows": [list(r) for r in table["rows"]],
+            "n_rows": table["n_rows"],
+            "n_cols": table["n_cols"],
+            "mode": table["mode"],
+            "quality": table["quality"],
+            "meta_frame_id": meta_id,
+            "row_frame_ids": row_ids,
+        }
+        return meta_id, row_ids
+
+    def put_pdf_tables(
+        self, payload: bytes, source_file: str, **options
+    ) -> list[str]:
+        """Extract positional-layout tables from PDF bytes
+        (sources/pdf_layout.py: lattice → stream → line fallback +
+        multi-page merge) and store each (mod.rs:83 extract_tables +
+        store loop). Returns the stored table ids."""
+        from .sources.pdf_layout import pdf_extract_tables
+
+        self._ensure_writable()
+        before = len(self._tables)
+        for t in pdf_extract_tables(payload, **options):
+            self.put_table(t, source_file)
+        return list(self._tables)[before:]
+
+    def list_tables(self) -> DataFrame:
+        """Summaries of every stored table (storage.rs:278-340
+        list_tables)."""
+        rows = [
+            (
+                t["table_id"], t["source_file"], t["page_start"],
+                t["page_end"], t["n_rows"], t["n_cols"], t["mode"],
+                float(t["quality"]), list(t["headers"]),
+            )
+            for t in self._tables.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_id string, source_file string, page_start int, "
+            "page_end int, n_rows int, n_cols int, mode string, "
+            "quality double, headers array<string>",
+        )
+
+    def get_table(self, table_id: str) -> dict | None:
+        """Reconstruct a stored table by id (storage.rs:348-496
+        get_table): headers + exact cells + provenance."""
+        t = self._tables.get(table_id)
+        if t is None:
+            return None
+        return {
+            "table_id": t["table_id"],
+            "source_file": t["source_file"],
+            "page_start": t["page_start"],
+            "page_end": t["page_end"],
+            "headers": list(t["headers"]),
+            "rows": [list(r) for r in t["rows"]],
+            "n_rows": t["n_rows"],
+            "n_cols": t["n_cols"],
+            "mode": t["mode"],
+            "quality": t["quality"],
+        }
+
+    def export_table(self, table_id: str, fmt: str = "csv") -> str:
+        """Render a stored table: 'csv' (RFC 4180 escaping), 'json'
+        (records), or 'json_columns' (storage.rs:498-600)."""
+        from .sources.pdf_layout import export_csv, export_json
+
+        t = self.get_table(table_id)
+        if t is None:
+            raise KeyError(f"no stored table {table_id!r}")
+        if fmt == "csv":
+            return export_csv(t)
+        if fmt == "json":
+            return export_json(t, as_records=True)
+        if fmt == "json_columns":
+            return export_json(t, as_records=False)
+        raise ValueError(f"unknown export format {fmt!r}")
 
     def put_warc(
         self, payload: bytes, lang: str = "en", dedup: bool = True
@@ -1037,6 +1163,7 @@ class MemvidSpark:
             "tombstoned_at": {str(k): v for k, v in self._tombstoned_at.items()},
             "supersedes": {str(k): v for k, v in self._supersedes.items()},
             "replay": self._replay,
+            "tables": self._tables,
             "memory_id": self._memory_id,
             "trusted_pubkey": (
                 base64.b64encode(self._trusted_pubkey).decode()
@@ -1106,6 +1233,7 @@ class MemvidSpark:
             (int(s), q, int(k), [int(i) for i in ids])
             for s, q, k, ids in man["replay"]
         ]
+        mv._tables = man.get("tables", {})
         mv._memory_id = man["memory_id"]
         if man["trusted_pubkey"]:
             mv._trusted_pubkey = base64.b64decode(man["trusted_pubkey"])

@@ -7346,6 +7346,37 @@ def q173_pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pdf_table_cells(pdf_table_payloads(t.documents))
 
 
+@spec(
+    "q174_pdf_table_types",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id % 4 + 2)::bigint AS n
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT doc_id, 0::int AS table_index, c.col_index, c.header, c.dtype,
+           n AS n_rows
+    FROM sel,
+         (VALUES (0::int, 'item', 'str'), (1::int, 'qty', 'int'),
+                 (2::int, 'price', 'double')) AS c(col_index, header, dtype)
+    """,
+    "format-agnostic structural typing: PDF positional tables render "
+    "into the sheet-text shape and flow through the SAME multi-table "
+    "detector + strictest-type column vote the XLSX tier uses "
+    "(xlsx_table_detect.rs column typing over src/table/ extraction) — "
+    "the oracle pins header propagation and int/double/str votes over "
+    "every geometry-extracted table. Chunking and typing never "
+    "special-case the source format.",
+)
+def q174_pdf_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import (
+        pdf_sheet_texts,
+        pdf_table_payloads,
+        sheet_tables,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    return sheet_tables(pdf_sheet_texts(pdf_table_payloads(t.documents)))
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

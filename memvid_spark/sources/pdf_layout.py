@@ -895,3 +895,64 @@ def _assemble_pdf(contents: list[bytes], compress: bool = True) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Table rendering / export (src/table/types.rs:224-267, storage.rs:498-600)
+# ---------------------------------------------------------------------------
+
+
+def table_search_text(table: dict) -> str:
+    """Searchable text for a table frame: headers then every non-empty
+    cell, space-joined (types.rs:247-267 to_search_text)."""
+    parts = []
+    if table["headers"]:
+        parts.append(" ".join(table["headers"]))
+    for row in table["rows"]:
+        for cell in row:
+            if cell:
+                parts.append(cell)
+    return " ".join(parts)
+
+
+def _csv_field(field: str) -> str:
+    """RFC 4180 quoting (storage.rs:527-533 escape_csv_field)."""
+    if "," in field or '"' in field or "\n" in field:
+        return '"' + field.replace('"', '""') + '"'
+    return field
+
+
+def export_csv(table: dict) -> str:
+    """Header line then data rows, RFC 4180 escaped
+    (storage.rs:498-525 export_to_csv)."""
+    out = []
+    if table["headers"]:
+        out.append(",".join(_csv_field(h) for h in table["headers"]))
+    for row in table["rows"]:
+        out.append(",".join(_csv_field(c) for c in row))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def export_json(table: dict, as_records: bool = True) -> str:
+    """Records ([{header: value}]) or columns ({header: [values]})
+    orientation (storage.rs:543-600 export_to_json)."""
+    import json as _json
+
+    headers = table["headers"] or [
+        f"col{i}" for i in range(table["n_cols"])
+    ]
+    if as_records:
+        return _json.dumps(
+            [
+                {h: (row[i] if i < len(row) else "") for i, h in enumerate(headers)}
+                for row in table["rows"]
+            ],
+            indent=2,
+        )
+    return _json.dumps(
+        {
+            h: [row[i] if i < len(row) else "" for row in table["rows"]]
+            for i, h in enumerate(headers)
+        },
+        indent=2,
+    )

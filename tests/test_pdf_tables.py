@@ -300,3 +300,68 @@ def test_pdf_tables_route_into_sheet_tier(spark):
     assert "[Table: t0]" in chunks[0].chunk_text
     assert "item | qty | price" in chunks[0].chunk_text
     assert "item: it13_1 | qty: 14 | price: 14.5" in chunks[0].chunk_text
+
+
+# --- facade table storage (src/table/storage.rs) -------------------------
+
+
+def test_put_pdf_tables_store_search_get_export(spark, tmp_path):
+    """store_table semantics: meta frame + one searchable frame per data
+    row, list/get reconstruction, CSV/JSON export, and persistence
+    through save/open (storage.rs:44-600)."""
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    payload = pdf_from_table(
+        ["city", "population", "country"],
+        [["Oslo", "700000", "Norway"], ["Bergen", "280000", "Norway"],
+         ["Malmo", "350000", "Sweden"]],
+    )
+    tids = mv.put_pdf_tables(payload, "cities.pdf")
+    assert tids == ["tbl_cities_pdf_1"]
+
+    # summaries
+    s, = mv.list_tables().collect()
+    assert (s.table_id, s.source_file, s.n_rows, s.n_cols, s.mode) == (
+        "tbl_cities_pdf_1", "cities.pdf", 3, 3, "stream",
+    )
+    assert s.headers == ["city", "population", "country"]
+
+    # row frames are searchable documents
+    hit_ids = [r.doc_id for r in mv.search("bergen", top_k=5).collect()]
+    assert hit_ids
+    texts = {
+        r.doc_id: r.text
+        for r in mv.docs().collect()
+        if r.doc_id in hit_ids
+    }
+    assert any("280000" in t for t in texts.values())
+
+    # exact reconstruction
+    t = mv.get_table("tbl_cities_pdf_1")
+    assert t["rows"][0] == ["Oslo", "700000", "Norway"]
+
+    # exports
+    csv = mv.export_table("tbl_cities_pdf_1", "csv")
+    assert csv.splitlines()[0] == "city,population,country"
+    assert "Malmo,350000,Sweden" in csv
+    import json as _json
+
+    recs = _json.loads(mv.export_table("tbl_cities_pdf_1", "json"))
+    assert recs[1]["city"] == "Bergen"
+    cols = _json.loads(mv.export_table("tbl_cities_pdf_1", "json_columns"))
+    assert cols["population"] == ["700000", "280000", "350000"]
+
+    # persistence
+    path = str(tmp_path / "store")
+    mv.save(path)
+    back = MemvidSpark.open(spark, path)
+    assert back.get_table("tbl_cities_pdf_1") == t
+    assert back.export_table("tbl_cities_pdf_1", "csv") == csv
+
+    # read-only store rejects table mutation
+    ro = MemvidSpark.open(spark, path, read_only=True)
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        ro.put_pdf_tables(payload, "again.pdf")
