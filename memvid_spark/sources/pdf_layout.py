@@ -739,31 +739,66 @@ def pdf_extract_tables(
     min_rows: int = 2,
     min_cols: int = 2,
     merge: bool = True,
+    mode: str = "auto",
+    max_pages: int = 0,
+    min_quality: float = 0.0,
 ) -> list[dict]:
     """Extract structured tables from PDF bytes: lattice first, stream
     for pages without a lattice table, line-based fallback when neither
-    fires, then multi-page merge (pdf_extractor.rs:35-117). Returns
+    fires, then multi-page merge (pdf_extractor.rs:35-117). The
+    TableExtractionOptions surface (types.rs:270-390): ``mode`` is
+    'auto' | 'lattice' | 'stream' (LatticeOnly/StreamOnly),
+    ``max_pages`` truncates layout extraction (0 = all), and
+    ``min_quality`` drops tables scoring below it
+    (passes_quality_filter, pdf_extractor.rs:120-137). Returns
     ``[{page_start, page_end, mode, headers, rows, n_rows, n_cols,
     quality}]`` in page order."""
     layouts = pdf_layout(payload)
+    if max_pages > 0:
+        layouts = layouts[:max_pages]
     tables: list[dict] = []
     for lay in layouts:
-        found = _detect_lattice_tables(
-            lay, row_threshold, col_threshold, min_rows, min_cols
-        )
-        if not found:
+        found = []
+        if mode in ("auto", "lattice"):
+            found = _detect_lattice_tables(
+                lay, row_threshold, col_threshold, min_rows, min_cols
+            )
+        if not found and mode in ("auto", "stream"):
             found = _detect_stream_tables(
                 lay, row_threshold, col_threshold, min_rows, min_cols
             )
         tables.extend(found)
-    if not tables:
+    if not tables and mode != "lattice":
         from .binary import pdf_extract_text
 
         tables = _line_based_tables(pdf_extract_text(payload), min_rows)
     if merge:
         tables = merge_multi_page_tables(tables)
+    tables = [t for t in tables if t["quality"] >= min_quality]
     tables.sort(key=lambda t: (t["page_start"], t["page_end"]))
     return tables
+
+
+def find_continuation_candidates(
+    tables: list[dict], similarity_threshold: float = 0.8
+) -> list[tuple[int, int, float]]:
+    """Non-destructive continuation report (multi_page.rs:267-286):
+    (i, j, header_similarity) for table pairs on consecutive pages with
+    equal column counts, sorted by similarity descending."""
+    out = []
+    for i, a in enumerate(tables):
+        for j in range(i + 1, len(tables)):
+            b = tables[j]
+            if (
+                b["page_start"] - a["page_end"] == 1
+                and a["n_cols"] == b["n_cols"]
+            ):
+                sim = _header_similarity(a["headers"], b["headers"])
+                if sim >= similarity_threshold * 0.8 or (
+                    not a["headers"] and not b["headers"]
+                ):
+                    out.append((i, j, sim))
+    return sorted(out, key=lambda t: -t[2])
 
 
 def tables_as_sheet_text(tables: list[dict]) -> str:

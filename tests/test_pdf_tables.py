@@ -365,3 +365,29 @@ def test_put_pdf_tables_store_search_get_export(spark, tmp_path):
 
     with _pytest.raises(PermissionError):
         ro.put_pdf_tables(payload, "again.pdf")
+
+
+def test_extraction_options_surface():
+    """TableExtractionOptions parity (types.rs:270-390): mode routing,
+    max_pages truncation, min_quality filtering, find_continuation
+    report."""
+    from memvid_spark.sources.pdf_layout import find_continuation_candidates
+
+    ruled = pdf_from_table(HDR, _rows(4), ruled=True)
+    # lattice-only on a ruled table finds it; stream-only also works
+    # (the text alignment is there regardless of ruling)
+    assert pdf_extract_tables(ruled, mode="lattice")[0]["mode"] == "lattice"
+    assert pdf_extract_tables(ruled, mode="stream")[0]["mode"] == "stream"
+    # lattice-only on an unruled table finds nothing (no line fallback)
+    assert pdf_extract_tables(pdf_from_table(HDR, _rows(4)), mode="lattice") == []
+    # max_pages truncates: 5 rows at 3/page = 2 pages; page 1 alone has 3
+    two_page = pdf_from_table(HDR, _rows(5), rows_per_page=3)
+    t, = pdf_extract_tables(two_page, max_pages=1)
+    assert (t["page_end"], t["n_rows"]) == (1, 3)
+    # min_quality above lattice's 0.9 drops everything
+    assert pdf_extract_tables(ruled, min_quality=0.95) == []
+    # continuation candidates without merging
+    parts = pdf_extract_tables(two_page, merge=False)
+    assert len(parts) == 2
+    cands = find_continuation_candidates(parts)
+    assert cands and cands[0][:2] == (0, 1) and cands[0][2] == 1.0
