@@ -122,6 +122,19 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
             os.symlink(f"{sf_dir}/{name}.parquet", dst)
 
 
+def _timed_probe(extras, key, fn, spark, data_dir) -> None:
+    """Probe runs must never cost the bench its one JSON output line: a
+    failure (OOM on an undersized heap, a flaky executor) records -1.0
+    for that probe entry and the bench carries on."""
+    t0 = time.perf_counter()
+    try:
+        fn(spark, data_dir).write.mode("overwrite").format("noop").save()
+        extras[key] = round(time.perf_counter() - t0, 3)
+    except Exception:
+        extras[key] = -1.0
+    _release_checkpoints(spark)
+
+
 def _release_checkpoints(spark) -> None:
     """Unpersist every pinned RDD (localCheckpoint blocks) between
     queries: checkpoint storage is NOT LRU-evictable, so 40+ queries of
@@ -261,35 +274,40 @@ def main() -> None:
     _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
     extras["probe10x_factor"] = 10.0
     for name in probe_queries:
-        t0 = time.perf_counter()
-        qs[name](spark, probe_dir).write.mode("overwrite").format("noop").save()
-        extras[f"probe10x:{name}"] = round(time.perf_counter() - t0, 3)
-        _release_checkpoints(spark)
+        _timed_probe(extras, f"probe10x:{name}", qs[name], spark, probe_dir)
 
     # ---- 100x scale probe (one decade further than probe10x) -----------
     # The 5 heaviest linear-claimed queries against a 100x doc blowup:
     # sub-100x growth with no OOM is the evidence the 10x linearity
-    # extrapolates another decade. Disable with SPARK_GRAFT_PROBE100X=0.
+    # extrapolates another decade (measured full set: q22 58x, q145
+    # 46x, q66 81x, q161 87x, q158 55x — SWEEP_r05). The section is
+    # TIME-BUDGETED so a slow VM can't starve the rest of the bench of
+    # its one JSON output line: queries run most-diagnostic-first and
+    # stop once the budget is spent (blowup generation counts; it is
+    # disk-cached after the first run). SPARK_GRAFT_PROBE100X=0
+    # disables; SPARK_GRAFT_PROBE100X_BUDGET tunes (seconds).
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
+        budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "900"))
         probe100_queries = [
             "q22_minhash_lsh",
-            "q145_passage_dedup",
-            "q66_semantic_rerank",
             "q161_quality_classifier",
+            "q145_passage_dedup",
             "q158_lm_perplexity",
+            "q66_semantic_rerank",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
         )
+        section0 = time.perf_counter()
         _ensure_blowup(spark, sf_dir, probe100_dir, factor=100)
         extras["probe100x_factor"] = 100.0
         for name in probe100_queries:
-            t0 = time.perf_counter()
-            qs[name](spark, probe100_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            extras[f"probe100x:{name}"] = round(time.perf_counter() - t0, 3)
-            _release_checkpoints(spark)
+            if time.perf_counter() - section0 > budget:
+                extras["probe100x_budget_hit"] = 1.0
+                break
+            _timed_probe(
+                extras, f"probe100x:{name}", qs[name], spark, probe100_dir
+            )
 
     print(
         json.dumps(

@@ -84,7 +84,15 @@ def get_spark(app_name: str = "memvid-spark") -> SparkSession:
             str(int(shuffle) * 8 if shuffle.isdigit() else 256),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor fleet — size its
+        # heap for the machine, not for a thin coordinator (an 8g heap
+        # on this 128 GiB box OOMed the 100x probe inside a long bench
+        # session; 48g leaves ample room for 32 Python workers + Arrow
+        # buffers outside the JVM)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
