@@ -25,15 +25,16 @@ Multi-page continuation (src/table/multi_page.rs:23-251): tables on
 consecutive pages with the same column count and ≥0.8 header
 similarity merge into one logical table, the repeated header dropped.
 
-Simplifications vs the reference's pdfium tier, documented here once:
-
-- Glyph metrics: width is estimated as ``0.5 em × n_chars`` (average
-  Helvetica advance). Column *lefts* come from positioning operators
-  and are exact; only right edges are approximate, and the
-  consistency filter tolerates that.
-- The CTM (``cm``) is assumed identity and text matrices unrotated —
-  the overwhelmingly common case for generated documents; a rotated
-  table would need the full 6-term composition.
+The matrix state is evaluated in full (ISO 32000-1 §8.3.4, §9.4.2):
+the CTM composes through ``cm`` with ``q``/``Q`` save-restore, ``Td``
+pre-composes a translation onto the text LINE matrix, show operators
+advance the TEXT matrix, and box origins/extents are the device-space
+images of the composed transform — so scaled and rotated text lands
+where it actually renders. The one simplification vs the reference's
+pdfium tier: glyph metrics. Width is estimated as ``0.5 em ×
+n_chars`` (average Helvetica advance); column *lefts* come from
+positioning operators and are exact, only right edges are
+approximate, and the boundary detector is built to tolerate that.
 
 All functions are bytes→rows kernels with no Spark state: they run
 inside Arrow-batched ``mapInPandas`` (sources/readers.py), one
@@ -223,23 +224,57 @@ def _text_width(text: str, size: float) -> float:
     return _WIDTH_EM * size * len(text)
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """PDF matrix composition (row-vector convention, ISO 32000-1
+    §8.3.4): applying m1 then m2 — [x y 1]·m1·m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _translate(tx: float, ty: float):
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+def _apply(m, x: float, y: float) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
 def _content_stream_boxes(
     data: bytes,
     fonts: dict[bytes, ToUnicodeCMap] | None,
     page: int,
 ) -> tuple[list[TextBox], list[LineSegment]]:
     """One pass over a decoded content stream: evaluate text operators
-    with their matrix state into TextBoxes, and path construction
-    operators into LineSegments. Font decode matches the flowed tier
-    (latin-1 simple fonts, /ToUnicode CMaps after Tf)."""
+    with FULL matrix state — the CTM (``cm`` composition, ``q``/``Q``
+    save-restore) and the text/line matrices (``Tm``/``Td``/``TD``/
+    ``T*`` per ISO 32000-1 §9.4.2: Td pre-composes a translation onto
+    the LINE matrix; show ops advance the TEXT matrix) — into
+    TextBoxes, and path construction operators (CTM-transformed) into
+    LineSegments. Rotated/scaled text therefore lands at its true
+    device-space origin; box width/height are the device-space lengths
+    of the advance and size vectors. Font decode matches the flowed
+    tier (latin-1 simple fonts, /ToUnicode CMaps after Tf)."""
     fonts = fonts or {}
     boxes: list[TextBox] = []
     segs: list[LineSegment] = []
 
     size = 12.0
     leading = 0.0
-    line_x = line_y = 0.0  # text-line origin (Tm e,f + Td offsets)
-    cursor = 0.0  # x within the current line
+    ctm = _IDENTITY
+    gs_stack: list[tuple] = []  # q/Q: (ctm, size, leading, cmap)
+    tm = tlm = _IDENTITY  # text matrix / line matrix
     cmap: ToUnicodeCMap | None = None
     last_name = b""
     nums: list[float] = []
@@ -248,16 +283,21 @@ def _content_stream_boxes(
     path_x = path_y = start_x = start_y = 0.0
 
     def emit(raw: bytes) -> None:
-        nonlocal cursor
+        nonlocal tm
         text = cmap.decode(raw) if cmap is not None else raw.decode("latin-1")
-        w = _text_width(text, size)
+        w = _text_width(text, size)  # advance in text space
         if text.strip():
-            boxes.append(
-                TextBox(text, cursor, line_y, w, size, size, page)
-            )
-        cursor += w
+            m = _mat_mul(tm, ctm)
+            ox, oy = m[4], m[5]  # device-space baseline origin
+            # device-space lengths of the advance (along the baseline)
+            # and the font-size vector (perpendicular)
+            dw = w * (m[0] ** 2 + m[1] ** 2) ** 0.5
+            dh = size * (m[2] ** 2 + m[3] ** 2) ** 0.5
+            boxes.append(TextBox(text, ox, oy, dw, dh, size, page))
+        tm = _mat_mul(_translate(w, 0.0), tm)
 
     def seg(x1: float, y1: float, x2: float, y2: float) -> None:
+        (x1, y1), (x2, y2) = _apply(ctm, x1, y1), _apply(ctm, x2, y2)
         s = LineSegment(x1, y1, x2, y2, page)
         if s.length() > _MIN_LINE_LENGTH:
             segs.append(s)
@@ -327,32 +367,37 @@ def _content_stream_boxes(
             elif op == b"TL":
                 if nums:
                     leading = nums[-1]
+            elif op == b"cm":
+                if len(nums) >= 6:
+                    ctm = _mat_mul(tuple(nums[-6:]), ctm)
+            elif op == b"q":
+                gs_stack.append((ctm, size, leading, cmap))
+            elif op == b"Q":
+                if gs_stack:
+                    ctm, size, leading, cmap = gs_stack.pop()
             elif op == b"Tm":
                 if len(nums) >= 6:
-                    line_x, line_y = nums[-2], nums[-1]
-                    cursor = line_x
+                    tm = tlm = tuple(nums[-6:])
             elif op == b"Td":
                 if len(nums) >= 2:
-                    line_x += nums[-2]
-                    line_y += nums[-1]
-                    cursor = line_x
+                    tm = tlm = _mat_mul(
+                        _translate(nums[-2], nums[-1]), tlm
+                    )
             elif op == b"TD":
                 if len(nums) >= 2:
-                    line_x += nums[-2]
-                    line_y += nums[-1]
                     leading = -nums[-1]
-                    cursor = line_x
+                    tm = tlm = _mat_mul(
+                        _translate(nums[-2], nums[-1]), tlm
+                    )
             elif op == b"T*":
-                line_y -= leading
-                cursor = line_x
+                tm = tlm = _mat_mul(_translate(0.0, -leading), tlm)
             elif op == b"BT":
-                line_x = line_y = cursor = 0.0
+                tm = tlm = _IDENTITY
             elif op == b"Tj":
                 for s_ in strings:
                     emit(s_)
             elif op in (b"'", b'"'):
-                line_y -= leading
-                cursor = line_x
+                tm = tlm = _mat_mul(_translate(0.0, -leading), tlm)
                 for s_ in strings:
                     emit(s_)
             elif op == b"TJ":
@@ -360,7 +405,9 @@ def _content_stream_boxes(
                     if isinstance(el, bytes):
                         emit(el)
                     else:  # kerning adjustment, thousandths of an em
-                        cursor -= float(el) / 1000.0 * size
+                        tm = _mat_mul(
+                            _translate(-float(el) / 1000.0 * size, 0.0), tm
+                        )
                 array = None
             elif op == b"m":
                 if len(nums) >= 2:

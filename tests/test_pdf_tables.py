@@ -391,3 +391,44 @@ def test_extraction_options_surface():
     assert len(parts) == 2
     cands = find_continuation_candidates(parts)
     assert cands and cands[0][:2] == (0, 1) and cands[0][2] == 1.0
+
+
+def test_matrix_composition_scaling_and_rotation():
+    """Full §9.4.2 matrix state: a cm scale transforms text origins and
+    advances; 90°-rotated Tm places the baseline origin correctly; q/Q
+    restores the CTM."""
+    content = (
+        b"q 2 0 0 2 10 20 cm "           # CTM: scale 2x, translate (10,20)
+        b"BT /F1 10 Tf 1 0 0 1 50 100 Tm (ab) Tj ET "
+        b"Q "                             # restore identity
+        b"BT /F1 10 Tf 0 1 -1 0 300 400 Tm (cd) Tj ET"  # rotate 90deg
+    )
+    pdf = _envelope([content])
+    (lay,) = pdf_layout(pdf)
+    by_text = {b.text: b for b in lay["boxes"]}
+    # scaled: origin (50,100) -> (2*50+10, 2*100+20) = (110, 220);
+    # advance w=0.5*10*2=10 text units -> 20 device units; height 20
+    ab = by_text["ab"]
+    assert (ab.x, ab.y) == pytest.approx((110.0, 220.0))
+    assert ab.width == pytest.approx(20.0)
+    assert ab.height == pytest.approx(20.0)
+    # rotated: origin at (300, 400), advance points along +y
+    cd = by_text["cd"]
+    assert (cd.x, cd.y) == pytest.approx((300.0, 400.0))
+    assert cd.width == pytest.approx(10.0)  # device length of advance
+
+
+def test_cm_scaled_table_still_detected():
+    """A whole table emitted under a uniform cm scale (the common
+    'work in 1/100ths then scale' generator pattern) must still
+    detect — geometry is evaluated in device space."""
+    inner = pdf_from_table(HDR, _rows(3))
+    # rebuild the content with a wrapping scale: extract the page
+    # stream, wrap in q .5 0 0 .5 36 360 cm ... Q
+    from memvid_spark.sources.pdf_layout import _page_streams
+
+    (stream,) = _page_streams(inner)
+    wrapped = b"q .5 0 0 .5 36 360 cm\n" + stream + b"\nQ"
+    t, = pdf_extract_tables(_envelope([wrapped]))
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(3)
