@@ -272,8 +272,11 @@ def _content_stream_boxes(
 
     size = 12.0
     leading = 0.0
+    char_sp = 0.0  # Tc
+    word_sp = 0.0  # Tw
+    hscale = 1.0  # Tz / 100
     ctm = _IDENTITY
-    gs_stack: list[tuple] = []  # q/Q: (ctm, size, leading, cmap)
+    gs_stack: list[tuple] = []  # q/Q: full graphics+text state
     tm = tlm = _IDENTITY  # text matrix / line matrix
     cmap: ToUnicodeCMap | None = None
     last_name = b""
@@ -285,7 +288,13 @@ def _content_stream_boxes(
     def emit(raw: bytes) -> None:
         nonlocal tm
         text = cmap.decode(raw) if cmap is not None else raw.decode("latin-1")
-        w = _text_width(text, size)  # advance in text space
+        # advance in text space (§9.4.4): glyph widths + char spacing
+        # per glyph + word spacing per ASCII space, all × Tz
+        w = (
+            _text_width(text, size)
+            + char_sp * len(text)
+            + word_sp * text.count(" ")
+        ) * hscale
         if text.strip():
             m = _mat_mul(tm, ctm)
             ox, oy = m[4], m[5]  # device-space baseline origin
@@ -367,14 +376,26 @@ def _content_stream_boxes(
             elif op == b"TL":
                 if nums:
                     leading = nums[-1]
+            elif op == b"Tc":
+                if nums:
+                    char_sp = nums[-1]
+            elif op == b"Tw":
+                if nums:
+                    word_sp = nums[-1]
+            elif op == b"Tz":
+                if nums:
+                    hscale = nums[-1] / 100.0
             elif op == b"cm":
                 if len(nums) >= 6:
                     ctm = _mat_mul(tuple(nums[-6:]), ctm)
             elif op == b"q":
-                gs_stack.append((ctm, size, leading, cmap))
+                gs_stack.append(
+                    (ctm, size, leading, cmap, char_sp, word_sp, hscale)
+                )
             elif op == b"Q":
                 if gs_stack:
-                    ctm, size, leading, cmap = gs_stack.pop()
+                    (ctm, size, leading, cmap, char_sp, word_sp,
+                     hscale) = gs_stack.pop()
             elif op == b"Tm":
                 if len(nums) >= 6:
                     tm = tlm = tuple(nums[-6:])
@@ -397,6 +418,9 @@ def _content_stream_boxes(
                 for s_ in strings:
                     emit(s_)
             elif op in (b"'", b'"'):
+                if op == b'"' and len(nums) >= 2:
+                    # aw ac string " — sets word then char spacing
+                    word_sp, char_sp = nums[-2], nums[-1]
                 tm = tlm = _mat_mul(_translate(0.0, -leading), tlm)
                 for s_ in strings:
                     emit(s_)
@@ -406,7 +430,10 @@ def _content_stream_boxes(
                         emit(el)
                     else:  # kerning adjustment, thousandths of an em
                         tm = _mat_mul(
-                            _translate(-float(el) / 1000.0 * size, 0.0), tm
+                            _translate(
+                                -float(el) / 1000.0 * size * hscale, 0.0
+                            ),
+                            tm,
                         )
                 array = None
             elif op == b"m":

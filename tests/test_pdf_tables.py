@@ -432,3 +432,71 @@ def test_cm_scaled_table_still_detected():
     t, = pdf_extract_tables(_envelope([wrapped]))
     assert t["headers"] == HDR
     assert t["rows"] == _rows(3)
+
+
+# --- property fuzz: random tables round-trip -----------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# printable latin-1, no control chars; cells non-blank after strip.
+# Length ≤ 16 keeps estimated widths (0.5em × 12pt × 16 = 96pt) inside
+# the 140pt column pitch, mirroring real tables where text fits its
+# column.
+_cell = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x21, max_codepoint=0xFF,
+        blacklist_characters="\x7f\x80\x81\x82\x83\x84\x85\x86\x87\x88"
+        "\x89\x8a\x8b\x8c\x8d\x8e\x8f\x90\x91\x92\x93\x94\x95\x96\x97"
+        "\x98\x99\x9a\x9b\x9c\x9d\x9e\x9f\xad"
+        # NBSP is Unicode whitespace: an NBSP-only cell trims to empty
+        # on extraction (same as the reference's Rust str::trim), so it
+        # can't be a planted cell value
+        "\xa0",
+    ),
+    min_size=1, max_size=16,
+).filter(lambda s: s.strip())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cols=st.integers(2, 4),
+    n_rows=st.integers(2, 7),
+    ruled=st.booleans(),
+    per_page=st.sampled_from([0, 3]),
+    data=st.data(),
+)
+def test_fuzz_table_round_trip(n_cols, n_rows, ruled, per_page, data):
+    """Any table of printable-latin-1 cells that fit their columns must
+    survive write→extract exactly: same headers, same cells, same
+    order — across both detectors and page splits."""
+    headers = [data.draw(_cell) for _ in range(n_cols)]
+    rows = [
+        [data.draw(_cell) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    col_x = tuple(72.0 + 140.0 * i for i in range(n_cols))
+    payload = pdf_from_table(
+        headers, rows, col_x=col_x,
+        rows_per_page=(per_page or None), ruled=ruled,
+    )
+    tables = pdf_extract_tables(payload)
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["headers"] == headers
+    assert t["rows"] == rows
+
+
+def test_text_state_spacing_params():
+    """Tc/Tw/Tz advances (§9.4.4): char spacing adds per glyph, word
+    spacing per ASCII space, Tz scales horizontally — and q/Q restores
+    them."""
+    content = (
+        b"BT /F1 10 Tf "
+        b"2 Tc 3 Tw 200 Tz "
+        b"1 0 0 1 100 500 Tm (a b) Tj (X) Tj ET"
+    )
+    pdf = _envelope([content])
+    (lay,) = pdf_layout(pdf)
+    a, x = sorted(lay["boxes"], key=lambda b: b.x)
+    assert a.text == "a b" and x.text == "X"
+    # advance of "a b": (0.5*10*3 + 2*3 + 3*1) * 2.0 = (15+6+3)*2 = 48
+    assert x.x == pytest.approx(100.0 + 48.0)
