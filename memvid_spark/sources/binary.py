@@ -367,14 +367,25 @@ def _pdf_font_cmaps(payload: bytes) -> dict[bytes, ToUnicodeCMap]:
 
 
 def pdf_extract_text(payload: bytes) -> str:
-    """Extract text from a real PDF byte stream: every ``<<dict>> stream``
-    object is located, Flate-decoded when marked, and — if it looks like a
-    content stream (has a ``BT`` text block) — run through the text-op
-    evaluator. Simple-encoding fonts decode as latin-1; fonts carrying a
-    ``/ToUnicode`` CMap (subsetted/Identity-H) decode through it. Pages
-    concatenate in file order."""
+    """Extract text from a real PDF byte stream in READING order: the
+    page tree resolves /Kids-order content streams first (then leftover
+    BT-carrying streams such as Form XObjects, so nothing is lost), and
+    each decoded stream runs through the text-op evaluator.
+    Simple-encoding fonts decode as latin-1; fonts carrying a
+    ``/ToUnicode`` CMap (subsetted/Identity-H) decode through it. PDFs
+    without a parseable page tree fall back to the raw file-order
+    stream scan."""
     fonts = _pdf_font_cmaps(payload)
-    out: list[str] = []
+    from .pdf_layout import ordered_text_streams
+
+    streams = ordered_text_streams(payload)
+    if streams is not None:
+        out: list[str] = []
+        for data in streams:
+            if b"BT" in data:
+                out.extend(_content_stream_text(data, fonts))
+        return "\n".join(out)
+    out = []
     for m in _STREAM_RE.finditer(payload):
         d = m.group(1)
         start = m.end()

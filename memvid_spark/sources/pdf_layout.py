@@ -462,6 +462,69 @@ def _content_stream_boxes(
     return boxes, segs
 
 
+def ordered_text_streams(payload: bytes) -> list[bytes] | None:
+    """Decoded content streams in READING order: the page tree's
+    /Kids-order streams first, then any other BT-carrying streams
+    (Form XObjects and the like, drawn via ``Do``) in object order so
+    no text is lost. Returns None when the PDF has no parseable page
+    tree — callers fall back to raw file-order scanning."""
+    objs: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
+    }
+    objs.update(_expand_object_streams(objs))
+
+    page_nodes: list[int] = []
+
+    def walk(num: int, seen: set[int]) -> None:
+        if num in seen:
+            return
+        seen.add(num)
+        body = objs.get(num, b"")
+        if re.search(rb"/Type\s*/Pages\b", body):
+            km = _KIDS_RE.search(body)
+            if km:
+                for rm in _REF_RE.finditer(km.group(1)):
+                    walk(int(rm.group(1)), seen)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            page_nodes.append(num)
+
+    kid_nums = {
+        int(rm.group(1))
+        for body in objs.values()
+        for km in _KIDS_RE.finditer(body)
+        for rm in _REF_RE.finditer(km.group(1))
+    }
+    seen: set[int] = set()
+    for num, body in sorted(objs.items()):
+        if re.search(rb"/Type\s*/Pages\b", body) and num not in kid_nums:
+            walk(num, seen)
+    if not page_nodes:
+        return None
+
+    used: set[int] = set()
+    out: list[bytes] = []
+    for num in page_nodes:
+        body = objs[num]
+        refs: list[int] = []
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if cm:
+            refs = [int(cm.group(1))]
+        else:
+            ca = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+            if ca:
+                refs = [int(rm.group(1)) for rm in _REF_RE.finditer(ca.group(1))]
+        for r in refs:
+            used.add(r)
+            out.append(_decode_content(objs, r))
+    for num in sorted(objs):
+        if num in used:
+            continue
+        data = _object_stream_bytes(objs[num])
+        if data and b"BT" in data:
+            out.append(data)
+    return out
+
+
 def pdf_layout(payload: bytes) -> list[dict]:
     """Per-page layout: ``[{page, boxes, lines}]`` — the PageLayout
     analogue (src/table/layout.rs:111-122)."""

@@ -500,3 +500,42 @@ def test_text_state_spacing_params():
     assert a.text == "a b" and x.text == "X"
     # advance of "a b": (0.5*10*3 + 2*3 + 3*1) * 2.0 = (15+6+3)*2 = 48
     assert x.x == pytest.approx(100.0 + 48.0)
+
+
+def test_flowed_text_follows_page_tree_order():
+    """Content objects stored in REVERSE file order still extract in
+    /Kids reading order (the raw file-order scan would reverse them);
+    an unreferenced BT stream (a Form XObject) is appended, not lost."""
+    from memvid_spark.sources.binary import pdf_extract_text
+
+    page1 = b"BT /F1 12 Tf 72 700 Td (first page) Tj ET"
+    page2 = b"BT /F1 12 Tf 72 700 Td (second page) Tj ET"
+    xobj = b"BT /F1 12 Tf 72 650 Td (form text) Tj ET"
+    # hand assembly: content objects in REVERSED file order vs Kids
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 7 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 7 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page2), page2),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page1), page1),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n%s\nendstream"
+        % (len(xobj), xobj),
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref_at,
+    )
+    text = pdf_extract_text(bytes(buf))
+    assert text.splitlines() == ["first page", "second page", "form text"]
