@@ -302,6 +302,46 @@ class MemvidSpark:
             "quality": t["quality"],
         }
 
+    def search_tables(self, query: str, top_k: int = 10) -> DataFrame:
+        """Search stored-table content: lexical hits on table row
+        frames resolve back to (table_id, row_index, header: value
+        cells) — the reference's tables-are-searchable-frames contract
+        (storage.rs row frames carry the cell text as search_text).
+        Scores come from the standard search stack; the frame→table
+        mapping is session-registry metadata (small), joined on the
+        driver's bounded hit list."""
+        frame_map = {
+            fid: (t["table_id"], ri)
+            for t in self._tables.values()
+            for ri, fid in enumerate(t["row_frame_ids"])
+        }
+        hits = self.search(query, top_k=max(top_k * 4, top_k)).collect()
+        rows = []
+        for h in hits:
+            loc = frame_map.get(h[self.id_col])
+            if loc is None:
+                continue
+            tid, ri = loc
+            t = self._tables[tid]
+            cells = t["rows"][ri]
+            rendered = " | ".join(
+                f"{hd}: {c}" if hd else c
+                for hd, c in zip(
+                    t["headers"] or [""] * len(cells), cells
+                )
+                if c
+            )
+            rows.append(
+                (tid, ri, int(h[self.id_col]), float(h["score"]), rendered)
+            )
+            if len(rows) >= top_k:
+                break
+        return self.spark.createDataFrame(
+            rows,
+            "table_id string, row_index int, frame_id long, "
+            "score double, row_text string",
+        )
+
     def export_table(self, table_id: str, fmt: str = "csv") -> str:
         """Render a stored table: 'csv' (RFC 4180 escaping), 'json'
         (records), or 'json_columns' (storage.rs:498-600)."""

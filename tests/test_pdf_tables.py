@@ -539,3 +539,22 @@ def test_flowed_text_follows_page_tree_order():
     )
     text = pdf_extract_text(bytes(buf))
     assert text.splitlines() == ["first page", "second page", "form text"]
+
+
+def test_search_tables_resolves_row_hits(spark):
+    """Lexical hits on stored table-row frames map back to
+    (table_id, row_index) with rendered header:value text."""
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    mv.put("an unrelated document about bergen weather")
+    payload = pdf_from_table(
+        ["city", "population"],
+        [["Oslo", "700000"], ["Bergen", "280000"]],
+    )
+    mv.put_pdf_tables(payload, "cities.pdf")
+    out = mv.search_tables("bergen", top_k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.table_id, r.row_index) == ("tbl_cities_pdf_1", 1)
+    assert r.row_text == "city: Bergen | population: 280000"
