@@ -68,7 +68,10 @@ _MIN_GRID_CELLS = 4
 
 @dataclass
 class TextBox:
-    """A positioned text run (src/table/layout.rs:10-25)."""
+    """A positioned text run (src/table/layout.rs:10-25). ``vdir``
+    records the baseline direction: 0 = horizontal, +1 = advance along
+    +y (page rotated 90° CCW), −1 = along −y (90° CW) — what the
+    landscape-detection pass keys on."""
 
     text: str
     x: float
@@ -77,6 +80,7 @@ class TextBox:
     height: float
     font_size: float
     page: int
+    vdir: int = 0
 
     @property
     def right(self) -> float:
@@ -302,7 +306,14 @@ def _content_stream_boxes(
             # and the font-size vector (perpendicular)
             dw = w * (m[0] ** 2 + m[1] ** 2) ** 0.5
             dh = size * (m[2] ** 2 + m[3] ** 2) ** 0.5
-            boxes.append(TextBox(text, ox, oy, dw, dh, size, page))
+            vdir = (
+                0
+                if abs(m[0]) >= abs(m[1])
+                else (1 if m[1] > 0 else -1)
+            )
+            boxes.append(
+                TextBox(text, ox, oy, dw, dh, size, page, vdir)
+            )
         tm = _mat_mul(_translate(w, 0.0), tm)
 
     def seg(x1: float, y1: float, x2: float, y2: float) -> None:
@@ -864,6 +875,45 @@ def merge_multi_page_tables(
     return merged
 
 
+def _unrotate_layout(lay: dict, ccw: bool) -> dict:
+    """Undo a landscape rotation so rows again vary in y and columns
+    in x: for content drawn 90° CCW (``0 1 -1 0 cm``; baselines along
+    +y) map (x, y) → (y, −x); for 90° CW map (x, y) → (−y, x). Box
+    width is the baseline-advance LENGTH, which after un-rotation runs
+    along the new x axis, so it carries over unchanged."""
+
+    def pt(x: float, y: float) -> tuple[float, float]:
+        return (y, -x) if ccw else (-y, x)
+
+    boxes = []
+    for b in lay["boxes"]:
+        x, y = pt(b.x, b.y)
+        boxes.append(
+            TextBox(b.text, x, y, b.width, b.height, b.font_size, b.page)
+        )
+    lines = []
+    for s in lay["lines"]:
+        (x1, y1), (x2, y2) = pt(s.x1, s.y1), pt(s.x2, s.y2)
+        lines.append(LineSegment(x1, y1, x2, y2, s.page))
+    return {"page": lay["page"], "boxes": boxes, "lines": lines}
+
+
+def _normalize_orientation(lay: dict) -> dict:
+    """When the majority of a page's text advances vertically, the
+    page is landscape-rotated: un-rotate the layout (direction chosen
+    by the dominant baseline sign) so the detectors see portrait
+    geometry instead of finding a transposed table."""
+    boxes = lay["boxes"]
+    if not boxes:
+        return lay
+    up = sum(1 for b in boxes if b.vdir == 1)
+    down = sum(1 for b in boxes if b.vdir == -1)
+    horiz = len(boxes) - up - down
+    if up + down <= horiz:
+        return lay
+    return _unrotate_layout(lay, ccw=up >= down)
+
+
 # ---------------------------------------------------------------------------
 # Orchestrator
 # ---------------------------------------------------------------------------
@@ -895,6 +945,7 @@ def pdf_extract_tables(
         layouts = layouts[:max_pages]
     tables: list[dict] = []
     for lay in layouts:
+        lay = _normalize_orientation(lay)
         found = []
         if mode in ("auto", "lattice"):
             found = _detect_lattice_tables(

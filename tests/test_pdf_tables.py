@@ -558,3 +558,31 @@ def test_search_tables_resolves_row_hits(spark):
     r = out[0]
     assert (r.table_id, r.row_index) == ("tbl_cities_pdf_1", 1)
     assert r.row_text == "city: Bergen | population: 280000"
+
+
+@pytest.mark.parametrize("ruled", [False, True])
+def test_landscape_rotated_table_detected(ruled):
+    """A table drawn under the standard landscape rotation
+    (0 1 -1 0 cm, 90° CCW) detects via the axis-swap retry — both
+    detectors, exact cells."""
+    from memvid_spark.sources.pdf_layout import _page_streams
+
+    inner = pdf_from_table(HDR, _rows(3), ruled=ruled)
+    (stream,) = _page_streams(inner)
+    wrapped = b"q 0 1 -1 0 612 0 cm\n" + stream + b"\nQ"
+    t, = pdf_extract_tables(_envelope([wrapped]))
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(3)
+
+
+def test_clockwise_rotated_table_detected():
+    """The opposite rotation direction (90° CW, baselines along −y)
+    un-rotates with the mirrored transform."""
+    from memvid_spark.sources.pdf_layout import _page_streams
+
+    inner = pdf_from_table(HDR, _rows(3), ruled=True)
+    (stream,) = _page_streams(inner)
+    wrapped = b"q 0 -1 1 0 0 792 cm\n" + stream + b"\nQ"
+    t, = pdf_extract_tables(_envelope([wrapped]))
+    assert t["headers"] == HDR
+    assert t["rows"] == _rows(3)
