@@ -103,6 +103,31 @@ def _parse_pdf_string(data: bytes, i: int) -> tuple[bytes, int]:
 _DELIMS = b" \t\r\n()<>[]/%"
 
 
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Advance past an inline image whose ``BI`` just tokenized at
+    ``pos``: find the ``ID`` operator, then the first
+    whitespace-delimited ``EI`` after the raw sample data (ISO 32000-1
+    §8.9.7) — image bytes would otherwise tokenize as garbage text
+    operators. Returns the index after ``EI`` (end of stream when
+    unterminated: fail closed, never tokenize image bytes)."""
+    idm = re.compile(rb"\bID[ \r\n]").search(data, pos)
+    if idm is None:
+        return len(data)
+    j = idm.end()
+    while True:
+        k = data.find(b"EI", j)
+        if k == -1:
+            return len(data)
+        before_ok = k == 0 or data[k - 1 : k] in (b" ", b"\t", b"\r", b"\n")
+        after = data[k + 2 : k + 3]
+        after_ok = after == b"" or after in (
+            b" ", b"\t", b"\r", b"\n", b"/", b"[", b"]", b"(", b"<", b"%",
+        )
+        if before_ok and after_ok:
+            return k + 2
+        j = k + 2
+
+
 class ToUnicodeCMap:
     """Parsed /ToUnicode CMap: code → Unicode string, with source code
     byte-widths from the codespace ranges (1-byte simple fonts, 2-byte
@@ -248,6 +273,10 @@ def _content_stream_text(
             ):
                 j += 1
             op = data[i:j]
+            if op == b"BI":
+                i = _skip_inline_image(data, j)
+                pend = []
+                continue
             if op == b"Tf":
                 cmap = fonts.get(last_name)
             elif op == b"Tj" or op == b"TJ":

@@ -55,6 +55,7 @@ from .binary import (
     _parse_pdf_string,
     _pdf_escape,
     _pdf_font_cmaps,
+    _skip_inline_image,
     ToUnicodeCMap,
 )
 
@@ -228,6 +229,8 @@ def _text_width(text: str, size: float) -> float:
     return _WIDTH_EM * size * len(text)
 
 
+
+
 _IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
@@ -380,6 +383,14 @@ def _content_stream_boxes(
             op = data[i:j] or c
             if not data[i:j]:
                 j = i + 1
+            if op == b"BI":
+                # inline image (§8.9.7): raw sample data between ID and
+                # EI would tokenize as garbage operators — skip past it
+                i = _skip_inline_image(data, j)
+                nums = []
+                strings = []
+                array = None
+                continue
             if op == b"Tf":
                 if nums:
                     size = nums[-1]

@@ -586,3 +586,20 @@ def test_clockwise_rotated_table_detected():
     t, = pdf_extract_tables(_envelope([wrapped]))
     assert t["headers"] == HDR
     assert t["rows"] == _rows(3)
+
+
+def test_inline_image_bytes_do_not_tokenize():
+    """Raw inline-image sample data containing operator-lookalike bytes
+    ("(junk) Tj") must be skipped in both evaluators (§8.9.7)."""
+    from memvid_spark.sources.binary import pdf_extract_text
+
+    img = b"BI /W 4 /H 2 /BPC 8 /CS /G ID \x00(junk) Tj 5 5 Td\xff\x01 EI"
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        + img
+        + b"\nBT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    pdf = _envelope([content])
+    (lay,) = pdf_layout(pdf)
+    assert [b.text for b in lay["boxes"]] == ["before", "after"]
+    assert pdf_extract_text(pdf).splitlines() == ["before", "after"]
