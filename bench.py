@@ -192,7 +192,7 @@ def main() -> None:
     # of the 19 stays apples-to-apples
     extras: dict[str, float] = {}
     for name in ("q115_hnsw_recall", "q34_pq_recall", "q35_ivf_knn",
-                 "q168_sq8_knn"):
+                 "q168_sq8_knn", "q175_ivfpq"):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extras[name] = round(time.perf_counter() - t0, 3)

@@ -304,3 +304,237 @@ def sq8_recall(
         ).collect()
     }
     return len(approx & exact) / k
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted cells + residual product quantization: the
+# composed tier that actually runs at extreme scale (FAISS IndexIVFPQ):
+# the probe bounds WHICH rows are scanned (n_probe/n_cells of the
+# corpus — and the cell id is a partition key, so the scan prunes at
+# the file level), PQ bounds HOW MUCH is read per row (n_sub bytes).
+# Residual encoding (v − centroid[cell]) is what makes the small
+# codebook accurate: residuals are centered near 0 where the subspace
+# centroids have resolution.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IVFPQModel:
+    coarse: list[list[float]]  # n_cells × dim coarse centroids
+    pq: PQModel  # subspace codebooks fitted on RESIDUALS
+
+
+def train_ivfpq(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_sub: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample: int = 65536,
+) -> IVFPQModel:
+    """Fit the coarse quantizer then the per-subspace codebooks on the
+    sample's RESIDUALS — bounded driver-side sample, one Spark job, the
+    same trainer discipline as train_pq/train_sq8 (no count()
+    pre-scan; the KB-scale model broadcasts to encoders)."""
+    import numpy as np
+
+    from ..functions.vector import lloyd_kmeans
+
+    dim = len(emb.select(vec_col).head()[0])
+    assert dim % n_sub == 0, f"dim {dim} not divisible by {n_sub} subspaces"
+    sub_dim = dim // n_sub
+    X = np.asarray(
+        [
+            r.v
+            for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(train_sample)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    C = lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * X @ C.T
+        + (C * C).sum(axis=1)[None, :]
+    )
+    resid = X - C[d2.argmin(axis=1)]
+    centroids: list[list[list[float]]] = []
+    for s in range(n_sub):
+        sub = resid[:, s * sub_dim : (s + 1) * sub_dim]
+        cb = lloyd_kmeans(sub, k, seed=seed + 1 + s, max_iter=max_iter)
+        centroids.append([[float(x) for x in c] for c in cb])
+    pq = PQModel(
+        n_sub=n_sub, sub_dim=sub_dim, k=len(centroids[0]), centroids=centroids
+    )
+    return IVFPQModel(
+        coarse=[[float(x) for x in c] for c in C], pq=pq
+    )
+
+
+def ivfpq_encode(
+    model: IVFPQModel,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code array<int>): nearest coarse cell, then argmin
+    residual centroid per subspace — one Arrow-batched NumPy kernel,
+    no shuffle. At warehouse scale the output is written PARTITIONED
+    BY cell, which is what turns the query-time probe into file-level
+    partition pruning."""
+    import numpy as np
+
+    C = np.asarray(model.coarse, dtype="float64")
+    cents = [np.asarray(c, dtype="float64") for c in model.pq.centroids]
+    n_sub, sub_dim = model.pq.n_sub, model.pq.sub_dim
+    schema = f"{id_col} long, cell int, code array<int>"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * X @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            R = X - C[cells]
+            codes = np.empty((len(X), n_sub), dtype="int32")
+            for s in range(n_sub):
+                sub = R[:, s * sub_dim : (s + 1) * sub_dim]
+                cb = cents[s]
+                sd = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ cb.T
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                codes[:, s] = sd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells.astype("int32"),
+                    "code": list(map(list, codes)),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def ivfpq_topk(
+    model: IVFPQModel,
+    codes: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    refine: int = 0,
+    emb: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe cells nearest the query; within each, ADC over
+    the RESIDUAL query (q − cell centroid) with that cell's LUT. The
+    probe list and per-cell LUTs are driver-side tiny and inline as
+    literals; the scan is filter (partition-prunable on cell) +
+    projection + top-k — pure JVM, no joins.
+
+    ``refine > 0`` adds the standard two-stage refinement (FAISS
+    IndexRefineFlat): the ADC scan shortlists ``refine × k``
+    candidates, then the true vectors of JUST that shortlist re-score
+    exactly (a broadcast semi-join against ``emb`` — tiny, since the
+    shortlist is driver-bounded). This trades one extra narrow join
+    for removing the quantization error entirely from the final
+    ranking; residual loss is then only the cell-probe ceiling."""
+    q = [float(x) for x in query_vec]
+    cdist = [
+        (sum((q[i] - c[i]) ** 2 for i in range(len(q))), ci)
+        for ci, c in enumerate(model.coarse)
+    ]
+    probes = [ci for _, ci in sorted(cdist)[:n_probe]]
+    n_sub, sub_dim = model.pq.n_sub, model.pq.sub_dim
+
+    def lut_for(ci: int):
+        qr = [q[i] - model.coarse[ci][i] for i in range(len(q))]
+        return [
+            [
+                sum(
+                    (qr[s * sub_dim + i] - c[i]) ** 2
+                    for i in range(sub_dim)
+                )
+                for c in model.pq.centroids[s]
+            ]
+            for s in range(n_sub)
+        ]
+
+    lut_cols = {
+        ci: F.array(
+            *[F.array(*[F.lit(d) for d in row]) for row in lut_for(ci)]
+        )
+        for ci in probes
+    }
+    lut_col = F.when(F.col("cell") == probes[0], lut_cols[probes[0]])
+    for ci in probes[1:]:
+        lut_col = lut_col.when(F.col("cell") == ci, lut_cols[ci])
+    dist = F.aggregate(
+        F.zip_with(
+            lut_col,
+            F.col("code"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        codes.filter(F.col("cell").isin(probes))
+        .select(F.col(id_col), F.sqrt(dist).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(k if refine <= 0 else refine * k)
+    )
+    if refine <= 0:
+        return shortlist
+    if emb is None:
+        raise ValueError("refine > 0 needs the emb DataFrame to re-score")
+    from .knn import knn
+
+    cand = emb.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return knn(cand, q, k, id_col=id_col, vec_col=vec_col, metric="l2")
+
+
+def ivfpq_recall(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_sub: int = 4,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """recall@k of IVF-PQ vs exact L2 ground truth (vec.rs:587-651
+    validation method)."""
+    from .knn import knn
+
+    model = train_ivfpq(
+        emb, n_cells=n_cells, n_sub=n_sub, k=n_centroids, vec_col=vec_col
+    )
+    codes = ivfpq_encode(model, emb, id_col, vec_col)
+    approx = {
+        r[id_col]
+        for r in ivfpq_topk(
+            model, codes, query_vec, k, n_probe, id_col
+        ).collect()
+    }
+    exact = {
+        r[id_col]
+        for r in knn(
+            emb, query_vec, k, id_col=id_col, vec_col=vec_col, metric="l2"
+        ).collect()
+    }
+    return len(approx & exact) / k

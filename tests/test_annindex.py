@@ -96,3 +96,70 @@ def test_sq8_recall_and_persistence(spark, tmp_path):
     top = sq8_topk(loaded, codes, qvec, k=5).collect()
     assert len(top) == 5
     assert top[0].approx_dist <= top[-1].approx_dist
+
+
+def test_ivfpq_recall_and_residual_advantage(spark):
+    """IVF-PQ (coarse cells + residual PQ): recall@10 vs exact ground
+    truth clears the contract, probing touches only n_probe cells, and
+    ivfpq_topk's id set matches a driver-side NumPy replay of the same
+    model (encode + per-cell ADC are deterministic)."""
+    import numpy as np
+
+    from memvid_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_recall,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+
+    r = ivfpq_recall(
+        emb, q, k=10, n_cells=8, n_sub=8, n_centroids=32, n_probe=3
+    )
+    assert r >= 0.5  # unrefined compressed-code tier
+
+    # refined contract (q175): ADC shortlist -> exact re-rank must beat
+    # the plain-PQ tier's 0.4 on this data
+    from memvid_spark.operators.pq import ivfpq_topk as _topk
+    from memvid_spark.operators.knn import knn as _knn
+    m2 = train_ivfpq(emb, n_cells=8, n_sub=8, k=64)
+    c2 = ivfpq_encode(m2, emb)
+    ref = {
+        r.vec_id
+        for r in _topk(
+            m2, c2, q, k=10, n_probe=4, refine=20, emb=emb
+        ).collect()
+    }
+    ex = {r.vec_id for r in _knn(emb, q, 10, metric="l2").collect()}
+    assert len(ref & ex) / 10 >= 0.7
+
+    # deterministic replay: Spark scan == NumPy over collected codes
+    model = train_ivfpq(emb, n_cells=8, n_sub=8, k=32)
+    codes = ivfpq_encode(model, emb)
+    got = [
+        r.vec_id
+        for r in ivfpq_topk(model, codes, q, k=10, n_probe=3).collect()
+    ]
+    rows = codes.collect()
+    C = np.asarray(model.coarse)
+    cd = ((C - np.asarray(q)) ** 2).sum(axis=1)
+    probes = set(np.argsort(cd, kind="stable")[:3].tolist())
+    n_sub, sub_dim = model.pq.n_sub, model.pq.sub_dim
+    luts = {}
+    for ci in probes:
+        qr = np.asarray(q) - C[ci]
+        luts[ci] = [
+            ((np.asarray(model.pq.centroids[s])
+              - qr[s * sub_dim : (s + 1) * sub_dim]) ** 2).sum(axis=1)
+            for s in range(n_sub)
+        ]
+    scored = []
+    for row in rows:
+        if row.cell not in probes:
+            continue
+        d = sum(luts[row.cell][s][row.code[s]] for s in range(n_sub))
+        scored.append((float(np.sqrt(d)), row.vec_id))
+    expect = [v for _, v in sorted(scored)[:10]]
+    assert got == expect
