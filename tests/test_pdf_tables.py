@@ -603,3 +603,18 @@ def test_inline_image_bytes_do_not_tokenize():
     (lay,) = pdf_layout(pdf)
     assert [b.text for b in lay["boxes"]] == ["before", "after"]
     assert pdf_extract_text(pdf).splitlines() == ["before", "after"]
+
+
+def test_prose_pages_yield_no_tables():
+    """A text-only PDF must NOT produce a table: one line cluster fails
+    min_rows in stream mode, and prose has no label/value pairs for the
+    line fallback."""
+    from memvid_spark.sources.binary import pdf_from_text
+
+    prose = "\n".join([
+        "The quarterly report shows steady growth across regions.",
+        "Revenue climbed in the third fiscal quarter by a wide margin.",
+        "Management expects continued expansion next year.",
+        "Operating costs remained flat despite inflation pressure.",
+    ])
+    assert pdf_extract_tables(pdf_from_text(prose)) == []
