@@ -7303,6 +7303,7 @@ def q172_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sel AS (
       SELECT doc_id, (doc_id % 4 + 2)::int AS n,
+             ((doc_id // 3) % 3 + 2)::int AS n_cols,
              CASE WHEN doc_id % 2 = 0 THEN 'lattice' ELSE 'stream' END AS mode,
              (CASE WHEN doc_id % 4 + 2 > 3 THEN 2 ELSE 1 END)::int AS page_end
       FROM documents WHERE doc_id % 3 = 1),
@@ -7310,21 +7311,29 @@ def q172_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 0::int AS table_index, 1::int AS rn,
              h.col_index, h.cell, mode, 1::int AS page_start, page_end
       FROM sel,
-           (VALUES (0::int, 'item'), (1::int, 'qty'), (2::int, 'price'))
-             AS h(col_index, cell)),
+           (VALUES (0::int, 'item'), (1::int, 'qty'), (2::int, 'price'),
+                   (3::int, 'note'))
+             AS h(col_index, cell)
+      WHERE h.col_index < n_cols),
     idx AS (
-      SELECT doc_id, mode, page_end,
+      SELECT doc_id, n_cols, mode, page_end,
              unnest(generate_series(1, n))::int AS i
       FROM sel),
     data_ AS (
       SELECT doc_id, 0::int AS table_index, (i + 1)::int AS rn,
-             unnest([0, 1, 2])::int AS col_index,
+             unnest([0, 1, 2, 3])::int AS col_index,
              unnest(['it' || (doc_id % 50) || '_' || i,
                      (doc_id + i)::varchar,
-                     (doc_id % 90 + i)::varchar || '.5']) AS cell,
-             mode, 1::int AS page_start, page_end
+                     (doc_id % 90 + i)::varchar || '.5',
+                     'n' || ((doc_id + i) % 7)]) AS cell,
+             n_cols, mode, 1::int AS page_start, page_end
       FROM idx)
-    SELECT * FROM hdr UNION ALL SELECT * FROM data_
+    SELECT doc_id, table_index, rn, col_index, cell, mode, page_start,
+           page_end
+    FROM (SELECT * FROM hdr UNION ALL
+          SELECT doc_id, table_index, rn, col_index, cell, mode,
+                 page_start, page_end
+          FROM data_ WHERE col_index < n_cols)
     """,
     "PDF positional-layout table detection end to end "
     "(src/table/layout.rs:10-25 TextBox geometry, pdf_extractor.rs "
@@ -7350,13 +7359,16 @@ def q173_pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q174_pdf_table_types",
     """
     WITH sel AS (
-      SELECT doc_id, (doc_id % 4 + 2)::bigint AS n
+      SELECT doc_id, (doc_id % 4 + 2)::bigint AS n,
+             ((doc_id // 3) % 3 + 2)::int AS n_cols
       FROM documents WHERE doc_id % 3 = 1)
     SELECT doc_id, 0::int AS table_index, c.col_index, c.header, c.dtype,
            n AS n_rows
     FROM sel,
          (VALUES (0::int, 'item', 'str'), (1::int, 'qty', 'int'),
-                 (2::int, 'price', 'double')) AS c(col_index, header, dtype)
+                 (2::int, 'price', 'double'), (3::int, 'note', 'str'))
+           AS c(col_index, header, dtype)
+    WHERE c.col_index < n_cols
     """,
     "format-agnostic structural typing: PDF positional tables render "
     "into the sheet-text shape and flow through the SAME multi-table "

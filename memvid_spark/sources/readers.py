@@ -758,14 +758,21 @@ def pdf_table_payloads(docs: DataFrame, ruled_mod: int = 2) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 n = d % 4 + 2
+                n_cols = (d // 3) % 3 + 2  # 2..4 columns — varies the geometry
                 rows = [
-                    [f"it{d % 50}_{i}", str(d + i), f"{d % 90 + i}.5"]
+                    [
+                        f"it{d % 50}_{i}",
+                        str(d + i),
+                        f"{d % 90 + i}.5",
+                        f"n{(d + i) % 7}",
+                    ][:n_cols]
                     for i in range(1, n + 1)
                 ]
                 payloads.append(
                     pdf_from_table(
-                        ["item", "qty", "price"],
+                        ["item", "qty", "price", "note"][:n_cols],
                         rows,
+                        col_x=(72.0, 200.0, 320.0, 430.0)[:n_cols],
                         rows_per_page=3,
                         ruled=(d % ruled_mod == 0),
                     )

@@ -260,14 +260,17 @@ def test_pdf_table_cells_df(spark):
     assert set(by_doc) == {d for d in range(30) if d % 3 == 1}
     for d, rows in by_doc.items():
         n = d % 4 + 2
-        assert len(rows) == 3 * (n + 1)  # header + n data rows, 3 cols
+        n_cols = (d // 3) % 3 + 2
+        assert len(rows) == n_cols * (n + 1)  # header + n data rows
         mode = "lattice" if d % 2 == 0 else "stream"
         assert {r.mode for r in rows} == {mode}
         assert {r.page_end for r in rows} == {2 if n > 3 else 1}
         hdr = sorted(
             (r for r in rows if r.rn == 1), key=lambda r: r.col_index
         )
-        assert [r.cell for r in hdr] == ["item", "qty", "price"]
+        assert [r.cell for r in hdr] == [
+            "item", "qty", "price", "note"
+        ][:n_cols]
 
 
 def test_pdf_tables_route_into_sheet_tier(spark):
