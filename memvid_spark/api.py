@@ -764,6 +764,183 @@ class MemvidSpark:
         nxt = cursor + page_size if cursor + page_size < total else None
         return page, nxt, total
 
+    # -- sketch track (src/memvid/sketch.rs) ------------------------------
+
+    def _sketch_df(self) -> DataFrame | None:
+        return getattr(self, "_sketches", None)
+
+    def has_sketches(self) -> bool:
+        """True when the sketch track has entries (sketch.rs:83-86)."""
+        sk = self._sketch_df()
+        return sk is not None and bool(sk.head(1))
+
+    def build_all_sketches(self, variant: str = "small") -> int:
+        """Generate sketches for all active frames that don't have one
+        yet (sketch.rs:124-152); returns the number generated. Like the
+        reference, frames with empty sketch-tokenizable text are
+        skipped. The entries are pinned with localCheckpoint — the
+        derived-sketches-table write of the warehouse path — so later
+        puts don't leak into an already-built track."""
+        self._ensure_writable()
+        from .operators import sketchtrack
+
+        new = sketchtrack.sketch_entries(
+            self.docs(), variant, self.id_col, self.text_col
+        )
+        sk = self._sketch_df()
+        if sk is not None:
+            new = new.join(
+                sk.select(self.id_col), self.id_col, "left_anti"
+            )
+        new = new.localCheckpoint()
+        count = new.count()
+        self._sketches = new if sk is None else sk.unionByName(new)
+        self._sketch_variant = variant
+        return count
+
+    def insert_sketch(self, frame_id: int, text: str, variant: str = "small") -> dict:
+        """Insert (or recompute) the sketch for one frame
+        (sketch.rs:102-112); returns the generated entry. Driver-side
+        math — one row never needs a job — via the same integer twin
+        the tests pin the distributed builder against."""
+        self._ensure_writable()
+        from .operators import sketchtrack
+
+        e = sketchtrack.py_sketch_entry(text, variant)
+        words = sketchtrack.filter_word_cols(variant)
+        row = {
+            self.id_col: frame_id,
+            "simhash": e["simhash"],
+            **{w: e["filter_words"][i] for i, w in enumerate(words)},
+            "token_count": e["token_count"],
+            "length_hint": e["length_hint"],
+            "short_text": e["short_text"],
+            "top_terms": e["top_terms"],
+            "term_weight_sum": e["term_weight_sum"],
+        }
+        schema = (
+            f"{self.id_col} long, simhash long, "
+            + ", ".join(f"{w} long" for w in words)
+            + ", token_count long, length_hint long, short_text boolean,"
+            + " top_terms array<long>, term_weight_sum long"
+        )
+        one = self.spark.createDataFrame([row], schema)
+        sk = self._sketch_df()
+        if sk is not None:
+            sk = sk.filter(F.col(self.id_col) != frame_id).unionByName(one)
+        else:
+            sk = one
+        self._sketches = sk
+        self._sketch_variant = variant
+        return e
+
+    def sketch_stats(self) -> dict:
+        """Track stats (sketch.rs:89-92): entry count, short-text count,
+        serialized size at the reference's fixed entry width."""
+        from .operators import sketchtrack
+
+        sk = self._sketch_df()
+        variant = getattr(self, "_sketch_variant", "small")
+        if sk is None:
+            return {
+                "total_entries": 0,
+                "short_text_entries": 0,
+                "track_bytes": 0,
+                "variant": variant,
+            }
+        row = sketchtrack.sketch_track_stats(sk, variant).head()
+        return {
+            "total_entries": row["total_entries"],
+            "short_text_entries": int(row["short_text_entries"] or 0),
+            "track_bytes": row["track_bytes"],
+            "variant": variant,
+        }
+
+    def find_sketch_candidates(
+        self,
+        query: str,
+        hamming_threshold: int | None = None,
+        max_candidates: int | None = None,
+        min_score: float = 0.0,
+    ) -> DataFrame:
+        """Two-stage sketch pre-filter: term-filter gate then SimHash
+        Hamming gate, blended-score ranked (sketch.rs:169-206).
+        Candidates feed BM25/vector reranking; an empty track yields no
+        candidates, as in the reference."""
+        from .operators import sketchtrack
+
+        sk = self._sketch_df()
+        variant = getattr(self, "_sketch_variant", "small")
+        if sk is None:
+            words = sketchtrack.filter_word_cols(variant)
+            sk = self.spark.createDataFrame(
+                [],
+                f"{self.id_col} long, simhash long, "
+                + ", ".join(f"{w} long" for w in words)
+                + ", token_count long, length_hint long, short_text boolean,"
+                + " top_terms array<long>, term_weight_sum long",
+            )
+        return sketchtrack.sketch_candidates(
+            sk,
+            query,
+            variant,
+            hamming_threshold=(
+                sketchtrack.DEFAULT_HAMMING_THRESHOLD
+                if hamming_threshold is None
+                else hamming_threshold
+            ),
+            max_candidates=(
+                sketchtrack.DEFAULT_MAX_CANDIDATES
+                if max_candidates is None
+                else max_candidates
+            ),
+            min_score=min_score,
+            id_col=self.id_col,
+        )
+
+    def find_sketch_candidates_with_stats(
+        self,
+        query: str,
+        hamming_threshold: int | None = None,
+        max_candidates: int | None = None,
+        min_score: float = 0.0,
+    ) -> tuple[DataFrame, dict]:
+        """Candidates plus the gate-by-gate funnel counts of explain
+        mode (sketch.rs:209-281): frames scanned, term-filter hits,
+        SimHash hits, candidates returned — one distributed aggregation
+        pass, not a driver loop."""
+        from .operators import sketchtrack
+
+        cands = self.find_sketch_candidates(
+            query, hamming_threshold, max_candidates, min_score
+        )
+        sk = self._sketch_df()
+        if sk is None:
+            return cands, {
+                "frames_scanned": 0,
+                "term_filter_hits": 0,
+                "simhash_hits": 0,
+                "candidates_returned": 0,
+            }
+        stats = sketchtrack.sketch_search_stats(
+            sk,
+            query,
+            getattr(self, "_sketch_variant", "small"),
+            hamming_threshold=(
+                sketchtrack.DEFAULT_HAMMING_THRESHOLD
+                if hamming_threshold is None
+                else hamming_threshold
+            ),
+            max_candidates=(
+                sketchtrack.DEFAULT_MAX_CANDIDATES
+                if max_candidates is None
+                else max_candidates
+            ),
+            min_score=min_score,
+            id_col=self.id_col,
+        )
+        return cands, stats
+
     def ask(self, question: str, top_k: int = 5, mask_pii: bool = False):
         """RAG pipeline: classify → retrieve → RRF → rerank → extractive
         answer (ask.rs:23-420). ``mask_pii`` masks emails/phones/SSNs at

@@ -7432,6 +7432,125 @@ def q175_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Sketch track (src/memvid/sketch.rs, src/types/sketch_track.rs): unified
+# per-frame micro-index entries + query-sketch candidate scoring.
+# =========================================================================
+
+# DuckDB twin of operators/sketchtrack.sketch_entries (small variant:
+# 2×60-bit filter words, top-2 terms). Weights min(tf,3)*100, tokens are
+# lowercased alnum runs of length ≥ 2 (sketch_track.rs:650-698).
+SQL_SKETCH = """
+    sk_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+                                t -> length(t) >= 2)) AS tok
+      FROM documents
+    ), sk_post AS (
+      SELECT doc_id, tok, count(*) AS tf FROM sk_toks GROUP BY doc_id, tok
+    ), sk_feat AS (
+      SELECT doc_id, tf, least(tf, 3) * 100 AS w, h,
+             xor(h, h >> 32) & 4294967295 AS hu32,
+             h % 120 AS p1, (h >> 16) % 120 AS p2, (h >> 32) % 120 AS p3
+      FROM (SELECT doc_id, tf, tok,
+                   ('0x'||substr(md5(tok),1,15))::bigint AS h FROM sk_post)
+    ), sk_votes AS (
+      SELECT doc_id, j, sum(w * (((h >> j) & 1) * 2 - 1)) AS v
+      FROM sk_feat, unnest(generate_series(0,59)) AS t(j) GROUP BY doc_id, j
+    ), sk_sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM sk_votes GROUP BY doc_id
+    ), sk_words AS (
+      SELECT doc_id,
+        bit_or((CASE WHEN p1 // 60 = 0 THEN (1::BIGINT << (p1 % 60)::int) ELSE 0 END)
+             | (CASE WHEN p2 // 60 = 0 THEN (1::BIGINT << (p2 % 60)::int) ELSE 0 END)
+             | (CASE WHEN p3 // 60 = 0 THEN (1::BIGINT << (p3 % 60)::int) ELSE 0 END)) AS f0,
+        bit_or((CASE WHEN p1 // 60 = 1 THEN (1::BIGINT << (p1 % 60)::int) ELSE 0 END)
+             | (CASE WHEN p2 // 60 = 1 THEN (1::BIGINT << (p2 % 60)::int) ELSE 0 END)
+             | (CASE WHEN p3 // 60 = 1 THEN (1::BIGINT << (p3 % 60)::int) ELSE 0 END)) AS f1,
+        sum(tf)::bigint AS token_count
+      FROM sk_feat GROUP BY doc_id
+    ), sk_rank AS (
+      SELECT doc_id, hu32, w,
+             row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, h) AS rk
+      FROM sk_feat
+    ), sk_tops AS (
+      SELECT doc_id, list(hu32 ORDER BY rk) AS top_terms,
+             least(sum(w), 65535)::bigint AS term_weight_sum
+      FROM sk_rank WHERE rk <= 2 GROUP BY doc_id
+    ), sk_entries AS (
+      SELECT w.doc_id, s.simhash::bigint AS simhash, w.f0, w.f1, w.token_count,
+             least(w.token_count // 10, 255)::bigint AS length_hint,
+             w.token_count < 50 AS short_text, t.top_terms, t.term_weight_sum
+      FROM sk_words w JOIN sk_sim s USING (doc_id) JOIN sk_tops t USING (doc_id)
+    )
+"""
+
+_SKETCH_QUERY = "hash join vector merge scan"
+
+
+@spec(
+    "q176_sketch_entries",
+    f"""
+    WITH {SQL_SKETCH}
+    SELECT * FROM sk_entries
+    """,
+    "per-frame sketch entries: SimHash + term filter words + top terms + "
+    "length hint (generate_sketch, sketch_track.rs:719-776)",
+)
+def q176_sketch_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketchtrack
+
+    t = catalog.load(spark, sf_dir)
+    return sketchtrack.sketch_entries(t.documents)
+
+
+def _sketch_candidates_oracle() -> str:
+    from .operators.sketchtrack import query_sketch
+
+    qs = query_sketch(_SKETCH_QUERY)
+    mt = max(len(qs["top_terms"]), 1)
+    qb = min(qs["token_count"] // 10, 255)
+    qterms = ", ".join(str(t) for t in qs["top_terms"])
+    return f"""
+    WITH {SQL_SKETCH},
+    gated AS (
+      SELECT doc_id, length_hint, top_terms,
+             bit_count(xor(simhash, {qs['simhash']})::bigint) AS ham,
+             len(list_filter(top_terms,
+                 t -> t != 0 AND list_contains([{qterms}], t)))::bigint AS mt
+      FROM sk_entries
+      WHERE ((f0 & {qs['filter_words'][0]}) != 0
+             OR (f1 & {qs['filter_words'][1]}) != 0)
+    )
+    SELECT doc_id,
+           round(0.5 * (mt::double / {float(mt)})
+                 + 0.4 * (1.0 - ham::double / 60.0)
+                 + 0.1 * (1.0 / (1.0 + 0.1 * abs(length_hint - {qb})::double)),
+                 6) AS score,
+           ham::bigint AS hamming, mt AS matching_top_terms
+    FROM gated WHERE ham <= 60
+    ORDER BY score DESC, doc_id LIMIT 500
+    """
+
+
+@spec(
+    "q177_sketch_candidates",
+    None,  # filled by _computed_oracles from the shared query sketch
+    "query-sketch candidate scoring: term-filter gate, Hamming gate, "
+    "0.5/0.4/0.1 blended score (score_entry, sketch_track.rs:823-860)",
+)
+def q177_sketch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketchtrack
+
+    t = catalog.load(spark, sf_dir)
+    entries = sketchtrack.sketch_entries(t.documents)
+    return sketchtrack.sketch_candidates(
+        entries, _SKETCH_QUERY, hamming_threshold=60, max_candidates=500
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
@@ -7817,6 +7936,7 @@ def _computed_oracles() -> None:
     FROM d ORDER BY score_micro DESC, doc_id LIMIT 20
     """
 
+    by_name["q177_sketch_candidates"].oracle = _sketch_candidates_oracle()
     by_name["q160_pii_incidence"].oracle = _q160_oracle()
     q161_sql = _q161_sql()
     by_name["q161_quality_classifier"].oracle = q161_sql
