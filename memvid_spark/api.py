@@ -121,6 +121,10 @@ class MemvidSpark:
         self._next_id += 1
         self._puts.append((doc_id, text, lang, uri or f"mv2://frames/{doc_id}",
                            len(text)))
+        # new frames enter the enrichment queue Searchable (ingest
+        # enqueue, enrichment.rs:216-241) until a worker marks them
+        self._enrich_queue.append(doc_id)
+        self._unenriched.add(doc_id)
         return doc_id
 
     def put_bytes(
@@ -764,6 +768,205 @@ class MemvidSpark:
         nxt = cursor + page_size if cursor + page_size < total else None
         return page, nxt, total
 
+    # -- frame accessors (src/memvid/frame.rs:164-360) ---------------------
+
+    PREVIEW_CHARS = 120  # truncate_preview, lib.rs:339,539-541
+
+    def frame_by_id(self, frame_id: int) -> dict:
+        """One frame row incl. version columns (frame_by_id,
+        frame.rs:164-172). A single-row pushed-down filter on the frame
+        log — at warehouse scale this is an id-partition-pruned point
+        lookup, not a scan-and-collect."""
+        row = self.frames().filter(F.col(self.id_col) == frame_id).head()
+        if row is None:
+            raise KeyError(f"frame not found: {frame_id}")
+        return row.asDict()
+
+    def frame_by_uri(self, uri: str) -> dict:
+        """Latest ACTIVE frame with this URI, else the latest frame of
+        any status (frame_by_uri's two-pass rev-scan, frame.rs:174-199)
+        — expressed as one ordered limit-1, not two scans."""
+        row = (
+            self.frames()
+            .filter(F.col("source") == uri)
+            .orderBy(
+                (F.col("status") == "active").desc(), F.col(self.id_col).desc()
+            )
+            .head()
+        )
+        if row is None:
+            raise KeyError(f"frame not found by uri: {uri}")
+        return row.asDict()
+
+    def frame_text_by_id(self, frame_id: int) -> str:
+        """Full untruncated text (frame_text_by_id, frame.rs:278-291)."""
+        row = (
+            self.docs()
+            .filter(F.col(self.id_col) == frame_id)
+            .select(self.text_col)
+            .head()
+        )
+        if row is None:
+            raise KeyError(f"frame not found: {frame_id}")
+        return row[0] or ""
+
+    def frame_preview_by_id(self, frame_id: int) -> str:
+        """Display preview: the first 120 chars (frame_preview_by_id,
+        frame.rs:259-272 + truncate_preview lib.rs:539). Media frames
+        preview their reader surrogate text; rich media manifests stay
+        on :meth:`media_manifests`."""
+        return self.frame_text_by_id(frame_id)[: self.PREVIEW_CHARS]
+
+    def find_frame_by_hash(self, sha256_hex: str) -> dict | None:
+        """Latest ACTIVE frame whose content hash matches — the
+        dedup-probe lookup (find_frame_by_hash, frame.rs:202-214;
+        blake3 → sha256, the repo-wide content-fingerprint substitution).
+        Returns None when absent, like the reference."""
+        row = (
+            self.docs()
+            .filter(F.sha2(F.col(self.text_col), 256) == sha256_hex.lower())
+            .orderBy(F.col(self.id_col).desc())
+            .head()
+        )
+        return row.asDict() if row is not None else None
+
+    # -- enrichment queue (src/memvid/enrichment.rs:216-467) ---------------
+
+    @property
+    def _enrich_queue(self) -> list[int]:
+        if not hasattr(self, "_enrich_pending"):
+            # FIFO of session-ingested frames awaiting enrichment
+            # (toc.enrichment_queue). Seed corpora open as enriched —
+            # they are already-processed storage; the queue is bounded
+            # by session mutations like every put buffer here.
+            self._enrich_pending: list[int] = []
+        return self._enrich_pending
+
+    def enrichment_queue_len(self) -> int:
+        """(enrichment_queue_len, enrichment.rs:218-221)"""
+        return len(self._enrich_queue)
+
+    def has_pending_enrichment(self) -> bool:
+        return bool(self._enrich_queue)
+
+    def next_enrichment_task(self) -> dict | None:
+        """Head of the queue (next_enrichment_task,
+        enrichment.rs:231-235): {frame_id, is_media}."""
+        if not self._enrich_queue:
+            return None
+        fid = self._enrich_queue[0]
+        return {"frame_id": fid, "is_media": self._frame_has_media(fid)}
+
+    def complete_enrichment_task(self, frame_id: int) -> None:
+        """(complete_enrichment_task, enrichment.rs:238-241)"""
+        self._enrich_pending = [f for f in self._enrich_queue if f != frame_id]
+
+    def _frame_has_media(self, frame_id: int) -> bool:
+        if any(fid == frame_id for fid, _, _ in self._media_puts):
+            return True
+        if self._media_seed is not None:
+            return (
+                self._media_seed.filter(F.col(self.id_col) == frame_id).head()
+                is not None
+            )
+        return False
+
+    def read_frame_for_enrichment(self, frame_id: int) -> tuple[str, bool, bool] | None:
+        """(search_text, is_skim, needs_embedding) for an active frame
+        (read_frame_for_enrichment, enrichment.rs:247-268). Media-backed
+        frames report is_skim: their indexed text is the reader
+        surrogate, re-extractable without budget."""
+        try:
+            text = self.frame_text_by_id(frame_id)
+        except KeyError:
+            return None
+        return (
+            text,
+            self._frame_has_media(frame_id),
+            not self.is_frame_enriched(frame_id),
+        )
+
+    @property
+    def _unenriched(self) -> set[int]:
+        if not hasattr(self, "_session_unenriched"):
+            self._session_unenriched: set[int] = set()
+        return self._session_unenriched
+
+    def is_frame_enriched(self, frame_id: int) -> bool:
+        return frame_id not in self._unenriched
+
+    def mark_frame_enriched(self, frame_id: int) -> None:
+        """(mark_frame_enriched, enrichment.rs:334-344)"""
+        self._unenriched.discard(frame_id)
+
+    def extract_full_text(self, frame_id: int) -> str:
+        """Re-extract text with no budget (extract_full_text,
+        enrichment.rs:270-295): media-backed frames re-run their reader
+        over the retained payload; text frames return their content."""
+        for fid, _, payload in self._media_puts:
+            if fid == frame_id:
+                return self._reader_text(bytes(payload))
+        if self._media_seed is not None:
+            row = (
+                self._media_seed.filter(F.col(self.id_col) == frame_id).head()
+            )
+            if row is not None:
+                return self._reader_text(bytes(row["payload"]))
+        return self.frame_text_by_id(frame_id)
+
+    def _reader_text(self, payload: bytes) -> str:
+        from .sources.readers import READERS, sniff_format
+
+        reader = READERS.get(sniff_format(payload, ""))
+        if reader is None:
+            raise ValueError("no reader for retained payload")
+        return reader(payload)
+
+    def process_enrichment_task(self, task: dict) -> dict:
+        """One synchronous enrichment step (process_enrichment_task,
+        enrichment.rs:347-404): re-extract skims, mark enriched."""
+        fid = task["frame_id"]
+        data = self.read_frame_for_enrichment(fid)
+        if data is None:
+            return {"frame_id": fid, "re_extracted": False, "error": "frame not found"}
+        _, is_skim, _ = data
+        re_extracted = False
+        if is_skim:
+            try:
+                self.extract_full_text(fid)
+                re_extracted = True
+            except Exception:
+                pass  # fall back to the indexed surrogate (enrichment.rs:379-388)
+        self.mark_frame_enriched(fid)
+        return {"frame_id": fid, "re_extracted": re_extracted, "error": None}
+
+    def process_all_enrichment(self) -> int:
+        """Drain the queue synchronously (process_all_enrichment,
+        enrichment.rs:409-438); returns tasks processed."""
+        processed = 0
+        while (task := self.next_enrichment_task()) is not None:
+            self.process_enrichment_task(task)
+            self.complete_enrichment_task(task["frame_id"])
+            processed += 1
+        return processed
+
+    def enrichment_stats(self) -> dict:
+        """(enrichment_stats, enrichment.rs:441-467): total active
+        frames (distributed count), enriched, pending, searchable-only."""
+        total = self.docs().count()
+        unenriched = len(self._unenriched)
+        return {
+            "total_frames": total,
+            "enriched_frames": total - unenriched,
+            "pending_frames": self.enrichment_queue_len(),
+            "searchable_only": unenriched,
+        }
+
+    def get_unenriched_frames(self) -> list[int]:
+        """Frame ids still awaiting enrichment (get_unenriched_frames,
+        memory.rs:189-200) — session-bounded, like the queue."""
+        return sorted(self._unenriched)
+
     # -- sketch track (src/memvid/sketch.rs) ------------------------------
 
     def _sketch_df(self) -> DataFrame | None:
@@ -1015,6 +1218,264 @@ class MemvidSpark:
     def knn(self, embeddings: DataFrame, query_vec, k: int = 10) -> DataFrame:
         return knn_mod.knn(embeddings, query_vec, k=k)
 
+    # -- vector track (helpers.rs:13-130; enrichment.rs:470-650;
+    #    lifecycle.rs:276-300 vector compression) -------------------------
+
+    @property
+    def _emb_buffer(self) -> list[tuple]:
+        if not hasattr(self, "_emb_puts"):
+            # (frame_id, embedding, provider, model) — same union model
+            # as the frame/media tracks: session buffer over a
+            # parquet-backed seed, drained on save()
+            self._emb_puts: list[tuple] = []
+            self._emb_seed: DataFrame | None = None
+        return self._emb_puts
+
+    EMB_SCHEMA = (
+        "frame_id long, embedding array<float>, provider string, model string"
+    )
+
+    def embeddings(self) -> DataFrame:
+        """The vector track: (frame_id, embedding, provider, model)."""
+        buf = self._emb_buffer
+        parts = []
+        if self._emb_seed is not None:
+            parts.append(self._emb_seed)
+        if buf:
+            parts.append(self.spark.createDataFrame(buf, self.EMB_SCHEMA))
+        if not parts:
+            return self.spark.createDataFrame([], self.EMB_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def add_embeddings(
+        self,
+        pairs: list[tuple[int, list[float]]],
+        provider: str | None = None,
+        model: str | None = None,
+    ) -> int:
+        """Add per-frame embeddings to the vector index
+        (add_embeddings, enrichment.rs:470-520); returns the number
+        added. Dimension must agree with the existing track — the
+        mixed-dimension error of effective_vec_index_dimension
+        (helpers.rs:33-77)."""
+        self._ensure_writable()
+        if not pairs:
+            return 0
+        dims = {len(v) for _, v in pairs}
+        if len(dims) != 1:
+            raise ValueError(f"mixed vector dimensions in batch: {sorted(dims)}")
+        new_dim = dims.pop()
+        cur = self.vec_index_dimension()
+        if cur is not None and cur != new_dim:
+            raise ValueError(
+                f"vector dimension mismatch: index is {cur}, batch is {new_dim}"
+            )
+        for fid, vec in pairs:
+            self._emb_buffer.append(
+                (fid, [float(x) for x in vec], provider, model)
+            )
+        self._vec_dim = new_dim
+        for fid, _ in pairs:
+            self.mark_frame_enriched(fid)
+        return len(pairs)
+
+    def put_with_embedding(
+        self,
+        text: str,
+        vec: list[float],
+        uri: str | None = None,
+        lang: str = "en",
+        dedup: bool = True,
+        provider: str | None = None,
+        model: str | None = None,
+    ) -> int | None:
+        """Atomic put + embed (put_with_embedding, mutation.rs) — the
+        frame never sits in the Searchable-only state."""
+        doc_id = self.put(text, uri=uri, lang=lang, dedup=dedup)
+        if doc_id is not None:
+            self.add_embeddings([(doc_id, vec)], provider=provider, model=model)
+        return doc_id
+
+    def has_embeddings(self) -> bool:
+        """(has_embeddings, enrichment.rs:643-646)"""
+        return bool(self._emb_buffer) or (
+            self._emb_seed is not None and bool(self._emb_seed.head(1))
+        )
+
+    def vector_count(self) -> int:
+        """(vector_count, enrichment.rs:649-652)"""
+        return self.embeddings().count() if self.has_embeddings() else 0
+
+    def vec_index_dimension(self) -> int | None:
+        """The declared index dimension (vec_index_dimension,
+        helpers.rs:17-24): set by the first add, None when empty."""
+        self._emb_buffer  # init
+        dim = getattr(self, "_vec_dim", None)
+        if dim is None and self._emb_seed is not None:
+            row = self._emb_seed.select(F.size("embedding")).head()
+            if row is not None:
+                dim = int(row[0])
+                self._vec_dim = dim
+        return dim
+
+    def effective_vec_index_dimension(self) -> int | None:
+        """Best-effort dimension with a conflict check across the whole
+        track (effective_vec_index_dimension, helpers.rs:33-77): one
+        distinct aggregation, raising on mixed dimensions."""
+        if not self.has_embeddings():
+            return None
+        dims = [
+            int(r[0])
+            for r in self.embeddings().select(F.size("embedding")).distinct().collect()
+        ]
+        if len(dims) > 1:
+            raise ValueError(f"mixed vector dimensions detected: {sorted(dims)}")
+        return dims[0]
+
+    def frame_embedding(self, frame_id: int) -> list[float] | None:
+        """(frame_embedding, frame.rs:357-366)"""
+        if not self.has_embeddings():
+            return None
+        row = (
+            self.embeddings().filter(F.col("frame_id") == frame_id).head()
+        )
+        return list(row["embedding"]) if row is not None else None
+
+    def set_vector_compression(self, compression: str) -> None:
+        """Declare the ANN storage tier for this index
+        (set_vector_compression, lifecycle.rs:280-284):
+        none | sq8 | pq — the codebook tiers of operators/pq.py; the
+        setting routes :meth:`search_embeddings`."""
+        if compression not in ("none", "sq8", "pq"):
+            raise ValueError(f"unknown vector compression {compression!r}")
+        self._ensure_writable()
+        self._vec_compression = compression
+
+    def vector_compression(self) -> str:
+        return getattr(self, "_vec_compression", "none")
+
+    def search_embeddings(self, query_vec, k: int = 10) -> DataFrame:
+        """k-NN over the STORED vector track, routed by the declared
+        compression tier: exact cosine scan for ``none``, SQ8
+        asymmetric-distance scan for ``sq8``, PQ-ADC for ``pq``
+        (the vec.rs search dispatch; quantized tiers are
+        operators/pq.py's oracle-checked kernels)."""
+        emb = self.embeddings().select(
+            F.col("frame_id").alias("vec_id"), "embedding"
+        )
+        comp = self.vector_compression()
+        if comp == "none":
+            return knn_mod.knn(emb, query_vec, k=k)
+        from .operators import pq as pq_mod
+
+        if comp == "sq8":
+            model = pq_mod.train_sq8(emb)
+            codes = pq_mod.sq8_encode(model, emb)
+            return pq_mod.sq8_topk(model, codes, query_vec, k=k)
+        dim = self.vec_index_dimension() or len(query_vec)
+        n_sub = 8 if dim % 8 == 0 else (4 if dim % 4 == 0 else 2)
+        model = pq_mod.train_pq(emb, n_sub=n_sub, k=16)
+        codes = pq_mod.encode(model, emb)
+        return pq_mod.adc_topk(model, codes, query_vec, k=k)
+
+    CHUNK_MIN_CHARS = 2400  # preview_chunks threshold, mutation.rs:3070
+
+    def preview_chunks(self, payload: bytes) -> list[str] | None:
+        """How a payload would chunk WITHOUT ingesting it
+        (preview_chunks, mutation.rs:3085-3088): None when the
+        extracted text is under the chunking threshold — the caller
+        then embeds whole-document instead. Single payload → the chunk
+        plan runs on a one-row frame through the same distributed
+        chunker every ingested doc uses."""
+        from .operators.chunking import chunk_documents
+
+        text = self._reader_text(payload)
+        if len(text) < self.CHUNK_MIN_CHARS:
+            return None
+        one = self.spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = chunk_documents(one).orderBy("chunk_index").collect()
+        return [r.chunk_text for r in rows]
+
+    def put_with_chunk_embeddings(
+        self,
+        payload: bytes,
+        chunk_embeddings: list[list[float]],
+        uri: str | None = None,
+        lang: str = "en",
+        dedup: bool = True,
+    ) -> int | None:
+        """Ingest a payload with externally computed per-chunk
+        embeddings (put_with_chunk_embeddings, mutation.rs; the
+        preview_chunks → embed → put workflow). Chunk vectors land on
+        the chunk-embedding track keyed (frame_id, chunk_index) — the
+        late-interaction retrieval shape (q169)."""
+        doc_id = self.put_bytes(payload, uri=uri, lang=lang, dedup=dedup)
+        if doc_id is not None and chunk_embeddings:
+            dims = {len(v) for v in chunk_embeddings}
+            if len(dims) != 1:
+                raise ValueError(f"mixed chunk dims: {sorted(dims)}")
+            if not hasattr(self, "_chunk_emb_puts"):
+                self._chunk_emb_puts: list[tuple] = []
+            for i, vec in enumerate(chunk_embeddings):
+                self._chunk_emb_puts.append(
+                    (doc_id, i, [float(x) for x in vec])
+                )
+        return doc_id
+
+    def chunk_embeddings(self) -> DataFrame:
+        """(frame_id, chunk_index, embedding) — the chunk-level vector
+        track late-interaction scoring consumes."""
+        rows = getattr(self, "_chunk_emb_puts", [])
+        return self.spark.createDataFrame(
+            rows, "frame_id long, chunk_index long, embedding array<float>"
+        )
+
+    def plan_from_chunks(
+        self,
+        chunks: DataFrame | None = None,
+        segment_tokens: int = 2048,
+        segment_pages: int = 64,
+    ) -> DataFrame:
+        """Segment build plans over the chunked corpus
+        (SegmentPlanner::plan_from_chunks, planner.rs:17-121): chunks
+        default to the standard chunker over the active docs."""
+        from .operators.chunking import chunk_documents, plan_segments
+
+        if chunks is None:
+            chunks = chunk_documents(
+                self.docs(), id_col=self.id_col, text_col=self.text_col
+            )
+        return plan_segments(
+            chunks, segment_tokens=segment_tokens, segment_pages=segment_pages
+        )
+
+    def embedding_identity_summary(self, max_frames: int = 10_000) -> dict:
+        """Which embedding identities produced this index
+        (embedding_identity_summary, helpers.rs:92-130): scans up to
+        ``max_frames`` track rows, distributed; returns
+        unknown | single | mixed with per-identity counts descending."""
+        if not self.has_embeddings():
+            return {"status": "unknown", "identities": []}
+        counts = (
+            self.embeddings()
+            .limit(max_frames)
+            .filter(F.col("provider").isNotNull() | F.col("model").isNotNull())
+            .groupBy("provider", "model")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "provider", "model")
+            .collect()
+        )
+        idents = [
+            {"provider": r.provider, "model": r.model, "count": r.n} for r in counts
+        ]
+        if not idents:
+            return {"status": "unknown", "identities": []}
+        status = "single" if len(idents) == 1 else "mixed"
+        return {"status": status, "identities": idents}
+
     def timeline(
         self,
         events: DataFrame,
@@ -1050,6 +1511,12 @@ class MemvidSpark:
         sessions replay deterministically."""
         if not hasattr(self, "_cards"):
             self._cards: list[tuple] = []
+        if self.is_schema_strict():
+            violation = self.validate_card(slot, value)
+            if violation is not None:
+                # strict mode rejects instead of warn-and-insert
+                # (set_schema_strict contract, memory.rs:360-370)
+                raise ValueError(f"schema violation for slot {slot!r}: {violation}")
         seq = len(self._cards)
         self._cards.append(
             (entity, slot, value, relation, ts or seq, seq, kind, polarity)
@@ -1093,6 +1560,11 @@ class MemvidSpark:
     def memory_entities_df(self) -> DataFrame:
         """Distributed twin of :meth:`memory_entities` (no driver cap)."""
         return self.cards().select("entity").distinct()
+
+    def get_entity_memories(self, entity: str) -> DataFrame:
+        """Every card for an entity in insertion order
+        (get_entity_memories, memory.rs:253-256)."""
+        return self.cards().filter(F.col("entity") == entity).orderBy("seq")
 
     def memory_timeline(self, entity: str) -> DataFrame:
         """Event-kind cards for an entity in effective-timestamp order
@@ -1138,6 +1610,114 @@ class MemvidSpark:
 
         return memory.aggregate_memory_slot(self.cards())
 
+    def clear_memories(self) -> None:
+        """Destructive: drop every memory card (clear_memories,
+        memory.rs:336-339)."""
+        self._ensure_writable()
+        self._cards = []
+
+    # -- schema registry (memory.rs:343-560, types/schema.rs) --------------
+
+    @property
+    def _schema_reg(self) -> dict[str, tuple[str, str]]:
+        if not hasattr(self, "_schemas_by_slot"):
+            # slot → (value_type, cardinality); the registry is a
+            # predicate-vocabulary-sized map, driver-resident like the
+            # reference's SchemaRegistry (memory.rs:346-356)
+            self._schemas_by_slot: dict[str, tuple[str, str]] = {}
+        return self._schemas_by_slot
+
+    def register_schema(
+        self, slot: str, value_type: str, cardinality: str = "Single"
+    ) -> None:
+        """Register a predicate schema (register_schema,
+        memory.rs:381-384). ``value_type`` ∈ number|date|boolean|string,
+        ``cardinality`` ∈ Single|Multiple (schema.rs:87-95)."""
+        if value_type not in ("number", "date", "boolean", "string"):
+            raise ValueError(f"unknown value_type {value_type!r}")
+        if cardinality not in ("Single", "Multiple"):
+            raise ValueError(f"unknown cardinality {cardinality!r}")
+        self._schema_reg[slot] = (value_type, cardinality)
+
+    def schema_registry(self) -> DataFrame:
+        """The registered schemas as a (slot, value_type, cardinality)
+        DataFrame — the shape every validation operator consumes."""
+        rows = [
+            (slot, vt, card) for slot, (vt, card) in sorted(self._schema_reg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "slot string, value_type string, cardinality string"
+        )
+
+    def set_schema_strict(self, strict: bool) -> None:
+        """Strict mode (memory.rs:367-370): ``remember`` rejects cards
+        whose slot is unregistered or whose value's type deviates from
+        the registered schema."""
+        self._schema_strict = strict
+
+    def is_schema_strict(self) -> bool:
+        return getattr(self, "_schema_strict", False)
+
+    def validate_card(self, slot: str, value: str) -> str | None:
+        """Validate one card against the registry (validate_card,
+        memory.rs:392-409): returns ``unknown_slot``, ``type_mismatch``
+        or None. Driver-side — one value never needs a job; the
+        classifier is the exact twin of the distributed one."""
+        from .operators.memory import classify_value
+
+        reg = self._schema_reg.get(slot)
+        if reg is None:
+            return "unknown_slot"
+        if classify_value(value) != reg[0]:
+            return "type_mismatch"
+        return None
+
+    def validate_cards(self) -> DataFrame:
+        """All violating cards vs the registered schemas
+        (validate_cards, memory.rs:417-430): distributed, one broadcast
+        join against the registry."""
+        from .operators import memory
+
+        return memory.validate_cards(self.cards(), self.schema_registry())
+
+    def infer_schemas(self) -> DataFrame:
+        """Inferred per-slot schemas from the card stream
+        (infer_schemas, memory.rs:434-493)."""
+        from .operators import memory
+
+        return memory.infer_schemas(self.cards())
+
+    def register_inferred_schemas(self, overwrite: bool = False) -> int:
+        """Infer and register (register_inferred_schemas,
+        memory.rs:496-510); returns the number registered. The collect
+        is bounded by the predicate vocabulary — the same driver-side
+        scope the registry itself has."""
+        self._ensure_writable()
+        count = 0
+        for r in self.infer_schemas().collect():
+            if overwrite or r.slot not in self._schema_reg:
+                self._schema_reg[r.slot] = (r.value_type, r.cardinality)
+                count += 1
+        return count
+
+    def schema_summary(self) -> DataFrame:
+        """Per-slot display summary: inferred schema + value/unique/
+        entity counts + registered flag (schema_summary,
+        memory.rs:513-560)."""
+        from .operators import memory
+
+        return memory.schema_summary(
+            self.cards(),
+            self.schema_registry() if self._schema_reg else None,
+        )
+
+    def cardinality_violations(self) -> DataFrame:
+        """Entities currently holding multiple values in a registered
+        Single slot (schema.rs:257-476 validation)."""
+        from .operators import memory
+
+        return memory.cardinality_violations(self.cards(), self.schema_registry())
+
     # -- graph (logic_mesh.rs:459-514, graph_search.rs:311-440) ------------
 
     def build_mesh(self) -> tuple[DataFrame, DataFrame]:
@@ -1153,6 +1733,144 @@ class MemvidSpark:
         nodes = mesh.nodes_from_entities(enrich.ner_entities(sents))
         edges = enrich.edges_from_triplets(enrich.spo_triplets(sents))
         return nodes, edges
+
+    # -- logic-mesh admin (src/memvid/mesh.rs:13-200) ----------------------
+
+    NODE_SCHEMA = "entity string, kind string, frame_ids array<long>, support long"
+    EDGE_SCHEMA = (
+        "src string, dst string, link_type string, frame_id long, confidence double"
+    )
+
+    def set_logic_mesh(self, nodes: DataFrame, edges: DataFrame) -> None:
+        """Replace the whole mesh (set_logic_mesh, mesh.rs:36-39) —
+        e.g. with the output of :meth:`build_mesh`."""
+        self._ensure_writable()
+        self._mesh_nodes = nodes
+        self._mesh_edges = edges
+
+    def logic_mesh(self) -> tuple[DataFrame, DataFrame]:
+        """The stored mesh as (nodes, edges) DataFrames
+        (logic_mesh, mesh.rs:19-21); empty tables when unset."""
+        nodes = getattr(self, "_mesh_nodes", None)
+        edges = getattr(self, "_mesh_edges", None)
+        if nodes is None:
+            nodes = self.spark.createDataFrame([], self.NODE_SCHEMA)
+        if edges is None:
+            edges = self.spark.createDataFrame([], self.EDGE_SCHEMA)
+        return nodes, edges
+
+    def has_logic_mesh(self) -> bool:
+        """(has_logic_mesh, mesh.rs:161-165)"""
+        nodes, edges = self.logic_mesh()
+        return bool(nodes.head(1)) or bool(edges.head(1))
+
+    def add_mesh_node(
+        self, entity: str, kind: str, frame_ids: list[int], support: int = 1
+    ) -> None:
+        """Merge one entity node by (canonical name, kind): frame_ids
+        union, mentions accumulate (add_mesh_node, mesh.rs:48-51;
+        merge_node, logic_mesh.rs:516-536)."""
+        self.add_mesh_nodes([(entity, kind, frame_ids, support)])
+
+    def add_mesh_nodes(self, nodes: list[tuple]) -> None:
+        """(add_mesh_nodes, mesh.rs:57-63) — one distributed merge for
+        the whole batch: union + re-aggregate on the merge key, never a
+        per-node driver loop."""
+        self._ensure_writable()
+        new = self.spark.createDataFrame(nodes, self.NODE_SCHEMA)
+        cur, _ = self.logic_mesh()
+        merged = (
+            cur.unionByName(new)
+            .groupBy("entity", "kind")
+            .agg(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("frame_ids")))
+                ).alias("frame_ids"),
+                F.sum("support").cast("long").alias("support"),
+            )
+        )
+        self._mesh_nodes = merged
+
+    def add_mesh_edge(
+        self,
+        src: str,
+        dst: str,
+        link_type: str,
+        frame_id: int = 0,
+        confidence: float = 1.0,
+    ) -> None:
+        """Add one typed edge, deduplicated by (from, to, link_type)
+        (add_mesh_edge, mesh.rs:71-74; merge_edge,
+        logic_mesh.rs:539-548)."""
+        self.add_mesh_edges([(src, dst, link_type, frame_id, confidence)])
+
+    def add_mesh_edges(self, edges: list[tuple]) -> None:
+        """(add_mesh_edges, mesh.rs:80-85): existing edges win the
+        dedup, like the reference's skip-if-present merge."""
+        self._ensure_writable()
+        new = self.spark.createDataFrame(edges, self.EDGE_SCHEMA)
+        _, cur = self.logic_mesh()
+        # anti-join keeps the FIRST (existing) copy of a duplicate key
+        fresh = new.join(
+            cur.select("src", "dst", "link_type"),
+            ["src", "dst", "link_type"],
+            "left_anti",
+        ).dropDuplicates(["src", "dst", "link_type"])
+        self._mesh_edges = cur.unionByName(fresh)
+
+    def find_entity(self, name: str) -> dict | None:
+        """Case-insensitive node lookup (find_entity, mesh.rs:111-113)."""
+        nodes, _ = self.logic_mesh()
+        row = nodes.filter(F.lower(F.col("entity")) == name.lower()).head()
+        return row.asDict() if row is not None else None
+
+    def frame_entities(self, frame_id: int) -> DataFrame:
+        """Entities mentioned in one frame (frame_entities,
+        mesh.rs:123-130): membership filter on the node table."""
+        nodes, _ = self.logic_mesh()
+        return nodes.filter(F.array_contains("frame_ids", F.lit(frame_id)))
+
+    def entities_by_kind(self, kind: str) -> DataFrame:
+        """(entities_by_kind, mesh.rs:139-146)"""
+        nodes, _ = self.logic_mesh()
+        return nodes.filter(F.col("kind") == kind)
+
+    def mesh_node_count(self) -> int:
+        return self.logic_mesh()[0].count()
+
+    def mesh_edge_count(self) -> int:
+        return self.logic_mesh()[1].count()
+
+    def logic_mesh_stats(self) -> dict:
+        """Node/edge counts + per-kind and per-link histograms
+        (logic_mesh_stats, mesh.rs:152-155)."""
+        nodes, edges = self.logic_mesh()
+        by_kind = {
+            r.kind: r.n
+            for r in nodes.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        by_link = {
+            r.link_type: r.n
+            for r in edges.groupBy("link_type").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "node_count": sum(by_kind.values()),
+            "edge_count": sum(by_link.values()),
+            "nodes_by_kind": by_kind,
+            "edges_by_link": by_link,
+        }
+
+    def follow_entity(self, start: str, link: str, hops: int = 2) -> DataFrame:
+        """Name-based traversal over the STORED mesh (follow,
+        mesh.rs:100-102): resolve the start entity case-insensitively,
+        then the bounded-hop frontier walk of :meth:`follow`."""
+        nodes, edges = self.logic_mesh()
+        starts = nodes.filter(
+            F.lower(F.col("entity")) == start.lower()
+        ).select(F.col("entity").alias("node_id"))
+        from .operators import mesh
+
+        return mesh.follow(edges, starts, hops=hops, link_type=link)
 
     def hybrid_search(
         self,
@@ -1368,6 +2086,13 @@ class MemvidSpark:
             self._media_all(), os.path.join(path, "media.parquet")
         )
         self._media_puts = []
+        if self.has_embeddings():
+            # the vector track is NOT derivable (external model output),
+            # so unlike postings/sketches it persists with the store
+            self._emb_seed = self._write_swap(
+                self.embeddings(), os.path.join(path, "embeddings.parquet")
+            )
+            self._emb_puts = []
         manifest = {
             "version": self.MANIFEST_VERSION,
             "kind": "memvid-spark-store",
@@ -1382,6 +2107,7 @@ class MemvidSpark:
             "replay": self._replay,
             "tables": self._tables,
             "memory_id": self._memory_id,
+            "vector_compression": self.vector_compression(),
             "trusted_pubkey": (
                 base64.b64encode(self._trusted_pubkey).decode()
                 if self._trusted_pubkey
@@ -1393,6 +2119,7 @@ class MemvidSpark:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, "manifest.json"))
+        self._store_path = path
 
     def _write_swap(self, df: DataFrame, final_path: str) -> DataFrame:
         """Write ``df`` to ``final_path`` via a temp directory + rename,
@@ -1461,6 +2188,13 @@ class MemvidSpark:
         media_path = os.path.join(path, "media.parquet")
         spark.catalog.refreshByPath(media_path)
         mv._media_seed = spark.read.parquet(media_path)
+        emb_path = os.path.join(path, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            spark.catalog.refreshByPath(emb_path)
+            mv._emb_buffer  # init the track
+            mv._emb_seed = spark.read.parquet(emb_path)
+        if man.get("vector_compression", "none") != "none":
+            mv._vec_compression = man["vector_compression"]
         if rebuild_dedup:
             mv._shas = {
                 r.sha
@@ -1469,6 +2203,7 @@ class MemvidSpark:
                 .collect()
             }
         mv._read_only = read_only
+        mv._store_path = path
         return mv
 
     def _ensure_writable(self) -> None:
@@ -1514,6 +2249,115 @@ class MemvidSpark:
         from .operators.tickets import capacity_limit
 
         return capacity_limit(self._ticket, self._tier)
+
+    # -- memory binding admin (lifecycle.rs:799-880) -----------------------
+
+    def get_memory_binding(self) -> dict | None:
+        """The current binding, or None when unbound
+        (get_memory_binding, lifecycle.rs:799-801)."""
+        if self._memory_id is None:
+            return None
+        return {
+            "memory_id": self._memory_id,
+            "verified": self._ticket.verified,
+            "has_trust_root": self._trusted_pubkey is not None,
+        }
+
+    def set_memory_binding_only(
+        self, memory_id: str, trusted_pubkey_base64: str | None = None
+    ) -> None:
+        """Bind WITHOUT applying a ticket — the caller follows up with
+        apply_signed_ticket (set_memory_binding_only,
+        lifecycle.rs:846-867). Rebinding to a different memory raises,
+        like MemoryAlreadyBound."""
+        self._ensure_writable()
+        if self._memory_id is not None and self._memory_id != memory_id:
+            raise ValueError(
+                f"memory already bound to {self._memory_id!r}; unbind first"
+            )
+        self._memory_id = memory_id
+        if trusted_pubkey_base64 is not None:
+            from .operators.tickets import parse_public_key_base64
+
+            self._trusted_pubkey = parse_public_key_base64(trusted_pubkey_base64)
+
+    def unbind_memory(self) -> None:
+        """Clear the binding and revert to free-tier capacity
+        (unbind_memory, lifecycle.rs:871-880)."""
+        self._ensure_writable()
+        from .operators.tickets import TicketRef
+
+        self._memory_id = None
+        self._trusted_pubkey = None
+        self._ticket = TicketRef(issuer="free-tier", seq_no=1, verified=False)
+        self._tier = "free"
+
+    # -- batch ingestion + commit (mutation.rs:752-930) --------------------
+    #
+    # The reference's batch mode amortizes per-append WAL fsyncs and
+    # suppresses auto-checkpoints; the Spark analogue of that deferred
+    # bookkeeping is derived-table maintenance (the sketch track): in
+    # batch mode a built track goes stale per put and is extended ONCE
+    # at end_batch — one delta job for the whole batch. commit() is the
+    # persist step (save + derived refresh); commit_skip_indexes
+    # persists content only and clears derived manifests;
+    # finalize_indexes is the one-pass O(n) rebuild.
+
+    def in_batch(self) -> bool:
+        return getattr(self, "_batch_mode", False)
+
+    def begin_batch(self) -> None:
+        """(begin_batch, mutation.rs:767-774)"""
+        self._ensure_writable()
+        if self.in_batch():
+            raise RuntimeError("already in batch mode")
+        self._batch_mode = True
+
+    def end_batch(self) -> int:
+        """Exit batch mode (end_batch, mutation.rs:825-831). If a
+        sketch track was built before the batch, it extends here with
+        one incremental job covering every frame the batch added;
+        returns that count (0 otherwise)."""
+        if not self.in_batch():
+            raise RuntimeError("not in batch mode")
+        self._batch_mode = False
+        if self._sketch_df() is not None:
+            return self.build_all_sketches(
+                getattr(self, "_sketch_variant", "small")
+            )
+        return 0
+
+    def commit(self, path: str | None = None) -> None:
+        """Persist content AND refresh derived state (commit,
+        mutation.rs:752-755): save() to the store's path, then extend
+        an existing sketch track with any unsketched frames."""
+        self._ensure_writable()
+        target = path or getattr(self, "_store_path", None)
+        if target is None:
+            raise ValueError("no store path: pass one or save()/open() first")
+        self.save(target)
+        if self._sketch_df() is not None and not self.in_batch():
+            self.build_all_sketches(getattr(self, "_sketch_variant", "small"))
+
+    def commit_skip_indexes(self, path: str | None = None) -> None:
+        """Bulk-ingest commit: persist payloads/frames only and clear
+        the derived track so stale state can't be read
+        (commit_skip_indexes, mutation.rs:839-909); follow with
+        :meth:`finalize_indexes`."""
+        self._ensure_writable()
+        target = path or getattr(self, "_store_path", None)
+        if target is None:
+            raise ValueError("no store path: pass one or save()/open() first")
+        self.save(target)
+        self._sketches = None
+
+    def finalize_indexes(self, variant: str = "small") -> int:
+        """One O(n) rebuild of the derived track after bulk ingestion
+        (finalize_indexes, mutation.rs:913-921); returns the number of
+        sketch entries built."""
+        self._ensure_writable()
+        self._sketches = None
+        return self.build_all_sketches(variant)
 
     # -- stats (ticket.rs:8-123, frame.rs:92-145) --------------------------
 

@@ -20,7 +20,7 @@ a plain equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import tokens
 
@@ -114,3 +114,71 @@ def budgeted_extract(
         F.lit(0).cast("long").alias("remaining_chars"),
     )
     return skim.unionByName(pending)
+
+
+def plan_segments(
+    chunks: DataFrame,
+    segment_tokens: int = 2048,
+    segment_pages: int = 64,
+    grain_col: str | None = None,
+    parent_col: str = "parent_id",
+    index_col: str = "chunk_index",
+    tokens_col: str = "n_tokens",
+    pages_col: str | None = None,
+) -> DataFrame:
+    """Group chunk rows into segment-sized build plans
+    (SegmentPlanner::plan_from_chunks, src/memvid/planner.rs:17-121):
+    chunks laid out in (frame, chunk_index) order accumulate into
+    segments bounded by token AND page budgets, each chunk annotated
+    with its running token span.
+
+    The reference packs greedily in one sequential pass; the
+    distributed re-expression assigns segment = max(floor(cum_tokens /
+    segment_tokens), floor(cum_pages / segment_pages)) over the prefix
+    sums — the q95 streaming-pack shape: segments stay ~budget-sized
+    and boundaries close when EITHER budget fills, with one window
+    instead of a driver loop. Pass ``grain_col`` to partition the
+    prefix window at scale (segments then never span grains); the
+    default global window runs over the narrow planning projection
+    (ids + token estimates), which is plan metadata, not the corpus.
+
+    Output: one row per segment — (segment, chunk_count,
+    estimated_tokens, estimated_pages, token_start, token_end,
+    first_chunk, last_chunk).
+    """
+    order = [F.col(parent_col).asc(), F.col(index_col).asc()]
+    w_part = (
+        Window.partitionBy(grain_col) if grain_col is not None else Window.partitionBy()
+    )
+    w = w_part.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    tok = F.greatest(F.col(tokens_col), F.lit(1))
+    pages = (
+        F.greatest(F.col(pages_col), F.lit(1)) if pages_col else F.lit(1)
+    )
+    planned = chunks.select(
+        *( [F.col(grain_col)] if grain_col else [] ),
+        F.col(parent_col),
+        F.col(index_col),
+        tok.alias("_tok"),
+        pages.alias("_pages"),
+    ).withColumn(
+        "_tok_before", F.coalesce(F.sum("_tok").over(w), F.lit(0))
+    ).withColumn(
+        "_pages_before", F.coalesce(F.sum("_pages").over(w), F.lit(0))
+    ).withColumn(
+        "segment",
+        F.greatest(
+            F.floor(F.col("_tok_before") / segment_tokens),
+            F.floor(F.col("_pages_before") / segment_pages),
+        ),
+    )
+    keys = ([F.col(grain_col)] if grain_col else []) + [F.col("segment")]
+    return planned.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("chunk_count"),
+        F.sum("_tok").cast("long").alias("estimated_tokens"),
+        F.sum("_pages").cast("long").alias("estimated_pages"),
+        F.min("_tok_before").cast("long").alias("token_start"),
+        F.max(F.col("_tok_before") + F.col("_tok")).cast("long").alias("token_end"),
+        F.min(F.struct(parent_col, index_col)).alias("first_chunk"),
+        F.max(F.struct(parent_col, index_col)).alias("last_chunk"),
+    )

@@ -255,3 +255,44 @@ def cardinality_violations(cards: DataFrame, schemas: DataFrame) -> DataFrame:
         .filter((F.col("cardinality") == "Single") & (F.col("n_values") > 1))
         .select("entity", "slot", "n_values", "cardinality")
     )
+
+
+def classify_value(value: str) -> str:
+    """Driver-side twin of the CASE-WHEN value-type classifier used by
+    :func:`infer_schemas`/:func:`validate_cards` — the facade's strict
+    single-card gate (validate_card, memory.rs:392-409) classifies one
+    value without a job."""
+    import re
+
+    if re.fullmatch(r"-?[0-9]+(\.[0-9]+)?", value):
+        return "number"
+    if re.fullmatch(r"[0-9]{4}-[0-9]{2}-[0-9]{2}", value):
+        return "date"
+    if re.fullmatch(r"(true|false)", value.lower()):
+        return "boolean"
+    return "string"
+
+
+def schema_summary(cards: DataFrame, registered: DataFrame | None = None) -> DataFrame:
+    """Per-slot display summary (schema_summary, memory.rs:513-560):
+    the inferred schema plus value/unique/entity counts and whether the
+    slot is explicitly registered. One extra groupBy joined on slot —
+    both sides are slot-keyed aggregates, a broadcast-sized dimension.
+    """
+    inf = infer_schemas(cards)
+    stats = cards.groupBy("slot").agg(
+        F.count_distinct("value").cast("long").alias("n_unique_values"),
+        F.count_distinct("entity").cast("long").alias("n_entities"),
+    )
+    out = inf.join(stats, "slot")
+    if registered is not None:
+        reg = registered.select("slot", F.lit(True).alias("registered"))
+        out = out.join(F.broadcast(reg), "slot", "left").withColumn(
+            "registered", F.coalesce("registered", F.lit(False))
+        )
+    else:
+        out = out.withColumn("registered", F.lit(False))
+    return out.select(
+        "slot", "value_type", "cardinality", "n_cards",
+        "n_unique_values", "n_entities", "registered",
+    )
