@@ -222,6 +222,8 @@ def main() -> None:
         # round-4 quality tier: bigram-LM perplexity filtering and the
         # NB quality classifier (train + corpus scoring in one plan)
         "q158_lm_perplexity", "q161_quality_classifier",
+        # round-5 sketch track: entry generation + query-sketch scoring
+        "q176_sketch_entries", "q177_sketch_candidates",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
