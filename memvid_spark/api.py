@@ -977,6 +977,17 @@ class MemvidSpark:
         sk = self._sketch_df()
         return sk is not None and bool(sk.head(1))
 
+    def _check_sketch_variant(self, variant: str) -> None:
+        """One variant per track (SketchTrack.variant,
+        sketch_track.rs:869-875): mixing entry widths would corrupt the
+        fixed-size track; rebuild (finalize_indexes) to change."""
+        cur = getattr(self, "_sketch_variant", None)
+        if cur is not None and self._sketch_df() is not None and cur != variant:
+            raise ValueError(
+                f"sketch track uses variant {cur!r}; rebuild to switch to "
+                f"{variant!r}"
+            )
+
     def build_all_sketches(self, variant: str = "small") -> int:
         """Generate sketches for all active frames that don't have one
         yet (sketch.rs:124-152); returns the number generated. Like the
@@ -987,6 +998,7 @@ class MemvidSpark:
         self._ensure_writable()
         from .operators import sketchtrack
 
+        self._check_sketch_variant(variant)
         new = sketchtrack.sketch_entries(
             self.docs(), variant, self.id_col, self.text_col
         )
@@ -1009,6 +1021,7 @@ class MemvidSpark:
         self._ensure_writable()
         from .operators import sketchtrack
 
+        self._check_sketch_variant(variant)
         e = sketchtrack.py_sketch_entry(text, variant)
         words = sketchtrack.filter_word_cols(variant)
         row = {

@@ -169,3 +169,101 @@ def test_read_only_store_rejects_sketch_mutation(spark, tmp_path):
         ro.build_all_sketches()
     with pytest.raises(PermissionError):
         ro.insert_sketch(0, "text")
+
+
+def test_variant_is_fixed_per_track(spark):
+    """One variant per track (sketch_track.rs:869-875): mixing entry
+    widths raises; finalize_indexes rebuilds under the new variant."""
+    mv = MemvidSpark(spark)
+    mv.put("document one about engines and joins")
+    mv.build_all_sketches("small")
+    with pytest.raises(ValueError, match="variant"):
+        mv.build_all_sketches("medium")
+    with pytest.raises(ValueError, match="variant"):
+        mv.insert_sketch(0, "text", "large")
+    assert mv.finalize_indexes("medium") == 1
+    assert mv._sketch_variant == "medium"
+
+
+def test_fuzz_entries_match_twin_one_job(spark):
+    """Seeded fuzz: 150 adversarial texts (unicode, punctuation runs,
+    repeated tokens, digits, empties) through the distributed builder in
+    ONE job, every entry compared to the driver twin. (Charset avoids
+    locale-dependent lowercasing like Greek final sigma, where JVM and
+    Python disagree by design.)"""
+    import random
+
+    rng = random.Random(20260814)
+    frags = [
+        "hash", "join", "Vector", "MERGE", "é", "ñu", "汉字", "42", "x1",
+        "??", "--", "  ", "\t", ".", "token token token", "Ümlaut",
+        "a", "b2", "scan-scan", "N0", "🎉", "under_score", "",
+    ]
+    texts = []
+    for i in range(150):
+        n = rng.randint(0, 30)
+        texts.append((i, " ".join(rng.choice(frags) for _ in range(n))))
+    rows = {r.doc_id: r for r in sk.sketch_entries(_docs(spark, texts)).collect()}
+    checked = 0
+    for doc_id, text in texts:
+        e = sk.py_sketch_entry(text)
+        if e["token_count"] == 0:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert r.simhash == e["simhash"], (doc_id, text)
+        assert [r.f0, r.f1] == e["filter_words"], (doc_id, text)
+        assert list(r.top_terms) == e["top_terms"], (doc_id, text)
+        assert r.term_weight_sum == e["term_weight_sum"], (doc_id, text)
+        assert r.token_count == e["token_count"], (doc_id, text)
+        checked += 1
+    assert checked > 50  # the fuzz actually exercised non-empty docs
+
+
+def test_fuzz_candidates_match_pure_python_scorer(spark):
+    """Independent reimplementation check: the distributed candidate
+    scorer vs a from-scratch Python scorer over the same entries
+    (Decimal HALF_UP emulates Spark's F.round)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(7)
+    vocab = ["hash", "join", "vector", "merge", "scan", "sort", "spill",
+             "shuffle", "codec", "frame", "token", "index"]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 60))))
+        for i in range(80)
+    ]
+    entries = sk.sketch_entries(_docs(spark, texts))
+    query = "hash join spill codec"
+    got = sk.sketch_candidates(
+        entries, query, hamming_threshold=20, max_candidates=1000
+    ).collect()
+
+    qs = sk.query_sketch(query)
+    qb = min(qs["token_count"] // 10, 255)
+    mt_max = max(len(qs["top_terms"]), 1)
+    expected = {}
+    for r in entries.collect():
+        if not any(
+            (r[f"f{i}"] & qs["filter_words"][i]) != 0 for i in range(2)
+        ):
+            continue
+        ham = bin(r.simhash ^ qs["simhash"]).count("1")
+        if ham > 20:
+            continue
+        mt = sum(1 for t in r.top_terms if t != 0 and t in qs["top_terms"])
+        score = (
+            0.5 * (mt / float(mt_max))
+            + 0.4 * (1.0 - ham / 60.0)
+            + 0.1 * (1.0 / (1.0 + 0.1 * abs(r.length_hint - qb)))
+        )
+        score = float(
+            Decimal(repr(score)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        expected[r.doc_id] = (score, ham, mt)
+    assert {c.doc_id for c in got} == set(expected)
+    for c in got:
+        s, h, m = expected[c.doc_id]
+        assert abs(c.score - s) < 2e-6, c
+        assert (c.hamming, c.matching_top_terms) == (h, m)
