@@ -4617,14 +4617,24 @@ def q66_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = catalog.load(spark, sf_dir)
     e = HashEmbedder(dim=8)
-    # embeddings come from the full corpus — at scale this is a scan of
-    # the stored `embeddings` derived table; the join against the k-row
-    # hit list broadcasts. (A per-hit semi-join embed was measured
-    # slower cold: the extra stages cost more than they save here.)
-    hits = search.bm25_topk(t.documents, ["table", "window", "merge"], k=20)
-    emb = e.embed_df(t.documents)
+    # O(hits), not O(corpus): checkpoint the 20-row hit list (one BM25
+    # job), broadcast-semi-join the corpus down to the hit documents,
+    # and embed ONLY those — the reference's per-hit rerank shape
+    # (ask.rs:712-830 scores just the hit list). The former full-corpus
+    # embed was the one headline plan that failed the 100 TB test
+    # (probe-measured 81× wall at 100× data); the semi-join variant's
+    # extra stage only loses below ~10k docs, where both are <0.5 s.
+    hits = search.bm25_topk(
+        t.documents, ["table", "window", "merge"], k=20
+    ).localCheckpoint()
+    hit_docs = t.documents.join(
+        F.broadcast(hits.select("doc_id")), "doc_id", "left_semi"
+    )
+    emb = e.embed_df(hit_docs)
     qvec = e.embed_query("table window merge")
-    return semantic_rerank(hits, emb, qvec, blend=0.5, vec_id_col="doc_id")
+    return semantic_rerank(
+        hits, emb, qvec, blend=0.5, vec_id_col="doc_id", prune=True
+    )
 
 
 @spec(
