@@ -18,6 +18,8 @@ user — uniform keys, RocksDB-backed on a real cluster.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -112,6 +114,18 @@ def run_to_completion(stream_df: DataFrame, name: str, output_mode: str = "appen
     return stream_df.sparkSession.table(name)
 
 
+ENRICHED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tags", StringType()),
+        StructField("quality", DoubleType()),
+        StructField("n_tokens", LongType()),
+        StructField("engine_version", StringType()),
+        StructField("enrichment_state", StringType()),
+    ]
+)
+
+
 class EnrichmentWorker:
     """Progressive enrichment queue (enrichment_worker.rs:1-150).
 
@@ -119,23 +133,49 @@ class EnrichmentWorker:
     processed by THIS engine version (the enrichment-manifest semantics of
     memories_track.rs:165-240: re-running a new engine version re-enriches,
     re-running the same version is a no-op) and appends to the enriched
-    store. foreachBatch gives exactly-once via the manifest anti-join even
-    under batch replay.
+    store.
+
+    Exactly-once is DISTRIBUTED state, not driver state: the manifest is
+    the ``(doc_id, engine_version)`` projection of the enriched sink table
+    itself, and every micro-batch ``left_anti``-joins against it before
+    enriching. One table means no dual-write atomicity gap (a replayed
+    batch that already appended anti-joins to zero rows), the driver holds
+    no per-document set, and a brand-new worker pointed at the same
+    ``store_dir`` resumes with zero warm-up — the checkpointed-manifest
+    semantics of memories_track.rs:165-240. At warehouse scale the sink is
+    a Delta/Iceberg table and the anti-join prunes on the version
+    partition; here it is an append-only parquet directory.
     """
 
-    def __init__(self, engine_version: str = "v1"):
+    def __init__(self, engine_version: str = "v1", store_dir: str | None = None):
+        import tempfile
+
         self.engine_version = engine_version
-        self.enriched_rows: list = []
-        self._seen: set = set()  # (doc_id, engine_version) manifest
+        self.store_dir = store_dir or tempfile.mkdtemp(prefix="mv2_enrich_")
+        os.makedirs(self.store_dir, exist_ok=True)
+
+    @property
+    def sink_path(self) -> str:
+        return os.path.join(self.store_dir, "enriched.parquet")
+
+    def enriched(self, spark: SparkSession) -> DataFrame:
+        """The enriched store (and, projected, the manifest)."""
+        if not os.path.exists(self.sink_path):
+            return spark.createDataFrame([], ENRICHED_SCHEMA)
+        spark.catalog.refreshByPath(self.sink_path)
+        return spark.read.schema(ENRICHED_SCHEMA).parquet(self.sink_path)
 
     def enrich_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.extract import auto_tags
         from ..functions.text import quality_score, token_count
 
-        done = {d for (d, v) in self._seen if v == self.engine_version}
-        todo = batch_df if not done else batch_df.filter(
-            ~F.col("doc_id").isin(list(done))
+        spark = batch_df.sparkSession
+        done = (
+            self.enriched(spark)
+            .filter(F.col("engine_version") == self.engine_version)
+            .select("doc_id")
         )
+        todo = batch_df.join(done, "doc_id", "left_anti")
         out = todo.select(
             "doc_id",
             F.concat_ws(",", auto_tags("text")).alias("tags"),
@@ -143,9 +183,11 @@ class EnrichmentWorker:
             token_count("text").alias("n_tokens"),
             F.lit(self.engine_version).alias("engine_version"),
             F.lit("enriched").alias("enrichment_state"),
-        ).collect()
-        self.enriched_rows.extend(out)
-        self._seen.update((r.doc_id, self.engine_version) for r in out)
+        )
+        # append-only: the write's plan reads the sink it appends to, which
+        # is safe (the scan's file listing predates the new files); the
+        # refresh in enriched() keeps the NEXT batch's listing current
+        out.write.mode("append").parquet(self.sink_path)
 
     def run(self, docs_stream: DataFrame) -> None:
         q = docs_stream.writeStream.foreachBatch(self.enrich_batch).start()

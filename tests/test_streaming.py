@@ -65,6 +65,8 @@ def test_enrichment_worker_exactly_once(spark, docs_dir):
         StructType,
     )
 
+    from pyspark.sql import functions as F
+
     from memvid_spark.streaming.enrichment import EnrichmentWorker
 
     schema = StructType(
@@ -79,26 +81,38 @@ def test_enrichment_worker_exactly_once(spark, docs_dir):
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
     )
-    w = EnrichmentWorker(engine_version="v1")
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="mv2_enrich_test_")
+    w = EnrichmentWorker(engine_version="v1", store_dir=store)
     w.run(stream)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    assert len(w.enriched_rows) == n_docs
-    assert all(r.enrichment_state == "enriched" for r in w.enriched_rows[:5])
-    # same engine version re-run: manifest makes it a no-op
+    got = w.enriched(spark)
+    assert got.count() == n_docs
+    assert got.filter(F.col("enrichment_state") != "enriched").count() == 0
+    # same engine version re-run by a BRAND-NEW worker over the same
+    # store: the manifest lives in the sink table, not on the driver, so
+    # the replay is a no-op with zero driver-side state carried over
+    w_replay = EnrichmentWorker(engine_version="v1", store_dir=store)
     stream2 = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
     )
-    w.run(stream2)
-    assert len(w.enriched_rows) == n_docs
-    # new engine version: re-enriches everything (memories_track.rs:165-240)
-    w2 = EnrichmentWorker(engine_version="v2")
-    w2._seen = w._seen
-    w2.enriched_rows = list(w.enriched_rows)
+    w_replay.run(stream2)
+    assert w_replay.enriched(spark).count() == n_docs
+    # a replayed micro-batch is also a no-op (foreachBatch replay path)
+    w_replay.enrich_batch(spark.read.parquet(docs_dir), batch_id=0)
+    assert w_replay.enriched(spark).count() == n_docs
+    # new engine version over the same store: re-enriches everything
+    # (memories_track.rs:165-240), old rows retained
+    w2 = EnrichmentWorker(engine_version="v2", store_dir=store)
     stream3 = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(docs_dir)
     )
     w2.run(stream3)
-    assert len(w2.enriched_rows) == 2 * n_docs
+    assert w2.enriched(spark).count() == 2 * n_docs
+    assert (
+        w2.enriched(spark).filter(F.col("engine_version") == "v2").count() == n_docs
+    )
 
 
 def test_running_user_totals_stateful(spark, events_dir):
