@@ -69,6 +69,9 @@ class MemvidSpark:
             row = seed.agg(F.max(id_col)).head()
             self._next_id = int(row[0] or 0) + 1
         self._shas: set[str] = set()
+        # executor-side dedup registry (set by open(rebuild_dedup=True)):
+        # the corpus sha projection, probed per put — never collected
+        self._sha_seed: DataFrame | None = None
         # media track (blob tier): a parquet-backed seed DataFrame plus a
         # small in-session put buffer — the same union model as the frame
         # log, so payloads NEVER round-trip through the driver on open()
@@ -107,8 +110,19 @@ class MemvidSpark:
         self._ensure_writable()
         raw = text.encode()
         sha = hashlib.sha256(raw).hexdigest()
-        if dedup and sha in self._shas:
-            return None
+        if dedup:
+            if sha in self._shas:
+                return None
+            # corpus-side registry (open(rebuild_dedup=True)): probe the
+            # executor-side sha projection instead of a driver set — one
+            # point-filter job per put, O(1) driver memory at any corpus
+            # size (put is inherently a per-doc driver call; batch
+            # ingestion dedups via the dedup_insert anti-join)
+            if self._sha_seed is not None and (
+                self._sha_seed.filter(F.col("sha") == sha).head() is not None
+            ):
+                self._shas.add(sha)  # session cache for repeat probes
+                return None
         # write-path capacity gate (mutation.rs:3407-3415): dedup skips
         # consume no capacity; the gate meters the ingest tier (seed
         # tables are external storage with their own governance)
@@ -866,7 +880,7 @@ class MemvidSpark:
             return True
         if self._media_seed is not None:
             return (
-                self._media_seed.filter(F.col(self.id_col) == frame_id).head()
+                self._media_seed.filter(F.col("media_id") == frame_id).head()
                 is not None
             )
         return False
@@ -908,7 +922,7 @@ class MemvidSpark:
                 return self._reader_text(bytes(payload))
         if self._media_seed is not None:
             row = (
-                self._media_seed.filter(F.col(self.id_col) == frame_id).head()
+                self._media_seed.filter(F.col("media_id") == frame_id).head()
             )
             if row is not None:
                 return self._reader_text(bytes(row["payload"]))
@@ -2209,12 +2223,16 @@ class MemvidSpark:
         if man.get("vector_compression", "none") != "none":
             mv._vec_compression = man["vector_compression"]
         if rebuild_dedup:
-            mv._shas = {
-                r.sha
-                for r in mv.docs()
+            # dedup registry stays DISTRIBUTED (mutation.rs:3302-3316
+            # semantics, zero collect on the open path): a lazily
+            # checkpointed sha projection over the active corpus; put()
+            # probes it with a point filter and caches hits in the
+            # session _shas set
+            mv._sha_seed = (
+                mv.docs()
                 .select(F.sha2(mv.text_col, 256).alias("sha"))
-                .collect()
-            }
+                .localCheckpoint(eager=False)
+            )
         mv._read_only = read_only
         mv._store_path = path
         return mv

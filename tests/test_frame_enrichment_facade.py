@@ -118,3 +118,41 @@ def test_media_frames_reextract_on_enrichment(spark):
     assert full == text  # unbudgeted re-extraction reproduces the reader text
     res = mv.process_enrichment_task(task)
     assert res["re_extracted"] and res["error"] is None
+
+
+def test_media_enrichment_survives_save_open(spark, tmp_path):
+    """After save()/open() the media payload lives in the parquet-backed
+    seed (media_id, mime, payload) — _frame_has_media and
+    extract_full_text must probe it by media_id, not by the frame id
+    column (the seed has no doc_id column at all)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x80")
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    mv = MemvidSpark(spark)
+    t = mv.put("plain text frame")
+    i = mv.put_bytes(png, uri="mv2://img.png")
+    want = mv.extract_full_text(i)
+    path = str(tmp_path / "store")
+    mv.save(path)
+
+    back = MemvidSpark.open(spark, path)
+    assert back._frame_has_media(i)
+    assert not back._frame_has_media(t)
+    assert back.extract_full_text(i) == want
+    # the full enrichment step runs against the seed-backed payload
+    res = back.process_enrichment_task({"frame_id": i, "is_media": True})
+    assert res["re_extracted"] and res["error"] is None
