@@ -159,3 +159,31 @@ def test_dedup_paragraphs_first_occurrence_and_short_kept(spark):
     )
     r2 = dedup_paragraphs(clean).head()
     assert r2.text == "one\ntwo\nthree" and r2.n_removed == 0
+
+
+def test_semdedup_mega_cluster_guard(spark):
+    """A planted mega-cluster (every vector near-identical → one seed
+    cluster) must not materialize one O(m²) task: above max_cluster the
+    cluster splits into hash sub-shards, each with exactly one survivor
+    of the identical chain — bounded per-task rows, bounded recall loss."""
+    import numpy as np
+
+    from memvid_spark.operators.semdedup import semdedup
+
+    n = 100
+    rows = [(i, [1.0, 0.0, 1e-9 * i]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # unguarded: one cluster, one survivor
+    full = semdedup(emb, k=1, tau=0.999, max_cluster=0).collect()
+    assert sum(not r.is_dup for r in full) == 1
+    assert len(full) == n
+
+    # guarded at 10: ceil(100/10) = 10 hash shards, one survivor each;
+    # no task ever sees more than ~n/shards rows of the m² kernel
+    guarded = semdedup(emb, k=1, tau=0.999, max_cluster=10).collect()
+    assert len(guarded) == n
+    survivors = sum(not r.is_dup for r in guarded)
+    assert survivors == 10
+    # every row still reports its ORIGINAL cluster id
+    assert {r.cluster for r in guarded} == {r.cluster for r in full}
