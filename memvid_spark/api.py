@@ -1086,6 +1086,18 @@ class MemvidSpark:
             "variant": variant,
         }
 
+    def _empty_sketch_df(self, variant: str) -> DataFrame:
+        from .operators import sketchtrack
+
+        words = sketchtrack.filter_word_cols(variant)
+        return self.spark.createDataFrame(
+            [],
+            f"{self.id_col} long, simhash long, "
+            + ", ".join(f"{w} long" for w in words)
+            + ", token_count long, length_hint long, short_text boolean,"
+            + " top_terms array<long>, term_weight_sum long",
+        )
+
     def find_sketch_candidates(
         self,
         query: str,
@@ -1102,14 +1114,7 @@ class MemvidSpark:
         sk = self._sketch_df()
         variant = getattr(self, "_sketch_variant", "small")
         if sk is None:
-            words = sketchtrack.filter_word_cols(variant)
-            sk = self.spark.createDataFrame(
-                [],
-                f"{self.id_col} long, simhash long, "
-                + ", ".join(f"{w} long" for w in words)
-                + ", token_count long, length_hint long, short_text boolean,"
-                + " top_terms array<long>, term_weight_sum long",
-            )
+            sk = self._empty_sketch_df(variant)
         return sketchtrack.sketch_candidates(
             sk,
             query,
@@ -1454,11 +1459,15 @@ class MemvidSpark:
 
     def chunk_embeddings(self) -> DataFrame:
         """(frame_id, chunk_index, embedding) — the chunk-level vector
-        track late-interaction scoring consumes."""
+        track late-interaction scoring consumes. Parquet-backed seed
+        (save/open) unioned with the session put buffer, like every
+        other track."""
         rows = getattr(self, "_chunk_emb_puts", [])
-        return self.spark.createDataFrame(
+        seed = getattr(self, "_chunk_emb_seed", None)
+        buf = self.spark.createDataFrame(
             rows, "frame_id long, chunk_index long, embedding array<float>"
         )
+        return buf if seed is None else seed.unionByName(buf)
 
     def plan_from_chunks(
         self,
@@ -1973,17 +1982,70 @@ class MemvidSpark:
 
     # -- doctor / replay (doctor.rs; replay/engine.rs:118-637) -------------
 
-    def doctor(self, derived: dict[str, DataFrame] | None = None) -> DataFrame:
+    def doctor(
+        self,
+        derived: dict[str, DataFrame] | None = None,
+        heal: bool = False,
+    ) -> DataFrame:
         """Consistency audit (doctor.rs; healing exercised at
-        lib.rs:1160-1248): duplicate-key check on the frame log,
-        missing/orphaned audit of every supplied derived table, plus the
-        facade's own pointer invariants — tombstones and supersedes
-        targets must reference frames that exist. Returns the findings
-        report; ``heal()`` turns it into rebuild actions."""
+        lib.rs:1160-1248 and tests/doctor_recovery.rs:194-717):
+        duplicate-key check on the frame log, missing/orphaned audit of
+        every supplied derived table, plus the facade's own pointer
+        invariants — tombstones and supersedes targets must reference
+        frames that exist. The facade's sketch track joins the audit
+        automatically whenever the manifest records a built variant, so
+        a dropped/corrupt sketches parquet shows up as ``missing`` rows.
+
+        ``heal=True`` runs the reference's heal-then-pass loop: execute
+        the heal plan (a stale or orphaned sketch track is rebuilt from
+        frames via :meth:`finalize_indexes` — every derived table here
+        is a rebuildable function of the content table), then re-audit
+        and return the POST-heal report so callers can assert it is
+        clean. Returns the findings report; ``heal()`` turns a report
+        into the action plan without executing it."""
+        rep = self._doctor_report(derived)
+        if not heal:
+            return rep
+        from .operators.doctor import heal_plan
+
+        variant = getattr(self, "_sketch_variant", None)
+        for row in heal_plan(rep).collect():  # findings table — tiny
+            if row.table_name == "sketches" and row.action in (
+                "rebuild_derived_table",
+                "vacuum_derived_table",
+            ):
+                # one O(n) rebuild fixes both stale and orphaned rows
+                self.finalize_indexes(variant or "small")
+                break
+        return self._doctor_report(derived)
+
+    def _doctor_report(
+        self, derived: dict[str, DataFrame] | None = None
+    ) -> DataFrame:
         from .operators.doctor import doctor_report
 
+        derived = dict(derived or {})
         frames_df = self._union_docs()
-        rep = doctor_report(frames_df, derived or {}, frame_key=self.id_col)
+        rep = doctor_report(frames_df, derived, frame_key=self.id_col)
+        variant = getattr(self, "_sketch_variant", None)
+        if variant is not None and "sketches" not in derived:
+            from .functions.text import tokens as _tokens
+
+            sk = self._sketch_df()
+            if sk is None:
+                sk = self._empty_sketch_df(variant)
+            # the track covers ACTIVE frames with ≥1 sketchable token
+            # (build_all_sketches' empty-text skip, sketch.rs:124-152) —
+            # audit against that key set, not the full frame log
+            sketchable = self.docs().filter(
+                F.exists(
+                    _tokens(self.text_col), lambda t: F.length(t) >= 2
+                )
+            )
+            sk_rep = doctor_report(
+                sketchable, {"sketches": sk}, frame_key=self.id_col
+            ).filter(F.col("table_name") != "frames")
+            rep = rep.unionByName(sk_rep)
         ids = frames_df.select(F.col(self.id_col).alias("k")).distinct()
         for name, vals in (
             ("tombstones", self._tombstones),
@@ -2090,10 +2152,13 @@ class MemvidSpark:
         parquet (the .mv2 analogue, Spark-first — a table, not a file),
         media payloads as parquet, and the non-derivable driver-side
         state (tombstones, supersede chain, replay log, ticket ref,
-        binding, allocation) as a versioned JSON manifest. Derived
-        state (postings, sketches, dedup registry) is NOT saved — it is
-        a function of the content table and rebuilds on demand
-        (rebuild_indexes model, api.rs:1038-1106)."""
+        binding, allocation, schema registry, memory cards, enrichment
+        queue) as a versioned JSON manifest. The sketch track persists
+        as parquet (the reference ships it inside the .mv2 container,
+        sketch_track.rs); purely rebuildable derived state (postings,
+        dedup registry) is NOT saved — it is a function of the content
+        table and rebuilds on demand (rebuild_indexes model,
+        api.rs:1038-1106)."""
         import base64
         import json
         import os
@@ -2120,6 +2185,30 @@ class MemvidSpark:
                 self.embeddings(), os.path.join(path, "embeddings.parquet")
             )
             self._emb_puts = []
+        if getattr(self, "_chunk_emb_puts", None) or (
+            getattr(self, "_chunk_emb_seed", None) is not None
+        ):
+            # chunk-level vectors are external model output too
+            self._chunk_emb_seed = self._write_swap(
+                self.chunk_embeddings(),
+                os.path.join(path, "chunk_embeddings.parquet"),
+            )
+            self._chunk_emb_puts = []
+        # the sketch track persists with the store (the reference ships
+        # it inside the .mv2 container, sketch_track.rs) — unlike
+        # postings it is maintained incrementally, not rebuilt per open
+        if self._sketch_df() is not None:
+            self._sketches = self._write_swap(
+                self._sketch_df(), os.path.join(path, "sketches.parquet")
+            )
+        else:
+            # a cleared track (commit_skip_indexes) must not leave a
+            # stale parquet for the next open() to read
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(path, "sketches.parquet"), ignore_errors=True
+            )
         manifest = {
             "version": self.MANIFEST_VERSION,
             "kind": "memvid-spark-store",
@@ -2141,6 +2230,17 @@ class MemvidSpark:
                 else None
             ),
             "ticket": vars(self._ticket),
+            # session tracks the reference persists with the store:
+            # sketch variant, schema registry + strict flag, memory
+            # cards, and the enrichment queue/unenriched set (all
+            # bounded by session mutations — manifest-sized, never
+            # corpus-sized)
+            "sketch_variant": getattr(self, "_sketch_variant", None),
+            "schemas": {s: list(v) for s, v in self._schema_reg.items()},
+            "schema_strict": self.is_schema_strict(),
+            "cards": [list(c) for c in getattr(self, "_cards", [])],
+            "unenriched": sorted(self._unenriched),
+            "enrich_queue": [int(x) for x in self._enrich_queue],
         }
         tmp = os.path.join(path, "manifest.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -2220,6 +2320,23 @@ class MemvidSpark:
             spark.catalog.refreshByPath(emb_path)
             mv._emb_buffer  # init the track
             mv._emb_seed = spark.read.parquet(emb_path)
+        ce_path = os.path.join(path, "chunk_embeddings.parquet")
+        if os.path.exists(ce_path):
+            spark.catalog.refreshByPath(ce_path)
+            mv._chunk_emb_seed = spark.read.parquet(ce_path)
+        sk_path = os.path.join(path, "sketches.parquet")
+        if man.get("sketch_variant"):
+            mv._sketch_variant = man["sketch_variant"]
+        if os.path.exists(sk_path):
+            spark.catalog.refreshByPath(sk_path)
+            mv._sketches = spark.read.parquet(sk_path)
+        for slot, vc in man.get("schemas", {}).items():
+            mv._schema_reg[slot] = (vc[0], vc[1])
+        if man.get("schema_strict"):
+            mv._schema_strict = True
+        mv._cards = [tuple(c) for c in man.get("cards", [])]
+        mv._session_unenriched = {int(x) for x in man.get("unenriched", [])}
+        mv._enrich_pending = [int(x) for x in man.get("enrich_queue", [])]
         if man.get("vector_compression", "none") != "none":
             mv._vec_compression = man["vector_compression"]
         if rebuild_dedup:

@@ -85,3 +85,89 @@ def test_replay_save_load_roundtrip(spark, tmp_path):
     # divergence diff over the restored log is empty (same corpus)
     div = mv2.replay()
     assert div.filter("status <> 'same'").count() == 0
+
+
+def test_doctor_heals_dropped_sketch_track(spark, tmp_path):
+    """doctor(heal=True) executes the heal plan: a store whose
+    sketches.parquet was dropped (the corrupt-index case of
+    tests/doctor_recovery.rs:194-717) is detected as missing rows,
+    rebuilt via finalize_indexes, and sketch search returns results
+    identical to the pre-corruption store."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    for i in range(8):
+        mv.put(f"sketchable document number {i} about spark tables and joins")
+    mv.build_all_sketches("small")
+    path = str(tmp_path / "store")
+    mv.save(path)
+    want = sorted(
+        tuple(r) for r in mv.find_sketch_candidates("spark tables", hamming_threshold=60).collect()
+    )
+    assert want  # the query actually hits
+
+    shutil.rmtree(path + "/sketches.parquet")
+    back = MemvidSpark.open(spark, path)
+    assert back._sketch_df() is None  # track gone, variant remembered
+    pre = {
+        (r.check, r.table_name): r.n_affected
+        for r in back.doctor().collect()
+    }
+    assert pre[("missing", "sketches")] == 8
+
+    post = back.doctor(heal=True)
+    assert (
+        post.filter(
+            (F.col("table_name") == "sketches") & (F.col("n_affected") > 0)
+        ).count()
+        == 0
+    )
+    got = sorted(
+        tuple(r) for r in back.find_sketch_candidates("spark tables", hamming_threshold=60).collect()
+    )
+    assert got == want
+
+
+def test_sketch_track_persists_across_save_open(spark, tmp_path):
+    """save() ships the sketch track with the store (sketch_track.rs);
+    open() restores it plus the schema registry, strict flag, memory
+    cards, and enrichment bookkeeping — no finalize_indexes needed."""
+    import pytest
+
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    a = mv.put("alpha doc about joins")
+    mv.put("beta doc about windows")
+    mv.build_all_sketches("small")
+    mv.register_schema("age", "number", "Single")
+    mv.set_schema_strict(True)
+    mv.remember("ada", "age", "36")
+    want = sorted(tuple(r) for r in mv.find_sketch_candidates("joins").collect())
+    want_queue = list(mv._enrich_queue)
+    path = str(tmp_path / "store")
+    mv.save(path)
+
+    back = MemvidSpark.open(spark, path)
+    assert back.has_sketches()
+    assert back._sketch_variant == "small"
+    got = sorted(tuple(r) for r in back.find_sketch_candidates("joins").collect())
+    assert got == want
+    # schema registry + strict flag round-trip
+    assert back.is_schema_strict()
+    with pytest.raises(ValueError):
+        back.remember("ada", "unregistered_slot", "x")
+    # memory cards round-trip
+    assert back.get_current_memory("ada").head().value == "36"
+    # enrichment bookkeeping round-trips
+    assert list(back._enrich_queue) == want_queue
+    assert back.get_unenriched_frames() == mv.get_unenriched_frames()
+    assert not back.is_frame_enriched(a)
+
+    # variant lock survives the round trip (one variant per track)
+    with pytest.raises(ValueError):
+        back.build_all_sketches("large")
