@@ -125,6 +125,7 @@ def plan_segments(
     index_col: str = "chunk_index",
     tokens_col: str = "n_tokens",
     pages_col: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Group chunk rows into segment-sized build plans
     (SegmentPlanner::plan_from_chunks, src/memvid/planner.rs:17-121):
@@ -145,7 +146,31 @@ def plan_segments(
     Output: one row per segment — (segment, chunk_count,
     estimated_tokens, estimated_pages, token_start, token_end,
     first_chunk, last_chunk).
+
+    Budget contract: the default prefix-sum assignment lets a chunk
+    that straddles a boundary join the EARLIER segment, so
+    estimated_tokens (and pages) can reach budget + max_chunk − 1 —
+    treat the budgets as targets, not hard caps. ``strict=True``
+    switches to the reference's close-on-overflow pass
+    (planner.rs plan_from_chunks: a segment closes BEFORE either
+    budget would overflow, so estimated_tokens <= budget whenever
+    every chunk fits the budget alone): an Arrow-batched sequential
+    pass per grain — greedy reset-on-close packing is inherently
+    sequential, but it runs over the narrow planning projection (ids +
+    token estimates), which is plan metadata, not the corpus; pass
+    ``grain_col`` to parallelize across grains at scale.
     """
+    if strict:
+        return _plan_segments_strict(
+            chunks,
+            segment_tokens,
+            segment_pages,
+            grain_col,
+            parent_col,
+            index_col,
+            tokens_col,
+            pages_col,
+        )
     order = [F.col(parent_col).asc(), F.col(index_col).asc()]
     w_part = (
         Window.partitionBy(grain_col) if grain_col is not None else Window.partitionBy()
@@ -182,3 +207,94 @@ def plan_segments(
         F.min(F.struct(parent_col, index_col)).alias("first_chunk"),
         F.max(F.struct(parent_col, index_col)).alias("last_chunk"),
     )
+
+
+def _plan_segments_strict(
+    chunks: DataFrame,
+    segment_tokens: int,
+    segment_pages: int,
+    grain_col: str | None,
+    parent_col: str,
+    index_col: str,
+    tokens_col: str,
+    pages_col: str | None,
+) -> DataFrame:
+    """Reference-exact greedy packing (planner.rs plan_from_chunks):
+    walk chunks in (parent, index) order, close the open segment BEFORE
+    adding a chunk that would overflow the token or page budget (an
+    oversized single chunk still gets its own over-budget segment, as
+    in the reference). One Arrow batch per grain; same output schema as
+    the prefix-sum path."""
+    import pandas as pd
+
+    tok = F.greatest(F.col(tokens_col), F.lit(1))
+    pages = F.greatest(F.col(pages_col), F.lit(1)) if pages_col else F.lit(1)
+    keys = [F.col(grain_col)] if grain_col else []
+    planned = chunks.select(
+        *keys,
+        F.col(parent_col),
+        F.col(index_col),
+        tok.cast("long").alias("_tok"),
+        pages.cast("long").alias("_pages"),
+    )
+    grain_ddl = f"{grain_col} {dict(planned.dtypes)[grain_col]}, " if grain_col else ""
+    out_schema = (
+        grain_ddl
+        + "segment long, chunk_count long, estimated_tokens long,"
+        + " estimated_pages long, token_start long, token_end long,"
+        + f" first_chunk struct<{parent_col}:bigint,{index_col}:bigint>,"
+        + f" last_chunk struct<{parent_col}:bigint,{index_col}:bigint>"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # itertuples renames underscore-prefixed columns positionally
+        pdf = pdf.rename(columns={"_tok": "tok0", "_pages": "pages0"})
+        pdf = pdf.sort_values(
+            [parent_col, index_col], kind="mergesort"
+        ).reset_index(drop=True)
+        rows: list[dict] = []
+        cur: dict | None = None
+        cur_tok = cur_pages = 0
+        tok_prefix = 0  # running token position across ALL chunks
+        for r in pdf.itertuples(index=False):
+            t, p = int(r.tok0), int(r.pages0)
+            if cur is not None and (
+                cur_tok + t > segment_tokens or cur_pages + p > segment_pages
+            ):
+                cur = None  # close BEFORE overflow (planner.rs)
+            if cur is None:
+                cur_tok = cur_pages = 0
+                cur = {
+                    **({grain_col: getattr(r, grain_col)} if grain_col else {}),
+                    "segment": len(rows),
+                    "chunk_count": 0,
+                    "estimated_tokens": 0,
+                    "estimated_pages": 0,
+                    "token_start": tok_prefix,
+                    "token_end": tok_prefix,
+                    "first_chunk": {
+                        parent_col: int(getattr(r, parent_col)),
+                        index_col: int(getattr(r, index_col)),
+                    },
+                    "last_chunk": None,
+                }
+                rows.append(cur)
+            cur_tok += t
+            cur_pages += p
+            tok_prefix += t
+            cur["chunk_count"] += 1
+            cur["estimated_tokens"] = cur_tok
+            cur["estimated_pages"] = cur_pages
+            cur["token_end"] = tok_prefix
+            cur["last_chunk"] = {
+                parent_col: int(getattr(r, parent_col)),
+                index_col: int(getattr(r, index_col)),
+            }
+        return pd.DataFrame(rows)
+
+    group = (
+        planned.groupBy(grain_col)
+        if grain_col
+        else planned.withColumn("_g", F.lit(1)).groupBy("_g")
+    )
+    return group.applyInPandas(pack, out_schema)

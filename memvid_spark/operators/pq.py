@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 @dataclass
@@ -448,7 +448,12 @@ def ivfpq_topk(
     exactly (a broadcast semi-join against ``emb`` — tiny, since the
     shortlist is driver-bounded). This trades one extra narrow join
     for removing the quantization error entirely from the final
-    ranking; residual loss is then only the cell-probe ceiling."""
+    ranking; residual loss is then only the cell-probe ceiling.
+
+    Output is ONE schema regardless of the refine flag:
+    ``(id_col, dist, rank)`` — dist is the ADC approximation when
+    refine<=0 and the exact re-ranked L2 when refine>0; rank 1 = best,
+    ties broken by id ascending."""
     q = [float(x) for x in query_vec]
     cdist = [
         (sum((q[i] - c[i]) ** 2 for i in range(len(q))), ci)
@@ -490,12 +495,14 @@ def ivfpq_topk(
     )
     shortlist = (
         codes.filter(F.col("cell").isin(probes))
-        .select(F.col(id_col), F.sqrt(dist).alias("approx_dist"))
-        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .select(F.col(id_col), F.sqrt(dist).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k if refine <= 0 else refine * k)
     )
     if refine <= 0:
-        return shortlist
+        # rank over the ≤k already-truncated rows (rank-after-truncate)
+        w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        return shortlist.withColumn("rank", F.row_number().over(w))
     if emb is None:
         raise ValueError("refine > 0 needs the emb DataFrame to re-score")
     from .knn import knn
@@ -503,7 +510,8 @@ def ivfpq_topk(
     cand = emb.join(
         F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
     )
-    return knn(cand, q, k, id_col=id_col, vec_col=vec_col, metric="l2")
+    exact = knn(cand, q, k, id_col=id_col, vec_col=vec_col, metric="l2")
+    return exact.select(F.col(id_col), F.col("score").alias("dist"), "rank")
 
 
 def ivfpq_recall(

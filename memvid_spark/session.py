@@ -33,6 +33,19 @@ RUNTIME_CONFS = {
 }
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap default: ~3/8 of physical RAM, clamped to
+    [2g, 48g]. The ceiling is the measured sweet spot on a 128 GiB box
+    (heap beyond that starves the 32 Python workers + Arrow buffers);
+    the floor keeps the JVM launchable under small cgroup limits."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(48, int(total * 3 / 8 / (1 << 30))))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{gb}g"
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-supplied or ours)."""
     for k, v in RUNTIME_CONFS.items():
@@ -86,12 +99,14 @@ def get_spark(app_name: str = "memvid-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor fleet — size its
         # heap for the machine, not for a thin coordinator (an 8g heap
-        # on this 128 GiB box OOMed the 100x probe inside a long bench
-        # session; 48g leaves ample room for 32 Python workers + Arrow
-        # buffers outside the JVM)
+        # on a 128 GiB box OOMed the 100x probe inside a long bench
+        # session). Default: ~3/8 of physical RAM, clamped to [2g, 48g]
+        # so smaller hosts / cgroup limits still launch, leaving the
+        # rest for Python workers + Arrow buffers outside the JVM;
+        # SPARK_GRAFT_DRIVER_MEM overrides.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
     )
     for k, v in RUNTIME_CONFS.items():

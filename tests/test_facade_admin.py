@@ -267,3 +267,47 @@ def test_get_entity_memories(spark):
     mv.remember("ada", "likes", "proofs")
     rows = mv.get_entity_memories("ada").collect()
     assert [r.slot for r in rows] == ["age", "likes"]
+
+
+def test_plan_segments_strict_close_on_overflow(spark):
+    """strict=True matches the reference planner: a segment closes
+    BEFORE the budget would overflow, so a 1500-token chunk stream with
+    a 2048 budget yields one chunk per segment (the default prefix-sum
+    assignment would produce ~3000-token segments)."""
+    from memvid_spark.operators.chunking import plan_segments
+
+    chunks = spark.createDataFrame(
+        [(0, i, 1500) for i in range(6)],
+        "parent_id long, chunk_index long, n_tokens long",
+    )
+    loose = plan_segments(chunks, segment_tokens=2048).orderBy("segment").collect()
+    assert any(p.estimated_tokens > 2048 for p in loose)  # documented overshoot
+
+    plans = (
+        plan_segments(chunks, segment_tokens=2048, strict=True)
+        .orderBy("segment")
+        .collect()
+    )
+    assert len(plans) == 6
+    assert all(p.estimated_tokens == 1500 for p in plans)
+    # contiguous token spans, lineage intact
+    for prev, nxt in zip(plans, plans[1:]):
+        assert nxt.token_start == prev.token_end
+    assert plans[0].first_chunk.chunk_index == 0
+    assert plans[-1].last_chunk.chunk_index == 5
+
+    # page budget closes segments too; an oversized single chunk still
+    # gets its own over-budget segment (reference behavior)
+    paged = spark.createDataFrame(
+        [(0, 0, 10, 3), (0, 1, 10, 3), (0, 2, 10, 9), (0, 3, 10, 3)],
+        "parent_id long, chunk_index long, n_tokens long, pages long",
+    )
+    pp = (
+        plan_segments(
+            paged, segment_tokens=10_000, segment_pages=6,
+            pages_col="pages", strict=True,
+        )
+        .orderBy("segment")
+        .collect()
+    )
+    assert [p.estimated_pages for p in pp] == [6, 9, 3]
