@@ -135,6 +135,21 @@ def _timed_probe(extras, key, fn, spark, data_dir) -> None:
     _release_checkpoints(spark)
 
 
+def _timed_median(run, spark, n: int = 3) -> float:
+    """Median-of-n wall time with checkpoint release between samples —
+    the same treatment the headline gets. Single samples on this VM
+    swing ±30% (SWEEP_r04) and late-session samples read 1.1-3.5×
+    hot (SWEEP_r05 aging table); the median of three back-to-back runs
+    is reproducible enough to compare round over round."""
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+        _release_checkpoints(spark)
+    return round(sorted(samples)[n // 2], 3)
+
+
 def _release_checkpoints(spark) -> None:
     """Unpersist every pinned RDD (localCheckpoint blocks) between
     queries: checkpoint storage is NOT LRU-evictable, so 40+ queries of
@@ -187,48 +202,38 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
 
-    # bench-only ANN wall-time entries (index build + search included);
-    # kept OUT of the headline set/total so round-over-round comparison
-    # of the 19 stays apples-to-apples
+    # bench-only extras (kept OUT of the headline set/total so
+    # round-over-round comparison of the 19 stays apples-to-apples),
+    # median-of-3 like the headline:
+    # - ANN wall-time entries (index build + search included)
+    # - multimodal codec throughput (real encode+decode of PNG pixels /
+    #   PCM samples / MP4 demux / JPEG entropy decode per doc)
+    # - cluster-level dedup tier (SemDeDup, window-hash passage dedup,
+    #   fingerprint-CC survivor pick, DSIR importance weights)
+    # - round-4 quality tier (bigram-LM perplexity, NB classifier)
+    # - round-5 sketch track (entry generation + query-sketch scoring)
     extras: dict[str, float] = {}
-    for name in ("q115_hnsw_recall", "q34_pq_recall", "q35_ivf_knn",
-                 "q168_sq8_knn", "q175_ivfpq"):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
-        _release_checkpoints(spark)
-
-    # multimodal codec throughput (round-3 tiers): real encode+decode of
-    # PNG pixels / PCM samples / MP4 demux / JPEG entropy decode per doc
     for name in (
+        "q115_hnsw_recall", "q34_pq_recall", "q35_ivf_knn",
+        "q168_sq8_knn", "q175_ivfpq",
         "q121_image_features", "q124_audio_features",
         "q126_video_manifest", "q128_jpeg_pixels",
         "q163_flac_roundtrip", "q166_tiff_pixels", "q172_tar_ingest",
         "q173_pdf_table_extract",
-    ):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
-        _release_checkpoints(spark)
-
-    # cluster-level dedup tier (round-3): SemDeDup, window-hash passage
-    # dedup, fingerprint-CC survivor pick, DSIR importance weights
-    for name in (
         "q144_semdedup", "q145_passage_dedup",
         "q146_dedup_survivors", "q147_dsir_weights",
         "q148_shard_assign", "q149_length_quantiles",
         "q150_mojibake_repair", "q151_xls_extract", "q152_heavy_hitters",
         "q156_budget_select", "q157_stratified_sample",
-        # round-4 quality tier: bigram-LM perplexity filtering and the
-        # NB quality classifier (train + corpus scoring in one plan)
         "q158_lm_perplexity", "q161_quality_classifier",
-        # round-5 sketch track: entry generation + query-sketch scoring
         "q176_sketch_entries", "q177_sketch_candidates",
     ):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
-        _release_checkpoints(spark)
+        fn = qs[name]
+        extras[name] = _timed_median(
+            lambda: fn(spark, sf_dir).write.mode("overwrite")
+            .format("noop").save(),
+            spark,
+        )
 
     # batch-model embedding path (src/text_embed.rs batch loop): real
     # mapInPandas plumbing; the encoder is sentence-transformers when
@@ -244,9 +249,11 @@ def main() -> None:
         else projection_model_factory(384),
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.perf_counter()
-    emb.embed_df(docs).write.mode("overwrite").format("noop").save()
-    extras["batch_embed_docs"] = round(time.perf_counter() - t0, 3)
+    extras["batch_embed_docs"] = _timed_median(
+        lambda: emb.embed_df(docs).write.mode("overwrite")
+        .format("noop").save(),
+        spark,
+    )
 
     # ---- 10x scale probe (the 100-TB-posture empirical check) ----------
     # The 5 most expensive headline queries re-run once against a 10x
@@ -273,6 +280,18 @@ def main() -> None:
     probe_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scratch", "probe10x"
     )
+    # Probes run in a FRESH session: ~70 queries of session aging
+    # inflate probe samples 1.1-3.5× (worst for Arrow/Python-worker
+    # paths — SWEEP_r05 aging table measured it; r5's batch_embed
+    # "+249% regression" was exactly this artifact). Restarting the JVM
+    # costs ~15 s once and makes the growth factors comparable to the
+    # standalone runs the scale claims are judged against.
+    spark.stop()
+    spark = get_spark("memvid-spark-bench-probes")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.range(32, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
     _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
     extras["probe10x_factor"] = 10.0
     for name in probe_queries:
