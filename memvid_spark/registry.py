@@ -7561,6 +7561,59 @@ def q177_sketch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q178_segment_plan",
+    """
+    WITH c AS (
+      SELECT doc_id AS parent_id, 0 AS chunk_index,
+             greatest(n_chars, 1)::bigint AS tok
+      FROM documents
+    ),
+    p AS (
+      SELECT *, coalesce(sum(tok) OVER (
+        ORDER BY parent_id, chunk_index
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      FROM c
+    ),
+    s AS (SELECT *, floor(tok_before / 50000)::bigint AS segment FROM p)
+    SELECT segment,
+           count(*)::bigint AS chunk_count,
+           sum(tok)::bigint AS estimated_tokens,
+           min(tok_before)::bigint AS token_start,
+           max(tok_before + tok)::bigint AS token_end,
+           min(parent_id)::bigint AS first_parent,
+           max(parent_id)::bigint AS last_parent
+    FROM s GROUP BY segment
+    """,
+    "segment build planning (SegmentPlanner::plan_from_chunks, "
+    "src/memvid/planner.rs:17-121): chunks in (frame, chunk_index) "
+    "order accumulate into token-budgeted segments via one prefix-sum "
+    "window — no driver loop; the strict close-on-overflow variant is "
+    "pinned by pytest (greedy reset-on-close is not SQL-expressible)",
+)
+def q178_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import plan_segments
+
+    t = catalog.load(spark, sf_dir)
+    chunks = t.documents.select(
+        F.col("doc_id").alias("parent_id"),
+        F.lit(0).cast("long").alias("chunk_index"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    # token budget only (pages default to 1/chunk; a finite page budget
+    # would add a second, SQL-duplicable boundary — kept out of the twin)
+    plans = plan_segments(chunks, segment_tokens=50_000, segment_pages=1 << 40)
+    return plans.select(
+        "segment",
+        "chunk_count",
+        "estimated_tokens",
+        "token_start",
+        "token_end",
+        F.col("first_chunk.parent_id").alias("first_parent"),
+        F.col("last_chunk.parent_id").alias("last_parent"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
