@@ -2496,8 +2496,10 @@ class MemvidSpark:
         target = path or getattr(self, "_store_path", None)
         if target is None:
             raise ValueError("no store path: pass one or save()/open() first")
-        self.save(target)
+        # clear BEFORE save: save() persists the sketch track with the
+        # store, and a skip-indexes commit must not ship a stale one
         self._sketches = None
+        self.save(target)
 
     def finalize_indexes(self, variant: str = "small") -> int:
         """One O(n) rebuild of the derived track after bulk ingestion

@@ -171,3 +171,22 @@ def test_sketch_track_persists_across_save_open(spark, tmp_path):
     # variant lock survives the round trip (one variant per track)
     with pytest.raises(ValueError):
         back.build_all_sketches("large")
+
+
+def test_commit_skip_indexes_ships_no_stale_sketches(spark, tmp_path):
+    """commit_skip_indexes persists content only: a previously built
+    sketch track must not survive on disk, so open() after a bulk
+    ingest sees no stale derived state until finalize_indexes."""
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    mv.put("first doc about joins")
+    mv.build_all_sketches("small")
+    path = str(tmp_path / "store")
+    mv.save(path)  # sketch track persisted
+
+    mv.put("second doc added in bulk")
+    mv.commit_skip_indexes(path)
+    back = MemvidSpark.open(spark, path)
+    assert not back.has_sketches()
+    assert back.finalize_indexes("small") == 2
