@@ -310,11 +310,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
         budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "900"))
         probe100_queries = [
+            # q66 first: cheap since the hit-list prune (~8x at 100x, was
+            # 81x) and the most diagnostic single number in the section
+            "q66_semantic_rerank",
             "q22_minhash_lsh",
             "q161_quality_classifier",
             "q145_passage_dedup",
             "q158_lm_perplexity",
-            "q66_semantic_rerank",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
