@@ -51,13 +51,20 @@ TABLES = (
 def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
     """Materialize a factor-x documents blowup (cached on disk): each
     copy gets a distinct doc_id band AND per-copy marker tokens woven
-    in every 3 tokens, so copies are genuinely distinct documents —
+    in every 2 tokens, so copies are genuinely distinct documents —
     near-dup miners (SimHash/MinHash shingles) must see a 10x corpus,
     not a corpus where every doc has 9 planted near-duplicates (a
     suffix-only perturbation keeps Jaccard≈1 and makes candidate pairs
     grow quadratically in the copy count, measuring output blowup
-    instead of scaling). All other tables symlink to the source sf
-    dir."""
+    instead of scaling). Every-2 weaving (not every-3) is load-bearing:
+    with a marker every 3rd token, 25% of trigram shingles are
+    marker-free, cross-copy Jaccard lands at ~0.14, and with 2-row LSH
+    bands ~8% of the C(copies,2)-scaled quasi-dup pairs become false
+    candidates — measured 2.4M candidates for 26.5k true pairs at 100x,
+    quadratic in the copy count. With a marker every 2nd token every
+    trigram contains a copy-specific marker, cross-copy Jaccard is 0,
+    and candidate growth is linear (within-copy pairs only). All other
+    tables symlink to the source sf dir."""
     from pyspark.sql import functions as F
 
     docs_path = os.path.join(out_dir, "documents.parquet")
@@ -76,7 +83,7 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
                 F.transform(
                     toks,
                     lambda x, i: F.when(
-                        (i % 3 == 0) & (F.col("copy") > 0),
+                        (i % 2 == 0) & (F.col("copy") > 0),
                         F.array(marker(i), x),
                     ).otherwise(F.array(x)),
                 )
@@ -89,7 +96,12 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
             .withColumn("text", woven)
             .drop("copy")
         )
-        blown.write.mode("overwrite").parquet(docs_path)
+        # Write many files: a single sub-128MB parquet file is ONE scan
+        # split, so every probe query would read the whole corpus text on
+        # one task (measured: the 100x q22 signature pass spent ~90s in a
+        # single-threaded scan+explode). 64 files keeps all 32 cores on
+        # the scan, matching how a real warehouse table is laid out.
+        blown.repartition(64).write.mode("overwrite").parquet(docs_path)
     emb_path = os.path.join(out_dir, "embeddings.parquet")
     if not os.path.exists(emb_path):
         # embeddings blowup for the ANN probes: each copy's vectors get a
@@ -115,7 +127,8 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
                         F.transform(jitter, lambda x: (x / nrm).cast("float")))
             .drop("copy")
         )
-        blown_e.write.mode("overwrite").parquet(emb_path)
+        # many files for scan parallelism (see the documents write above)
+        blown_e.repartition(64).write.mode("overwrite").parquet(emb_path)
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):

@@ -36,6 +36,54 @@ def hash64_seeded(col: Column | str, seed: Column | int) -> Column:
     return hash64(F.concat(c, F.lit("#"), s.cast("string")))
 
 
+def _minhash_family_member(s: int) -> tuple[int, int, int]:
+    """Fixed (a, b, c) mixing constants for family member ``s``, carved
+    from md5 so they are arbitrary-but-deterministic. a and b are odd and
+    < 2^30, which bounds a*(h>>30) + b*(h&mask) + c under 2^62 — exact in
+    signed-64 arithmetic in both Spark and DuckDB (no overflow, no
+    modulo divergence)."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash-family-{s}".encode()).hexdigest()
+    a = (int(d[0:8], 16) | 1) & 0x3FFFFFFF
+    b = (int(d[8:16], 16) | 1) & 0x3FFFFFFF
+    c = int(d[16:24], 16) & 0x3FFFFFFF
+    return a, b, c
+
+
+MINHASH_FAMILY = [_minhash_family_member(s) for s in range(16)]
+_LO_MASK = (1 << 30) - 1  # low 30 bits of the 60-bit base hash
+_MERSENNE31 = (1 << 31) - 1  # Carter-Wegman modulus
+
+
+def hash64_affine(h: Column, seed: int) -> Column:
+    """Seed-``s`` member of a Carter-Wegman family over a single 60-bit
+    base hash: (a*(h>>30) + b*(h&mask) + c) mod (2^31-1). One md5 per
+    input serves every family member — 8x fewer digests than hashing
+    (x || '#' || seed) per seed. The mod is essential, not decoration:
+    without it the map is near-monotone in h, the per-set argmin
+    coincides across seeds, and LSH band keys collide quadratically
+    (measured: 11M candidate pairs for 2.6k true pairs at the 100x
+    probe). Wrapping ~2^29 times decorrelates the seeds.
+
+    Twin SQL: :func:`hash64_affine_sql`.
+    """
+    a, b, c = MINHASH_FAMILY[seed]
+    hi = F.shiftright(h, 30)
+    lo = h.bitwiseAND(F.lit(_LO_MASK))
+    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(_MERSENNE31)
+
+
+def hash64_affine_sql(h_expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`hash64_affine` over SQL expression ``h_expr``
+    (generated from the same constants so the engines cannot drift)."""
+    a, b, c = MINHASH_FAMILY[seed]
+    return (
+        f"(({a} * (({h_expr}) >> 30) + {b} * (({h_expr}) & {_LO_MASK}) + {c})"
+        f" % {_MERSENNE31})"
+    )
+
+
 def content_sha256(col: Column | str) -> Column:
     """Content fingerprint for exact dedup (blake3 analogue)."""
     c = F.col(col) if isinstance(col, str) else col

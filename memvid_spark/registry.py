@@ -3000,23 +3000,39 @@ def q21_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(t.documents, max_hamming=3)
 
 
+def _q22_minhash_mins() -> str:
+    """The 8 min-hash aggregate expressions for the q22 oracle, generated
+    from the SAME affine-family constants the Spark plan uses
+    (functions/hashing.py MINHASH_FAMILY) so the twins cannot drift."""
+    from .functions.hashing import hash64_affine_sql
+
+    return ",\n             ".join(
+        f"min({hash64_affine_sql('h', s)}) AS mh{s}" for s in range(8)
+    )
+
+
 @spec(
     "q22_minhash_lsh",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x<>'') AS toks
       FROM documents
     ), shingle AS (
       SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       FROM t, unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)
+    ), hashed AS (
+      SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::bigint AS h FROM shingle
     ), sig AS (
-      SELECT doc_id, seed, min(('0x'||substr(md5(shingle || '#' || seed),1,15))::bigint) AS minhash
-      FROM shingle, unnest(generate_series(0,7)) AS s(seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id, {_q22_minhash_mins()}
+      FROM hashed GROUP BY doc_id
     ), band_key AS (
-      SELECT doc_id, seed // 2 AS band,
-             string_agg(minhash::varchar, ',' ORDER BY seed) AS bk
-      FROM sig GROUP BY doc_id, seed // 2
+      SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS band,
+             unnest([mh0::varchar || ',' || mh1::varchar,
+                     mh2::varchar || ',' || mh3::varchar,
+                     mh4::varchar || ',' || mh5::varchar,
+                     mh6::varchar || ',' || mh7::varchar]) AS bk
+      FROM sig
     ), cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM band_key l JOIN band_key r ON l.band = r.band AND l.bk = r.bk
