@@ -665,31 +665,47 @@ def lm_perplexity(
     Output: (id, group, n_big, lp_sum_micro, avg_lp, bucket) for docs
     with >= 2 tokens; bucket in {'head','middle','tail'}.
     """
+    # Bigram construction via arrays_zip of shifted slices stays inside
+    # whole-stage codegen (an interpreted zip_with lambda measured 16x
+    # slower on the shingle analogue); one explode, both join-key hashes
+    # computed once, and ONE localCheckpoint so the three consumers
+    # (bigram model, unigram model, corpus scoring) don't re-run the
+    # scan+explode+md5 pipeline each.
     toks = tokens(text_col)
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    n = F.size(F.col("toks"))
+    zipped = F.arrays_zip(
+        F.col("toks").alias("t0"),
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
     )
-    base = docs.select(
-        F.col(id_col),
-        F.col(group_col),
-        ref_pred.alias("_ref"),
-        F.explode(bigrams).alias("bg"),
-    ).withColumn("bh", hash64("bg"))
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            ref_pred.alias("_ref"),
+            toks.alias("toks"),
+        )
+        .select(id_col, group_col, "_ref", F.explode(zipped).alias("z"))
+        .filter(F.col("z.t1").isNotNull())
+        .select(
+            id_col,
+            group_col,
+            "_ref",
+            F.col("z.t0").alias("t0"),
+            F.col("z.t1").alias("t1"),
+            hash64(F.concat(F.col("z.t0"), F.lit(" "), F.col("z.t1"))).alias("bh"),
+            hash64(F.col("z.t1")).alias("wh"),
+        )
+        .localCheckpoint()
+    )
 
     ref = base.filter("_ref")
-    # bigram tier: c2 per gram + c1ctx per context (sum of c2 over w)
-    c2 = ref.groupBy("bg", "bh").agg(F.count("*").alias("c2"))
-    c1ctx = (
-        c2.withColumn("prev", F.split("bg", " ")[0])
-        .groupBy("prev")
-        .agg(F.sum("c2").alias("c1ctx"))
-    )
+    # bigram tier: c2 per gram + c1ctx per context (sum of c2 over w);
+    # grouping on the token pair (string-exact, = the oracle's bg) with
+    # the precomputed hash carried through
+    c2 = ref.groupBy("t0", "t1", "bh").agg(F.count("*").alias("c2"))
+    c1ctx = c2.groupBy(F.col("t0").alias("prev")).agg(F.sum("c2").alias("c1ctx"))
     bg_model = (
-        c2.withColumn("prev", F.split("bg", " ")[0])
-        .join(c1ctx, "prev")
+        c2.join(c1ctx, c2.t0 == c1ctx.prev)
         .select(
             "bh",
             F.round(F.log(F.col("c2") / F.col("c1ctx")) * LM_SCALE)
@@ -699,13 +715,14 @@ def lm_perplexity(
     )
     # unigram tier over reference SECOND tokens (the backoff target is
     # always the continuation word) plus totals for add-1 smoothing
-    uni = ref.select(F.split("bg", " ")[1].alias("w"))
-    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    c1 = ref.groupBy(F.col("t1").alias("w"), F.col("wh").alias("uwh")).agg(
+        F.count("*").alias("c1")
+    )
     totals = c1.agg(
         F.sum("c1").alias("_T"), F.count("*").alias("_V")
     )
     ug_model = c1.join(F.broadcast(totals)).select(
-        hash64("w").alias("wh"),
+        F.col("uwh").alias("wh"),
         F.round(
             (F.log(F.lit(LM_BACKOFF))
              + F.log((F.col("c1") + 1) / (F.col("_T") + F.col("_V"))))
@@ -715,7 +732,7 @@ def lm_perplexity(
         .alias("lp1_micro"),
     )
     scored = (
-        base.withColumn("wh", hash64(F.split("bg", " ")[1]))
+        base.select(id_col, group_col, "bh", "wh")
         .join(bg_model, "bh", "left")
         .join(ug_model, "wh", "left")
         .join(F.broadcast(totals))
