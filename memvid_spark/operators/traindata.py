@@ -899,20 +899,43 @@ def nb_quality_classifier(
         < train_frac_pct,
         F.lit("train"),
     ).otherwise(F.lit("eval"))
-    unis = F.transform(toks, lambda t: F.concat(F.lit("u#"), t))
-    bis = F.zip_with(
-        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
-        lambda a, b: F.concat(F.lit("b#"), a, F.lit(" "), b),
-    )
     # The explode carries ONLY the id: any expression referencing the
     # token array that rides through a Generate is re-evaluated per
     # OUTPUT row — the tokenizer + stopword filter behind `label` ran
     # once per feature occurrence instead of once per doc (measured 16 s
     # for a 0.4 s projection at sf0.1). Labels/splits get their own
     # per-doc scan and join back on the id.
+    #
+    # Feature construction stays in whole-stage codegen: arrays_zip over
+    # the token array and its shift-by-one (interpreted transform /
+    # zip_with lambdas measured 16x slower at scale). Each zipped row
+    # (t0, t1) yields the unigram u#t0 always, plus the bigram b#t0 t1
+    # when t1 is non-null (arrays_zip pads the last row with null t1),
+    # so one explode produces the exact unigram+bigram multiset.
+    zipped = F.arrays_zip(
+        F.col("toks").alias("t0"),
+        F.slice(
+            "toks", 2, F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
+        ).alias("t1"),
+    )
     base = (
-        docs.select(F.col(id_col), F.explode(F.concat(unis, bis)).alias("feat"))
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), F.explode(zipped).alias("z"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.concat(F.lit("u#"), F.col("z.t0")),
+                    F.when(
+                        F.col("z.t1").isNotNull(),
+                        F.concat(
+                            F.lit("b#"), F.col("z.t0"), F.lit(" "), F.col("z.t1")
+                        ),
+                    ),
+                )
+            ).alias("feat"),
+        )
+        .filter(F.col("feat").isNotNull())
         .withColumn("bucket", F.pmod(hash64("feat"), F.lit(buckets)))
     )
     meta = docs.select(
