@@ -41,6 +41,55 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
 
 
+def ngram_rows(
+    docs,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    with_pos: bool = False,
+):
+    """One row per word n-gram POSITION (duplicates kept):
+    (id, [keep_cols...], [pos,] gram) with gram = n space-joined tokens
+    and pos 1-based.
+
+    The construction is arrays_zip over the token array and its n-1
+    shifted slices, exploded, with the gram string concatenated AFTER
+    the explode — every step stays inside whole-stage codegen. The
+    equivalent higher-order ``transform(sequence(...), i ->
+    array_join(slice(...)))`` runs the lambda interpreted per element
+    and measured 16x slower at the 100x bench probe. Docs shorter than
+    n tokens yield zero rows (the zip pads missing tail slots with
+    null; the filter on the last slot drops them).
+    """
+    toked = docs.select(F.col(id_col), *keep_cols, tokens(text_col).alias("_toks"))
+    sz = F.size(F.col("_toks"))
+    zipped = F.arrays_zip(
+        F.col("_toks").alias("g0"),
+        *[
+            F.slice("_toks", d + 1, F.greatest(sz - d, F.lit(0))).alias(f"g{d}")
+            for d in range(1, n)
+        ],
+    )
+    if with_pos:
+        ex = toked.select(
+            F.col(id_col), *keep_cols, F.posexplode(zipped).alias("_i", "_z")
+        )
+        pos_cols = [(F.col("_i") + 1).alias("pos")]
+    else:
+        ex = toked.select(F.col(id_col), *keep_cols, F.explode(zipped).alias("_z"))
+        pos_cols = []
+    return (
+        ex.filter(F.col(f"_z.g{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            *keep_cols,
+            *pos_cols,
+            F.concat_ws(" ", *[f"_z.g{d}" for d in range(n)]).alias("gram"),
+        )
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

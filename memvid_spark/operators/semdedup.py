@@ -279,18 +279,10 @@ def passage_windows(
     Docs with fewer than w tokens yield zero rows (pre-filtered —
     Spark's sequence(1, 0) is descending, not empty).
     """
-    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
-        F.size("_t") >= w
-    )
-    t = F.col("_t")
-    return toked.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - w + 1),
-                lambda i: hash64(F.concat_ws(" ", F.slice(t, i, w))),
-            )
-        ).alias("pos", "whash"),
+    from ..functions.text import ngram_rows
+
+    return ngram_rows(docs, w, id_col, text_col, with_pos=True).select(
+        F.col(id_col), "pos", hash64(F.col("gram")).alias("whash")
     )
 
 

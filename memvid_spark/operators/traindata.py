@@ -58,24 +58,15 @@ def ngram_set(
     60 bits make collisions negligible, and the DuckDB oracle replays
     the same hash).
     """
-    toks = tokens(text_col)
-    grams = F.when(
-        F.size(F.col("_toks")) >= n,
-        F.expr(
-            f"transform(sequence(1, size(_toks) - {n - 1}), "
-            f"i -> array_join(slice(_toks, i, {n}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    keep = keep_cols or []
-    gram = F.col("_gram")
+    from ..functions.text import ngram_rows
+
+    keep = tuple(keep_cols or [])
+    rows = ngram_rows(docs, n, id_col, text_col, keep_cols=keep)
     if hashed:
-        gram = hash64(gram)
-    return (
-        docs.select(F.col(id_col), *keep, toks.alias("_toks"))
-        .select(F.col(id_col), *keep, F.explode(grams).alias("_gram"))
-        .select(F.col(id_col), *keep, gram.alias("gram"))
-        .distinct()
-    )
+        rows = rows.select(
+            F.col(id_col), *keep, hash64(F.col("gram")).alias("gram")
+        )
+    return rows.distinct()
 
 
 def decontaminate(
