@@ -135,17 +135,30 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
             os.symlink(f"{sf_dir}/{name}.parquet", dst)
 
 
-def _timed_probe(extras, key, fn, spark, data_dir) -> None:
+def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
     """Probe runs must never cost the bench its one JSON output line: a
     failure (OOM on an undersized heap, a flaky executor) records -1.0
-    for that probe entry and the bench carries on."""
-    t0 = time.perf_counter()
-    try:
-        fn(spark, data_dir).write.mode("overwrite").format("noop").save()
-        extras[key] = round(time.perf_counter() - t0, 3)
-    except Exception:
-        extras[key] = -1.0
-    _release_checkpoints(spark)
+    for that probe entry and the bench carries on.
+
+    min-of-2 samples: host load on this VM is one-sided noise that can
+    inflate a single probe 3-10x (measured: probe10x q152 43.4s in-bench
+    vs 12.7s standalone minutes later, same code and data) — the MIN of
+    two back-to-back runs is the honest capability number, and the
+    second sample also absorbs first-run codegen compile."""
+    best = None
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, data_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        except Exception:
+            if best is None:
+                best = -1.0
+            break
+        finally:
+            _release_checkpoints(spark)
+    extras[key] = round(best, 3)
 
 
 def _timed_median(run, spark, n: int = 3) -> float:
