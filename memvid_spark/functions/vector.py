@@ -80,8 +80,14 @@ def lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
     rng = np.random.default_rng(seed)
     init_idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
     C = X[init_idx].copy()
+    # ||x||^2 - 2xC^T + ||c||^2 (BLAS) instead of broadcasting an
+    # (n, k, dim) difference tensor: the tensor form allocates
+    # n*k*dim*8 bytes per iteration (~410 MB/iter for a 64k x 16 x 64
+    # sample) and measured ~12 s per train_pq call at the 10x probe;
+    # the matmul form is sub-second on the same input.
+    x2 = (X * X).sum(axis=1)[:, None]
     for _ in range(max_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = x2 - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for j in range(len(C)):
             members = X[assign == j]
