@@ -334,7 +334,7 @@ def main() -> None:
     # disk-cached after the first run). SPARK_GRAFT_PROBE100X=0
     # disables; SPARK_GRAFT_PROBE100X_BUDGET tunes (seconds).
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
-        budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "900"))
+        budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "1300"))
         probe100_queries = [
             # q66 first: cheap since the hit-list prune (~8x at 100x, was
             # 81x) and the most diagnostic single number in the section
@@ -343,6 +343,14 @@ def main() -> None:
             "q161_quality_classifier",
             "q145_passage_dedup",
             "q158_lm_perplexity",
+            # round 6: two more families under the 100x lens — the
+            # connected-components survivor pass and token-level SimHash
+            # (whose TRUE output grows superlinearly on the blowup: same-
+            # doc cross-copy pairs share all word tokens, so near-dup
+            # pairs are ~4x the linear extrapolation — that is answer
+            # growth, not candidate blowup; r6 standalone: 126s / 63s)
+            "q146_dedup_survivors",
+            "q21_simhash_near_dups",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
