@@ -658,38 +658,43 @@ def lm_perplexity(
     """
     # Bigram construction via arrays_zip of shifted slices stays inside
     # whole-stage codegen (an interpreted zip_with lambda measured 16x
-    # slower on the shingle analogue); one explode, both join-key hashes
-    # computed once, and ONE localCheckpoint so the three consumers
-    # (bigram model, unigram model, corpus scoring) don't re-run the
-    # scan+explode+md5 pipeline each.
+    # slower on the shingle analogue), with both join-key hashes computed
+    # once per bigram. Two separate passes, each shaped for its consumer:
+    #   - the REF pass carries token strings (the model aggregations
+    #     group string-exact, like the oracle) but only over rows where
+    #     ref_pred holds — the predicate pushes down to the scan — and is
+    #     localCheckpoint-ed because both model tiers read it;
+    #   - the CORPUS pass carries only (id, group, bh, wh) and streams
+    #     straight into the scoring joins + partial aggregation with no
+    #     materialization at all. (A shared string-bearing checkpoint of
+    #     the full corpus explode measured 2.4 GB / up to 220 s at the
+    #     100x probe — most of it storing strings the scoring side never
+    #     reads.)
     toks = tokens(text_col)
     n = F.size(F.col("toks"))
     zipped = F.arrays_zip(
         F.col("toks").alias("t0"),
         F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
     )
-    base = (
-        docs.select(
-            F.col(id_col),
-            F.col(group_col),
-            ref_pred.alias("_ref"),
-            toks.alias("toks"),
-        )
-        .select(id_col, group_col, "_ref", F.explode(zipped).alias("z"))
-        .filter(F.col("z.t1").isNotNull())
-        .select(
-            id_col,
-            group_col,
-            "_ref",
-            F.col("z.t0").alias("t0"),
-            F.col("z.t1").alias("t1"),
+
+    def _bigram_pass(src, *cols, strings: bool):
+        out = [
             hash64(F.concat(F.col("z.t0"), F.lit(" "), F.col("z.t1"))).alias("bh"),
             hash64(F.col("z.t1")).alias("wh"),
+        ]
+        if strings:
+            out = [F.col("z.t0").alias("t0"), F.col("z.t1").alias("t1")] + out
+        return (
+            src.select(*cols, toks.alias("toks"))
+            .select(*cols, F.explode(zipped).alias("z"))
+            .filter(F.col("z.t1").isNotNull())
+            .select(*cols, *out)
         )
-        .localCheckpoint()
-    )
 
-    ref = base.filter("_ref")
+    ref = _bigram_pass(
+        docs.filter(ref_pred), F.col(id_col), strings=True
+    ).localCheckpoint()
+    base = _bigram_pass(docs, F.col(id_col), F.col(group_col), strings=False)
     # bigram tier: c2 per gram + c1ctx per context (sum of c2 over w);
     # grouping on the token pair (string-exact, = the oracle's bg) with
     # the precomputed hash carried through
@@ -723,8 +728,7 @@ def lm_perplexity(
         .alias("lp1_micro"),
     )
     scored = (
-        base.select(id_col, group_col, "bh", "wh")
-        .join(bg_model, "bh", "left")
+        base.join(bg_model, "bh", "left")
         .join(ug_model, "wh", "left")
         .join(F.broadcast(totals))
         .withColumn(
