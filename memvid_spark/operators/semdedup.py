@@ -196,21 +196,11 @@ def fingerprint_overlap_edges(
     the self-join — the df-floor trick from the collocation miner, in
     reverse. Returns (a, b) with a < b.
     """
-    # Pre-filter short docs: Spark's sequence(1, 0) is descending, not
-    # empty, so the window count must be >= 1 before generate.
-    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
-        F.size("_t") >= k
-    )
-    t = F.col("_t")
-    grams = toked.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - k + 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-            )
-        ).alias("gram"),
-    )
+    from ..functions.text import ngram_rows
+
+    # whole-stage-codegen k-gram construction (short docs yield zero
+    # rows structurally — see ngram_rows)
+    grams = ngram_rows(docs, k, id_col, text_col)
     # checkpoint the sampled fingerprint table once: it feeds the df
     # ceiling AND both sides of the pair join — without this the gram
     # explode + distinct re-executes three times
