@@ -92,6 +92,12 @@ def sketch_entries(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.length("tok") >= 2)
+    # tf counts per (doc, token) with md5 AFTER the aggregation — one
+    # hash per distinct pair, not per occurrence. (A hash-keyed
+    # groupBy(doc, hash64(tok)) variant measured 4x SLOWER end-to-end at
+    # the 100x probe: the dictionary-encoded token strings aggregate
+    # cheaper than freshly-computed longs, and the tops window below
+    # re-consumes this table.)
     post = (
         toks.groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))
