@@ -321,12 +321,11 @@ def train_centroids(
 
     # Bounded sample via limit — one job, no count() pre-scan (head-of-
     # table is fine for fitting cell centroids; see train_pq for why).
-    X = [
-        r.v
-        for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    X = list(
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
         .limit(65536)
-        .collect()
-    ]
+        .toPandas()["v"]
+    )
     C = lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
     spark = emb.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]

@@ -62,13 +62,14 @@ def train_pq(
     # drains partitions in order, so the sample is head-of-table; fine for
     # codebook fitting (subspace statistics, not stratification). Callers
     # with pathologically ordered corpora can pre-.sample() themselves.
+    # Arrow-batched transfer (toPandas) instead of row collect: the same
+    # sample moves several times faster through Arrow batches.
     X = np.asarray(
-        [
-            r.v
-            for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        list(
+            emb.select(F.col(vec_col).cast("array<double>").alias("v"))
             .limit(train_sample)
-            .collect()
-        ],
+            .toPandas()["v"]
+        ),
         dtype="float64",
     )
     from ..functions.vector import lloyd_kmeans
@@ -206,14 +207,11 @@ def train_sq8(
     import numpy as np
 
     X = np.array(
-        [
-            r.v
-            for r in emb.select(
-                F.col(vec_col).cast("array<double>").alias("v")
-            )
+        list(
+            emb.select(F.col(vec_col).cast("array<double>").alias("v"))
             .limit(train_sample)
-            .collect()
-        ],
+            .toPandas()["v"]
+        ),
         dtype="float64",
     )
     if X.size == 0:
@@ -345,13 +343,14 @@ def train_ivfpq(
     dim = len(emb.select(vec_col).head()[0])
     assert dim % n_sub == 0, f"dim {dim} not divisible by {n_sub} subspaces"
     sub_dim = dim // n_sub
+    # Arrow-batched transfer (toPandas) instead of row collect: the same
+    # sample moves several times faster through Arrow batches.
     X = np.asarray(
-        [
-            r.v
-            for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        list(
+            emb.select(F.col(vec_col).cast("array<double>").alias("v"))
             .limit(train_sample)
-            .collect()
-        ],
+            .toPandas()["v"]
+        ),
         dtype="float64",
     )
     C = lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
