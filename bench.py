@@ -351,6 +351,10 @@ def main() -> None:
             # growth, not candidate blowup; r6 standalone: 126s / 63s)
             "q146_dedup_survivors",
             "q21_simhash_near_dups",
+            # the composed end-to-end corpus-cleaning pipeline (gates ->
+            # exact dedup -> decontamination -> split): the most
+            # user-shaped single number (r6 standalone: 73s = 33x)
+            "q109_clean_corpus_pipeline",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
