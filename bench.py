@@ -355,6 +355,9 @@ def main() -> None:
             # exact dedup -> decontamination -> split): the most
             # user-shaped single number (r6 standalone: 73s = 33x)
             "q109_clean_corpus_pipeline",
+            # the ANN scale path: coarse cells -> residual ADC shortlist
+            # -> exact refine (r6 standalone: 18.3s = ~6x on 100x vectors)
+            "q175_ivfpq",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
