@@ -140,18 +140,26 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
     failure (OOM on an undersized heap, a flaky executor) records -1.0
     for that probe entry and the bench carries on.
 
-    min-of-2 samples: host load on this VM is one-sided noise that can
-    inflate a single probe 3-10x (measured: probe10x q152 43.4s in-bench
-    vs 12.7s standalone minutes later, same code and data) — the MIN of
-    two back-to-back runs is the honest capability number, and the
-    second sample also absorbs first-run codegen compile."""
-    best = None
-    for _ in range(samples):
+    min-of-n samples: host load on this VM is one-sided noise that can
+    inflate a single probe 3-12x (measured: probe10x q12 16.5s in the
+    r6 driver run vs 1.44s same-code standalone; q152 43.4s in-bench vs
+    12.7s standalone) — the MIN of back-to-back runs is the honest
+    capability number, and later samples also absorb first-run codegen
+    compile. The {key}:spread entry is (max-min)/min, so a reader of
+    the JSON alone can see when a probe family was noise-inflated
+    instead of concluding the plan is super-linear; a 1s cooldown
+    between samples lets a transient host stall drain rather than
+    bleed into the next sample."""
+    best = worst = None
+    for i in range(samples):
+        if i:
+            time.sleep(1.0)
         t0 = time.perf_counter()
         try:
             fn(spark, data_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
         except Exception:
             if best is None:
                 best = -1.0
@@ -159,6 +167,8 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
         finally:
             _release_checkpoints(spark)
     extras[key] = round(best, 3)
+    if worst is not None and best > 0:
+        extras[f"{key}:spread"] = round((worst - best) / best, 3)
 
 
 def _timed_median(run, spark, n: int = 3) -> float:
@@ -246,7 +256,7 @@ def main() -> None:
         "q126_video_manifest", "q128_jpeg_pixels",
         "q163_flac_roundtrip", "q166_tiff_pixels", "q172_tar_ingest",
         "q173_pdf_table_extract",
-        "q144_semdedup", "q145_passage_dedup",
+        "q144_semdedup", "q179_semdedup_autok", "q145_passage_dedup",
         "q146_dedup_survivors", "q147_dsir_weights",
         "q148_shard_assign", "q149_length_quantiles",
         "q150_mojibake_repair", "q151_xls_extract", "q152_heavy_hitters",
@@ -302,6 +312,10 @@ def main() -> None:
         "q34_pq_recall",
         "q35_ivf_knn",
         "q115_hnsw_recall",
+        # auto-k SemDeDup: k = ceil(n/256) crosses into the two-level
+        # matmul band at this scale — the probe that shows cluster size
+        # stays bounded when k scales with the corpus
+        "q179_semdedup_autok",
     ]
     probe_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scratch", "probe10x"
@@ -358,6 +372,10 @@ def main() -> None:
             # the ANN scale path: coarse cells -> residual ADC shortlist
             # -> exact refine (r6 standalone: 18.3s = ~6x on 100x vectors)
             "q175_ivfpq",
+            # round 7: auto-k SemDeDup — fixed-k q144 grew ~65x at 100x
+            # (the last linear-band family, VERDICT r6); k = ceil(n/256)
+            # bounds per-cluster work by design, this entry is the proof
+            "q179_semdedup_autok",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"

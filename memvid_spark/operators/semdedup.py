@@ -47,6 +47,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
@@ -56,8 +58,27 @@ from .mesh import connected_components
 
 SEM_K = 8  # deterministic seed count at test scale (k ∝ corpus size)
 SEM_TAU = 0.999  # within-cluster cosine threshold (paper: eps-dedup)
+SEM_TARGET_M = 256  # auto-k: target mean cluster size (k = ceil(n / this))
+SEM_EXACT_K_MAX = 64  # join-based exact assignment above this explodes n*k rows
 PASSAGE_W = 8  # window width in tokens (paper uses 50; 8 at test scale)
 COS_ROUND = 9  # argmax stability: round cosine before comparing seeds
+
+
+def _unit_base(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, v) with v UNIT-normalized double — normalization paid once
+    so every downstream cosine (seed assignment, within-cluster pairs)
+    is a single dot product. Zero vectors normalize to null and never
+    match any threshold."""
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col), raw.alias("_raw")).select(
+        F.col(id_col),
+        F.transform(
+            F.col("_raw"),
+            lambda x: x / F.nullif(vnorm(F.col("_raw")), F.lit(0.0)),
+        ).alias("v"),
+    )
 
 
 def seed_assign(
@@ -70,20 +91,14 @@ def seed_assign(
 
     Seeds are the k lowest-id vectors (replayable by the oracle, unlike
     k-means); nearest = max cosine, ties broken by lowest seed id.
-    Returns (id_col, v = UNIT-normalized double vector, cluster) — the
-    normalization is paid once here so every downstream cosine
-    (k per row against seeds, then the within-cluster pairs) is a
-    single dot product instead of dot + two norms. Zero vectors
-    normalize to null and never match any threshold.
+    Returns (id_col, v = UNIT-normalized double vector, cluster).
+
+    This is the EXACT, oracle-replayable path: the broadcast seed join
+    materializes n*k scored rows, which is fine at small k but
+    quadratic once k scales with the corpus (k = n/target_m ⇒ n²/m
+    rows) — ``seed_assign_scaled`` is the large-k path.
     """
-    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), raw.alias("_raw")).select(
-        F.col(id_col),
-        F.transform(
-            F.col("_raw"),
-            lambda x: x / F.nullif(vnorm(F.col("_raw")), F.lit(0.0)),
-        ).alias("v"),
-    )
+    base = _unit_base(emb, id_col, vec_col)
     seeds = (
         base.orderBy(id_col)
         .limit(k)
@@ -103,13 +118,124 @@ def seed_assign(
     )
 
 
+def seed_assign_scaled(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 2,
+) -> DataFrame:
+    """Nearest-seed assignment for LARGE k: two-level (IVF-style) search
+    instead of the n*k join explosion.
+
+    The k seed vectors (k lowest ids, same rule as ``seed_assign``) are
+    pulled to the driver via one Arrow transfer (k rows — for
+    k = n/256 at a 1e9-row corpus that's ~4M rows × d floats, a few GB
+    driver budget; shard the seed table if that ever binds) and
+    broadcast. The s = ceil(sqrt(k)) lowest-id seeds double as
+    super-seeds; each seed belongs to its nearest super-seed, and every
+    corpus vector probes its top-``probes`` super-groups only. Per-row
+    work is O((s + probes·k/s)·d) = O(sqrt(k)·d) — the flat matmul the
+    SemDeDup paper runs on GPUs is O(k·d) per row, which at k ∝ n is
+    quadratic overall. The trade is standard IVF approximation: a
+    vector whose true nearest seed lives in an unprobed super-group is
+    assigned its best probed seed (raise ``probes`` for recall; the
+    clustering is itself a k-means stand-in, so this is noise at the
+    level SemDeDup operates).
+
+    Determinism: cosines round to COS_ROUND decimals, argmax takes the
+    FIRST max, and seeds sort by id ascending — so ties break to the
+    lowest seed id, matching the exact path. All-null/zero vectors
+    assign to the lowest seed id, matching the exact path's null-last
+    ordering. Returns (id_col, v, cluster) like ``seed_assign``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = _unit_base(emb, id_col, vec_col)
+    seeds_pdf = base.orderBy(id_col).limit(k).toPandas()  # Arrow, k rows
+    seeds_pdf = seeds_pdf.sort_values(id_col).reset_index(drop=True)
+    seed_ids = seeds_pdf[id_col].to_numpy(dtype=np.int64)
+    kk = len(seed_ids)
+    dim = next((len(v) for v in seeds_pdf["v"] if v is not None), 0)
+    if kk == 0 or dim == 0:
+        # degenerate corpus (empty or all-zero vectors): everything in
+        # one cluster under the lowest id present
+        first = seed_ids[0] if kk else 0
+        return base.withColumn("cluster", F.lit(int(first)))
+    S = np.zeros((kk, dim))
+    valid = np.zeros(kk, dtype=bool)
+    for i, v in enumerate(seeds_pdf["v"]):
+        if v is not None:
+            S[i] = v
+            valid[i] = True
+    s = max(1, int(math.ceil(math.sqrt(kk))))
+    # seed -> super-group (exact k×s matmul, driver-side, once)
+    sup_sim = np.round(S @ S[:s].T, COS_ROUND)
+    sup_sim[:, ~valid[:s]] = -np.inf
+    seed_sup = np.argmax(sup_sim, axis=1)
+    groups = [np.flatnonzero(seed_sup == g) for g in range(s)]
+    p = min(max(1, probes), s)
+
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((S, seed_ids, valid, groups, s, p, dim))
+
+    def assign(batches):
+        S, seed_ids, valid, groups, s, p, dim = bc.value
+        SS = S[:s]
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0:
+                continue
+            X = np.zeros((b, dim))
+            okrow = np.zeros(b, dtype=bool)
+            for i, v in enumerate(pdf["v"]):
+                if v is not None:
+                    X[i] = v
+                    okrow[i] = True
+            sup = X @ SS.T
+            sup[:, ~valid[:s]] = -np.inf
+            if p < s:
+                top = np.argpartition(-sup, p - 1, axis=1)[:, :p]
+            else:
+                top = np.broadcast_to(np.arange(s), (b, s))
+            best_sim = np.full(b, -np.inf)
+            best_idx = np.zeros(b, dtype=np.int64)
+            for g in range(s):
+                rows = np.flatnonzero((top == g).any(axis=1))
+                idx = groups[g]
+                if rows.size == 0 or idx.size == 0:
+                    continue
+                sims = np.round(X[rows] @ S[idx].T, COS_ROUND)
+                sims[:, ~valid[idx]] = -np.inf
+                j = np.argmax(sims, axis=1)  # first max = lowest seed id
+                val = sims[np.arange(rows.size), j]
+                cand = idx[j]
+                cur_v, cur_i = best_sim[rows], best_idx[rows]
+                upd = (val > cur_v) | ((val == cur_v) & (cand < cur_i))
+                hit = rows[upd]
+                best_sim[hit] = val[upd]
+                best_idx[hit] = cand[upd]
+            cluster = seed_ids[best_idx]
+            cluster[~okrow] = seed_ids[0]  # null v → lowest seed (exact-path rule)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "v": pdf["v"], "cluster": cluster}
+            )
+
+    return base.mapInPandas(
+        assign, f"{id_col} long, v array<double>, cluster long"
+    )
+
+
 def semdedup(
     emb: DataFrame,
-    k: int = SEM_K,
+    k: int | None = SEM_K,
     tau: float = SEM_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 4096,
+    target_m: int = SEM_TARGET_M,
+    probes: int = 2,
 ) -> DataFrame:
     """SemDeDup: cluster, then mark within-cluster near-dups.
 
@@ -117,13 +243,27 @@ def semdedup(
     cluster has cosine >= tau with it — exactly one survivor per
     cosine-connected chain seed. Returns (id_col, cluster, is_dup).
 
+    ``k=None`` (the scale default) auto-sizes the seed count as
+    ceil(n / target_m) from one cheap count — the SemDeDup recipe
+    itself scales k with the corpus (k≈11k for 233M docs ≈ n/21k;
+    arXiv:2303.09540 §3), and a k that does NOT grow with n makes mean
+    cluster size m grow linearly, turning the per-cluster m² kernel
+    into n²/k total work. With k = n/target_m the total pairwise work
+    is n·target_m — linear in the corpus by design, not bounded only
+    by the recall-losing ``max_cluster`` backstop. Explicit k stays
+    for the oracle twin and paper-parity runs.
+
+    Assignment picks its physical path by k: at k <= SEM_EXACT_K_MAX
+    the exact broadcast-join (``seed_assign``, oracle-replayable);
+    above, the two-level matmul path (``seed_assign_scaled``,
+    O(sqrt(k)·d) per row) — same rounding and tie rules, IVF-grade
+    approximation on the cluster boundary only.
+
     The pairwise stage runs as ONE vectorized NumPy matmul per cluster
     (applyInPandas, Arrow-batched) — the shape the SemDeDup paper runs
     on GPUs. An expression-level pair join would evaluate an
     interpreted higher-order dot per pair (measured ~2.5× slower at
-    sf0.1 and worse with dimension); the kernel is O(m²) per cluster,
-    which is exactly the paper's contract — k grows with the corpus so
-    cluster size m stays bounded.
+    sf0.1 and worse with dimension).
 
     ``max_cluster`` is the mega-cluster guard: a boilerplate-heavy
     corpus can drop a large fraction of all documents into one cluster,
@@ -135,12 +275,21 @@ def semdedup(
     (cross-shard dup pairs are missed — the SemDeDup paper's own k↑
     remedy has the same effect) for a hard per-task memory bound. Set
     ``max_cluster=0`` to disable. At the default 4096 every cluster at
-    test scale (max m = 326 at sf0.1) is untouched.
+    test scale (max m = 326 at sf0.1) is untouched; with auto-k it
+    only fires on pathological skew (one seed attracting >16× target_m).
     """
     import numpy as np
     import pandas as pd
 
-    assigned = seed_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
+    if k is None:
+        n = emb.count()
+        k = max(1, math.ceil(n / max(1, target_m)))
+    if k <= SEM_EXACT_K_MAX:
+        assigned = seed_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        assigned = seed_assign_scaled(
+            emb, k=k, id_col=id_col, vec_col=vec_col, probes=probes
+        )
     if max_cluster and max_cluster > 0:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_m"))
         n_sub = F.greatest(

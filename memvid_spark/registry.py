@@ -7630,6 +7630,61 @@ def q178_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q179_semdedup_autok",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::double[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::double[], x -> x * 1.001)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    counted AS (
+      SELECT *, count(*) OVER () AS n,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM base
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, v AS sv FROM counted
+      WHERE rn <= cast(ceil(n / 256.0) AS bigint)
+    ),
+    scored AS (
+      SELECT b.vec_id, b.v, s.seed_id,
+             round({SQL_COS.format(a='b.v', b='s.sv')}, 9) AS c
+      FROM base b CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, v, seed_id AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      WHERE {SQL_COS.format(a='l.v', b='r.v')} >= 0.999
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    "SemDeDup with AUTO-SCALED k = ceil(n / 256) from one cheap count "
+    "— the paper's own k ∝ n recipe (arXiv:2303.09540 §3), which keeps "
+    "mean cluster size (and so total pairwise work n·target_m) bounded "
+    "by design instead of by the recall-losing mega-cluster cap. At "
+    "oracle scale the auto k lands in the exact broadcast-join band so "
+    "DuckDB replays it bit-for-bit; at probe scale (k ≈ n/256 > 64) "
+    "the same call routes assignment through the two-level IVF-style "
+    "matmul path (seed_assign_scaled) — O(sqrt(k)·d) per row.",
+)
+def q179_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import semdedup as sd
+
+    t = catalog.load(spark, sf_dir)
+    planted = dedup.plant_near_dups(t.embeddings, every=10)
+    return sd.semdedup(planted, k=None, tau=0.999)
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -187,3 +187,72 @@ def test_semdedup_mega_cluster_guard(spark):
     assert survivors == 10
     # every row still reports its ORIGINAL cluster id
     assert {r.cluster for r in guarded} == {r.cluster for r in full}
+
+
+def test_seed_assign_scaled_matches_exact_when_fully_probed(spark):
+    """With probes >= sqrt(k) every super-group is probed, so the
+    two-level path degenerates to exhaustive search and must reproduce
+    the exact join path's assignment bit-for-bit (same COS_ROUND
+    rounding, same lowest-seed-id tie rule). d=2 keeps the dot product
+    a single fma so JVM-fold and NumPy sums are bit-identical."""
+    rows = [
+        (i, [float((i * 7) % 13) - 6.0, float((i * 11) % 17) - 8.0])
+        for i in range(300)
+    ]
+    emb = _emb_d(spark, rows)
+    k = 70  # > SEM_EXACT_K_MAX -> the band semdedup routes to scaled
+    exact = {r.vec_id: r.cluster
+             for r in sd.seed_assign(emb, k=k).collect()}
+    scaled = {r.vec_id: r.cluster
+              for r in sd.seed_assign_scaled(emb, k=k, probes=10**6).collect()}
+    assert scaled == exact
+
+
+def test_seed_assign_scaled_null_vector_lowest_seed(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]
+    out = {r.vec_id: r.cluster
+           for r in sd.seed_assign_scaled(_emb_d(spark, rows), k=2).collect()}
+    assert out[2] == 0  # zero vector -> lowest seed id, exact-path rule
+
+
+def test_semdedup_autok_small_corpus_exact_band(spark):
+    """k=None at small n lands in the exact band (k = ceil(n/target_m)
+    <= 64) and still flags planted scaled copies."""
+    import math
+
+    # distinct directions 4 degrees apart (cos 0.07 rad = 0.9976 < tau)
+    # — angle-spread matters: collinear vectors are exact dups after
+    # unit normalization regardless of magnitude
+    rows = [(i, [math.cos(i * 0.07), math.sin(i * 0.07)]) for i in range(20)]
+    rows += [(100 + i, [v * 1.001 for v in rows[i][1]]) for i in range(4)]
+    out = {r.vec_id: r.is_dup
+           for r in sd.semdedup(_emb_d(spark, rows), k=None,
+                                tau=0.999, target_m=8).collect()}
+    assert len(out) == 24
+    for i in range(4):
+        # the planted copy has cosine exactly 1 with its original; the
+        # EARLIER id survives, the copy is marked dup
+        assert out[100 + i] is True
+        assert out[i] is False
+
+
+def test_semdedup_autok_scaled_band_flags_planted_dups(spark):
+    """target_m small enough that auto-k > SEM_EXACT_K_MAX routes the
+    assignment through the two-level matmul path; planted scaled copies
+    are coincident with their originals so they share a cluster no
+    matter where the IVF boundary falls, and must come back flagged."""
+    rows = [
+        (i, [float((i * 3) % 11) + 1.0, float((i * 5) % 7), 1.0])
+        for i in range(200)
+    ]
+    planted = [(1000 + i, [v * 1.001 for v in rows[i][1]]) for i in range(0, 200, 10)]
+    emb = _emb_d(spark, rows + planted)
+    got = sd.semdedup(emb, k=None, tau=0.999, target_m=2).collect()
+    out = {r.vec_id: r.is_dup for r in got}
+    assert len(out) == 220
+    for i in range(0, 200, 10):
+        assert out[1000 + i] is True, f"planted copy of {i} not flagged"
+
+
+def _emb_d(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
