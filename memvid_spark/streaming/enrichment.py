@@ -142,9 +142,14 @@ class EnrichmentWorker:
     batch that already appended anti-joins to zero rows), the driver holds
     no per-document set, and a brand-new worker pointed at the same
     ``store_dir`` resumes with zero warm-up — the checkpointed-manifest
-    semantics of memories_track.rs:165-240. At warehouse scale the sink is
-    a Delta/Iceberg table and the anti-join prunes on the version
-    partition; here it is an append-only parquet directory.
+    semantics of memories_track.rs:165-240. The sink is PARTITIONED by
+    ``engine_version`` (hive layout: ``engine_version=v1/…``), so the
+    manifest read — which always filters to the worker's own version —
+    prunes to that one partition's files at planning time
+    (PartitionFilters in the scan, pinned by pytest): a v2 worker over a
+    store with a year of v1 history never lists, let alone reads, the
+    v1 files. At warehouse scale the same layout is a Delta/Iceberg
+    version-partitioned table.
     """
 
     def __init__(self, engine_version: str = "v1", store_dir: str | None = None):
@@ -186,8 +191,12 @@ class EnrichmentWorker:
         )
         # append-only: the write's plan reads the sink it appends to, which
         # is safe (the scan's file listing predates the new files); the
-        # refresh in enriched() keeps the NEXT batch's listing current
-        out.write.mode("append").parquet(self.sink_path)
+        # refresh in enriched() keeps the NEXT batch's listing current.
+        # partitionBy matches the manifest's version filter, so that
+        # anti-join scan prunes to one partition instead of the history.
+        out.write.mode("append").partitionBy("engine_version").parquet(
+            self.sink_path
+        )
 
     def run(self, docs_stream: DataFrame) -> None:
         q = docs_stream.writeStream.foreachBatch(self.enrich_batch).start()

@@ -115,6 +115,68 @@ def test_enrichment_worker_exactly_once(spark, docs_dir):
     )
 
 
+def test_enrichment_sink_partition_pruning(spark, docs_dir):
+    """The sink is hive-partitioned by engine_version, so the manifest
+    scan (the per-batch anti-join side, always filtered to the worker's
+    own version) must prune at PLANNING time: a v2 worker over a store
+    holding v1 history plans PartitionFilters on engine_version and
+    lists only the v2 partition's files — the warehouse-scale contract
+    in the EnrichmentWorker docstring, asserted, not promised."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from memvid_spark.streaming.enrichment import EnrichmentWorker
+
+    store = tempfile.mkdtemp(prefix="mv2_enrich_prune_")
+    docs = spark.read.parquet(docs_dir)
+    v1 = EnrichmentWorker(engine_version="v1", store_dir=store)
+    v1.enrich_batch(docs, batch_id=0)
+    v2 = EnrichmentWorker(engine_version="v2", store_dir=store)
+    v2.enrich_batch(docs.filter(F.col("doc_id") < 5), batch_id=0)
+
+    # layout: one directory per version
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(v2.sink_path) if d.startswith("engine_version=")
+    )
+    assert parts == ["engine_version=v1", "engine_version=v2"]
+
+    manifest = (
+        v2.enriched(spark)
+        .filter(F.col("engine_version") == "v2")
+        .select("doc_id")
+    )
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    # partition filter reached the scan...
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "engine_version" in pf[0], plan
+    # ...and pruning actually happened: poison the v1 partition with a
+    # file that is not parquet — a scan that opens ANY v1 file dies, so
+    # a clean v2-filtered count is proof the v1 files were never touched
+    # (inputFiles() can't show this: it lists the relation pre-pruning)
+    poison = os.path.join(
+        v2.sink_path, "engine_version=v1", "part-99999-poison.snappy.parquet"
+    )
+    with open(poison, "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    spark.catalog.refreshByPath(v2.sink_path)
+    assert (
+        v2.enriched(spark)
+        .filter(F.col("engine_version") == "v2")
+        .select("doc_id")
+        .count()
+        == 5
+    )
+    # control: the unpruned read DOES hit the poison file
+    import pytest
+
+    with pytest.raises(Exception):
+        v2.enriched(spark).count()
+    os.remove(poison)
+
+
 def test_running_user_totals_stateful(spark, events_dir):
     from pyspark.sql import functions as F
 
