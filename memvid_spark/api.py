@@ -19,6 +19,7 @@ identical either way.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -1986,6 +1987,7 @@ class MemvidSpark:
         self,
         derived: dict[str, DataFrame] | None = None,
         heal: bool = False,
+        rebuilders: dict[str, Callable[[], DataFrame | None]] | None = None,
     ) -> DataFrame:
         """Consistency audit (doctor.rs; healing exercised at
         lib.rs:1160-1248 and tests/doctor_recovery.rs:194-717):
@@ -1996,27 +1998,49 @@ class MemvidSpark:
         automatically whenever the manifest records a built variant, so
         a dropped/corrupt sketches parquet shows up as ``missing`` rows.
 
-        ``heal=True`` runs the reference's heal-then-pass loop: execute
-        the heal plan (a stale or orphaned sketch track is rebuilt from
-        frames via :meth:`finalize_indexes` — every derived table here
-        is a rebuildable function of the content table), then re-audit
-        and return the POST-heal report so callers can assert it is
-        clean. Returns the findings report; ``heal()`` turns a report
-        into the action plan without executing it."""
+        ``heal=True`` runs the reference's heal-then-pass loop across
+        index kinds (doctor_recovery.rs:194-717 drops each index in
+        turn and expects doctor to restore it): every
+        ``rebuild_derived_table`` / ``vacuum_derived_table`` action in
+        the heal plan routes through a per-table REBUILDER REGISTRY —
+        the facade registers its own persisted derived state
+        (``sketches`` → :meth:`finalize_indexes`; every derived table
+        here is a rebuildable function of the content table), and
+        callers supplying ``derived`` tables pass the matching rebuild
+        closure via ``rebuilders={name: fn}``. A closure may return the
+        rebuilt DataFrame, which replaces the audited table for the
+        re-audit (needed when the closure rewrote the files behind the
+        original DataFrame). Tables with findings but no registered
+        rebuilder are left as plan entries — visible in the returned
+        POST-heal report, never silently dropped. Returns the findings
+        report; ``heal()`` turns a report into the action plan without
+        executing it."""
+        derived = dict(derived or {})
         rep = self._doctor_report(derived)
         if not heal:
             return rep
         from .operators.doctor import heal_plan
 
         variant = getattr(self, "_sketch_variant", None)
+        registry: dict[str, Callable[[], DataFrame | None]] = {
+            # one O(n) rebuild fixes both stale and orphaned sketch rows
+            "sketches": lambda: self.finalize_indexes(variant or "small"),
+        }
+        registry.update(rebuilders or {})
+        healed: set[str] = set()
         for row in heal_plan(rep).collect():  # findings table — tiny
-            if row.table_name == "sketches" and row.action in (
+            if row.action not in (
                 "rebuild_derived_table",
                 "vacuum_derived_table",
             ):
-                # one O(n) rebuild fixes both stale and orphaned rows
-                self.finalize_indexes(variant or "small")
-                break
+                continue
+            fix = registry.get(row.table_name)
+            if fix is None or row.table_name in healed:
+                continue
+            healed.add(row.table_name)
+            rebuilt = fix()
+            if isinstance(rebuilt, DataFrame):
+                derived[row.table_name] = rebuilt
         return self._doctor_report(derived)
 
     def _doctor_report(

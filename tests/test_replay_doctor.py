@@ -190,3 +190,66 @@ def test_commit_skip_indexes_ships_no_stale_sketches(spark, tmp_path):
     back = MemvidSpark.open(spark, path)
     assert not back.has_sketches()
     assert back.finalize_indexes("small") == 2
+
+
+def test_doctor_heal_breadth_rebuilder_registry(spark, tmp_path):
+    """The heal-then-pass loop across index KINDS
+    (doctor_recovery.rs:194-717): each derived table is dropped/damaged
+    in turn; doctor(heal=True) routes every rebuild action through the
+    per-table rebuilder registry — the facade's own sketches via
+    finalize_indexes, a user-supplied derived table via its closure —
+    and the post-heal re-audit is clean. A table with findings but no
+    registered rebuilder stays visible in the post-heal report."""
+    import shutil
+
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    for i in range(8):
+        mv.put(f"sketchable document number {i} about spark tables and joins")
+    mv.build_all_sketches("small")
+    path = str(tmp_path / "store")
+    mv.save(path)
+
+    # user-maintained derived table: per-doc lengths persisted to parquet
+    lengths_path = str(tmp_path / "lengths.parquet")
+
+    def rebuild_lengths():
+        mv_open.docs().select(
+            "doc_id", F.length(mv_open.text_col).alias("n_chars")
+        ).write.mode("overwrite").parquet(lengths_path)
+        spark.catalog.refreshByPath(lengths_path)
+        return spark.read.parquet(lengths_path)
+
+    # damage BOTH kinds: drop the sketch track entirely, and persist a
+    # lengths table missing half the docs (stale index)
+    shutil.rmtree(path + "/sketches.parquet")
+    mv_open = MemvidSpark.open(spark, path)
+    mv_open.docs().filter("doc_id < 4").select(
+        "doc_id", F.length(mv_open.text_col).alias("n_chars")
+    ).write.mode("overwrite").parquet(lengths_path)
+    stale = spark.read.parquet(lengths_path)
+
+    pre = {
+        (r.check, r.table_name): r.n_affected
+        for r in mv_open.doctor(derived={"lengths": stale}).collect()
+    }
+    assert pre[("missing", "sketches")] == 8
+    assert pre[("missing", "lengths")] == 4
+
+    post = mv_open.doctor(
+        derived={"lengths": stale},
+        heal=True,
+        rebuilders={"lengths": rebuild_lengths},
+    )
+    dirty = post.filter(F.col("n_affected") > 0).collect()
+    assert dirty == [], [tuple(r) for r in dirty]
+
+    # no-rebuilder table: heal leaves its findings visible (plan, not fix)
+    orphan = spark.createDataFrame([(999,)], "doc_id long")
+    post2 = mv_open.doctor(derived={"mystery": orphan}, heal=True)
+    bad = {
+        (r.check, r.table_name): r.n_affected
+        for r in post2.filter(F.col("n_affected") > 0).collect()
+    }
+    assert bad == {("missing", "mystery"): 8, ("orphaned", "mystery"): 1}
