@@ -114,6 +114,86 @@ def ner_entities(
     ).distinct()
 
 
+def ner_entities_model(
+    docs: DataFrame,
+    tagger_factory,
+    text_col: str = "sentence",
+    id_col: str = "doc_id",
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Model-tier NER seam (src/analysis/ner.rs:1-55 — DistilBERT
+    token classification, PER/ORG/LOC/MISC at confidence ≥ 0.5). The
+    model is an injection point: ``tagger_factory()`` runs ONCE per
+    task executor-side (the model never pickles through the closure —
+    the BatchModelEmbedder convention) and returns
+    ``fn(texts: list[str]) -> list[list[(entity, kind, confidence)]]``.
+    With HF ``transformers`` installed,
+    ``hf_ner_tagger_factory()`` is a ready-made real-model factory.
+
+    Output matches the rule tier exactly — (doc_id, entity, kind,
+    confidence) distinct, confidence filtered at ``min_confidence`` —
+    so the reference's hybrid mode (model when present, rules when
+    absent) is one callsite swap.
+    """
+    schema = f"{id_col} long, entity string, kind string, confidence double"
+
+    def run(batches):
+        import pandas as pd
+
+        tag = tagger_factory()
+        for pdf in batches:
+            rows = []
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            for did, ents in zip(pdf[id_col], tag(texts)):
+                for entity, kind, conf in ents:
+                    if conf >= min_confidence:
+                        rows.append((int(did), entity, kind, round(float(conf), 6)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "entity", "kind", "confidence"]
+            )
+
+    return (
+        docs.select(id_col, text_col).mapInPandas(run, schema).distinct()
+    )
+
+
+def hf_ner_tagger_factory(model: str = "dslim/bert-base-NER"):
+    """Real-model tagger factory for :func:`ner_entities_model`: builds
+    a HuggingFace token-classification pipeline executor-side and maps
+    its B-/I- tags onto the engine's PER/ORG/LOC/MISC kinds
+    (ner.rs:1-55's label set). Requires ``transformers`` — callers gate
+    on availability (the test suite skipifs, mirroring the
+    sentence-transformers seam)."""
+
+    def build():
+        from transformers import pipeline
+
+        nlp = pipeline(
+            "ner", model=model, aggregation_strategy="simple"
+        )
+
+        def tag(texts: list[str]):
+            out = []
+            for res in nlp(texts):
+                out.append(
+                    [
+                        (
+                            r["word"],
+                            {"PER": "PER", "ORG": "ORG", "LOC": "LOC"}.get(
+                                r["entity_group"], "MISC"
+                            ),
+                            float(r["score"]),
+                        )
+                        for r in res
+                    ]
+                )
+            return out
+
+        return tag
+
+    return build
+
+
 def edges_from_triplets(trips: DataFrame) -> DataFrame:
     """Feed the Logic-Mesh: triples become typed edges
     (logic_mesh.rs LinkType; confidence 1.0 for rule extractions)."""

@@ -99,6 +99,86 @@ def embed_images(media: DataFrame, payload_col: str = "payload",
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def embed_images_model(
+    media: DataFrame,
+    tower_factory,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL-model image tower seam (src/clip.rs:99-102's MobileCLIP
+    image encoder): ``tower_factory()`` runs ONCE per task
+    executor-side (model never pickles through the closure — the
+    BatchModelEmbedder convention) and returns
+    ``fn(pixels_list) -> 2D float array`` encoding a batch of decoded
+    HxWxC uint8 pixel arrays into the shared float space. Decode stays
+    the engine's own stdlib codecs; retrieval over the output is the
+    ordinary cosine kNN plan (operators/knn.py) — swapping the
+    deterministic integer towers for CLIP touches neither. Output:
+    (id, embedding array<double>), L2-normalized.
+    """
+    schema = f"{id_col} long, embedding array<double>"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..sources.multimodal import decode_image
+
+        tower = tower_factory()
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            pixels = [
+                np.asarray(decode_image(bytes(p), ""), dtype=np.uint8)
+                for p in pdf[payload_col]
+            ]
+            vecs = np.asarray(tower(pixels), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            yield pd.DataFrame(
+                {id_col: ids, "embedding": [list(v) for v in vecs]}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def clip_tower_factories(model: str = "clip-ViT-B-32"):
+    """Ready-made REAL CLIP towers for :func:`embed_images_model` and
+    the text side of the shared space: returns
+    ``(image_tower_factory, text_encoder)`` built on
+    sentence-transformers' CLIP checkpoints (the
+    src/clip.rs:297-380 text↔image space). Requires
+    ``sentence-transformers`` + PIL — callers gate on availability
+    (test suite skipifs, mirroring the text-embedder seam)."""
+
+    def image_factory():
+        import numpy as np
+        from PIL import Image
+        from sentence_transformers import SentenceTransformer
+
+        m = SentenceTransformer(model)
+
+        def tower(pixel_arrays):
+            imgs = []
+            for px in pixel_arrays:
+                if px.ndim == 2:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                if px.shape[2] == 4:
+                    px = px[:, :, :3]
+                imgs.append(Image.fromarray(px, mode="RGB"))
+            return m.encode(imgs, normalize_embeddings=False)
+
+        return tower
+
+    def text_encoder(texts: list[str]):
+        from sentence_transformers import SentenceTransformer
+
+        m = SentenceTransformer(model)
+        return m.encode(list(texts), normalize_embeddings=False)
+
+    return image_factory, text_encoder
+
+
 def crossmodal_knn(
     image_vecs: DataFrame, text: str, k: int = 10, id_col: str = "media_id"
 ) -> DataFrame:
