@@ -469,3 +469,35 @@ def test_save_open_random_mutation_sequences(spark, tmp_path):
         la = sorted(r.doc_id for r in mv.as_of(mid).select("doc_id").collect())
         ra = sorted(r.doc_id for r in back.as_of(mid).select("doc_id").collect())
         assert la == ra
+
+
+def test_put_burst_dedup_job_count(spark, tmp_path):
+    """Burst ergonomics of put() under rebuild_dedup: the corpus-side
+    probe is a lazily built Bloom filter (one distributed build), so a
+    burst of N novel puts costs O(1) Spark jobs — not one point-filter
+    job per document — while exact dedup semantics hold (a true dup
+    still confirms with a point filter and returns None)."""
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    for i in range(5):
+        mv.put(f"seed corpus doc {i} with unique text")
+    path = str(tmp_path / "store")
+    mv.save(path)
+
+    back = MemvidSpark.open(spark, path, rebuild_dedup=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("put_burst", "burst dedup probes")
+    try:
+        ids = [back.put(f"novel burst doc {i}") for i in range(40)]
+        dup = back.put("seed corpus doc 3 with unique text")
+        jobs = sc.statusTracker().getJobIdsForGroup("put_burst")
+    finally:
+        sc.setJobGroup("put_burst_done", "")
+    assert all(x is not None for x in ids)
+    assert dup is None  # exact dedup intact through the Bloom fast path
+    # O(1) job budget for the whole 41-put burst: checkpoint
+    # materialization + count + bloom build + one dup confirmation
+    # (+ room for a rare false-positive confirm). The r6 behavior was
+    # >= 41 jobs — one per put.
+    assert len(jobs) <= 6, f"{len(jobs)} jobs for a 41-put burst: {jobs}"
