@@ -171,6 +171,84 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
         extras[f"{key}:spread"] = round((worst - best) / best, 3)
 
 
+def _hnsw_split_probe(extras, prefix, spark, data_dir) -> None:
+    """Time HNSW index BUILD and persisted-graph QUERY separately.
+
+    Build: sharded NSW construction over the blowup embeddings,
+    materialized through noop (what an ingest/finalize pass pays, once
+    per corpus). The graph then persists to parquet next to the blowup
+    (cached across bench runs, like the blowup itself). Query: beam
+    search over the PERSISTED graph — scan + per-shard search + global
+    top-k, zero build cost — the per-request wall a serving tier pays.
+    Failures record -1.0 like every probe."""
+    from memvid_spark.operators.hnsw import build_nsw_index, nsw_knn
+
+    emb_path = os.path.join(data_dir, "embeddings.parquet")
+    idx_path = os.path.join(data_dir, "hnsw_index.parquet")
+
+    def build(spark, d):
+        return build_nsw_index(
+            spark.read.parquet(emb_path), n_shards=32
+        )
+
+    _timed_probe(extras, f"{prefix}:hnsw_build", build, spark, data_dir)
+    try:
+        if not os.path.exists(idx_path):
+            build(spark, data_dir).write.mode("overwrite").parquet(idx_path)
+        qvec = (
+            spark.read.parquet(emb_path)
+            .orderBy("vec_id").select("embedding").head()[0]
+        )
+    except Exception:
+        extras[f"{prefix}:hnsw_query"] = -1.0
+        return
+
+    def query(spark, d):
+        return nsw_knn(spark.read.parquet(idx_path), qvec, k=10, ef_search=50)
+
+    _timed_probe(extras, f"{prefix}:hnsw_query", query, spark, data_dir)
+
+    # cell-pruned variant (round 7): centroid-sharded graph persisted
+    # partitionBy("cell") — the query beam-searches only the 4 nearest
+    # cells of 32, and against the hive layout the isin(cells) filter is
+    # a planning-time PartitionFilter, so a request reads ~1/8 of the
+    # index instead of all of it. THIS is the per-request number a
+    # 1000-executor serving tier pays; hnsw_query above is the
+    # un-pruned control on the same corpus.
+    from memvid_spark.operators.hnsw import (
+        build_nsw_index_ivf,
+        nsw_knn_pruned,
+        train_cell_centroids,
+    )
+
+    ivf_path = os.path.join(data_dir, "hnsw_ivf_index.parquet")
+    cents_path = os.path.join(data_dir, "hnsw_ivf_centroids.json")
+    try:
+        if not os.path.exists(cents_path):
+            emb = spark.read.parquet(emb_path)
+            cents = train_cell_centroids(emb, n_cells=32)
+            build_nsw_index_ivf(emb, cents).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(ivf_path)
+            with open(cents_path, "w") as f:
+                json.dump([[float(x) for x in c] for c in cents], f)
+        with open(cents_path) as f:
+            cents = json.load(f)
+    except Exception:
+        extras[f"{prefix}:hnsw_query_pruned"] = -1.0
+        return
+
+    def query_pruned(spark, d):
+        return nsw_knn_pruned(
+            spark.read.parquet(ivf_path), cents, qvec,
+            k=10, ef_search=50, probes=4,
+        )
+
+    _timed_probe(
+        extras, f"{prefix}:hnsw_query_pruned", query_pruned, spark, data_dir
+    )
+
+
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
     the same treatment the headline gets. Single samples on this VM
@@ -316,6 +394,15 @@ def main() -> None:
         # matmul band at this scale — the probe that shows cluster size
         # stays bounded when k scales with the corpus
         "q179_semdedup_autok",
+        # ingest tier (the one family with no scale probe until r7):
+        # synthesize-and-parse mapInPandas byte kernels — XLSX sheet
+        # detection + type vote, PDF positional table extraction, WARC
+        # strict-framing parse. Embarrassingly parallel per document;
+        # the probe shows wall growth tracks document COUNT with no
+        # driver bottleneck (payload bytes never visit the driver)
+        "q84_sheet_tables",
+        "q135_warc_records",
+        "q173_pdf_table_extract",
     ]
     probe_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scratch", "probe10x"
@@ -336,6 +423,15 @@ def main() -> None:
     extras["probe10x_factor"] = 10.0
     for name in probe_queries:
         _timed_probe(extras, f"probe10x:{name}", qs[name], spark, probe_dir)
+
+    # HNSW build/query split (probe framing, VERDICT r6): q115's single
+    # number folds index CONSTRUCTION and the exact-ground-truth brute
+    # force into every sample, so its 100x wall reads as "queries got
+    # 32x slower" when a store builds once and serves many. Here the
+    # sharded graph is built (timed), persisted to parquet — the store
+    # layout — and the query probe beam-searches the persisted graph
+    # only: the number a serving tier actually pays per request.
+    _hnsw_split_probe(extras, "probe10x", spark, probe_dir)
 
     # ---- 100x scale probe (one decade further than probe10x) -----------
     # The 5 heaviest linear-claimed queries against a 100x doc blowup:
@@ -376,6 +472,11 @@ def main() -> None:
             # (the last linear-band family, VERDICT r6); k = ceil(n/256)
             # bounds per-cluster work by design, this entry is the proof
             "q179_semdedup_autok",
+            # ingest-tier representative at a full 100x of document
+            # count: WARC synthesize+strict-parse is pure per-document
+            # byte work, so ~linear growth here certifies the whole
+            # mapInPandas ingest family (XLSX/PDF share the pattern)
+            "q135_warc_records",
         ]
         probe100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scratch", "probe100x"
@@ -390,6 +491,12 @@ def main() -> None:
             _timed_probe(
                 extras, f"probe100x:{name}", qs[name], spark, probe100_dir
             )
+        # HNSW split at 100x vectors: the build-once / query-many
+        # decomposition of q115's 100x wall (see the 10x section)
+        if time.perf_counter() - section0 <= budget:
+            _hnsw_split_probe(extras, "probe100x", spark, probe100_dir)
+        else:
+            extras["probe100x_budget_hit"] = 1.0
 
     print(
         json.dumps(

@@ -243,3 +243,178 @@ def nsw_recall(
         for r in knn(emb, query_vec, k, id_col=id_col, vec_col=vec_col, metric="l2").collect()
     }
     return len(approx & exact) / k
+
+
+# ---------------------------------------------------------------------------
+# IVF-cell sharding: the serving-tier scale path.
+#
+# Hash-sharding (build_nsw_index) balances the BUILD perfectly but makes
+# every query visit every shard — O(n_shards) beam searches per request,
+# which at warehouse scale means the whole fleet works every query. The
+# reference's single-process HNSW has the same all-data property
+# (src/vec.rs:345-435); the distributed upgrade is IVF locality: shard by
+# nearest centroid, persist PARTITIONED BY cell, and beam-search only the
+# `probes` cells closest to the query — file-level partition pruning turns
+# a request into O(probes) tasks over O(probes/n_cells) of the corpus.
+# ---------------------------------------------------------------------------
+
+CELL_GRAPH_SCHEMA = "cell int, " + GRAPH_SCHEMA
+
+
+def train_cell_centroids(
+    emb: DataFrame,
+    n_cells: int = 32,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample: int = 65536,
+):
+    """Coarse cell centroids via Lloyd's on a BOUNDED Arrow sample —
+    the same trainer discipline as train_ivfpq (no count pre-scan, the
+    KB-scale model lives on the driver and broadcasts to encoders).
+    Returns an (n_cells, dim) float64 ndarray; may return fewer rows
+    than n_cells on degenerate data (see lloyd_kmeans)."""
+    import numpy as np
+
+    from ..functions.vector import lloyd_kmeans
+
+    X = np.asarray(
+        list(
+            emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(train_sample)
+            .toPandas()["v"]
+        ),
+        dtype="float64",
+    )
+    return lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
+
+
+def _with_cell(
+    emb: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cell, vec_id, embedding): nearest-centroid assignment, one
+    Arrow-batched NumPy matmul per batch, no shuffle. Ties break to the
+    lowest cell id (argmin takes the first minimum)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        cc = (C * C).sum(axis=1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * X @ C.T + cc
+            yield pd.DataFrame(
+                {
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "embedding": [
+                        [float(x) for x in v] for v in pdf[vec_col]
+                    ],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, "cell int, vec_id bigint, embedding array<double>"
+    )
+
+
+def build_nsw_index_ivf(
+    emb: DataFrame,
+    centroids,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_shard_rows: int = 25000,
+) -> DataFrame:
+    """Build the IVF-cell-sharded graph: (cell, shard, vec_id,
+    neighbors, embedding).
+
+    Each vector joins its nearest centroid's cell; a cell larger than
+    ``max_shard_rows`` splits into id-hash sub-shards so no single
+    Arrow batch (and no single build task) outgrows executor memory —
+    skewed clusters cost extra shards, never an OOM (hash balance makes
+    the cap an expectation; size the cap with headroom). ``shard`` is
+    globally unique (cell * max_subs + sub) so the stock ``nsw_knn``
+    per-shard search applies unchanged; ``cell`` is the pruning key —
+    persist the output ``partitionBy("cell")`` and the query-time
+    ``isin(probed cells)`` becomes a planning-time PartitionFilter.
+
+    The assignment pass is localCheckpointed: the per-cell size count
+    (one tiny agg — n_cells rows) and the graph build both read it,
+    and re-running the NumPy assignment kernel twice would double the
+    one genuinely heavy map stage. Build is a once-per-corpus cost;
+    incremental maintenance composes exactly like ``apply_delta``
+    (rebuild only touched (cell, shard) groups — partition overwrite)."""
+    import math
+
+    assigned = _with_cell(emb, centroids, id_col, vec_col).localCheckpoint()
+    sizes = assigned.groupBy("cell").count().collect()  # n_cells rows
+    subs = {
+        int(r["cell"]): max(1, math.ceil(r["count"] / max_shard_rows))
+        for r in sizes
+    }
+    max_subs = max(subs.values(), default=1)
+    spark = emb.sparkSession
+    subs_df = spark.createDataFrame(
+        [(c, s) for c, s in sorted(subs.items())], "cell int, subs int"
+    )
+    sharded = (
+        assigned.join(F.broadcast(subs_df), "cell")
+        .withColumn(
+            "shard",
+            (
+                F.col("cell").cast("long") * F.lit(max_subs)
+                + F.pmod(F.hash(F.col("vec_id")), F.col("subs"))
+            ).cast("int"),
+        )
+        .drop("subs")
+    )
+    inner = _shard_builder(m, ef_construction)
+
+    def build(pdf):
+        out = inner(pdf.drop(columns=["cell"]))
+        out.insert(0, "cell", pdf["cell"].iloc[0])
+        return out
+
+    return sharded.groupBy("cell", "shard").applyInPandas(
+        build, CELL_GRAPH_SCHEMA
+    )
+
+
+def nsw_knn_pruned(
+    index: DataFrame,
+    centroids,
+    query_vec: Sequence[float],
+    k: int = 10,
+    ef_search: int = 50,
+    probes: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Cell-pruned ANN top-k over a ``build_nsw_index_ivf`` graph: rank
+    cells by centroid distance to the query (driver-side — the centroid
+    table is the KB-scale model), beam-search only the top ``probes``
+    cells, exact top-k over their candidates. Against a
+    ``partitionBy("cell")`` parquet index the ``isin`` filter prunes at
+    planning time, so a request reads O(probes/n_cells) of the corpus —
+    the IVF trade: a true neighbor living in an unprobed cell is missed
+    (raise ``probes`` for recall; probes >= n_cells degenerates to the
+    exact full-shard search). Cell ties break to the lowest cell id."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    d = ((C - q) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(C)), d))
+    cells = [int(c) for c in order[: max(1, probes)]]
+    return nsw_knn(
+        index.filter(F.col("cell").isin(cells)), query_vec, k, ef_search,
+        exclude_id,
+    )

@@ -7685,6 +7685,65 @@ def q179_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.semdedup(planted, k=None, tau=0.999)
 
 
+@spec(
+    "q180_hnsw_ivf_pruned",
+    None,  # kmeans cells + graph walks are not SQL-expressible → rows-only
+    "IVF-cell-sharded NSW with cell-pruned search — the serving-tier "
+    "scale path for the HNSW tier (src/vec.rs:345-435): hash-sharding "
+    "makes every query beam-search every shard, O(n_shards) work per "
+    "request; here vectors shard by nearest trained centroid, the graph "
+    "persists partitionBy(cell), and a query beam-searches only the "
+    "`probes` nearest cells (planning-time PartitionFilters against the "
+    "hive layout). recall@10 vs exact L2 ground truth, the reference's "
+    "own validation (src/vec.rs:587-651). The corpus gets a "
+    "deterministic per-id cluster offset first: IVF locality is a "
+    "statement about data WITH cluster structure (real embedding "
+    "corpora); on isotropic-random vectors cell pruning measures noise "
+    "by construction. The recall bound and the probes>=n_cells == "
+    "full-search equivalence are pinned in tests/test_hnsw_ivf.py.",
+)
+def q180_hnsw_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import (
+        build_nsw_index_ivf,
+        nsw_knn_pruned,
+        train_cell_centroids,
+    )
+    from .operators.knn import knn
+
+    t = catalog.load(spark, sf_dir)
+    # deterministic cluster structure: member of cluster c = vec_id % 8
+    # is shifted +8.0 along dimension c — well-separated blobs whose
+    # within-blob ordering is still the original hash-random geometry
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    qvec = [
+        float(x)
+        for x in clustered.filter(F.col("vec_id") == 3).head().embedding
+    ]
+    cents = train_cell_centroids(clustered, n_cells=8)
+    index = build_nsw_index_ivf(clustered, cents, m=16)
+    approx = {
+        r.vec_id
+        for r in nsw_knn_pruned(index, cents, qvec, k=10, probes=2).collect()
+    }
+    exact = {
+        r.vec_id for r in knn(clustered, qvec, k=10, metric="l2").collect()
+    }
+    recall = len(approx & exact) / 10.0
+    return spark.createDataFrame(
+        [(10, float(recall), 8, 2)],
+        "k int, recall double, n_cells int, probes int",
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
