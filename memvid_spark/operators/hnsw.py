@@ -333,6 +333,7 @@ def build_nsw_index_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_shard_rows: int = 25000,
+    stride: int = 1024,
 ) -> DataFrame:
     """Build the IVF-cell-sharded graph: (cell, shard, vec_id,
     neighbors, embedding).
@@ -342,27 +343,50 @@ def build_nsw_index_ivf(
     Arrow batch (and no single build task) outgrows executor memory —
     skewed clusters cost extra shards, never an OOM (hash balance makes
     the cap an expectation; size the cap with headroom). ``shard`` is
-    globally unique (cell * max_subs + sub) so the stock ``nsw_knn``
-    per-shard search applies unchanged; ``cell`` is the pruning key —
-    persist the output ``partitionBy("cell")`` and the query-time
-    ``isin(probed cells)`` becomes a planning-time PartitionFilter.
+    globally unique via a FIXED encoding (cell * stride + sub) — not a
+    data-dependent max — so a cell's shard ids are a pure function of
+    that cell's own contents: ``apply_delta_ivf`` can rebuild touched
+    cells in isolation and still equal a full rebuild row-for-row.
+    ``stride`` caps sub-shards per cell (a cell needing more than
+    stride sub-shards raises: raise stride or max_shard_rows; int32
+    shard ids bound cells at 2^31/stride ≈ 2M cells at the default).
+    ``cell`` is the pruning key — persist the output
+    ``partitionBy("cell")`` and the query-time ``isin(probed cells)``
+    becomes a planning-time PartitionFilter.
 
     The assignment pass is localCheckpointed: the per-cell size count
     (one tiny agg — n_cells rows) and the graph build both read it,
     and re-running the NumPy assignment kernel twice would double the
-    one genuinely heavy map stage. Build is a once-per-corpus cost;
-    incremental maintenance composes exactly like ``apply_delta``
-    (rebuild only touched (cell, shard) groups — partition overwrite)."""
+    one genuinely heavy map stage. Build is a once-per-corpus cost."""
+    assigned = _with_cell(emb, centroids, id_col, vec_col).localCheckpoint()
+    return _build_cells(assigned, m, ef_construction, max_shard_rows, stride)
+
+
+def _build_cells(
+    assigned: DataFrame,
+    m: int,
+    ef_construction: int,
+    max_shard_rows: int,
+    stride: int,
+) -> DataFrame:
+    """(cell, vec_id, embedding) → per-(cell, sub-shard) NSW graphs.
+    Shard = cell * stride + id-hash sub-shard; sub-shard count is a
+    pure function of the CELL's row count, so rebuilding any subset of
+    cells reproduces exactly what a full rebuild gives those cells."""
     import math
 
-    assigned = _with_cell(emb, centroids, id_col, vec_col).localCheckpoint()
     sizes = assigned.groupBy("cell").count().collect()  # n_cells rows
     subs = {
         int(r["cell"]): max(1, math.ceil(r["count"] / max_shard_rows))
         for r in sizes
     }
-    max_subs = max(subs.values(), default=1)
-    spark = emb.sparkSession
+    over = {c: s for c, s in subs.items() if s > stride}
+    if over:
+        raise ValueError(
+            f"cells need more than stride={stride} sub-shards: {over}; "
+            "raise stride or max_shard_rows"
+        )
+    spark = assigned.sparkSession
     subs_df = spark.createDataFrame(
         [(c, s) for c, s in sorted(subs.items())], "cell int, subs int"
     )
@@ -371,7 +395,7 @@ def build_nsw_index_ivf(
         .withColumn(
             "shard",
             (
-                F.col("cell").cast("long") * F.lit(max_subs)
+                F.col("cell").cast("long") * F.lit(stride)
                 + F.pmod(F.hash(F.col("vec_id")), F.col("subs"))
             ).cast("int"),
         )
@@ -387,6 +411,42 @@ def build_nsw_index_ivf(
     return sharded.groupBy("cell", "shard").applyInPandas(
         build, CELL_GRAPH_SCHEMA
     )
+
+
+def apply_delta_ivf(
+    index: DataFrame,
+    new_emb: DataFrame,
+    centroids,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_shard_rows: int = 25000,
+    stride: int = 1024,
+) -> DataFrame:
+    """Incremental IVF-index maintenance: assign the delta to cells
+    (same centroids — the coarse model is immutable between retrains),
+    rebuild ONLY the touched cells from their old rows + the delta,
+    and pass every untouched cell through unchanged. Because a cell's
+    sub-shard count and shard ids are pure functions of that cell's own
+    contents (fixed-stride encoding), delta-apply equals a full rebuild
+    row-for-row — the same idempotence contract as ``apply_delta``
+    (mutation.rs:913-918). At warehouse scale this is a partition
+    overwrite of the touched ``cell=`` directories: O(delta-touched
+    cells), not O(corpus)."""
+    new_assigned = _with_cell(new_emb, centroids, id_col, vec_col)
+    touched = new_assigned.select("cell").distinct()
+    keep = index.join(F.broadcast(touched), "cell", "left_anti")
+    rebuild_src = (
+        index.join(F.broadcast(touched), "cell", "left_semi")
+        .select("cell", "vec_id", "embedding")
+        .unionByName(new_assigned)
+        .localCheckpoint()
+    )
+    rebuilt = _build_cells(
+        rebuild_src, m, ef_construction, max_shard_rows, stride
+    )
+    return keep.unionByName(rebuilt)
 
 
 def nsw_knn_pruned(

@@ -143,6 +143,69 @@ def test_q180_registry_recall_floor(spark):
     assert row.recall >= 0.8
 
 
+def test_ivf_apply_delta_equals_full_rebuild(spark):
+    """The apply_delta idempotence contract (mutation.rs:913-918) on
+    the IVF index: delta-apply over touched cells must reproduce a full
+    rebuild row-for-row — including when the delta pushes a cell over
+    max_shard_rows and changes its sub-shard count (the fixed-stride
+    encoding keeps every cell's shard ids independent of the others)."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    all_emb = _blob_emb(spark, n_blobs=4, per_blob=50)
+    old = all_emb.filter(F.col("vec_id") % 50 < 40)  # 40/blob
+    delta = all_emb.filter(F.col("vec_id") % 50 >= 40)  # +10/blob
+    C = train_cell_centroids(all_emb, n_cells=4, train_sample=1000)
+    # cap 45: old cells hold 40 rows (1 sub-shard), the delta pushes
+    # them to 50 (2 sub-shards) — the resharding case
+    base = build_nsw_index_ivf(old, C, m=8, ef_construction=60,
+                               max_shard_rows=45)
+    inc = apply_delta_ivf(base, delta, C, m=8, ef_construction=60,
+                          max_shard_rows=45)
+    full = build_nsw_index_ivf(all_emb, C, m=8, ef_construction=60,
+                               max_shard_rows=45)
+    ra = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in inc.collect()
+    )
+    rb = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in full.collect()
+    )
+    assert ra == rb
+
+
+def test_ivf_apply_delta_untouched_cells_pass_through(spark):
+    """A delta landing in one cell must leave every other cell's rows
+    byte-identical (at warehouse scale: only the touched cell=
+    partition directories are overwritten)."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    emb = _blob_emb(spark, n_blobs=3, per_blob=30)
+    C = train_cell_centroids(emb, n_cells=3, train_sample=1000)
+    base = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    # delta: three more members of blob 0 (near its center)
+    delta = spark.createDataFrame(
+        [(900 + i, [10.0 + 0.01 * i, 0.2, 0.1, 0.0, 0.1, 0.0])
+         for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    inc = apply_delta_ivf(base, delta, C, m=8, ef_construction=60)
+    import numpy as np
+
+    d = ((np.asarray(C) - np.asarray([10.0, 0.2, 0.1, 0.0, 0.1, 0.0])) ** 2).sum(axis=1)
+    hot = int(np.lexsort((np.arange(len(C)), d))[0])
+    before = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors))
+        for r in base.filter(F.col("cell") != hot).collect()
+    )
+    after = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors))
+        for r in inc.filter(F.col("cell") != hot).collect()
+    )
+    assert before == after
+    assert inc.filter(F.col("cell") == hot).count() == base.filter(
+        F.col("cell") == hot
+    ).count() + 3
+
+
 def test_ivf_build_deterministic(spark):
     emb = _blob_emb(spark, n_blobs=3, per_blob=30)
     C = train_cell_centroids(emb, n_cells=3, train_sample=1000)
