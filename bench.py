@@ -444,7 +444,9 @@ def main() -> None:
     # disk-cached after the first run). SPARK_GRAFT_PROBE100X=0
     # disables; SPARK_GRAFT_PROBE100X_BUDGET tunes (seconds).
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
-        budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "1300"))
+        # 1800s: the r6 1300s budget plus headroom for the r7 additions
+        # (WARC ingest rep + the HNSW build/query split probes)
+        budget = float(os.environ.get("SPARK_GRAFT_PROBE100X_BUDGET", "1800"))
         probe100_queries = [
             # q66 first: cheap since the hit-list prune (~8x at 100x, was
             # 81x) and the most diagnostic single number in the section
