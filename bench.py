@@ -421,6 +421,21 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
     extras["probe10x_factor"] = 10.0
+    # Untimed warmup of every probe plan at BASE scale first: whole-stage
+    # codegen compile is paid per PLAN, not per data size — without this
+    # the 10x sections's first samples carry compile cost (up to ~25 s
+    # for the wide featurize plans, SWEEP_r06) while the 100x section
+    # reuses the hot plan, making 10x read WORSE than 100x (observed:
+    # q161 55 s at 10x vs 50 s at 100x in the same r7 run; q135 8 s at
+    # 10x vs 2 s at 100x). Warm at sf0.1 so the cost is seconds.
+    for name in probe_queries:
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass
+        _release_checkpoints(spark)
     for name in probe_queries:
         _timed_probe(extras, f"probe10x:{name}", qs[name], spark, probe_dir)
 
