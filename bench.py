@@ -421,13 +421,19 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
     extras["probe10x_factor"] = 10.0
-    # Untimed warmup of every probe plan at BASE scale first: whole-stage
-    # codegen compile is paid per PLAN, not per data size — without this
-    # the 10x sections's first samples carry compile cost (up to ~25 s
-    # for the wide featurize plans, SWEEP_r06) while the 100x section
-    # reuses the hot plan, making 10x read WORSE than 100x (observed:
-    # q161 55 s at 10x vs 50 s at 100x in the same r7 run; q135 8 s at
-    # 10x vs 2 s at 100x). Warm at sf0.1 so the cost is seconds.
+    # Untimed warmup of each probe plan at BASE scale immediately before
+    # its own probe: whole-stage codegen compile is paid per PLAN, not
+    # per data size — without it the 10x section's first samples carry
+    # compile cost (up to ~25 s for wide featurize plans, SWEEP_r06)
+    # while the 100x section reuses the hot plan, making 10x read WORSE
+    # than 100x (r7 run a: q161 55 s at 10x vs 50 s at 100x; q135 8 s at
+    # 10x vs 2 s at 100x — standalone q135@10x is 1.0 s warm). The
+    # warmup is INTERLEAVED, not a single up-front loop: warming all 16
+    # plans back-to-back left a cleanup backlog (dozens of broadcasts +
+    # checkpoint blocks releasing asynchronously) that inflated the
+    # FIRST few probes 10x with near-zero spread (r7 run c: q22@10x
+    # 60.5 s vs 5.0 s in the no-warmup runs, spread 0.09 — consistent,
+    # so not host noise; warming q22 alone standalone costs nothing).
     for name in probe_queries:
         try:
             qs[name](spark, sf_dir).write.mode("overwrite").format(
@@ -436,7 +442,6 @@ def main() -> None:
         except Exception:
             pass
         _release_checkpoints(spark)
-    for name in probe_queries:
         _timed_probe(extras, f"probe10x:{name}", qs[name], spark, probe_dir)
 
     # HNSW build/query split (probe framing, VERDICT r6): q115's single

@@ -478,3 +478,134 @@ def nsw_knn_pruned(
         index.filter(F.col("cell").isin(cells)), query_vec, k, ef_search,
         exclude_id,
     )
+
+
+def nsw_knn_join(
+    index: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int = 50,
+    probes: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Batch ANN retrieval: top-k neighbors for EVERY row of ``queries``
+    against a ``build_nsw_index_ivf`` graph — the retrieval JOIN a
+    training-data pipeline runs (dedup against an index, hard-negative
+    mining, recommendation candidates), where per-query driver calls
+    (``nsw_knn_pruned`` is one Spark job per query) would be O(queries)
+    jobs.
+
+    Plan: (1) every query maps to its ``probes`` nearest cells in one
+    Arrow-batched matmul against the broadcast centroid table;
+    (2) probed queries replicate to the sub-shards of their cells (the
+    (cell, shard) directory is distinct-collected from the index — KB
+    per thousand cells — and broadcast-joined); (3) a COGROUP on shard
+    pairs each sub-shard's graph with exactly the queries probing it —
+    per-task memory is one sub-shard (bounded by the build's
+    ``max_shard_rows``) plus its query slice; (4) per-query exact top-k
+    over the union of per-shard candidates (window, score-then-id total
+    order, the same contract as ``nsw_knn``).
+
+    Both sides of the cogroup shuffle once on shard — at warehouse
+    scale the index side is already laid out by cell, so AQE sees a
+    near-local join; query-side replication is probes × sub-shards per
+    cell, the standard IVF fan-out. Returns (query_id, vec_id, score
+    round6, rank 1..k). ``exclude_same_id=True`` drops hits whose
+    vec_id equals the query id (self-match, for corpus-vs-self joins).
+    Determinism: cell ties break to the lowest cell id, candidate ties
+    to the lowest vec_id — reproducible across partitionings."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    n_cells = len(C)
+    p = max(1, min(probes, n_cells))
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def probe_cells(batches):
+        import pandas as pd
+
+        CC = bc.value
+        cc = (CC * CC).sum(axis=1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [list(v) for v in pdf[query_vec_col]], dtype="float64"
+            )
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * X @ CC.T + cc
+            # stable argsort: equal distances rank by cell id ascending
+            order = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), p
+                    ),
+                    "cell": order.reshape(-1).astype("int32"),
+                    "q": [
+                        [float(x) for x in v]
+                        for v in pdf[query_vec_col]
+                        for _ in range(p)
+                    ],
+                }
+            )
+
+    probed = queries.select(query_id_col, query_vec_col).mapInPandas(
+        probe_cells, f"{query_id_col} long, cell int, q array<double>"
+    )
+    # (cell, shard) directory: one row per sub-shard — KB-scale next to
+    # the index itself, safe to broadcast. localCheckpoint breaks the
+    # lineage back to `index`, which the cogroup below also reads (the
+    # analyzer rejects the shared-lineage self-join as ambiguous), and
+    # keeps the directory from being recomputed per downstream use.
+    shards = index.select("cell", "shard").distinct().localCheckpoint()
+    probed_shards = probed.join(F.broadcast(shards), "cell")
+
+    def search_batch(idx_pdf, q_pdf):
+        import pandas as pd
+
+        if len(idx_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], "vec_id": [], "score": []}
+            )
+        idx_pdf = idx_pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(idx_pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = idx_pdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj = [[pos[w] for w in row] for row in idx_pdf["neighbors"]]
+        ef = max(ef_search, k)
+        out_q, out_v, out_s = [], [], []
+        for qid, qv in zip(q_pdf[query_id_col], q_pdf["q"]):
+            found = _beam_search(vecs, adj, 0, np.asarray(qv), ef)
+            for d, v in found[:ef]:
+                out_q.append(int(qid))
+                out_v.append(int(ids[v]))
+                out_s.append(float(np.sqrt(d)))
+        return pd.DataFrame(
+            {query_id_col: out_q, "vec_id": out_v, "score": out_s}
+        )
+
+    hits = (
+        index.groupby("shard")
+        .cogroup(probed_shards.groupby("shard"))
+        .applyInPandas(
+            search_batch, f"{query_id_col} long, vec_id bigint, score double"
+        )
+    )
+    if exclude_same_id:
+        hits = hits.filter(F.col(query_id_col) != F.col("vec_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc(), F.col("vec_id").asc()
+    )
+    return (
+        hits.select(
+            query_id_col, "vec_id", F.round("score", 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

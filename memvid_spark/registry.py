@@ -7744,6 +7744,49 @@ def q180_hnsw_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q181_nsw_batch_join",
+    None,  # kmeans cells + graph walks are not SQL-expressible → rows-only
+    "batch ANN retrieval join — top-k neighbors for a whole DataFrame "
+    "of queries against the IVF-cell NSW graph in ONE cogrouped job "
+    "(the retrieval join of dedup-against-index / hard-negative-mining "
+    "pipelines; per-query driver calls would be O(queries) Spark jobs). "
+    "Queries map to probed cells via a broadcast-centroid matmul, "
+    "replicate to their cells' sub-shards, and a cogroup on shard pairs "
+    "each sub-shard's graph with exactly its query slice — per-task "
+    "memory one sub-shard + queries. Per-query equivalence to the "
+    "single-query pruned search and the recall bound are pinned in "
+    "tests/test_hnsw_ivf.py.",
+)
+def q181_nsw_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import (
+        build_nsw_index_ivf,
+        nsw_knn_join,
+        train_cell_centroids,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    cents = train_cell_centroids(clustered, n_cells=8)
+    index = build_nsw_index_ivf(clustered, cents, m=16)
+    queries = clustered.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return nsw_knn_join(
+        index, cents, queries, k=5, probes=2, exclude_same_id=True
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -206,6 +206,65 @@ def test_ivf_apply_delta_untouched_cells_pass_through(spark):
     ).count() + 3
 
 
+def test_batch_join_matches_per_query_pruned(spark):
+    """nsw_knn_join must reproduce nsw_knn_pruned query by query: the
+    batch path is an execution-shape change (one cogrouped job for N
+    queries vs N driver-issued jobs), never a semantics change."""
+    from memvid_spark.operators.hnsw import nsw_knn_join
+
+    emb = _blob_emb(spark)
+    C = train_cell_centroids(emb, n_cells=6, train_sample=1000)
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    qrows = [
+        (100, [10.0, 0.3, 0.2, 0.1, 0.0, 0.1]),
+        (200, [0.1, 10.2, 0.0, 0.3, 0.1, 0.0]),
+        (300, [0.2, 0.0, 10.1, 0.1, 0.3, 0.2]),
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, query_vec array<double>"
+    )
+    batch = nsw_knn_join(index, C, queries, k=5, probes=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.score))
+    for qid, qv in qrows:
+        single = [
+            (r.rank, r.vec_id, r.score)
+            for r in nsw_knn_pruned(index, C, qv, k=5, probes=2).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), f"query {qid} diverged"
+
+
+def test_batch_join_recall_and_self_exclusion(spark):
+    """Corpus-vs-self retrieval (the dedup/hard-negative shape):
+    exclude_same_id drops the trivial self-match and every query's
+    top-k still hits >= 0.8 of exact ground truth."""
+    from memvid_spark.operators.hnsw import nsw_knn_join
+
+    emb = _blob_emb(spark)
+    C = train_cell_centroids(emb, n_cells=6, train_sample=1000)
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    queries = emb.filter(F.col("vec_id") % 60 < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = nsw_knn_join(
+        index, C, queries, k=5, probes=2, exclude_same_id=True
+    ).collect()
+    assert all(r.query_id != r.vec_id for r in res)
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for qrow in queries.collect():
+        exact = [
+            r.vec_id
+            for r in knn(emb, list(qrow.query_vec), k=6, metric="l2").collect()
+            if r.vec_id != qrow.query_id
+        ][:5]
+        hit = len(got[qrow.query_id] & set(exact)) / 5
+        assert hit >= 0.8, f"query {qrow.query_id} recall {hit}"
+
+
 def test_ivf_build_deterministic(spark):
     emb = _blob_emb(spark, n_blobs=3, per_blob=30)
     C = train_cell_centroids(emb, n_cells=3, train_sample=1000)
