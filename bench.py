@@ -421,27 +421,19 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     _ensure_blowup(spark, sf_dir, probe_dir, factor=10)
     extras["probe10x_factor"] = 10.0
-    # Untimed warmup of each probe plan at BASE scale immediately before
-    # its own probe: whole-stage codegen compile is paid per PLAN, not
-    # per data size — without it the 10x section's first samples carry
-    # compile cost (up to ~25 s for wide featurize plans, SWEEP_r06)
-    # while the 100x section reuses the hot plan, making 10x read WORSE
-    # than 100x (r7 run a: q161 55 s at 10x vs 50 s at 100x; q135 8 s at
-    # 10x vs 2 s at 100x — standalone q135@10x is 1.0 s warm). The
-    # warmup is INTERLEAVED, not a single up-front loop: warming all 16
-    # plans back-to-back left a cleanup backlog (dozens of broadcasts +
-    # checkpoint blocks releasing asynchronously) that inflated the
-    # FIRST few probes 10x with near-zero spread (r7 run c: q22@10x
-    # 60.5 s vs 5.0 s in the no-warmup runs, spread 0.09 — consistent,
-    # so not host noise; warming q22 alone standalone costs nothing).
+    # NO base-scale warmup of probe plans — this was tried both ways in
+    # round 7 (four committed runs, scratch/bench_r07{a..d}.out) and
+    # warming measurably POISONS the checkpoint-heavy probes: with
+    # warmup (runs c/d) q22/q66/q145 read 29-79 s at 10x in BOTH
+    # samples, vs a mutually-consistent ~2-5 s in both no-warmup runs
+    # (a/b); warming any single query standalone costs nothing, so the
+    # interaction is cumulative session state (checkpoint/broadcast
+    # churn), not the plan. The converse artifact — a probe's first
+    # sample carrying one-time codegen compile in this fresh JVM — is
+    # bounded (~2-25 s once) and already visible as that entry's
+    # :spread; min-of-2 keeps it out of the recorded number unless the
+    # host window is ALSO loaded, which no fixed sample count fixes.
     for name in probe_queries:
-        try:
-            qs[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        except Exception:
-            pass
-        _release_checkpoints(spark)
         _timed_probe(extras, f"probe10x:{name}", qs[name], spark, probe_dir)
 
     # HNSW build/query split (probe framing, VERDICT r6): q115's single
