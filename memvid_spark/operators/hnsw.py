@@ -147,6 +147,19 @@ def build_nsw_index(
     )
 
 
+def _delete_ids(deletes: DataFrame | None, id_col: str) -> DataFrame | None:
+    """Normalize a tombstone table to a distinct (vec_id bigint) set.
+    Tiny by contract (the delete batch, not the corpus) — checkpointed
+    so the several joins that consume it don't recompute lineage."""
+    if deletes is None:
+        return None
+    return (
+        deletes.select(F.col(id_col).cast("bigint").alias("vec_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def apply_delta(
     index: DataFrame,
     new_emb: DataFrame,
@@ -155,23 +168,46 @@ def apply_delta(
     ef_construction: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
-    """Incremental index maintenance: append a batch of vectors by
-    rebuilding ONLY the shards they hash into; untouched shards pass
-    through unchanged. Because the per-shard build is a deterministic
-    function of the shard's id-sorted contents, delta-apply equals a
-    full rebuild row-for-row (the q101 incremental-postings contract,
-    mirroring the reference's rebuild_indexes idempotence,
-    mutation.rs:913-918). At warehouse scale this is a partition-
-    overwrite of touched shards — O(delta), not O(corpus)."""
+    """Incremental index maintenance: UPSERT a batch of vectors and/or
+    drop tombstoned ids by rebuilding ONLY the shards they touch;
+    untouched shards pass through unchanged. Because the per-shard
+    build is a deterministic function of the shard's id-sorted
+    contents, delta-apply equals a full rebuild of
+    (old ∖ deletes ∖ delta-ids) ∪ delta row-for-row (the q101
+    incremental-postings contract, mirroring the reference's
+    rebuild_indexes idempotence, mutation.rs:913-918; tombstone
+    handling mirrors its rebuild-from-TOC-after-vacuum,
+    mutation.rs:2999-3084). A delta row whose vec_id already exists
+    REPLACES the old row (last write wins — duplicate graph nodes
+    would silently corrupt the id→position map in search); an id in
+    both ``deletes`` and the delta lands as the delta row (deletes
+    apply to the pre-delta index). At warehouse scale this is a
+    partition-overwrite of touched shards — O(delta), not O(corpus)."""
     new_sharded = _with_shard(new_emb, n_shards, id_col, vec_col)
+    new_ids = new_sharded.select("vec_id").distinct()
+    del_ids = _delete_ids(deletes, id_col)
+    # re-inserted ids hash to their original shard, so the delta's own
+    # shard set already covers them; deleted ids' shards come from the
+    # index rows that hold them
     touched = new_sharded.select("shard").distinct()
+    if del_ids is not None:
+        touched = touched.unionByName(
+            index.join(del_ids, "vec_id", "left_semi")
+            .select("shard")
+            .distinct()
+        ).distinct()
+    touched = touched.localCheckpoint()  # tiny; breaks index self-lineage
     keep = index.join(F.broadcast(touched), "shard", "left_anti")
-    rebuild_src = (
+    old_rows = (
         index.join(F.broadcast(touched), "shard", "left_semi")
+        .join(new_ids, "vec_id", "left_anti")
         .select("shard", "vec_id", "embedding")
-        .unionByName(new_sharded)
     )
+    if del_ids is not None:
+        old_rows = old_rows.join(del_ids, "vec_id", "left_anti")
+    rebuild_src = old_rows.unionByName(new_sharded)
     rebuilt = rebuild_src.groupBy("shard").applyInPandas(
         _shard_builder(m, ef_construction), GRAPH_SCHEMA
     )
@@ -268,19 +304,30 @@ def train_cell_centroids(
     seed: int = 42,
     max_iter: int = 10,
     train_sample: int = 65536,
+    id_col: str = "vec_id",
 ):
     """Coarse cell centroids via Lloyd's on a BOUNDED Arrow sample —
     the same trainer discipline as train_ivfpq (no count pre-scan, the
     KB-scale model lives on the driver and broadcasts to encoders).
-    Returns an (n_cells, dim) float64 ndarray; may return fewer rows
-    than n_cells on degenerate data (see lloyd_kmeans)."""
+    The sample is ORDER-INDEPENDENT: rows rank by a seeded hash of the
+    id (TakeOrdered — per-partition top-k, no global sort shuffle), so
+    a corpus whose storage order correlates with cluster structure
+    (time-partitioned embeddings, sorted ingests) still trains on a
+    uniform draw instead of whatever rows arrive first. Returns an
+    (n_cells, dim) float64 ndarray; may return fewer rows than n_cells
+    on degenerate data (see lloyd_kmeans)."""
     import numpy as np
 
     from ..functions.vector import lloyd_kmeans
 
     X = np.asarray(
         list(
-            emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+            emb.select(
+                F.col(vec_col).cast("array<double>").alias("v"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+                F.col(id_col).alias("_i"),
+            )
+            .orderBy("_h", "_i")
             .limit(train_sample)
             .toPandas()["v"]
         ),
@@ -423,30 +470,101 @@ def apply_delta_ivf(
     vec_col: str = "embedding",
     max_shard_rows: int = 25000,
     stride: int = 1024,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental IVF-index maintenance: assign the delta to cells
-    (same centroids — the coarse model is immutable between retrains),
-    rebuild ONLY the touched cells from their old rows + the delta,
-    and pass every untouched cell through unchanged. Because a cell's
-    sub-shard count and shard ids are pure functions of that cell's own
-    contents (fixed-stride encoding), delta-apply equals a full rebuild
-    row-for-row — the same idempotence contract as ``apply_delta``
-    (mutation.rs:913-918). At warehouse scale this is a partition
-    overwrite of the touched ``cell=`` directories: O(delta-touched
-    cells), not O(corpus)."""
-    new_assigned = _with_cell(new_emb, centroids, id_col, vec_col)
-    touched = new_assigned.select("cell").distinct()
-    keep = index.join(F.broadcast(touched), "cell", "left_anti")
-    rebuild_src = (
-        index.join(F.broadcast(touched), "cell", "left_semi")
-        .select("cell", "vec_id", "embedding")
-        .unionByName(new_assigned)
-        .localCheckpoint()
+    (same centroids — the coarse model is immutable between retrains;
+    see ``ivf_needs_retrain`` for the drift policy), rebuild ONLY the
+    touched cells from their surviving old rows + the delta, and pass
+    every untouched cell through unchanged. Because a cell's sub-shard
+    count and shard ids are pure functions of that cell's own contents
+    (fixed-stride encoding), delta-apply equals a full rebuild of
+    (old ∖ deletes ∖ delta-ids) ∪ delta row-for-row — the same
+    idempotence contract as ``apply_delta`` (mutation.rs:913-918;
+    tombstones mirror the reference's rebuild-from-TOC-after-vacuum,
+    mutation.rs:2999-3084). UPSERT semantics: a delta row whose vec_id
+    already exists replaces the old row even when the new embedding
+    lands in a DIFFERENT cell (the old cell is touched too — duplicate
+    graph nodes would silently corrupt the id→position map in search);
+    an id in both ``deletes`` and the delta lands as the delta row.
+    At warehouse scale this is a partition overwrite of the touched
+    ``cell=`` directories: O(delta-touched cells), not O(corpus)."""
+    # checkpoint: the assignment matmul feeds touched-cell discovery,
+    # the upsert anti-join AND the rebuild source — don't run it thrice
+    new_assigned = _with_cell(new_emb, centroids, id_col, vec_col).localCheckpoint()
+    new_ids = new_assigned.select("vec_id").distinct()
+    del_ids = _delete_ids(deletes, id_col)
+    gone_ids = new_ids if del_ids is None else new_ids.unionByName(del_ids)
+    touched = (
+        new_assigned.select("cell")
+        .distinct()
+        # cells holding a re-inserted (possibly moved) or deleted id
+        .unionByName(
+            index.join(gone_ids.distinct(), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+        )
+        .distinct()
+        .localCheckpoint()  # tiny; breaks index self-lineage
     )
+    keep = index.join(F.broadcast(touched), "cell", "left_anti")
+    old_rows = (
+        index.join(F.broadcast(touched), "cell", "left_semi")
+        .join(new_ids, "vec_id", "left_anti")
+        .select("cell", "vec_id", "embedding")
+    )
+    if del_ids is not None:
+        old_rows = old_rows.join(del_ids, "vec_id", "left_anti")
+    rebuild_src = old_rows.unionByName(new_assigned).localCheckpoint()
     rebuilt = _build_cells(
         rebuild_src, m, ef_construction, max_shard_rows, stride
     )
     return keep.unionByName(rebuilt)
+
+
+def ivf_cell_stats(index: DataFrame) -> DataFrame:
+    """Per-cell occupancy of an IVF index: (cell, n_rows, n_shards) —
+    the cheap skew statistic the retrain policy reads (n_cells rows,
+    one map-side-combined agg over the index)."""
+    return index.groupBy("cell").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("shard").alias("n_shards"),
+    )
+
+
+def ivf_needs_retrain(
+    index: DataFrame,
+    engage_rows: int = 1000,
+    max_skew: float = 4.0,
+    trained_cells: int | None = None,
+) -> tuple[bool, dict]:
+    """Centroid-drift retrain policy: after enough deltas the trained
+    cells can stop matching the data (inserts piling into one region
+    bloat its cell; deletes hollow others out), and the symptom is
+    OCCUPANCY SKEW — max cell size versus the mean. Returns
+    (needs_retrain, stats). ``engage_rows`` mirrors the reference's
+    1000-vector HNSW engage threshold (src/vec.rs:22-23) as a policy
+    knob: below it brute force is the right plan and retraining is
+    noise. ``max_skew`` is the bound: max/mean occupancy above it (or
+    more than half the trained cells drained empty) triggers
+    ``train_cell_centroids`` + full rebuild; pass ``trained_cells`` (the
+    centroid count) to also trigger when over half the trained cells
+    have drained empty. The stat is one n_cells-row aggregate — cheap
+    enough to evaluate at every save/seal."""
+    rows = ivf_cell_stats(index).collect()  # n_cells rows
+    n = int(sum(r["n_rows"] for r in rows))
+    occupied = len(rows)
+    stats = {"n_rows": n, "n_cells": occupied}
+    if n < engage_rows or occupied == 0:
+        stats["skew"] = 0.0
+        return False, stats
+    mean = n / occupied
+    skew = max(r["n_rows"] for r in rows) / mean
+    stats["skew"] = round(float(skew), 3)
+    drained = (
+        trained_cells is not None and occupied < 0.5 * trained_cells
+    )
+    return skew > max_skew or drained, stats
 
 
 def nsw_knn_pruned(
@@ -471,7 +589,11 @@ def nsw_knn_pruned(
 
     C = np.asarray(centroids, dtype="float64")
     q = np.asarray([float(x) for x in query_vec], dtype="float64")
-    d = ((C - q) ** 2).sum(axis=1)
+    # SAME expanded form as _with_cell / nsw_knn_join's probe_cells —
+    # the two FP formulas can rank near-equal centroid distances
+    # differently, and the single-query path must probe the same cell
+    # set as the batch path on tie-adjacent data
+    d = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
     order = np.lexsort((np.arange(len(C)), d))
     cells = [int(c) for c in order[: max(1, probes)]]
     return nsw_knn(
@@ -562,7 +684,19 @@ def nsw_knn_join(
     # analyzer rejects the shared-lineage self-join as ambiguous), and
     # keeps the directory from being recomputed per downstream use.
     shards = index.select("cell", "shard").distinct().localCheckpoint()
-    probed_shards = probed.join(F.broadcast(shards), "cell")
+    # lazily pinned: the probe matmul runs once, then feeds BOTH the
+    # active-shard semi-join below and the cogroup's query side
+    probed_shards = probed.join(F.broadcast(shards), "cell").localCheckpoint(
+        eager=False
+    )
+    # prune the index to PROBED sub-shards before the cogroup: cogroup
+    # is a full outer over group keys, so without this every unprobed
+    # sub-shard's graph (embeddings + neighbors) would still shuffle
+    # and deserialize into pandas only for search_batch to return
+    # empty — a small query batch would pay O(corpus) work instead of
+    # the O(probes) the IVF pruning promises
+    active = probed_shards.select("shard").distinct()
+    index = index.join(F.broadcast(active), "shard", "left_semi")
 
     def search_batch(idx_pdf, q_pdf):
         import pandas as pd

@@ -277,3 +277,123 @@ def test_ivf_build_deterministic(spark):
         (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in b.collect()
     )
     assert ra == rb
+
+
+def test_ivf_delta_with_tombstones_equals_rebuild(spark):
+    """Churn contract (mutation.rs:2999-3084 rebuild-after-vacuum):
+    one delta carrying inserts AND tombstones must equal a full rebuild
+    of (old ∖ deletes) ∪ delta row-for-row — including a tombstone
+    that pulls a cell back under max_shard_rows (re-sharding down)."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    all_emb = _blob_emb(spark, n_blobs=4, per_blob=50)
+    old = all_emb.filter(F.col("vec_id") % 50 < 45)
+    delta = all_emb.filter(F.col("vec_id") % 50 >= 45)
+    dels = spark.createDataFrame(
+        [(i * 50,) for i in range(4)] + [(1, )], "vec_id long"
+    )  # drop one member of every blob + one more from blob 0
+    C = train_cell_centroids(all_emb, n_cells=4, train_sample=1000)
+    base = build_nsw_index_ivf(old, C, m=8, ef_construction=60,
+                               max_shard_rows=45)
+    inc = apply_delta_ivf(base, delta, C, m=8, ef_construction=60,
+                          max_shard_rows=45, deletes=dels)
+    survivors = all_emb.join(dels, "vec_id", "left_anti")
+    full = build_nsw_index_ivf(survivors, C, m=8, ef_construction=60,
+                               max_shard_rows=45)
+    ra = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in inc.collect()
+    )
+    rb = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in full.collect()
+    )
+    assert ra == rb
+    gone = {i * 50 for i in range(4)} | {1}
+    assert not gone & {r[2] for r in ra}
+
+
+def test_ivf_delta_upsert_replaces_moved_vector(spark):
+    """Re-inserting an existing vec_id with a DIFFERENT embedding must
+    replace the old graph node — even when the new embedding lands in
+    another cell (the old cell is touched too). Duplicate ids would
+    silently corrupt search's id→position map; upsert keeps delta ≡
+    rebuild exact."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    emb = _blob_emb(spark, n_blobs=3, per_blob=30)
+    C = train_cell_centroids(emb, n_cells=3, train_sample=1000)
+    base = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    # vec 0 was in blob 0; move it to blob 1's center
+    moved = spark.createDataFrame(
+        [(0, [0.1, 10.0, 0.2, 0.0, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    inc = apply_delta_ivf(base, moved, C, m=8, ef_construction=60)
+    rows = inc.filter(F.col("vec_id") == 0).collect()
+    assert len(rows) == 1  # exactly one node for id 0 — no duplicate
+    replaced = emb.filter(F.col("vec_id") != 0).unionByName(moved)
+    full = build_nsw_index_ivf(replaced, C, m=8, ef_construction=60)
+    ra = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in inc.collect()
+    )
+    rb = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors)) for r in full.collect()
+    )
+    assert ra == rb
+
+
+def test_hash_delta_tombstones_and_upsert(spark):
+    """Same churn contract on the hash-sharded index (apply_delta)."""
+    from memvid_spark.operators.hnsw import apply_delta, build_nsw_index
+
+    emb = _blob_emb(spark, n_blobs=2, per_blob=40)
+    base = build_nsw_index(emb, n_shards=4, m=8, ef_construction=60)
+    delta = spark.createDataFrame(
+        [(500, [10.0, 0.1, 0.0, 0.2, 0.1, 0.0]),
+         (3, [0.0, 10.5, 0.1, 0.0, 0.2, 0.1])],  # upsert of existing id 3
+        "vec_id long, embedding array<double>",
+    )
+    dels = spark.createDataFrame([(7,), (11,)], "vec_id long")
+    inc = apply_delta(base, delta, n_shards=4, m=8, ef_construction=60,
+                      deletes=dels)
+    expected_src = (
+        emb.filter(~F.col("vec_id").isin(3, 7, 11)).unionByName(delta)
+    )
+    full = build_nsw_index(expected_src, n_shards=4, m=8,
+                           ef_construction=60)
+    ra = sorted(
+        (r.shard, r.vec_id, tuple(r.neighbors)) for r in inc.collect()
+    )
+    rb = sorted(
+        (r.shard, r.vec_id, tuple(r.neighbors)) for r in full.collect()
+    )
+    assert ra == rb
+    ids = {r[1] for r in ra}
+    assert 500 in ids and 3 in ids and not {7, 11} & ids
+
+
+def test_ivf_needs_retrain_policy(spark):
+    """Drift policy: balanced occupancy below the engage threshold →
+    no retrain; a delta piling everything into one cell → skew trips
+    the bound; drained trained cells trip the occupancy branch."""
+    from memvid_spark.operators.hnsw import ivf_needs_retrain
+
+    emb = _blob_emb(spark, n_blobs=4, per_blob=40)
+    C = train_cell_centroids(emb, n_cells=4, train_sample=1000)
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    # 160 rows < engage_rows=1000 → never retrain, whatever the skew
+    needs, stats = ivf_needs_retrain(index, engage_rows=1000)
+    assert needs is False and stats["n_rows"] == 160
+    # engaged and balanced (4 blobs ≈ 40 rows each): skew ≈ 1 → no
+    needs, stats = ivf_needs_retrain(index, engage_rows=100, max_skew=4.0)
+    assert needs is False and stats["skew"] < 2.0
+    # pile 3 extra copies of one cell's rows onto the index: that cell
+    # now holds ~160 of 280 rows (skew ≈ 2.3 vs the occupied mean) →
+    # the 2.0 bound trips
+    hot = index.filter(F.col("cell") == index.head().cell)
+    skewed = index.unionByName(hot).unionByName(hot).unionByName(hot)
+    needs, stats = ivf_needs_retrain(skewed, engage_rows=100, max_skew=2.0)
+    assert needs is True and stats["skew"] > 2.0
+    # drained: 1 occupied cell of 4 trained → retrain via occupancy
+    needs, _ = ivf_needs_retrain(hot, engage_rows=10, max_skew=100.0,
+                                 trained_cells=4)
+    assert needs is True
