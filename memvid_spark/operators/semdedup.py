@@ -25,10 +25,14 @@ operations a large-scale training-data pipeline layers on top:
   filter decision.
 
 Scale posture (100 TB):
-- ``seed_assign``: the seed table is k rows — broadcast; assignment is
-  a narrow map over the corpus (k cosines per row), no shuffle. At
-  warehouse scale k grows with the corpus (SemDeDup uses k≈11k for
-  233M docs) and seeds stay a broadcast table.
+- ``seed_assign``: the exact small-k path — k ≤ 64 seeds broadcast,
+  assignment a narrow map over the corpus. At warehouse scale k grows
+  with the corpus (SemDeDup uses k≈11k for 233M docs) and assignment
+  routes to ``seed_assign_scaled``: the seed table stays a DISTRIBUTED
+  DataFrame end-to-end (no driver pull, no whole-table broadcast —
+  only the sqrt(k) super-seeds broadcast), rows shuffle to their
+  probed super-groups, and each group's seed block joins executor-side
+  via a bounded cogroup.
 - ``semdedup``: the pairwise stage is an equi-join on the cluster id —
   pair generation is bounded per cluster, never O(n²) global. Skewed
   (oversized) clusters are the known failure mode; cap members per
@@ -124,107 +128,208 @@ def seed_assign_scaled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 2,
+    group_rows: int = 65536,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Nearest-seed assignment for LARGE k: two-level (IVF-style) search
-    instead of the n*k join explosion.
+    instead of the n*k join explosion — fully DISTRIBUTED. The seed
+    table never visits the driver and is never broadcast whole: with
+    auto-k = n/256 a 1e10-row corpus carries ~40M seeds (100 GB+ at
+    d=768), which is executor data, not a driver pull.
 
-    The k seed vectors (k lowest ids, same rule as ``seed_assign``) are
-    pulled to the driver via one Arrow transfer (k rows — for
-    k = n/256 at a 1e9-row corpus that's ~4M rows × d floats, a few GB
-    driver budget; shard the seed table if that ever binds) and
-    broadcast. The s = ceil(sqrt(k)) lowest-id seeds double as
-    super-seeds; each seed belongs to its nearest super-seed, and every
-    corpus vector probes its top-``probes`` super-groups only. Per-row
-    work is O((s + probes·k/s)·d) = O(sqrt(k)·d) — the flat matmul the
-    SemDeDup paper runs on GPUs is O(k·d) per row, which at k ∝ n is
-    quadratic overall. The trade is standard IVF approximation: a
-    vector whose true nearest seed lives in an unprobed super-group is
-    assigned its best probed seed (raise ``probes`` for recall; the
-    clustering is itself a k-means stand-in, so this is noise at the
-    level SemDeDup operates).
+    Plan (the same cogroup shape as hnsw.nsw_knn_join):
+    1. Seeds = the k lowest-id vectors (same rule as ``seed_assign``),
+       selected WITHOUT funneling vectors anywhere: the k-th smallest
+       id is taken over the 8-byte id column alone (per-partition
+       top-k), then ``filter(id <= threshold)`` keeps the seed table a
+       distributed DataFrame.
+    2. Only the s = ceil(sqrt(k)) lowest-id seeds — the super-seeds —
+       collect and broadcast (s·d doubles: ~25 MB even at k=40M,
+       d=768).
+    3. Each seed maps to its nearest super-seed executor-side (one
+       Arrow matmul against the broadcast block) → the seed table is
+       sharded by super-group, k/s ≈ sqrt(k) seeds per group.
+    4. Every corpus vector probes its top-``probes`` super-groups (one
+       matmul against the same broadcast block) and replicates ×probes.
+    5. A COGROUP on (group, sub) pairs each group's seed block with
+       exactly the rows probing it; one NumPy matmul per task finds the
+       best seed in the block. ``sub`` hash-splits a group's ROW side
+       into ~``group_rows``-row slices so per-task memory is bounded
+       (seed block sqrt(k)·d + one row slice) — the seed block is
+       replicated per sub-slice, but at sqrt(k)·d bytes it is ~3% of
+       the row traffic it rides along with. A group hotter than the
+       mean still concentrates proportionally more rows per task; cap
+       pathological skew upstream (semdedup's max_cluster guard).
+    6. One window per id picks the best probed candidate (max cosine,
+       ties to the lowest seed id — the exact path's rule).
+
+    Per-row work is O((s + probes·k/s)·d) = O(sqrt(k)·d) — the flat
+    matmul the SemDeDup paper runs on GPUs is O(k·d) per row, which at
+    k ∝ n is quadratic overall. The trade is standard IVF
+    approximation: a vector whose true nearest seed lives in an
+    unprobed super-group is assigned its best probed seed (raise
+    ``probes`` for recall; the clustering is itself a k-means stand-in,
+    so this is noise at the level SemDeDup operates).
 
     Determinism: cosines round to COS_ROUND decimals, argmax takes the
-    FIRST max, and seeds sort by id ascending — so ties break to the
-    lowest seed id, matching the exact path. All-null/zero vectors
-    assign to the lowest seed id, matching the exact path's null-last
-    ordering. Returns (id_col, v, cluster) like ``seed_assign``.
+    FIRST max, and seed blocks sort by id ascending — so ties break to
+    the lowest seed id, matching the exact path. All-null/zero vectors
+    (and rows none of whose probed groups hold any seed) assign to the
+    lowest seed id, matching the exact path's null-last ordering.
+    Returns (id_col, v, cluster) like ``seed_assign``. ``n_hint``
+    (corpus size, if the caller already counted) sizes the sub-split
+    without a second count job.
     """
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window
+
     base = _unit_base(emb, id_col, vec_col)
-    seeds_pdf = base.orderBy(id_col).limit(k).toPandas()  # Arrow, k rows
-    seeds_pdf = seeds_pdf.sort_values(id_col).reset_index(drop=True)
-    seed_ids = seeds_pdf[id_col].to_numpy(dtype=np.int64)
-    kk = len(seed_ids)
-    dim = next((len(v) for v in seeds_pdf["v"] if v is not None), 0)
-    if kk == 0 or dim == 0:
-        # degenerate corpus (empty or all-zero vectors): everything in
-        # one cluster under the lowest id present
-        first = seed_ids[0] if kk else 0
-        return base.withColumn("cluster", F.lit(int(first)))
-    S = np.zeros((kk, dim))
-    valid = np.zeros(kk, dtype=bool)
-    for i, v in enumerate(seeds_pdf["v"]):
-        if v is not None:
-            S[i] = v
-            valid[i] = True
+    # (1) seed threshold over the id column only — no vector funnel
+    thr_row = (
+        base.select(id_col).orderBy(id_col).limit(k)
+        .agg(F.max(id_col)).head()
+    )
+    if thr_row is None or thr_row[0] is None:
+        return base.withColumn("cluster", F.lit(0))
+    seeds = (
+        base.filter(F.col(id_col) <= thr_row[0])
+        .select(F.col(id_col).alias("seed_id"), F.col("v").alias("sv"))
+        .localCheckpoint()  # feeds count, super-block, and group map
+    )
+    kk = seeds.count()
     s = max(1, int(math.ceil(math.sqrt(kk))))
-    # seed -> super-group (exact k×s matmul, driver-side, once)
-    sup_sim = np.round(S @ S[:s].T, COS_ROUND)
-    sup_sim[:, ~valid[:s]] = -np.inf
-    seed_sup = np.argmax(sup_sim, axis=1)
-    groups = [np.flatnonzero(seed_sup == g) for g in range(s)]
+    # (2) super-seed block: s rows to the driver — sqrt(k), never k
+    sup_pdf = (
+        seeds.orderBy("seed_id").limit(s).toPandas()
+        .sort_values("seed_id").reset_index(drop=True)
+    )
+    first_seed = int(sup_pdf["seed_id"].iloc[0])
+    dim = next((len(v) for v in sup_pdf["sv"] if v is not None), 0)
+    if dim == 0:
+        # degenerate: the s lowest-id seeds are all null/zero vectors.
+        # With ids ascending the exact path would assign everything to
+        # the lowest seed id (null sims tie at -inf, lowest id wins).
+        return base.withColumn("cluster", F.lit(first_seed))
+    SS = np.zeros((s, dim))
+    sup_valid = np.zeros(s, dtype=bool)
+    for i, v in enumerate(sup_pdf["sv"]):
+        if v is not None:
+            SS[i] = v
+            sup_valid[i] = True
     p = min(max(1, probes), s)
+    bc = emb.sparkSession.sparkContext.broadcast((SS, sup_valid, s, p, dim))
 
-    sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((S, seed_ids, valid, groups, s, p, dim))
-
-    def assign(batches):
-        S, seed_ids, valid, groups, s, p, dim = bc.value
-        SS = S[:s]
+    # (3) seed → super-group, executor-side (rounded argmax, first max)
+    def grp_seeds(batches):
+        SS, sup_valid, s, p, dim = bc.value
         for pdf in batches:
             b = len(pdf)
             if b == 0:
                 continue
-            X = np.zeros((b, dim))
-            okrow = np.zeros(b, dtype=bool)
-            for i, v in enumerate(pdf["v"]):
+            S = np.zeros((b, dim))
+            for i, v in enumerate(pdf["sv"]):
                 if v is not None:
-                    X[i] = v
-                    okrow[i] = True
-            sup = X @ SS.T
-            sup[:, ~valid[:s]] = -np.inf
-            if p < s:
-                top = np.argpartition(-sup, p - 1, axis=1)[:, :p]
-            else:
-                top = np.broadcast_to(np.arange(s), (b, s))
-            best_sim = np.full(b, -np.inf)
-            best_idx = np.zeros(b, dtype=np.int64)
-            for g in range(s):
-                rows = np.flatnonzero((top == g).any(axis=1))
-                idx = groups[g]
-                if rows.size == 0 or idx.size == 0:
-                    continue
-                sims = np.round(X[rows] @ S[idx].T, COS_ROUND)
-                sims[:, ~valid[idx]] = -np.inf
-                j = np.argmax(sims, axis=1)  # first max = lowest seed id
-                val = sims[np.arange(rows.size), j]
-                cand = idx[j]
-                cur_v, cur_i = best_sim[rows], best_idx[rows]
-                upd = (val > cur_v) | ((val == cur_v) & (cand < cur_i))
-                hit = rows[upd]
-                best_sim[hit] = val[upd]
-                best_idx[hit] = cand[upd]
-            cluster = seed_ids[best_idx]
-            cluster[~okrow] = seed_ids[0]  # null v → lowest seed (exact-path rule)
+                    S[i] = v
+            sim = np.round(S @ SS.T, COS_ROUND)
+            sim[:, ~sup_valid] = -np.inf
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "v": pdf["v"], "cluster": cluster}
+                {
+                    "grp": np.argmax(sim, axis=1).astype("int32"),
+                    "seed_id": pdf["seed_id"],
+                    "sv": pdf["sv"],
+                }
             )
 
-    return base.mapInPandas(
-        assign, f"{id_col} long, v array<double>, cluster long"
+    seeds_g = seeds.mapInPandas(
+        grp_seeds, "grp int, seed_id long, sv array<double>"
     )
+
+    # (4) corpus rows → probed super-groups (×p, null rows drop here
+    # and re-enter via the fallback union below)
+    def probe(batches):
+        SS, sup_valid, s, p, dim = bc.value
+        for pdf in batches:
+            vs = pdf["v"]
+            ok = vs.map(lambda a: a is not None).to_numpy()
+            if not ok.any():
+                continue
+            pdf = pdf[ok]
+            X = np.stack(pdf["v"].to_numpy())
+            sup = X @ SS.T
+            sup[:, ~sup_valid] = -np.inf
+            # stable argsort: equal sims probe the lowest group first
+            order = np.argsort(-sup, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    "v": [v for v in pdf["v"] for _ in range(p)],
+                    "grp": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    probed = base.mapInPandas(
+        probe, f"{id_col} long, v array<double>, grp int"
+    )
+    # (5) bound per-task rows: hash-split each group's row side into
+    # ~group_rows slices; the group's seed block replicates per slice
+    n = n_hint if n_hint is not None else emb.count()
+    n_sub = max(1, int(math.ceil((n * p / s) / max(1, group_rows))))
+    probed = probed.withColumn(
+        "sub", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast("int")
+    )
+    seeds_rep = seeds_g.withColumn(
+        "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+    )
+
+    def assign_group(row_pdf, seed_pdf):
+        if len(row_pdf) == 0 or len(seed_pdf) == 0:
+            return pd.DataFrame({id_col: [], "v": [], "c": [], "seed_id": []})
+        seed_pdf = seed_pdf.sort_values("seed_id").reset_index(drop=True)
+        ks = len(seed_pdf)
+        S = np.zeros((ks, dim))
+        valid = np.zeros(ks, dtype=bool)
+        for i, v in enumerate(seed_pdf["sv"]):
+            if v is not None:
+                S[i] = v
+                valid[i] = True
+        X = np.stack(row_pdf["v"].to_numpy())
+        sims = np.round(X @ S.T, COS_ROUND)
+        sims[:, ~valid] = -np.inf
+        j = np.argmax(sims, axis=1)  # first max = lowest seed id
+        return pd.DataFrame(
+            {
+                id_col: row_pdf[id_col].to_numpy(),
+                "v": list(row_pdf["v"]),
+                "c": sims[np.arange(len(row_pdf)), j],
+                "seed_id": seed_pdf["seed_id"].to_numpy()[j],
+            }
+        )
+
+    cand = (
+        probed.groupby("grp", "sub")
+        .cogroup(seeds_rep.groupby("grp", "sub"))
+        .applyInPandas(
+            assign_group,
+            f"{id_col} long, v array<double>, c double, seed_id long",
+        )
+    )
+    # (6) best candidate per row: max cosine, ties to the lowest seed
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("seed_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("seed_id").alias("cluster"))
+    )
+    # fallback: null/zero vectors (and rows whose probed groups held no
+    # seeds) take the lowest seed id — the exact path's null-last rule
+    missing = (
+        base.join(best.select(id_col), id_col, "left_anti")
+        .withColumn("cluster", F.lit(first_seed))
+        .select(id_col, "v", "cluster")
+    )
+    return best.unionByName(missing)
 
 
 def semdedup(
@@ -281,14 +386,16 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
+    n_hint = None
     if k is None:
-        n = emb.count()
-        k = max(1, math.ceil(n / max(1, target_m)))
+        n_hint = emb.count()
+        k = max(1, math.ceil(n_hint / max(1, target_m)))
     if k <= SEM_EXACT_K_MAX:
         assigned = seed_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
     else:
         assigned = seed_assign_scaled(
-            emb, k=k, id_col=id_col, vec_col=vec_col, probes=probes
+            emb, k=k, id_col=id_col, vec_col=vec_col, probes=probes,
+            n_hint=n_hint,
         )
     if max_cluster and max_cluster > 0:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_m"))

@@ -6,6 +6,8 @@ integer-exact target-likeness ordering."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from memvid_spark.operators import semdedup as sd
@@ -256,3 +258,46 @@ def test_semdedup_autok_scaled_band_flags_planted_dups(spark):
 
 def _emb_d(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_seed_assign_scaled_sub_split_invariance(spark):
+    """The distributed path's per-task bound (group_rows → sub-split of
+    each super-group's row side) is an execution-shape knob, never a
+    semantics knob: a tiny group_rows that forces many sub-slices must
+    reproduce the unsplit assignment row-for-row, at partial AND full
+    probes. k > s² here (k=80, s=9) so several seeds share every
+    super-group — the regime the seed-block cogroup exists for."""
+    rows = [
+        (i, [float((i * 7) % 13) - 6.0, float((i * 11) % 17) - 8.0,
+             float((i * 5) % 9) - 4.0])
+        for i in range(400)
+    ]
+    emb = _emb_d(spark, rows)
+    k = 80
+    for probes in (2, 10**6):
+        a = {r.vec_id: r.cluster
+             for r in sd.seed_assign_scaled(
+                 emb, k=k, probes=probes).collect()}
+        b = {r.vec_id: r.cluster
+             for r in sd.seed_assign_scaled(
+                 emb, k=k, probes=probes, group_rows=16).collect()}
+        assert a == b, f"sub-split changed assignment at probes={probes}"
+    exact = {r.vec_id: r.cluster for r in sd.seed_assign(emb, k=k).collect()}
+    full = {r.vec_id: r.cluster
+            for r in sd.seed_assign_scaled(
+                emb, k=k, probes=10**6, group_rows=16).collect()}
+    assert full == exact
+
+
+def test_seed_assign_scaled_covers_every_row(spark):
+    """Every corpus row comes back exactly once — including rows whose
+    probed super-groups hold no seeds and null/zero vectors (both take
+    the lowest seed id via the fallback union)."""
+    rows = [(i, [math.cos(i * 0.21), math.sin(i * 0.21)])
+            for i in range(150)]
+    rows += [(500, [0.0, 0.0]), (501, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sd.seed_assign_scaled(emb, k=70, probes=1).collect()
+    assert len(out) == 152
+    got = {r.vec_id: r.cluster for r in out}
+    assert got[500] == 0 and got[501] == 0
