@@ -680,7 +680,14 @@ class MemvidSpark:
 
     def vacuum(self) -> DataFrame:
         """Active view with tombstones physically dropped
-        (mutation.rs:2999-3084); at scale: INSERT OVERWRITE."""
+        (mutation.rs:2999-3084); at scale: INSERT OVERWRITE. When the
+        ANN serving tier is built, vacuum routes through index
+        maintenance (the reference rebuilds indexes from the TOC after
+        vacuum, mutation.rs:2999-3084, :913-918): tombstoned vectors
+        drop from their cells via the incremental delta, never a full
+        rebuild unless the drift policy trips."""
+        if self.ann_enabled() and not getattr(self, "_read_only", False):
+            self.refresh_ann_index()
         return self.docs()
 
     def _union_docs(self) -> DataFrame:
@@ -1337,6 +1344,15 @@ class MemvidSpark:
             self._emb_buffer.append(
                 (fid, [float(x) for x in vec], provider, model)
             )
+        if self.ann_enabled():
+            # buffered for the serving tier's incremental delta — the
+            # index stays stale until save()/refresh_ann_index applies
+            # it cell-locally (finalize_indexes moment, mutation.rs:913)
+            if not hasattr(self, "_ann_pending"):
+                self._ann_pending = []
+            self._ann_pending.extend(
+                (fid, [float(x) for x in vec]) for fid, vec in pairs
+            )
         self._vec_dim = new_dim
         for fid, _ in pairs:
             self.mark_frame_enriched(fid)
@@ -1417,12 +1433,36 @@ class MemvidSpark:
     def vector_compression(self) -> str:
         return getattr(self, "_vec_compression", "none")
 
-    def search_embeddings(self, query_vec, k: int = 10) -> DataFrame:
+    def search_embeddings(
+        self, query_vec, k: int = 10, ann: bool = False,
+        probes: int | None = None,
+    ) -> DataFrame:
         """k-NN over the STORED vector track, routed by the declared
         compression tier: exact cosine scan for ``none``, SQ8
         asymmetric-distance scan for ``sq8``, PQ-ADC for ``pq``
         (the vec.rs search dispatch; quantized tiers are
-        operators/pq.py's oracle-checked kernels)."""
+        operators/pq.py's oracle-checked kernels).
+
+        ``ann=True`` routes through the IVF-cell NSW serving tier
+        (:meth:`build_ann_serving`) — cell-pruned beam search, scores
+        are L2 distance like the reference's HNSW (src/simd.rs:13-70).
+        The reference's brute-vs-HNSW engage threshold (>= 1000
+        vectors, src/vec.rs:22-23) is the routing policy: below it the
+        exact scan IS the right plan and ann=True falls through to it.
+        """
+        if ann and self.ann_enabled():
+            meta = self._ann_meta
+            if meta["n_rows"] >= self.ANN_ENGAGE_ROWS:
+                from .operators.hnsw import nsw_knn_pruned
+
+                return nsw_knn_pruned(
+                    self._ann_index,
+                    self._ann_cents,
+                    query_vec,
+                    k=k,
+                    ef_search=meta["ef_search"],
+                    probes=probes if probes is not None else meta["probes"],
+                )
         emb = self.embeddings().select(
             F.col("frame_id").alias("vec_id"), "embedding"
         )
@@ -1440,6 +1480,139 @@ class MemvidSpark:
         model = pq_mod.train_pq(emb, n_sub=n_sub, k=16)
         codes = pq_mod.encode(model, emb)
         return pq_mod.adc_topk(model, codes, query_vec, k=k)
+
+    # -- ANN serving tier (src/vec.rs:22-28,345-435 HNSW; engaged at
+    #    >=1000 vectors, vec.rs:22-23; rebuild-after-vacuum,
+    #    mutation.rs:2999-3084) ------------------------------------------
+
+    ANN_ENGAGE_ROWS = 1000  # brute-vs-ANN routing bound, vec.rs:22-23
+
+    def ann_enabled(self) -> bool:
+        return getattr(self, "_ann_index", None) is not None
+
+    def build_ann_serving(
+        self,
+        n_cells: int = 32,
+        m: int = 16,
+        ef_construction: int = 100,
+        ef_search: int = 50,
+        probes: int = 4,
+        max_shard_rows: int = 25000,
+    ) -> None:
+        """Build (or retrain) the IVF-cell NSW serving tier over the
+        ACTIVE vector track: coarse centroids from a bounded seeded
+        sample, per-cell NSW graphs, everything derived — a function of
+        the embeddings track, rebuildable on demand like postings
+        (rebuild_indexes model, api.rs:1038-1106). The index persists
+        ``partitionBy("cell")`` on :meth:`save` so reopened stores
+        serve cell-pruned searches with planning-time PartitionFilters;
+        tombstoned frames are excluded (the serving tier serves the
+        active corpus). Incremental maintenance: later
+        :meth:`add_embeddings` / :meth:`delete` route through
+        :meth:`refresh_ann_index` (delta == rebuild, pinned in
+        operators/hnsw.py tests) instead of a full rebuild."""
+        self._ensure_writable()
+        from .operators.hnsw import build_nsw_index_ivf, train_cell_centroids
+
+        emb = self._ann_active_track()
+        n_rows = emb.count()
+        if n_rows == 0:
+            raise ValueError("no embeddings to index: add vectors first")
+        cents = train_cell_centroids(
+            emb, n_cells=n_cells, id_col="vec_id"
+        )
+        self._ann_cents = [[float(x) for x in c] for c in cents]
+        self._ann_meta = {
+            "n_cells": len(self._ann_cents),
+            "m": m,
+            "ef_construction": ef_construction,
+            "ef_search": ef_search,
+            "probes": probes,
+            "max_shard_rows": max_shard_rows,
+            "n_rows": int(n_rows),
+        }
+        self._ann_index = build_nsw_index_ivf(
+            emb,
+            self._ann_cents,
+            m=m,
+            ef_construction=ef_construction,
+            max_shard_rows=max_shard_rows,
+        ).localCheckpoint()
+        self._ann_pending = []
+
+    def _ann_active_track(self) -> DataFrame:
+        """(vec_id, embedding double) — the tier's ground truth: the
+        stored vector track minus tombstoned frames. The tombstone set
+        is session state (manifest-sized, never corpus-sized)."""
+        emb = self.embeddings().select(
+            F.col("frame_id").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        if self._tombstones:
+            gone = self.spark.createDataFrame(
+                [(int(t),) for t in sorted(self._tombstones)], "vec_id long"
+            )
+            emb = emb.join(gone, "vec_id", "left_anti")
+        return emb
+
+    def refresh_ann_index(self) -> dict:
+        """Apply buffered vector puts and tombstones to the serving
+        index INCREMENTALLY (apply_delta_ivf: only touched cells
+        rebuild — the reference's finalize_indexes moment,
+        mutation.rs:913-918), then evaluate the drift policy: if
+        occupancy skew crossed the retrain bound (cells trained on an
+        old distribution no longer matching the data), retrain
+        centroids and rebuild — ``ivf_needs_retrain``'s engage/skew
+        knobs. Returns the policy stats. Called by :meth:`save`; safe
+        to call any time."""
+        if not self.ann_enabled():
+            raise ValueError("ANN tier not built: call build_ann_serving")
+        from .operators.hnsw import apply_delta_ivf, ivf_needs_retrain
+
+        meta = self._ann_meta
+        pending = getattr(self, "_ann_pending", [])
+        dels = None
+        if self._tombstones:
+            dels = self.spark.createDataFrame(
+                [(int(t),) for t in sorted(self._tombstones)], "vec_id long"
+            )
+        if pending or dels is not None:
+            # array<float>, NOT double: the track stores float32
+            # (EMB_SCHEMA), and the delta must round-trip through the
+            # same precision or tie-adjacent neighbor orders diverge
+            # from a rebuild over the persisted track
+            delta = self.spark.createDataFrame(
+                [(int(fid), [float(x) for x in v]) for fid, v in pending],
+                "vec_id long, embedding array<float>",
+            )
+            self._ann_index = apply_delta_ivf(
+                self._ann_index,
+                delta,
+                self._ann_cents,
+                m=meta["m"],
+                ef_construction=meta["ef_construction"],
+                max_shard_rows=meta["max_shard_rows"],
+                deletes=dels,
+            ).localCheckpoint()
+            self._ann_pending = []
+        needs, stats = ivf_needs_retrain(
+            self._ann_index, trained_cells=meta["n_cells"]
+        )
+        if needs:
+            # drift crossed the bound: retrain the coarse model on the
+            # current track and rebuild (vec.rs retrains its graph from
+            # scratch past the engage threshold; here it's a policy)
+            self.build_ann_serving(
+                n_cells=meta["n_cells"],
+                m=meta["m"],
+                ef_construction=meta["ef_construction"],
+                ef_search=meta["ef_search"],
+                probes=meta["probes"],
+                max_shard_rows=meta["max_shard_rows"],
+            )
+            stats["retrained"] = True
+        meta["n_rows"] = int(stats["n_rows"])
+        return stats
 
     CHUNK_MIN_CHARS = 2400  # preview_chunks threshold, mutation.rs:3070
 
@@ -2053,6 +2226,16 @@ class MemvidSpark:
             # one O(n) rebuild fixes both stale and orphaned sketch rows
             "sketches": lambda: self.finalize_indexes(variant or "small"),
         }
+        if self.ann_enabled():
+            meta = self._ann_meta
+            registry["ann_index"] = lambda: self.build_ann_serving(
+                n_cells=meta["n_cells"],
+                m=meta["m"],
+                ef_construction=meta["ef_construction"],
+                ef_search=meta["ef_search"],
+                probes=meta["probes"],
+                max_shard_rows=meta["max_shard_rows"],
+            )
         registry.update(rebuilders or {})
         healed: set[str] = set()
         for row in heal_plan(rep).collect():  # findings table — tiny
@@ -2097,6 +2280,21 @@ class MemvidSpark:
                 sketchable, {"sketches": sk}, frame_key=self.id_col
             ).filter(F.col("table_name") != "frames")
             rep = rep.unionByName(sk_rep)
+        if self.ann_enabled() and "ann_index" not in derived:
+            # the serving index covers exactly the ACTIVE vector track:
+            # a missing row = un-indexed vector, an orphan = a vector
+            # the track no longer holds (doctor_recovery.rs drops each
+            # index kind and expects doctor to flag + heal it)
+            indexed = self._ann_index.select(
+                F.col("vec_id").alias(self.id_col)
+            )
+            covered = self._ann_active_track().select(
+                F.col("vec_id").alias(self.id_col)
+            )
+            ann_rep = doctor_report(
+                covered, {"ann_index": indexed}, frame_key=self.id_col
+            ).filter(F.col("table_name") != "frames")
+            rep = rep.unionByName(ann_rep)
         ids = frames_df.select(F.col(self.id_col).alias("k")).distinct()
         for name, vals in (
             ("tombstones", self._tombstones),
@@ -2245,6 +2443,24 @@ class MemvidSpark:
                 os.path.join(path, "chunk_embeddings.parquet"),
             )
             self._chunk_emb_puts = []
+        # ANN serving tier: derived (rebuildable) but EXPENSIVE to
+        # derive, so like the reference's vector index it persists with
+        # the store — pending puts/tombstones apply incrementally first
+        # (touched cells only), then the cell-partitioned layout write-
+        # swaps so reopened stores get planning-time PartitionFilters
+        if self.ann_enabled():
+            self.refresh_ann_index()
+            self._ann_index = self._write_swap(
+                self._ann_index,
+                os.path.join(path, "ann_index.parquet"),
+                partition_by="cell",
+            )
+            tmp = os.path.join(path, "ann_centroids.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                # KB–MB scale at facade sizes; at warehouse n_cells the
+                # centroid table would persist as parquet like the index
+                json.dump(self._ann_cents, f)
+            os.replace(tmp, os.path.join(path, "ann_centroids.json"))
         # the sketch track persists with the store (the reference ships
         # it inside the .mv2 container, sketch_track.rs) — unlike
         # postings it is maintained incrementally, not rebuilt per open
@@ -2292,6 +2508,7 @@ class MemvidSpark:
             "cards": [list(c) for c in getattr(self, "_cards", [])],
             "unenriched": sorted(self._unenriched),
             "enrich_queue": [int(x) for x in self._enrich_queue],
+            "ann": self._ann_meta if self.ann_enabled() else None,
         }
         tmp = os.path.join(path, "manifest.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -2299,16 +2516,25 @@ class MemvidSpark:
         os.replace(tmp, os.path.join(path, "manifest.json"))
         self._store_path = path
 
-    def _write_swap(self, df: DataFrame, final_path: str) -> DataFrame:
+    def _write_swap(
+        self,
+        df: DataFrame,
+        final_path: str,
+        partition_by: str | None = None,
+    ) -> DataFrame:
         """Write ``df`` to ``final_path`` via a temp directory + rename,
         refresh Spark's cached file listing (stale entries would point
         at the deleted pre-swap files), and return a fresh lazy reader
-        rooted on the new files."""
+        rooted on the new files. ``partition_by`` hive-partitions the
+        layout (the ANN index's ``cell=`` pruning key)."""
         import os
         import shutil
 
         tmp = final_path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
         if os.path.exists(final_path):
             shutil.rmtree(final_path)
         os.replace(tmp, final_path)
@@ -2390,6 +2616,16 @@ class MemvidSpark:
         mv._enrich_pending = [int(x) for x in man.get("enrich_queue", [])]
         if man.get("vector_compression", "none") != "none":
             mv._vec_compression = man["vector_compression"]
+        ann_path = os.path.join(path, "ann_index.parquet")
+        if man.get("ann") and os.path.exists(ann_path):
+            spark.catalog.refreshByPath(ann_path)
+            mv._ann_meta = man["ann"]
+            mv._ann_index = spark.read.parquet(ann_path)
+            with open(
+                os.path.join(path, "ann_centroids.json"), encoding="utf-8"
+            ) as f:
+                mv._ann_cents = json.load(f)
+            mv._ann_pending = []
         if rebuild_dedup:
             # dedup registry stays DISTRIBUTED (mutation.rs:3302-3316
             # semantics, zero collect on the open path): a lazily

@@ -36,20 +36,40 @@ GRAPH_SCHEMA = (
 )
 
 
-def _beam_search(vecs, adj, entry: int, q, ef: int) -> list[tuple[float, int]]:
+def _search_seeds(n: int, fanout: int = 16) -> list[int]:
+    """Beam-entry seed positions for a SEARCH over an n-node shard:
+    node 0 plus ~fanout evenly spaced positions in id-sorted order.
+    A single-layer NSW pruned to the m closest neighbors can leave a
+    multi-cluster shard with unreachable regions (the long-range edges
+    HNSW's upper layers provide are exactly what pruning discards);
+    multi-seeding the beam restores reach — any cluster holding more
+    than ~1/fanout of the shard gets a seed — for ≤ fanout+1 extra
+    distance evaluations. Deterministic (positions, not hashes)."""
+    if n <= 1:
+        return [0]
+    stride = max(1, n // fanout)
+    return list(range(0, n, stride))
+
+
+def _beam_search(vecs, adj, entry, q, ef: int) -> list[tuple[float, int]]:
     """Best-first graph walk (HNSW layer-0 search, src/vec.rs:393-435):
     expand the closest unexpanded candidate until the frontier is farther
-    than the worst of the ef best seen. Returns [(dist2, node)] ascending."""
+    than the worst of the ef best seen. ``entry`` is a node id or a list
+    of seed ids (multi-seeded search). Returns [(dist2, node)] ascending."""
     import numpy as np
 
     def d2(i: int) -> float:
         diff = vecs[i] - q
         return float(np.dot(diff, diff))
 
-    d0 = d2(entry)
-    visited = {entry}
-    cand = [(d0, entry)]  # min-heap: closest frontier first
-    best = [(-d0, entry)]  # max-heap of the ef best (negated)
+    entries = [entry] if isinstance(entry, int) else list(entry)
+    visited = set(entries)
+    cand = [(d2(e), e) for e in entries]  # min-heap: closest frontier first
+    heapq.heapify(cand)
+    best = [(-d, e) for d, e in cand]  # max-heap of the ef best (negated)
+    heapq.heapify(best)
+    while len(best) > ef:
+        heapq.heappop(best)
     while cand:
         d, u = heapq.heappop(cand)
         if d > -best[0][0] and len(best) >= ef:
@@ -236,7 +256,8 @@ def nsw_knn(
         ids = pdf["vec_id"].to_numpy()
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[w] for w in row] for row in pdf["neighbors"]]
-        found = _beam_search(vecs, adj, 0, np.asarray(qv), ef)
+        seeds = _search_seeds(len(vecs))
+        found = _beam_search(vecs, adj, seeds, np.asarray(qv), ef)
         rows = [(int(ids[v]), float(np.sqrt(d))) for d, v in found[:ef]]
         return pd.DataFrame(rows, columns=["vec_id", "score"])
 
@@ -711,9 +732,10 @@ def nsw_knn_join(
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[w] for w in row] for row in idx_pdf["neighbors"]]
         ef = max(ef_search, k)
+        seeds = _search_seeds(len(vecs))
         out_q, out_v, out_s = [], [], []
         for qid, qv in zip(q_pdf[query_id_col], q_pdf["q"]):
-            found = _beam_search(vecs, adj, 0, np.asarray(qv), ef)
+            found = _beam_search(vecs, adj, seeds, np.asarray(qv), ef)
             for d, v in found[:ef]:
                 out_q.append(int(qid))
                 out_v.append(int(ids[v]))

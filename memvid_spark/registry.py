@@ -7787,6 +7787,86 @@ def q181_nsw_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q182_nsw_join_recall",
+    """
+    SELECT 5 AS k, 4 AS probes,
+           count(*)::bigint AS n_queries,
+           true AS min_recall_ge
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+    "sweep-grade recall guard for the batch ANN retrieval join: "
+    "nsw_knn_join's per-query top-5 on the clustered corpus is scored "
+    "against exact per-query L2 ground truth (knn_join, the broadcast "
+    "similarity join), and the row the sweep hash-checks carries "
+    "n_queries = DISTINCT query ids the batch join answered (every "
+    "query must come back — a dropped query breaks the count) and "
+    "min_recall_ge = min per-query recall@5 >= 0.8 (the reference's "
+    "own recall bound, src/vec.rs:645-650). The graph walk itself is "
+    "not SQL-expressible, but the COVERAGE and the BOUND are exact "
+    "integers/booleans DuckDB replays — so q181's semantics are now "
+    "sweep-checked, not only pytest-pinned.",
+)
+def q182_nsw_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import (
+        build_nsw_index_ivf,
+        nsw_knn_join,
+        train_cell_centroids,
+    )
+    from .operators.knn import knn_join
+
+    t = catalog.load(spark, sf_dir)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    cents = train_cell_centroids(clustered, n_cells=8)
+    index = build_nsw_index_ivf(clustered, cents, m=16)
+    queries = clustered.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = nsw_knn_join(
+        index, cents, queries, k=5, probes=4, exclude_same_id=True
+    )
+    exact = knn_join(
+        clustered,
+        queries.select(
+            F.col("query_id").alias("q_id"),
+            F.col("query_vec").alias("q_vec"),
+        ),
+        k=5,
+        metric="l2",
+    ).select(F.col("q_id").alias("query_id"), "vec_id")
+    hits = (
+        batch.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = (
+        batch.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.lit(5).alias("k"),
+        F.lit(4).alias("probes"),
+        F.count("*").alias("n_queries"),
+        (F.min("recall") >= F.lit(0.8)).alias("min_recall_ge"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -1,0 +1,199 @@
+"""Facade ANN serving tier: build_ann_serving / search_embeddings(ann=)
+/ incremental save-time deltas / vacuum-routed maintenance / doctor
+audit + heal.
+
+Reference seams: HNSW engaged at >= 1000 vectors (src/vec.rs:22-23) as
+the brute-vs-ANN routing policy; recall >= 0.8 @ k=10 vs brute force
+(src/vec.rs:645-650); indexes finalize incrementally at the save moment
+(finalize_indexes, mutation.rs:913-918) and rebuild after vacuum
+(mutation.rs:2999-3084); doctor drops/heals each index kind
+(tests/doctor_recovery.rs:194-717).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from memvid_spark.api import MemvidSpark
+
+
+def _unit_blob_pairs(n_blobs=4, per_blob=300, dim=6, start_id=0):
+    """Unit-normalized well-separated blobs (cosine and L2 rankings
+    agree on the unit sphere, so the ann=True L2 path is comparable to
+    the exact cosine path)."""
+    pairs = []
+    for b in range(n_blobs):
+        for i in range(per_blob):
+            v = [0.0] * dim
+            v[b % dim] = 10.0
+            for d in range(dim):
+                v[d] += ((i * (d + 3) + b) % 23) * 0.03
+            # unique per id: coincident points would make the NSW graph
+            # a duplicate cloud (beam gets stuck on zero-distance nodes)
+            v[(b + 1) % dim] += i * 0.003
+            nrm = math.sqrt(sum(x * x for x in v))
+            pairs.append(
+                (start_id + b * per_blob + i, [x / nrm for x in v])
+            )
+    return pairs
+
+
+def _store_with_vectors(spark, n_blobs=4, per_blob=300):
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(_unit_blob_pairs(n_blobs, per_blob))
+    return mv
+
+
+def _qvec(pairs, fid):
+    return next(v for f, v in pairs if f == fid)
+
+
+def test_ann_search_recall_vs_exact(spark):
+    pairs = _unit_blob_pairs()
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)  # 1200 rows >= engage threshold
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    q = _qvec(pairs, 3)
+    approx = {r.vec_id for r in mv.search_embeddings(q, k=10, ann=True).collect()}
+    exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8  # vec.rs:645-650 bound
+
+
+def test_ann_engage_threshold_falls_through_to_exact(spark):
+    """Below 1000 vectors ann=True IS the exact scan (vec.rs:22-23:
+    brute force under the engage threshold) — identical rows."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)  # 120 < 1000
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    q = _qvec(pairs, 5)
+    a = [(r.vec_id, r.score, r.rank)
+         for r in mv.search_embeddings(q, k=5, ann=True).collect()]
+    b = [(r.vec_id, r.score, r.rank)
+         for r in mv.search_embeddings(q, k=5).collect()]
+    assert a == b
+
+
+def test_ann_persists_partitioned_and_prunes(spark, tmp_path):
+    """save() write-swaps the index partitionBy(cell); a reopened store
+    serves the pruned search with a planning-time PartitionFilter."""
+    pairs = _unit_blob_pairs()
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    path = str(tmp_path / "store")
+    mv.save(path)
+    re = MemvidSpark.open(spark, path)
+    assert re.ann_enabled()
+    q = _qvec(pairs, 3)
+    res = re.search_embeddings(q, k=10, ann=True)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    approx = {r.vec_id for r in res.collect()}
+    exact = {r.vec_id for r in re.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8
+
+
+def test_put_then_save_applies_delta_not_rebuild(spark, tmp_path):
+    """Vectors added after the tier is built reach the served index at
+    save() through apply_delta_ivf (same centroids — only touched cells
+    rebuild), and delta == rebuild-with-same-centroids row-for-row."""
+    from memvid_spark.operators.hnsw import build_nsw_index_ivf
+
+    pairs = _unit_blob_pairs()
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    cents_before = [list(c) for c in mv._ann_cents]
+    new = _unit_blob_pairs(n_blobs=1, per_blob=5, start_id=9000)
+    mv.add_embeddings(new)
+    path = str(tmp_path / "store")
+    mv.save(path)
+    # centroids unchanged: the delta path, not a retrain
+    assert mv._ann_cents == cents_before
+    re = MemvidSpark.open(spark, path)
+    q = _qvec(new, 9000)
+    got = {r.vec_id for r in re.search_embeddings(q, k=5, ann=True).collect()}
+    assert 9000 in got
+    full = build_nsw_index_ivf(
+        re._ann_active_track(), cents_before, m=8, ef_construction=60
+    )
+    ra = sorted((r.cell, r.shard, r.vec_id, tuple(r.neighbors))
+                for r in re._ann_index.collect())
+    rb = sorted((r.cell, r.shard, r.vec_id, tuple(r.neighbors))
+                for r in full.collect())
+    assert ra == rb
+
+
+def test_delete_vacuum_routes_index_maintenance(spark):
+    """Tombstoned frames leave the served index at vacuum() via the
+    incremental delta (rebuild-after-vacuum, mutation.rs:2999-3084)."""
+    pairs = _unit_blob_pairs()
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    q = _qvec(pairs, 3)
+    assert 3 in {
+        r.vec_id for r in mv.search_embeddings(q, k=3, ann=True).collect()
+    }
+    mv.delete(3)
+    mv.vacuum()
+    assert mv._ann_index.filter(F.col("vec_id") == 3).count() == 0
+    assert 3 not in {
+        r.vec_id for r in mv.search_embeddings(q, k=10, ann=True).collect()
+    }
+
+
+def test_doctor_audits_and_heals_ann_index(spark):
+    """doctor() flags a hole in the served index as missing rows;
+    heal=True routes through the registered rebuilder and the re-audit
+    comes back clean (doctor_recovery.rs:194-717 drop-then-heal)."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)
+    mv = MemvidSpark(spark)
+    mv.put("doc zero")  # a frame so the frame-log checks have rows
+    mv.add_embeddings(pairs[1:])
+    mv.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    clean = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert clean[("missing", "ann_index")] == 0
+    assert clean[("orphaned", "ann_index")] == 0
+    # corrupt: drop one indexed vector's row
+    victim = int(pairs[1][0])
+    mv._ann_index = mv._ann_index.filter(F.col("vec_id") != victim)
+    rep = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert rep[("missing", "ann_index")] == 1
+    healed = {
+        (r.check, r.table_name): r.n_affected
+        for r in mv.doctor(heal=True).collect()
+    }
+    assert healed[("missing", "ann_index")] == 0
+    assert healed[("orphaned", "ann_index")] == 0
+
+
+def test_refresh_drift_policy_retrains_on_skew(spark):
+    """A delta piling mass into one region trips the occupancy-skew
+    bound and refresh retrains the coarse model (vec.rs's 1000-vector
+    engage threshold as the policy knob)."""
+    pairs = _unit_blob_pairs(n_blobs=8, per_blob=50, dim=8)  # 400 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=8, m=8, ef_construction=60)
+    # 900 near-identical vectors into blob 0's region: n=1300 (engaged),
+    # hot cell ~950 vs mean ~162 -> skew ~5.8 > 4.0
+    hot = []
+    for i in range(900):
+        v = [0.0] * 8
+        v[0] = 10.0 + (i % 13) * 0.01
+        v[1] = (i % 7) * 0.01
+        v[2] = i * 0.0005  # unique per id
+        nrm = math.sqrt(sum(x * x for x in v))
+        hot.append((20000 + i, [x / nrm for x in v]))
+    mv.add_embeddings(hot)
+    stats = mv.refresh_ann_index()
+    assert stats.get("retrained") is True
+    assert stats["n_rows"] == 1300
