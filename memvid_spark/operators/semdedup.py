@@ -183,8 +183,6 @@ def seed_assign_scaled(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import Window
-
     base = _unit_base(emb, id_col, vec_col)
     # (1) seed threshold over the id column only — no vector funnel
     thr_row = (
@@ -285,7 +283,7 @@ def seed_assign_scaled(
 
     def assign_group(row_pdf, seed_pdf):
         if len(row_pdf) == 0 or len(seed_pdf) == 0:
-            return pd.DataFrame({id_col: [], "v": [], "c": [], "seed_id": []})
+            return pd.DataFrame({id_col: [], "c": [], "seed_id": []})
         seed_pdf = seed_pdf.sort_values("seed_id").reset_index(drop=True)
         ks = len(seed_pdf)
         S = np.zeros((ks, dim))
@@ -301,35 +299,40 @@ def seed_assign_scaled(
         return pd.DataFrame(
             {
                 id_col: row_pdf[id_col].to_numpy(),
-                "v": list(row_pdf["v"]),
                 "c": sims[np.arange(len(row_pdf)), j],
                 "seed_id": seed_pdf["seed_id"].to_numpy()[j],
             }
         )
 
+    # candidates drop v: the cogroup already paid the fan-out shuffle
+    # for the vectors; the reduce below should move 24-byte rows, not
+    # d-double arrays
     cand = (
         probed.groupby("grp", "sub")
         .cogroup(seeds_rep.groupby("grp", "sub"))
         .applyInPandas(
-            assign_group,
-            f"{id_col} long, v array<double>, c double, seed_id long",
+            assign_group, f"{id_col} long, c double, seed_id long"
         )
     )
-    # (6) best candidate per row: max cosine, ties to the lowest seed
-    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("seed_id"))
-    best = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", F.col("seed_id").alias("cluster"))
+    # (6) best candidate per row: max cosine, ties to the lowest seed.
+    # max_by over struct(c, -seed) is a HASH aggregate with map-side
+    # partial combine — cheaper than a sort window over n·probes rows;
+    # candidate seeds are distinct per row (a seed lives in exactly one
+    # super-group), so the struct order is strict and deterministic.
+    best = cand.groupBy(id_col).agg(
+        F.max_by(
+            "seed_id", F.struct(F.col("c"), (-F.col("seed_id")).alias("ns"))
+        ).alias("cluster")
     )
-    # fallback: null/zero vectors (and rows whose probed groups held no
-    # seeds) take the lowest seed id — the exact path's null-last rule
-    missing = (
-        base.join(best.select(id_col), id_col, "left_anti")
-        .withColumn("cluster", F.lit(first_seed))
-        .select(id_col, "v", "cluster")
+    # one join hangs v back on and covers the fallback in the same
+    # pass: null/zero vectors (and rows whose probed groups held no
+    # seeds) have no candidate row and take the lowest seed id — the
+    # exact path's null-last rule
+    return base.join(best, id_col, "left").select(
+        id_col,
+        "v",
+        F.coalesce("cluster", F.lit(first_seed)).alias("cluster"),
     )
-    return best.unionByName(missing)
 
 
 def semdedup(
