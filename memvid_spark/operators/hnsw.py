@@ -44,7 +44,12 @@ def _search_seeds(n: int, fanout: int = 16) -> list[int]:
     HNSW's upper layers provide are exactly what pruning discards);
     multi-seeding the beam restores reach — any cluster holding more
     than ~1/fanout of the shard gets a seed — for ≤ fanout+1 extra
-    distance evaluations. Deterministic (positions, not hashes)."""
+    distance evaluations. Deterministic (positions, not hashes).
+    Known limit: an island SMALLER than ~1/fanout of its shard can
+    still miss every seed and stay unreachable (measured: an 8-cell
+    IVF over 8 planted blobs sliced a blob sliver into a foreign cell
+    and its queries lost recall at any probe count) — size cells so
+    one cell ≈ one cluster region (finer n_cells), or raise fanout."""
     if n <= 1:
         return [0]
     stride = max(1, n // fanout)

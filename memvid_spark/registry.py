@@ -7826,7 +7826,15 @@ def q182_nsw_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         ).alias("embedding"),
     )
-    cents = train_cell_centroids(clustered, n_cells=8)
+    # n_cells=16 (finer than the 8 planted blobs): with 8 trained
+    # cells, k-means can slice a SLIVER of one blob into a cell
+    # dominated by another; the sliver is too small to catch a beam
+    # seed (see hnsw._search_seeds) and its queries lose their true
+    # neighbors no matter how many cells are probed (measured at
+    # sf0.1: min recall 0.2 at probes=6/8 cells vs 1.0 at 4/16).
+    # Finer cells keep every blob region seed-reachable; probes=4 of
+    # 16 still exercises REAL pruning (a quarter of the index).
+    cents = train_cell_centroids(clustered, n_cells=16)
     index = build_nsw_index_ivf(clustered, cents, m=16)
     queries = clustered.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
