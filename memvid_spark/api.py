@@ -1540,6 +1540,62 @@ class MemvidSpark:
         ).localCheckpoint()
         self._ann_pending = []
 
+    def search_embeddings_many(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ann: bool = False,
+        probes: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        exclude_same_id: bool = False,
+    ) -> DataFrame:
+        """Top-k stored neighbors for EVERY row of ``queries`` — the
+        retrieval JOIN a training-data pipeline runs (dedup against the
+        store, hard-negative mining), where per-query :meth:`
+        search_embeddings` calls would be O(queries) driver-issued
+        jobs. Returns (query_id, vec_id, score round6, rank 1..k).
+
+        ``ann=True`` routes through the serving tier's batch cogroup
+        (one job for the whole query table, hnsw.nsw_knn_join; scores
+        are L2 like the reference's HNSW) behind the same >=1000-vector
+        engage threshold as the single-query path (vec.rs:22-23);
+        otherwise — and below the threshold — the exact broadcast
+        similarity join (cosine, small query side by contract).
+        ``exclude_same_id=True`` drops hits whose vec_id equals the
+        query id (corpus-vs-self joins)."""
+        if ann and self.ann_enabled():
+            meta = self._ann_meta
+            if meta["n_rows"] >= self.ANN_ENGAGE_ROWS:
+                from .operators.hnsw import nsw_knn_join
+
+                return nsw_knn_join(
+                    self._ann_index,
+                    self._ann_cents,
+                    queries,
+                    k=k,
+                    ef_search=meta["ef_search"],
+                    probes=probes if probes is not None else meta["probes"],
+                    query_id_col=query_id_col,
+                    query_vec_col=query_vec_col,
+                    exclude_same_id=exclude_same_id,
+                )
+        emb = self.embeddings().select(
+            F.col("frame_id").alias("vec_id"), "embedding"
+        )
+        # NOTE: the exact path (knn_join) structurally drops id == q_id
+        # pairs whatever exclude_same_id says — its join condition IS
+        # the self-exclusion; pass exclude_same_id=True when comparing
+        # the two paths on corpus-vs-self queries.
+        return knn_mod.knn_join(
+            emb,
+            queries.select(
+                F.col(query_id_col).alias("q_id"),
+                F.col(query_vec_col).alias("q_vec"),
+            ),
+            k=k,
+        ).withColumnRenamed("q_id", query_id_col)
+
     def _ann_active_track(self) -> DataFrame:
         """(vec_id, embedding double) — the tier's ground truth: the
         stored vector track minus tombstoned frames. The tombstone set

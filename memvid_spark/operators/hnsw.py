@@ -709,7 +709,18 @@ def nsw_knn_join(
     # lineage back to `index`, which the cogroup below also reads (the
     # analyzer rejects the shared-lineage self-join as ambiguous), and
     # keeps the directory from being recomputed per downstream use.
-    shards = index.select("cell", "shard").distinct().localCheckpoint()
+    # the aliases mint FRESH attribute ids: localCheckpoint preserves
+    # exprIds, so a bare select from an already-checkpointed index
+    # (the facade's serving tier) would carry the index's own shard
+    # attribute into the query side of the cogroup and the analyzer
+    # would reject index-vs-probed_shards as an ambiguous self-join
+    shards = (
+        index.select(
+            F.col("cell").alias("cell"), F.col("shard").alias("shard")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     # lazily pinned: the probe matmul runs once, then feeds BOTH the
     # active-shard semi-join below and the cogroup's query side
     probed_shards = probed.join(F.broadcast(shards), "cell").localCheckpoint(
@@ -721,8 +732,23 @@ def nsw_knn_join(
     # and deserialize into pandas only for search_batch to return
     # empty — a small query batch would pay O(corpus) work instead of
     # the O(probes) the IVF pruning promises
-    active = probed_shards.select("shard").distinct()
-    index = index.join(F.broadcast(active), "shard", "left_semi")
+    # the alias mints a fresh attribute and the EAGER checkpoint cuts
+    # active's lineage entirely: without both, the semi-join below
+    # embeds probed_shards' plan inside the cogroup's LEFT side while
+    # the RIGHT side is probed_shards itself, and the analyzer rejects
+    # the shared subtree as an ambiguous self-join (the probed-shard
+    # set is one row per probed sub-shard — KB-scale, a cheap pin that
+    # also materializes probed_shards' lazy checkpoint exactly once)
+    active = (
+        probed_shards.select(F.col("shard").alias("probed_shard"))
+        .distinct()
+        .localCheckpoint()
+    )
+    index = index.join(
+        F.broadcast(active),
+        F.col("shard") == F.col("probed_shard"),
+        "left_semi",
+    )
 
     def search_batch(idx_pdf, q_pdf):
         import pandas as pd

@@ -197,3 +197,49 @@ def test_refresh_drift_policy_retrains_on_skew(spark):
     stats = mv.refresh_ann_index()
     assert stats.get("retrained") is True
     assert stats["n_rows"] == 1300
+
+
+def test_search_embeddings_many_batch_matches_single(spark):
+    """The facade batch retrieval (ann=True) is one cogrouped job that
+    must reproduce the single-query ANN path query by query, and the
+    exact path must answer every query below the engage threshold."""
+    pairs = _unit_blob_pairs()
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    queries = spark.createDataFrame(
+        [(fid, v) for fid, v in pairs if fid % 150 == 3],
+        "query_id long, query_vec array<double>",
+    )
+    batch = mv.search_embeddings_many(queries, k=5, ann=True)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.score))
+    assert set(got) == {fid for fid, _ in pairs if fid % 150 == 3}
+    for qrow in queries.collect():
+        single = [
+            (r.rank, r.vec_id, r.score)
+            for r in mv.search_embeddings(
+                list(qrow.query_vec), k=5, ann=True
+            ).collect()
+        ]
+        assert sorted(got[qrow.query_id]) == sorted(single)
+
+
+def test_search_embeddings_many_exact_below_engage(spark):
+    """Below 1000 vectors the batch path is the exact broadcast join —
+    per-query rows equal the exact single-query scan (cosine, self
+    excluded by the join condition)."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)  # 120 < 1000
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    queries = spark.createDataFrame(
+        [(9999, pairs[5][1])], "query_id long, query_vec array<double>"
+    )
+    batch = [(r.vec_id, r.score, r.rank)
+             for r in mv.search_embeddings_many(
+                 queries, k=5, ann=True).collect()]
+    single = [(r.vec_id, r.score, r.rank)
+              for r in mv.search_embeddings(pairs[5][1], k=5).collect()]
+    assert batch == single
