@@ -176,7 +176,7 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
 # graph/search semantics can NEVER silently time a stale index from a
 # previous run (the cache is keyed, not best-effort). v2 = round 8:
 # multi-seeded beam search + seeded centroid training sample.
-HNSW_FMT = "v2"
+HNSW_FMT = "v3"  # v3: graph rows carry the build-time entry cover
 HNSW_SHARDS = 32
 HNSW_CELLS = 32
 HNSW_PROBES = 4

@@ -32,28 +32,69 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 GRAPH_SCHEMA = (
-    "shard int, vec_id bigint, neighbors array<bigint>, embedding array<double>"
+    "shard int, vec_id bigint, neighbors array<bigint>, "
+    "embedding array<double>, entry boolean"
 )
 
 
 def _search_seeds(n: int, fanout: int = 16) -> list[int]:
-    """Beam-entry seed positions for a SEARCH over an n-node shard:
-    node 0 plus ~fanout evenly spaced positions in id-sorted order.
-    A single-layer NSW pruned to the m closest neighbors can leave a
-    multi-cluster shard with unreachable regions (the long-range edges
-    HNSW's upper layers provide are exactly what pruning discards);
-    multi-seeding the beam restores reach — any cluster holding more
-    than ~1/fanout of the shard gets a seed — for ≤ fanout+1 extra
-    distance evaluations. Deterministic (positions, not hashes).
-    Known limit: an island SMALLER than ~1/fanout of its shard can
-    still miss every seed and stay unreachable (measured: an 8-cell
-    IVF over 8 planted blobs sliced a blob sliver into a foreign cell
-    and its queries lost recall at any probe count) — size cells so
-    one cell ≈ one cluster region (finer n_cells), or raise fanout."""
+    """Evenly spaced beam-entry seed positions (node 0 plus ~fanout
+    positions in id-sorted order) — the beam-QUALITY half of seeding:
+    a beam that starts near the query converges in fewer expansions.
+    Deterministic (positions, not hashes), ≤ fanout+1 extra distance
+    evaluations. The beam-REACH half is the build-time entry cover
+    (``_entry_cover``): a single-layer NSW pruned to the m closest
+    neighbors can leave a multi-cluster shard with directed-unreachable
+    islands (outgoing island→main links survive under the 2m cap while
+    the main side's backlinks overflow and prune away — measured: an
+    8-cell IVF over 8 planted blobs sliced a blob sliver into a
+    foreign cell and its queries lost recall at ANY probe count), so
+    the builder marks a greedy BFS cover and every search seeds it —
+    every node of every shard is reachable from the seed set by
+    construction, regardless of cluster layout."""
     if n <= 1:
         return [0]
     stride = max(1, n // fanout)
     return list(range(0, n, stride))
+
+
+def _entry_cover(adj) -> list[int]:
+    """Greedy directed-BFS entry cover: the minimal-id-first node set
+    from which EVERY node is reachable along outgoing edges. Walk ids
+    ascending; each still-unreached node becomes an entry and its BFS
+    marks everything it can reach — O(V+E), deterministic, usually
+    [0] on a well-connected graph. This is what HNSW's upper layers
+    provide implicitly (a long-range path into every region); with a
+    flat pruned NSW the cover must be recorded explicitly or islands
+    severed by neighbor pruning silently lose ALL recall."""
+    n = len(adj)
+    reached = bytearray(n)
+    entries: list[int] = []
+    for s in range(n):
+        if reached[s]:
+            continue
+        entries.append(s)
+        reached[s] = 1
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if not reached[v]:
+                    reached[v] = 1
+                    stack.append(v)
+    return entries
+
+
+def _batch_seeds(pdf, n: int) -> list[int]:
+    """Seed set for one id-sorted shard batch: the build-time entry
+    cover (reach guarantee) ∪ evenly spaced positions (beam quality).
+    Tolerates a legacy index without the ``entry`` column — reach then
+    degrades to the evenly-spaced heuristic, never an error."""
+    seeds = set(_search_seeds(n))
+    if "entry" in pdf.columns:
+        col = pdf["entry"]
+        seeds.update(int(i) for i, e in enumerate(col) if e)
+    return sorted(seeds)
 
 
 def _beam_search(vecs, adj, entry, q, ef: int) -> list[tuple[float, int]]:
@@ -133,12 +174,15 @@ def _shard_builder(m: int, ef_construction: int):
         vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         adj = _build_shard(vecs, m, ef_construction)
         ids = pdf["vec_id"].to_numpy()
+        entry = np.zeros(len(ids), dtype=bool)
+        entry[_entry_cover(adj)] = True
         return pd.DataFrame(
             {
                 "shard": pdf["shard"],
                 "vec_id": ids,
                 "neighbors": [[int(ids[v]) for v in row] for row in adj],
                 "embedding": list(pdf["embedding"]),
+                "entry": entry,
             }
         )
 
@@ -170,6 +214,16 @@ def build_nsw_index(
     return sharded.groupBy("shard").applyInPandas(
         _shard_builder(m, ef_construction), GRAPH_SCHEMA
     )
+
+
+def _ensure_entry(index: DataFrame) -> DataFrame:
+    """Back-compat for an index persisted before the ``entry`` column
+    existed: add entry=false so delta unions line up. Search on such
+    rows falls back to the evenly-spaced seeds; the next (delta or
+    full) rebuild of a shard recomputes its real cover."""
+    if "entry" in index.columns:
+        return index
+    return index.withColumn("entry", F.lit(False))
 
 
 def _delete_ids(deletes: DataFrame | None, id_col: str) -> DataFrame | None:
@@ -210,6 +264,7 @@ def apply_delta(
     both ``deletes`` and the delta lands as the delta row (deletes
     apply to the pre-delta index). At warehouse scale this is a
     partition-overwrite of touched shards — O(delta), not O(corpus)."""
+    index = _ensure_entry(index)
     new_sharded = _with_shard(new_emb, n_shards, id_col, vec_col)
     new_ids = new_sharded.select("vec_id").distinct()
     del_ids = _delete_ids(deletes, id_col)
@@ -261,7 +316,7 @@ def nsw_knn(
         ids = pdf["vec_id"].to_numpy()
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[w] for w in row] for row in pdf["neighbors"]]
-        seeds = _search_seeds(len(vecs))
+        seeds = _batch_seeds(pdf, len(vecs))
         found = _beam_search(vecs, adj, seeds, np.asarray(qv), ef)
         rows = [(int(ids[v]), float(np.sqrt(d))) for d, v in found[:ef]]
         return pd.DataFrame(rows, columns=["vec_id", "score"])
@@ -517,6 +572,7 @@ def apply_delta_ivf(
     ``cell=`` directories: O(delta-touched cells), not O(corpus)."""
     # checkpoint: the assignment matmul feeds touched-cell discovery,
     # the upsert anti-join AND the rebuild source — don't run it thrice
+    index = _ensure_entry(index)
     new_assigned = _with_cell(new_emb, centroids, id_col, vec_col).localCheckpoint()
     new_ids = new_assigned.select("vec_id").distinct()
     del_ids = _delete_ids(deletes, id_col)
@@ -763,7 +819,7 @@ def nsw_knn_join(
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[w] for w in row] for row in idx_pdf["neighbors"]]
         ef = max(ef_search, k)
-        seeds = _search_seeds(len(vecs))
+        seeds = _batch_seeds(idx_pdf, len(vecs))
         out_q, out_v, out_s = [], [], []
         for qid, qv in zip(q_pdf[query_id_col], q_pdf["q"]):
             found = _beam_search(vecs, adj, seeds, np.asarray(qv), ef)

@@ -7828,12 +7828,14 @@ def q182_nsw_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n_cells=16 (finer than the 8 planted blobs): with 8 trained
     # cells, k-means can slice a SLIVER of one blob into a cell
-    # dominated by another; the sliver is too small to catch a beam
-    # seed (see hnsw._search_seeds) and its queries lose their true
-    # neighbors no matter how many cells are probed (measured at
-    # sf0.1: min recall 0.2 at probes=6/8 cells vs 1.0 at 4/16).
-    # Finer cells keep every blob region seed-reachable; probes=4 of
-    # 16 still exercises REAL pruning (a quarter of the index).
+    # dominated by another; before the build-time entry cover
+    # (hnsw._entry_cover) the sliver was too small to catch a beam
+    # seed and its queries lost their true neighbors no matter how
+    # many cells were probed (measured at sf0.1: min recall 0.2 at
+    # probes=6/8 cells vs 1.0 at 4/16). The cover now guarantees
+    # every graph island a seed (pinned in test_hnsw_ivf); 16 cells
+    # are kept so one cell ≈ one blob region — probes=4 of 16 still
+    # exercises REAL pruning (a quarter of the index).
     cents = train_cell_centroids(clustered, n_cells=16)
     index = build_nsw_index_ivf(clustered, cents, m=16)
     queries = clustered.filter(F.col("vec_id") % 25 == 0).select(

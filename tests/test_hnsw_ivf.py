@@ -397,3 +397,123 @@ def test_ivf_needs_retrain_policy(spark):
     needs, _ = ivf_needs_retrain(hot, engage_rows=10, max_skew=100.0,
                                  trained_cells=4)
     assert needs is True
+
+
+def _island_emb(spark, n_main=600, n_island=20, dim=8, dist=10.0):
+    """The directed-unreachable-island fixture (the reachability limit
+    formerly documented at hnsw._search_seeds): a far, tight island
+    inserted EARLY (ids right after the second evenly-spaced seed
+    position, avoiding every seed) links out to a few main-cluster
+    anchors; the hundreds of main nodes inserted after it overflow
+    those anchors past 2m and neighbor pruning drops the far island
+    backlinks — island→main edges survive, main→island edges die."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = n_main + n_island
+    stride = max(1, n // 16)
+    start = stride + 1
+    assert start + n_island <= 2 * stride  # island avoids every seed
+    vecs = np.empty((n, dim))
+    isl = set(range(start, start + n_island))
+    idx_main = [i for i in range(n) if i not in isl]
+    vecs[idx_main] = rng.normal(0.0, 1.0, (n_main, dim))
+    vecs[sorted(isl)] = rng.normal(dist, 0.05, (n_island, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return emb, sorted(isl), [float(dist)] * dim
+
+
+def _directed_reach(rows, seeds):
+    """Positions reachable from seed POSITIONS over the id-sorted
+    adjacency of one collected shard."""
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    pos = {int(r.vec_id): i for i, r in enumerate(rows)}
+    adj = [[pos[w] for w in r.neighbors] for r in rows]
+    seen = set(seeds)
+    stack = list(seeds)
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return seen, rows
+
+
+def test_entry_cover_restores_island_recall(spark):
+    """Build-time entry cover (hnsw._entry_cover): every node of every
+    shard must be reachable from the recorded seed set by construction.
+    Precondition pins that the fixture still severs the island in the
+    DIRECTED sense (evenly spaced seeds alone reach none of it) — if a
+    future build change reconnects it, this fails loudly instead of
+    the guarantee test passing vacuously."""
+    from memvid_spark.operators.hnsw import (
+        _search_seeds,
+        build_nsw_index,
+        nsw_knn,
+    )
+
+    emb, island_ids, q = _island_emb(spark)
+    index = build_nsw_index(emb, n_shards=1, m=8, ef_construction=100)
+    rows = index.collect()
+    n = len(rows)
+    got, srows = _directed_reach(rows, _search_seeds(n))
+    pos = {int(r.vec_id): i for i, r in enumerate(srows)}
+    assert all(pos[i] not in got for i in island_ids)  # precondition
+    # the cover marks an entry INSIDE the island...
+    entries = {int(r.vec_id) for r in rows if r.entry}
+    assert 0 in entries and entries & set(island_ids)
+    # ...and reaches everything
+    got_cov, _ = _directed_reach(rows, [pos[e] for e in sorted(entries)])
+    assert len(got_cov) == n
+    # island queries get their true neighbors back (recall was 0)
+    exact = {r.vec_id for r in knn(emb, q, k=10, metric="l2").collect()}
+    approx = {r.vec_id for r in nsw_knn(index, q, k=10).collect()}
+    assert approx == exact
+
+
+def test_entry_cover_batch_join_island(spark):
+    """The batch cogroup path seeds the same entry cover: an island
+    query through nsw_knn_join finds its true neighbors."""
+    from memvid_spark.operators.hnsw import build_nsw_index_ivf, nsw_knn_join
+    from memvid_spark.operators.knn import knn_join
+
+    emb, island_ids, q = _island_emb(spark)
+    # ONE explicit cell: the island must survive inside a mixed cell
+    # (the q182 sliver shape), not get rescued by its own cell
+    index = build_nsw_index_ivf(
+        emb, [[0.0] * 8], m=8, ef_construction=100
+    )
+    queries = spark.createDataFrame(
+        [(0, q)], "query_id long, query_vec array<double>"
+    )
+    batch = nsw_knn_join(index, [[0.0] * 8], queries, k=10, probes=1)
+    exact = {r.vec_id for r in knn(emb, q, k=10, metric="l2").collect()}
+    assert {r.vec_id for r in batch.collect()} == exact
+
+
+def test_legacy_index_without_entry_column(spark):
+    """An index persisted before the entry column existed still
+    searches (seeds fall back to evenly spaced) and still accepts
+    deltas (the union normalizes entry=false); the rebuilt shards of
+    the delta carry a real cover again."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf, nsw_knn
+
+    emb = _blob_emb(spark, n_blobs=2, per_blob=40)
+    C = train_cell_centroids(emb, n_cells=2, train_sample=1000)
+    legacy = build_nsw_index_ivf(emb, C, m=8, ef_construction=60).drop("entry")
+    q = [10.0, 0.3, 0.2, 0.1, 0.0, 0.1]
+    exact = {r.vec_id for r in knn(emb, q, k=5, metric="l2").collect()}
+    approx = {r.vec_id for r in nsw_knn(legacy, q, k=5).collect()}
+    assert len(approx & exact) / 5 >= 0.8
+    delta = spark.createDataFrame(
+        [(900, [10.0, 0.25, 0.2, 0.1, 0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    upgraded = apply_delta_ivf(legacy, delta, C, m=8, ef_construction=60)
+    assert "entry" in upgraded.columns
+    hits = {r.vec_id for r in nsw_knn(upgraded, q, k=5).collect()}
+    assert 900 in hits
