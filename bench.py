@@ -358,6 +358,7 @@ def main() -> None:
         "q156_budget_select", "q157_stratified_sample",
         "q158_lm_perplexity", "q161_quality_classifier",
         "q176_sketch_entries", "q177_sketch_candidates",
+        "q183_streaming_ann_maintenance",
     ):
         fn = qs[name]
         extras[name] = _timed_median(

@@ -7877,6 +7877,75 @@ def q182_nsw_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q183_streaming_ann_maintenance",
+    """
+    SELECT count(*)::bigint AS n_indexed,
+           true AS streamed_equals_rebuild
+    FROM embeddings
+    WHERE NOT (vec_id % 20 = 0 AND vec_id % 3 = 0)
+    """,
+    "streaming index maintenance invariant (streaming/annsink.py): the "
+    "vector corpus arrives as three CDC micro-batches (vec_id % 3), the "
+    "second carrying tombstones for some already-indexed ids, and each "
+    "batch routes through apply_delta_ivf (touched cells only — the "
+    "streaming extension of the reference's finalize-indexes-at-commit, "
+    "mutation.rs:913-918). The sweep-hashed row carries n_indexed = "
+    "rows in the maintained index (DuckDB replays the surviving-id "
+    "predicate exactly) and streamed_equals_rebuild = the maintained "
+    "graph equals ONE build over the surviving corpus row-for-row "
+    "(exceptAll both directions, neighbors + entry cover included) — "
+    "the exactly-once-by-determinism contract, checked in the sweep.",
+)
+def q183_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.hnsw import build_nsw_index_ivf, train_cell_centroids
+    from .streaming.annsink import StreamingAnnMaintainer
+
+    t = catalog.load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    cents = [
+        [float(x) for x in c]
+        for c in train_cell_centroids(emb, n_cells=8)
+    ]
+    mt = StreamingAnnMaintainer(
+        tempfile.mkdtemp(prefix="mv2_q183_"), cents, m=8, ef_construction=60
+    )
+    dead = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") % 3 == 0)
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == b).select(
+            "vec_id",
+            "embedding",
+            F.lit(False).alias("deleted"),
+            F.lit(b).cast("long").alias("seq"),
+        )
+        if b == 1:  # tombstone already-indexed ids mid-stream
+            batch = batch.unionByName(
+                emb.filter(dead)
+                .select(
+                    "vec_id",
+                    F.lit(None).cast("array<double>").alias("embedding"),
+                    F.lit(True).alias("deleted"),
+                    F.lit(b).cast("long").alias("seq"),
+                )
+            )
+        mt.apply_batch(batch, b)  # foreachBatch hands exactly this DataFrame
+    streamed = mt.index(spark)
+    truth = build_nsw_index_ivf(
+        emb.filter(~dead), cents, m=8, ef_construction=60
+    ).localCheckpoint()
+    cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
+    a, b_ = streamed.select(*cols), truth.select(*cols)
+    equal = (a.exceptAll(b_).count() == 0) and (b_.exceptAll(a).count() == 0)
+    return spark.range(1).select(
+        F.lit(streamed.count()).cast("long").alias("n_indexed"),
+        F.lit(bool(equal)).alias("streamed_equals_rebuild"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

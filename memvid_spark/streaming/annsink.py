@@ -1,0 +1,141 @@
+"""Streaming maintenance of the IVF-cell NSW serving index.
+
+The reference finalizes its vector index at commit time
+(finalize_indexes, src/memvid/mutation.rs:913-918) and rebuilds it
+from the TOC after vacuum (mutation.rs:2999-3084) — a batch lifecycle.
+A pipeline ingesting vectors continuously wants the same index kept
+fresh WITHOUT a per-commit full rebuild: this sink consumes a CDC-ish
+stream of vector upserts/tombstones and routes every micro-batch
+through ``apply_delta_ivf`` (operators/hnsw.py), so each trigger
+rebuilds only the cells the batch touches and the persisted
+``partitionBy("cell")`` layout keeps serving planning-time-pruned
+searches between triggers.
+
+Exactly-once falls out of determinism, not a manifest: delta-apply is
+a pure function of (surviving old rows ∪ batch) per touched cell, so a
+replayed micro-batch rebuilds the same cells to the identical graph —
+re-delivery after a failure is a no-op in effect (pinned row-for-row
+in tests/test_streaming_ann.py). The swap itself is tmp+rename, the
+same crash-safe pattern as the facade's save().
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.hnsw import CELL_GRAPH_SCHEMA, apply_delta_ivf, ivf_needs_retrain
+
+# the CDC row contract: an upsert carries the new embedding; a
+# tombstone sets deleted=true (embedding ignored); ``seq`` orders
+# multiple states of one vec_id WITHIN a micro-batch (commit sequence /
+# event time — any monotonic long). Absent columns default: deleted
+# false, seq 0.
+ANN_CDC_SCHEMA = "vec_id long, embedding array<double>, deleted boolean, seq long"
+
+
+class StreamingAnnMaintainer:
+    """foreachBatch sink keeping a persisted IVF-NSW index current.
+
+    The coarse centroid model is immutable between retrains (the same
+    contract as ``apply_delta_ivf``); ``drift()`` exposes the
+    ``ivf_needs_retrain`` policy so a supervisor can schedule a retrain
+    + full rebuild when occupancy skew crosses the bound.
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        centroids,
+        m: int = 16,
+        ef_construction: int = 100,
+        max_shard_rows: int = 25000,
+    ):
+        self.store_dir = store_dir
+        os.makedirs(store_dir, exist_ok=True)
+        self.centroids = [[float(x) for x in c] for c in centroids]
+        self.m = m
+        self.ef_construction = ef_construction
+        self.max_shard_rows = max_shard_rows
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.store_dir, "ann_index.parquet")
+
+    def index(self, spark: SparkSession) -> DataFrame:
+        """The persisted serving index (empty graph before the first
+        batch) — read fresh each call so a swapped write is visible."""
+        if not os.path.exists(self.index_path):
+            return spark.createDataFrame([], CELL_GRAPH_SCHEMA)
+        spark.catalog.refreshByPath(self.index_path)
+        return spark.read.parquet(self.index_path)
+
+    @staticmethod
+    def _last_state(batch_df: DataFrame) -> DataFrame:
+        """Collapse a micro-batch to one row per vec_id: highest seq
+        wins; at equal seq a tombstone beats an upsert (delete-wins tie
+        rule — the conservative read for a dedup/index consumer). The
+        reduce is a map-side-combinable max_by, never a window sort."""
+        cols = batch_df.columns
+        if "deleted" not in cols:
+            batch_df = batch_df.withColumn("deleted", F.lit(False))
+        if "seq" not in cols:
+            batch_df = batch_df.withColumn("seq", F.lit(0).cast("long"))
+        batch_df = batch_df.withColumn(
+            "deleted", F.coalesce(F.col("deleted"), F.lit(False))
+        ).withColumn("seq", F.coalesce(F.col("seq"), F.lit(0).cast("long")))
+        return (
+            batch_df.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("deleted", "embedding"),
+                    F.struct(
+                        F.col("seq"), F.col("deleted").cast("int")
+                    ),
+                ).alias("s")
+            )
+            .select("vec_id", "s.deleted", "s.embedding")
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One trigger: collapse to last-state, split upserts from
+        tombstones, delta-apply (touched cells only), tmp+swap the
+        parquet so a crash mid-write never leaves a half index."""
+        import shutil
+
+        spark = batch_df.sparkSession
+        last = self._last_state(batch_df).localCheckpoint()
+        ups = last.filter(~F.col("deleted")).select("vec_id", "embedding")
+        dels = last.filter(F.col("deleted")).select("vec_id")
+        new_index = apply_delta_ivf(
+            self.index(spark),
+            ups,
+            self.centroids,
+            m=self.m,
+            ef_construction=self.ef_construction,
+            max_shard_rows=self.max_shard_rows,
+            deletes=dels,
+        )
+        tmp = self.index_path + ".tmp"
+        # the tmp write materializes the delta while the old files are
+        # still intact (the plan reads them); only then swap
+        new_index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        if os.path.exists(self.index_path):
+            shutil.rmtree(self.index_path)
+        os.replace(tmp, self.index_path)
+        spark.catalog.refreshByPath(self.index_path)
+
+    def drift(self, spark: SparkSession) -> tuple[bool, dict]:
+        """The centroid-drift retrain policy over the live index."""
+        return ivf_needs_retrain(
+            self.index(spark), trained_cells=len(self.centroids)
+        )
+
+    def run(self, cdc_stream: DataFrame) -> None:
+        """Drive a bounded CDC stream to completion (test harness; a
+        real deployment starts the query with a checkpointLocation and
+        leaves it running — replays are no-ops by determinism)."""
+        q = cdc_stream.writeStream.foreachBatch(self.apply_batch).start()
+        q.processAllAvailable()
+        q.stop()

@@ -1,0 +1,153 @@
+"""Streaming IVF-NSW index maintenance (streaming/annsink.py): a CDC
+stream of vector upserts/tombstones keeps the persisted serving index
+equal to a full rebuild over the surviving corpus — the streaming
+extension of the reference's finalize-indexes-at-commit lifecycle
+(mutation.rs:913-918) with the apply_delta_ivf idempotence contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from memvid_spark.operators.hnsw import (
+    build_nsw_index_ivf,
+    nsw_knn,
+    train_cell_centroids,
+)
+from memvid_spark.streaming.annsink import ANN_CDC_SCHEMA, StreamingAnnMaintainer
+
+
+def _vecs(spark, ids, shift=0.0, dim=6):
+    # jitter period 53 is coprime to the dim-6 axis cycle, so every id
+    # under lcm(6,53)=318 gets a UNIQUE vector (coincident points make
+    # the NSW graph a zero-distance cloud and break k=1 assertions)
+    rows = []
+    for i in ids:
+        v = [0.0] * dim
+        v[i % dim] = 10.0 + shift
+        for d in range(dim):
+            v[d] += ((i * (d + 3)) % 53) * 0.01
+        rows.append((i, v))
+    return rows
+
+
+def _graph_rows(df):
+    return sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+
+
+def _cents(spark, rows):
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return [
+        [float(x) for x in c]
+        for c in train_cell_centroids(emb, n_cells=3, train_sample=1000)
+    ]
+
+
+def test_streaming_batches_equal_full_rebuild(spark, tmp_path):
+    """Three micro-batches (insert, insert+tombstone, upsert-move) land
+    the persisted index EXACTLY where one build over the surviving
+    corpus lands — row-for-row, entry cover included."""
+    all_rows = _vecs(spark, range(90))
+    cents = _cents(spark, all_rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+
+    def cdc(rows, deleted=(), seq=0):
+        data = [(i, v, False, seq) for i, v in rows]
+        data += [(i, None, True, seq) for i in deleted]
+        return spark.createDataFrame(data, ANN_CDC_SCHEMA)
+
+    mt.apply_batch(cdc(all_rows[:40]), 0)
+    mt.apply_batch(cdc(all_rows[40:80], deleted=[3, 17], seq=1), 1)
+    # batch 2: move vec 5 to a different region (upsert across cells)
+    moved = _vecs(spark, [5], shift=4.0)
+    mt.apply_batch(cdc(all_rows[80:] + moved, seq=2), 2)
+
+    surviving = {i: v for i, v in all_rows if i not in (3, 17)}
+    surviving[5] = moved[0][1]
+    truth_emb = spark.createDataFrame(
+        sorted(surviving.items()), "vec_id long, embedding array<double>"
+    )
+    truth = build_nsw_index_ivf(truth_emb, cents, m=8, ef_construction=60)
+    assert _graph_rows(mt.index(spark)) == _graph_rows(truth)
+
+
+def test_streaming_replay_is_noop(spark, tmp_path):
+    """Re-delivering a micro-batch (foreachBatch's failure semantics)
+    leaves the index byte-identical — exactly-once by determinism."""
+    rows = _vecs(spark, range(50))
+    cents = _cents(spark, rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    b0 = spark.createDataFrame(
+        [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+    )
+    mt.apply_batch(b0, 0)
+    before = _graph_rows(mt.index(spark))
+    mt.apply_batch(b0, 0)  # replay
+    assert _graph_rows(mt.index(spark)) == before
+
+
+def test_last_state_wins_within_batch(spark, tmp_path):
+    """One micro-batch carrying several states of one vec_id collapses
+    to the highest seq; at equal seq the tombstone wins."""
+    rows = _vecs(spark, range(30))
+    cents = _cents(spark, rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    seed = spark.createDataFrame(
+        [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+    )
+    mt.apply_batch(seed, 0)
+    v_old = rows[7][1]
+    v_new = _vecs(spark, [7], shift=4.0)[0][1]
+    mixed = spark.createDataFrame(
+        [
+            (7, v_old, False, 1),
+            (7, v_new, False, 2),   # highest seq: this upsert wins
+            (9, rows[9][1], False, 1),
+            (9, None, True, 1),     # equal seq: tombstone wins
+        ],
+        ANN_CDC_SCHEMA,
+    )
+    mt.apply_batch(mixed, 1)
+    idx = mt.index(spark)
+    got7 = [
+        list(r.embedding)
+        for r in idx.filter(F.col("vec_id") == 7).collect()
+    ]
+    assert got7 == [v_new]
+    assert idx.filter(F.col("vec_id") == 9).count() == 0
+
+
+def test_readstream_foreachbatch_wiring(spark, tmp_path):
+    """The real Structured Streaming path: a file-source CDC stream
+    drives foreachBatch (one file per trigger), and the maintained
+    index serves correct neighbors for a late-arriving vector."""
+    src = tmp_path / "cdc"
+    src.mkdir()
+    rows = _vecs(spark, range(60))
+    cents = _cents(spark, rows)
+    spark.createDataFrame(
+        [(i, v, False, 0) for i, v in rows[:50]], ANN_CDC_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(i, v, False, 1) for i, v in rows[50:]], ANN_CDC_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(ANN_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    mt.run(stream)
+    idx = mt.index(spark)
+    assert idx.select("vec_id").distinct().count() == 60
+    # a vector from the second trigger is findable
+    q = rows[55][1]
+    hits = {r.vec_id for r in nsw_knn(idx, q, k=1).collect()}
+    assert hits == {55}
+    needs, stats = mt.drift(spark)
+    assert stats["n_rows"] == 60 and needs is False
