@@ -157,9 +157,11 @@ def seed_assign_scaled(
        into ~``group_rows``-row slices so per-task memory is bounded
        (seed block sqrt(k)·d + one row slice) — the seed block is
        replicated per sub-slice, but at sqrt(k)·d bytes it is ~3% of
-       the row traffic it rides along with. A group hotter than the
-       mean still concentrates proportionally more rows per task; cap
-       pathological skew upstream (semdedup's max_cluster guard).
+       the row traffic it rides along with. Slices are sized PER
+       GROUP from a sampled probe estimate, so a super-group hotter
+       than the mean gets proportionally more slices instead of
+       proportionally fatter tasks (zipfy cluster mass is the norm at
+       corpus scale, not the exception).
     6. One window per id picks the best probed candidate (max cosine,
        ties to the lowest seed id — the exact path's rule).
 
@@ -270,16 +272,66 @@ def seed_assign_scaled(
     probed = base.mapInPandas(
         probe, f"{id_col} long, v array<double>, grp int"
     )
-    # (5) bound per-task rows: hash-split each group's row side into
-    # ~group_rows slices; the group's seed block replicates per slice
+    # (5) bound per-task rows: hash-split each group's ROW side into
+    # ~group_rows slices; the group's seed block replicates per slice.
+    # The split is PER GROUP, not global: probe mass follows the data's
+    # cluster structure (zipfy at corpus scale), and a uniform split
+    # sized to the MEAN would hand a hot super-group tasks proportional
+    # to its heat — the one remaining per-task memory bind. Group row
+    # mass is estimated from a deterministic ~65k-row hash sample run
+    # through the same probe kernel (order-independent, one short job);
+    # like every hash split here the cap holds in expectation — hash
+    # balance and sampling noise add slack, never a structural blowup.
+    # Corpora small enough that the mean split already bounds every
+    # task (n·p ≤ 4·group_rows) skip the sampling job entirely.
     n = n_hint if n_hint is not None else emb.count()
-    n_sub = max(1, int(math.ceil((n * p / s) / max(1, group_rows))))
-    probed = probed.withColumn(
-        "sub", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast("int")
-    )
-    seeds_rep = seeds_g.withColumn(
-        "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
-    )
+    if n * p <= 4 * max(1, group_rows):
+        n_sub = max(1, int(math.ceil((n * p / s) / max(1, group_rows))))
+        probed = probed.withColumn(
+            "sub", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).cast("int")
+        )
+        seeds_rep = seeds_g.withColumn(
+            "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+        )
+    else:
+        srate = max(1, n // 65536)
+        samp = base if srate == 1 else base.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(9173)), F.lit(srate)) == 0
+        )
+        cnts = (
+            samp.mapInPandas(probe, f"{id_col} long, v array<double>, grp int")
+            .groupBy("grp")
+            .agg(F.count("*").alias("c"))
+            .collect()  # ≤ s = sqrt(k) rows
+        )
+        subs = {
+            int(r["grp"]): max(
+                1, int(math.ceil(r["c"] * srate / max(1, group_rows)))
+            )
+            for r in cnts
+        }
+        subs_df = emb.sparkSession.createDataFrame(
+            sorted(subs.items()) or [(0, 1)], "grp int, subs int"
+        )
+        # a group the sample missed is tiny: one slice (coalesce 1)
+        probed = (
+            probed.join(F.broadcast(subs_df), "grp", "left")
+            .withColumn("subs", F.coalesce("subs", F.lit(1)))
+            .withColumn(
+                "sub",
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("subs")).cast("int"),
+            )
+            .drop("subs")
+        )
+        seeds_rep = (
+            seeds_g.join(F.broadcast(subs_df), "grp", "left")
+            .withColumn("subs", F.coalesce("subs", F.lit(1)))
+            .withColumn(
+                "sub",
+                F.explode(F.sequence(F.lit(0), F.col("subs") - 1)),
+            )
+            .drop("subs")
+        )
 
     def assign_group(row_pdf, seed_pdf):
         if len(row_pdf) == 0 or len(seed_pdf) == 0:

@@ -301,3 +301,34 @@ def test_seed_assign_scaled_covers_every_row(spark):
     assert len(out) == 152
     got = {r.vec_id: r.cluster for r in out}
     assert got[500] == 0 and got[501] == 0
+
+
+def test_seed_assign_scaled_per_group_split_under_skew(spark):
+    """Zipfy probe mass: ~90% of rows hug ONE super-seed's region. The
+    per-group sub-split (sampled probe estimate) must keep the hot
+    group's tasks bounded as an execution shape WITHOUT changing the
+    assignment: the skewed corpus with a tiny group_rows reproduces the
+    unsplit run row-for-row, and fully probed reproduces the exact
+    path — the semantics pin for the split-sizing rework."""
+    rows = [
+        (i, [10.0 + ((i * 7) % 5) * 0.01, ((i * 11) % 9) * 0.01, 1.0])
+        for i in range(360)
+    ]
+    rows += [
+        (400 + i, [-(float(i % 4)) - 1.0, float(i % 7), -2.0])
+        for i in range(40)
+    ]
+    emb = _emb_d(spark, rows)
+    k = 80
+    for probes in (2, 10**6):
+        a = {r.vec_id: r.cluster
+             for r in sd.seed_assign_scaled(emb, k=k, probes=probes).collect()}
+        b = {r.vec_id: r.cluster
+             for r in sd.seed_assign_scaled(
+                 emb, k=k, probes=probes, group_rows=8).collect()}
+        assert a == b, f"per-group split changed assignment at probes={probes}"
+    exact = {r.vec_id: r.cluster for r in sd.seed_assign(emb, k=k).collect()}
+    full = {r.vec_id: r.cluster
+            for r in sd.seed_assign_scaled(
+                emb, k=k, probes=10**6, group_rows=8).collect()}
+    assert full == exact
