@@ -51,6 +51,9 @@ class StreamingAnnMaintainer:
         m: int = 16,
         ef_construction: int = 100,
         max_shard_rows: int = 25000,
+        auto_retrain: bool = False,
+        engage_rows: int = 1000,
+        max_skew: float = 4.0,
     ):
         self.store_dir = store_dir
         os.makedirs(store_dir, exist_ok=True)
@@ -58,6 +61,9 @@ class StreamingAnnMaintainer:
         self.m = m
         self.ef_construction = ef_construction
         self.max_shard_rows = max_shard_rows
+        self.auto_retrain = auto_retrain
+        self.engage_rows = engage_rows
+        self.max_skew = max_skew
 
     @property
     def index_path(self) -> str:
@@ -98,12 +104,24 @@ class StreamingAnnMaintainer:
             .select("vec_id", "s.deleted", "s.embedding")
         )
 
+    def _swap(self, spark: SparkSession, new_index: DataFrame) -> None:
+        import shutil
+
+        tmp = self.index_path + ".tmp"
+        # the tmp write materializes the new graph while the old files
+        # are still intact (the plan reads them); only then swap
+        new_index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        if os.path.exists(self.index_path):
+            shutil.rmtree(self.index_path)
+        os.replace(tmp, self.index_path)
+        spark.catalog.refreshByPath(self.index_path)
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One trigger: collapse to last-state, split upserts from
         tombstones, delta-apply (touched cells only), tmp+swap the
-        parquet so a crash mid-write never leaves a half index."""
-        import shutil
-
+        parquet so a crash mid-write never leaves a half index. With
+        ``auto_retrain`` the drift policy runs after the swap and a
+        crossed bound retrains + rebuilds in the same trigger."""
         spark = batch_df.sparkSession
         last = self._last_state(batch_df).localCheckpoint()
         ups = last.filter(~F.col("deleted")).select("vec_id", "embedding")
@@ -117,19 +135,41 @@ class StreamingAnnMaintainer:
             max_shard_rows=self.max_shard_rows,
             deletes=dels,
         )
-        tmp = self.index_path + ".tmp"
-        # the tmp write materializes the delta while the old files are
-        # still intact (the plan reads them); only then swap
-        new_index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        if os.path.exists(self.index_path):
-            shutil.rmtree(self.index_path)
-        os.replace(tmp, self.index_path)
-        spark.catalog.refreshByPath(self.index_path)
+        self._swap(spark, new_index)
+        if self.auto_retrain and self.drift(spark)[0]:
+            self.retrain(spark)
 
     def drift(self, spark: SparkSession) -> tuple[bool, dict]:
         """The centroid-drift retrain policy over the live index."""
         return ivf_needs_retrain(
-            self.index(spark), trained_cells=len(self.centroids)
+            self.index(spark),
+            engage_rows=self.engage_rows,
+            max_skew=self.max_skew,
+            trained_cells=len(self.centroids),
+        )
+
+    def retrain(self, spark: SparkSession) -> None:
+        """Retrain the coarse model on the CURRENT indexed vectors and
+        rebuild — the reference's rebuild-from-scratch past its engage
+        threshold (src/vec.rs:22-23) as a streaming-lifecycle policy.
+        The index itself holds the surviving corpus, so no side channel
+        to the ingest source is needed."""
+        from ..operators.hnsw import build_nsw_index_ivf, train_cell_centroids
+
+        emb = self.index(spark).select("vec_id", "embedding").localCheckpoint()
+        self.centroids = [
+            [float(x) for x in c]
+            for c in train_cell_centroids(emb, n_cells=len(self.centroids))
+        ]
+        self._swap(
+            spark,
+            build_nsw_index_ivf(
+                emb,
+                self.centroids,
+                m=self.m,
+                ef_construction=self.ef_construction,
+                max_shard_rows=self.max_shard_rows,
+            ),
         )
 
     def run(self, cdc_stream: DataFrame) -> None:

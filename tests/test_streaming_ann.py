@@ -151,3 +151,41 @@ def test_readstream_foreachbatch_wiring(spark, tmp_path):
     assert hits == {55}
     needs, stats = mt.drift(spark)
     assert stats["n_rows"] == 60 and needs is False
+
+
+def test_auto_retrain_on_drift(spark, tmp_path):
+    """auto_retrain: a batch piling inserts into ONE region pushes
+    occupancy skew past the bound; the same trigger retrains the coarse
+    model on the indexed vectors and rebuilds, and the rebuilt cells
+    match the fresh data (drift cleared, searches stay correct)."""
+    base = _vecs(spark, range(24))
+    cents = _cents(spark, base)
+    mt = StreamingAnnMaintainer(
+        str(tmp_path / "ann"), cents, m=8, ef_construction=60,
+        auto_retrain=True, engage_rows=10, max_skew=1.8,
+    )
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in base], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    before = [list(c) for c in mt.centroids]
+    # hot batch: 60 vectors crammed into one tight far region
+    hot = [
+        (100 + i, [50.0 + (i % 5) * 0.01, 50.0 + ((i * 3) % 7) * 0.01,
+                   0.1 * (i % 4), 0.0, 0.0, 0.0])
+        for i in range(60)
+    ]
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 1) for i, v in hot], ANN_CDC_SCHEMA
+        ),
+        1,
+    )
+    assert [list(c) for c in mt.centroids] != before  # retrained
+    needs, stats = mt.drift(spark)
+    assert stats["n_rows"] == 84 and needs is False  # skew resolved
+    idx = mt.index(spark)
+    hits = {r.vec_id for r in nsw_knn(idx, hot[0][1], k=1).collect()}
+    assert hits == {100}
