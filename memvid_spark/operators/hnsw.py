@@ -569,7 +569,56 @@ def apply_delta_ivf(
     graph nodes would silently corrupt the id→position map in search);
     an id in both ``deletes`` and the delta lands as the delta row.
     At warehouse scale this is a partition overwrite of the touched
-    ``cell=`` directories: O(delta-touched cells), not O(corpus)."""
+    ``cell=`` directories: O(delta-touched cells), not O(corpus) —
+    ``apply_delta_ivf_parts`` exposes exactly the pieces such a sink
+    writes (streaming/annsink.py is one)."""
+    keep, rebuilt, _ = _delta_ivf_parts(
+        index, new_emb, centroids, m, ef_construction, id_col, vec_col,
+        max_shard_rows, stride, deletes,
+    )
+    return keep.unionByName(rebuilt)
+
+
+def apply_delta_ivf_parts(
+    index: DataFrame,
+    new_emb: DataFrame,
+    centroids,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_shard_rows: int = 25000,
+    stride: int = 1024,
+    deletes: DataFrame | None = None,
+) -> tuple[DataFrame, list[int]]:
+    """``apply_delta_ivf`` decomposed for partition-overwrite sinks:
+    returns (rebuilt rows of the touched cells, touched cell ids).
+    A sink holding the index ``partitionBy("cell")`` writes ONLY the
+    rebuilt rows with dynamic partition overwrite and clears the
+    directories of touched cells the rebuild drained — O(touched
+    cells) I/O per delta instead of rewriting the corpus. The touched
+    list is n_cells-bounded (collected from a tiny checkpointed set)."""
+    _, rebuilt, touched = _delta_ivf_parts(
+        index, new_emb, centroids, m, ef_construction, id_col, vec_col,
+        max_shard_rows, stride, deletes,
+    )
+    return rebuilt, sorted(int(r["cell"]) for r in touched.collect())
+
+
+def _delta_ivf_parts(
+    index: DataFrame,
+    new_emb: DataFrame,
+    centroids,
+    m: int,
+    ef_construction: int,
+    id_col: str,
+    vec_col: str,
+    max_shard_rows: int,
+    stride: int,
+    deletes: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(keep = untouched cells, rebuilt = touched cells rebuilt,
+    touched = the tiny cell-id set) — see ``apply_delta_ivf``."""
     # checkpoint: the assignment matmul feeds touched-cell discovery,
     # the upsert anti-join AND the rebuild source — don't run it thrice
     index = _ensure_entry(index)
@@ -601,7 +650,7 @@ def apply_delta_ivf(
     rebuilt = _build_cells(
         rebuild_src, m, ef_construction, max_shard_rows, stride
     )
-    return keep.unionByName(rebuilt)
+    return keep, rebuilt, touched
 
 
 def ivf_cell_stats(index: DataFrame) -> DataFrame:

@@ -118,24 +118,70 @@ class StreamingAnnMaintainer:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One trigger: collapse to last-state, split upserts from
-        tombstones, delta-apply (touched cells only), tmp+swap the
-        parquet so a crash mid-write never leaves a half index. With
-        ``auto_retrain`` the drift policy runs after the swap and a
-        crossed bound retrains + rebuilds in the same trigger."""
+        tombstones, delta-apply, and write ONLY the touched ``cell=``
+        partitions (dynamic partition overwrite) — per-trigger I/O is
+        O(touched cells), never a corpus rewrite. Touched cells the
+        rebuild drained empty have their directories cleared (dynamic
+        overwrite skips partitions with zero output rows). Crash
+        recovery is batch replay: foreachBatch re-delivers an
+        uncommitted batch, the replay recomputes the same touched set
+        (stale rows of a half-cleaned cell re-enter it via their still-
+        present ids) and rewrites/clears the same partitions — the
+        delta's determinism makes the heal exact. Only the FIRST batch
+        (no index on disk yet) writes the full layout via tmp+swap.
+        With ``auto_retrain`` the drift policy runs after the write and
+        a crossed bound retrains + rebuilds in the same trigger."""
+        import shutil
+
+        from ..operators.hnsw import apply_delta_ivf_parts
+
         spark = batch_df.sparkSession
         last = self._last_state(batch_df).localCheckpoint()
         ups = last.filter(~F.col("deleted")).select("vec_id", "embedding")
         dels = last.filter(F.col("deleted")).select("vec_id")
-        new_index = apply_delta_ivf(
-            self.index(spark),
-            ups,
-            self.centroids,
-            m=self.m,
-            ef_construction=self.ef_construction,
-            max_shard_rows=self.max_shard_rows,
-            deletes=dels,
-        )
-        self._swap(spark, new_index)
+        if not os.path.exists(self.index_path):
+            self._swap(
+                spark,
+                apply_delta_ivf(
+                    self.index(spark),
+                    ups,
+                    self.centroids,
+                    m=self.m,
+                    ef_construction=self.ef_construction,
+                    max_shard_rows=self.max_shard_rows,
+                    deletes=dels,
+                ),
+            )
+        else:
+            rebuilt, touched = apply_delta_ivf_parts(
+                self.index(spark),
+                ups,
+                self.centroids,
+                m=self.m,
+                ef_construction=self.ef_construction,
+                max_shard_rows=self.max_shard_rows,
+                deletes=dels,
+            )
+            if touched:
+                # pin the rebuilt rows once: the distinct-cells probe
+                # and the write must not recompute the build kernel
+                rebuilt = rebuilt.localCheckpoint()
+                built = {
+                    int(r["cell"])
+                    for r in rebuilt.select("cell").distinct().collect()
+                }
+                (
+                    rebuilt.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("cell")
+                    .parquet(self.index_path)
+                )
+                for c in touched:
+                    if c not in built:  # drained: no rows overwrote it
+                        d = os.path.join(self.index_path, f"cell={c}")
+                        if os.path.exists(d):
+                            shutil.rmtree(d)
+                spark.catalog.refreshByPath(self.index_path)
         if self.auto_retrain and self.drift(spark)[0]:
             self.retrain(spark)
 

@@ -189,3 +189,55 @@ def test_auto_retrain_on_drift(spark, tmp_path):
     idx = mt.index(spark)
     hits = {r.vec_id for r in nsw_knn(idx, hot[0][1], k=1).collect()}
     assert hits == {100}
+
+
+def test_partition_overwrite_clears_drained_cell(spark, tmp_path):
+    """Per-trigger I/O is partition-level: a batch tombstoning EVERY
+    row of one cell must clear that cell's directory (dynamic overwrite
+    writes zero rows for it), leave untouched cells' files alone, and
+    still equal a full rebuild over the survivors."""
+    import os
+
+    rows = _vecs(spark, range(60))
+    cents = _cents(spark, rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    idx0 = mt.index(spark)
+    by_cell = {
+        int(r["cell"]): [int(x) for x in r["ids"]]
+        for r in idx0.groupBy("cell")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    }
+    victim = min(by_cell)  # drain this cell entirely
+    victim_dir = os.path.join(mt.index_path, f"cell={victim}")
+    other = max(by_cell)
+    other_mtime = max(
+        os.path.getmtime(os.path.join(mt.index_path, f"cell={other}", f))
+        for f in os.listdir(os.path.join(mt.index_path, f"cell={other}"))
+    )
+    assert os.path.exists(victim_dir)
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, None, True, 1) for i in by_cell[victim]], ANN_CDC_SCHEMA
+        ),
+        1,
+    )
+    assert not os.path.exists(victim_dir)  # drained dir cleared
+    # untouched cell's files were not rewritten (partition-level I/O)
+    assert max(
+        os.path.getmtime(os.path.join(mt.index_path, f"cell={other}", f))
+        for f in os.listdir(os.path.join(mt.index_path, f"cell={other}"))
+    ) == other_mtime
+    surviving = [(i, v) for i, v in rows if i not in set(by_cell[victim])]
+    truth_emb = spark.createDataFrame(
+        surviving, "vec_id long, embedding array<double>"
+    )
+    truth = build_nsw_index_ivf(truth_emb, cents, m=8, ef_construction=60)
+    assert _graph_rows(mt.index(spark)) == _graph_rows(truth)
