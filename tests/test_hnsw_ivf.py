@@ -517,3 +517,90 @@ def test_legacy_index_without_entry_column(spark):
     assert "entry" in upgraded.columns
     hits = {r.vec_id for r in nsw_knn(upgraded, q, k=5).collect()}
     assert 900 in hits
+
+
+def test_sub_granular_delta_rebuilds_only_changed_subs(spark):
+    """A delta that keeps a cell's sub-shard count unchanged rebuilds
+    ONLY the sub-shards holding changed ids. Pinned structurally with a
+    poison: corrupt one row's neighbors in an untouched sub — the
+    eligible delta must pass the poison through bit-exact (that sub was
+    not rebuilt), while the changed sub equals a full rebuild. A delta
+    that CROSSES the sub-count boundary falls back to the whole-cell
+    rebuild and heals the poison."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf, build_nsw_index_ivf
+
+    rows = []
+    for i in range(150):
+        v = [0.0] * 6
+        v[i % 6] = 10.0
+        for d in range(6):
+            v[d] += ((i * (d + 3)) % 53) * 0.01
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = [[0.0] * 6]  # one explicit cell; msr=30 -> 5 sub-shards
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60,
+                                max_shard_rows=30).localCheckpoint()
+    shards = sorted({r.shard for r in index.select("shard").distinct().collect()})
+    assert len(shards) == 5
+    by_shard = {
+        s: sorted(
+            r.vec_id for r in index.filter(F.col("shard") == s).collect()
+        )
+        for s in shards
+    }
+    up_id = by_shard[shards[0]][0]       # upsert this id (sub A changes)
+    poison_id = by_shard[shards[1]][0]   # corrupt this row (sub B untouched)
+    poisoned = index.withColumn(
+        "neighbors",
+        F.when(
+            F.col("vec_id") == poison_id,
+            F.array().cast("array<bigint>"),
+        ).otherwise(F.col("neighbors")),
+    ).localCheckpoint()
+    new_v = [x + 0.005 for x in dict(rows)[up_id]]
+    delta = spark.createDataFrame(
+        [(up_id, new_v)], "vec_id long, embedding array<double>"
+    )
+    out = apply_delta_ivf(poisoned, delta, C, m=8, ef_construction=60,
+                          max_shard_rows=30).localCheckpoint()
+    # untouched sub passed through bit-exact, poison included
+    got_b = sorted(
+        (r.vec_id, tuple(r.neighbors))
+        for r in out.filter(F.col("shard") == shards[1]).collect()
+    )
+    want_b = sorted(
+        (r.vec_id, tuple(r.neighbors))
+        for r in poisoned.filter(F.col("shard") == shards[1]).collect()
+    )
+    assert got_b == want_b
+    assert (poison_id, ()) in got_b
+    # changed sub equals a full rebuild over the post-delta corpus
+    emb2 = spark.createDataFrame(
+        [(i, new_v if i == up_id else v) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    truth = build_nsw_index_ivf(emb2, C, m=8, ef_construction=60,
+                                max_shard_rows=30)
+    for s in (shards[0],):
+        got = sorted(
+            (r.vec_id, tuple(r.neighbors), bool(r.entry))
+            for r in out.filter(F.col("shard") == s).collect()
+        )
+        want = sorted(
+            (r.vec_id, tuple(r.neighbors), bool(r.entry))
+            for r in truth.filter(F.col("shard") == s).collect()
+        )
+        assert got == want
+    # boundary-crossing delta (150 -> 181 rows, 5 -> 7 subs): whole-cell
+    # rebuild, poison healed
+    grow = spark.createDataFrame(
+        [(1000 + i, [((i * 7 + d) % 13) * 0.7 for d in range(6)])
+         for i in range(31)],
+        "vec_id long, embedding array<double>",
+    )
+    healed = apply_delta_ivf(poisoned, grow, C, m=8, ef_construction=60,
+                             max_shard_rows=30)
+    bad = healed.filter(
+        (F.col("vec_id") == poison_id) & (F.size("neighbors") == 0)
+    ).count()
+    assert bad == 0
