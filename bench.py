@@ -265,6 +265,30 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
         extras, f"{prefix}:hnsw_query_pruned", query_pruned, spark, data_dir
     )
 
+    # incremental maintenance (round 8): a 10-row upsert against the
+    # persisted IVF graph via sub-shard-granular delta-apply — the
+    # per-commit cost of keeping the serving index fresh. Times what a
+    # partition-overwrite sink pays: the parts() rebuilt side (cell-
+    # complete touched cells — only changed sub-shards re-kernel), NOT
+    # keep ∪ rebuilt, whose noop write would add a full passthrough
+    # scan of the untouched index. The cache itself is not disturbed.
+    from memvid_spark.operators.hnsw import apply_delta_ivf_parts
+
+    def delta(spark, d):
+        dim = len(qvec)
+        rows = [
+            (900_000_000 + i, [float((i * 7 + j) % 13) for j in range(dim)])
+            for i in range(10)
+        ]
+        dd = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return apply_delta_ivf_parts(
+            spark.read.parquet(ivf_path), dd, cents
+        )[0]
+
+    _timed_probe(extras, f"{prefix}:hnsw_delta", delta, spark, data_dir)
+
 
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
