@@ -1492,12 +1492,13 @@ class MemvidSpark:
 
     def build_ann_serving(
         self,
-        n_cells: int = 32,
+        n_cells: int | None = None,
         m: int = 16,
         ef_construction: int = 100,
         ef_search: int = 50,
         probes: int = 4,
         max_shard_rows: int = 25000,
+        target_cell_rows: int = 25000,
     ) -> None:
         """Build (or retrain) the IVF-cell NSW serving tier over the
         ACTIVE vector track: coarse centroids from a bounded seeded
@@ -1510,14 +1511,29 @@ class MemvidSpark:
         active corpus). Incremental maintenance: later
         :meth:`add_embeddings` / :meth:`delete` route through
         :meth:`refresh_ann_index` (delta == rebuild, pinned in
-        operators/hnsw.py tests) instead of a full rebuild."""
+        operators/hnsw.py tests) instead of a full rebuild.
+
+        ``n_cells=None`` (the default) sizes the cell count FROM THE
+        CORPUS: auto_n_cells(n_rows, target_cell_rows) — a fixed cell
+        count means mean cell size grows O(corpus) and per-query probed
+        CPU / per-delta rebuild wall grow with it; corpus-sized cells
+        keep both constant as data grows, and drift retrains RE-size
+        (refresh_ann_index). Pass an explicit n_cells to pin it (the
+        pinned count then survives retrains — the legacy posture)."""
         self._ensure_writable()
-        from .operators.hnsw import build_nsw_index_ivf, train_cell_centroids
+        from .operators.hnsw import (
+            auto_n_cells,
+            build_nsw_index_ivf,
+            train_cell_centroids,
+        )
 
         emb = self._ann_active_track()
         n_rows = emb.count()
         if n_rows == 0:
             raise ValueError("no embeddings to index: add vectors first")
+        auto = n_cells is None
+        if auto:
+            n_cells = auto_n_cells(n_rows, target_cell_rows)
         cents = train_cell_centroids(
             emb, n_cells=n_cells, id_col="vec_id"
         )
@@ -1530,6 +1546,8 @@ class MemvidSpark:
             "probes": probes,
             "max_shard_rows": max_shard_rows,
             "n_rows": int(n_rows),
+            "auto_cells": bool(auto),
+            "target_cell_rows": int(target_cell_rows),
         }
         self._ann_index = build_nsw_index_ivf(
             emb,
@@ -1651,22 +1669,32 @@ class MemvidSpark:
                 deletes=dels,
             ).localCheckpoint()
             self._ann_pending = []
+        auto = bool(meta.get("auto_cells", False))
+        tcr = int(meta.get("target_cell_rows", meta["max_shard_rows"]))
         needs, stats = ivf_needs_retrain(
-            self._ann_index, trained_cells=meta["n_cells"]
+            self._ann_index,
+            trained_cells=meta["n_cells"],
+            # auto-sized tiers also retrain when mean occupancy outgrows
+            # the target (the RESIZE moment); pinned tiers keep the
+            # legacy skew/drained-only policy
+            target_cell_rows=tcr if auto else None,
         )
         if needs:
             # drift crossed the bound: retrain the coarse model on the
             # current track and rebuild (vec.rs retrains its graph from
-            # scratch past the engage threshold; here it's a policy)
+            # scratch past the engage threshold; here it's a policy).
+            # An auto-sized tier re-sizes n_cells from the live count.
             self.build_ann_serving(
-                n_cells=meta["n_cells"],
+                n_cells=None if auto else meta["n_cells"],
                 m=meta["m"],
                 ef_construction=meta["ef_construction"],
                 ef_search=meta["ef_search"],
                 probes=meta["probes"],
                 max_shard_rows=meta["max_shard_rows"],
+                target_cell_rows=tcr,
             )
             stats["retrained"] = True
+            stats["n_cells"] = self._ann_meta["n_cells"]
         meta["n_rows"] = int(stats["n_rows"])
         return stats
 

@@ -378,6 +378,33 @@ def nsw_recall(
 CELL_GRAPH_SCHEMA = "cell int, " + GRAPH_SCHEMA
 
 
+def auto_n_cells(
+    n_rows: int,
+    target_cell_rows: int = 25000,
+    min_cells: int = 4,
+    max_cells: int = 4096,
+) -> int:
+    """Corpus-sized cell count: n_cells = clamp(ceil(n / target), min,
+    max). A FIXED cell count is a hidden linear term — at constant
+    n_cells mean cell size grows O(corpus), so per-query probed CPU and
+    per-delta rebuild wall grow with the corpus even though sub-shards
+    are bounded. Sizing cells from the corpus keeps probes × cell_size
+    (the per-request scan) and changed_sub_shards × cell_size (the
+    per-commit delta kernel) CONSTANT as data grows — the same
+    bounding discipline max_shard_rows applies to build tasks.
+
+    ``max_cells`` caps the driver-side k-means (lloyd_kmeans trains on
+    a 65536-row sample; past ~4096 cells the sample is too thin to
+    place centroids meaningfully and the distance matrix stops being
+    cheap). Beyond max_cells × target_cell_rows rows (~100M at the
+    defaults) cells fatten again — raise max_cells AND train_sample
+    together, or add a coarser first level; max_shard_rows still
+    bounds every build/delta task either way."""
+    import math
+
+    return max(min_cells, min(max_cells, math.ceil(max(1, n_rows) / max(1, target_cell_rows))))
+
+
 def train_cell_centroids(
     emb: DataFrame,
     n_cells: int = 32,
@@ -700,6 +727,35 @@ def _delta_ivf_parts(
         if old > 0 and new > 0 and math.ceil(old / msr) == math.ceil(new / msr):
             elig[c] = math.ceil(old / msr)
     spark = index.sparkSession
+    if elig:
+        # regime guard: sub-granular pass-through assumes the caller's
+        # (max_shard_rows, stride) match the build's — otherwise kept
+        # sub-shards retain the OLD sharding while rebuilt ones use the
+        # caller's, mixing regimes in one cell and silently breaking
+        # delta ≡ rebuild (search stays correct; the equality contract
+        # doesn't). Recompute each touched row's expected shard under
+        # the caller's regime and demote any cell with a mismatch to
+        # the whole-cell rebuild, which reshards consistently. One scan
+        # over the pinned touched rows — delta-local, not corpus.
+        probe_df = spark.createDataFrame(
+            sorted(elig.items()), "cell int, nsubs int"
+        )
+        mismatched = {
+            int(r["cell"])
+            for r in touched_rows.join(F.broadcast(probe_df), "cell")
+            .filter(
+                F.col("shard")
+                != (
+                    F.col("cell").cast("long") * F.lit(stride)
+                    + F.pmod(F.hash(F.col("vec_id")), F.col("nsubs"))
+                ).cast("int")
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        for c in mismatched:
+            del elig[c]
     inelig_src = (
         touched_rows.join(new_ids, "vec_id", "left_anti")
         .select("cell", "vec_id", "embedding")
@@ -784,6 +840,8 @@ def ivf_needs_retrain(
     engage_rows: int = 1000,
     max_skew: float = 4.0,
     trained_cells: int | None = None,
+    target_cell_rows: int | None = None,
+    growth_factor: float = 2.0,
 ) -> tuple[bool, dict]:
     """Centroid-drift retrain policy: after enough deltas the trained
     cells can stop matching the data (inserts piling into one region
@@ -796,8 +854,19 @@ def ivf_needs_retrain(
     more than half the trained cells drained empty) triggers
     ``train_cell_centroids`` + full rebuild; pass ``trained_cells`` (the
     centroid count) to also trigger when over half the trained cells
-    have drained empty. The stat is one n_cells-row aggregate — cheap
-    enough to evaluate at every save/seal."""
+    have drained empty.
+
+    ``target_cell_rows`` adds the RESIZE trigger: when mean occupancy
+    exceeds ``growth_factor × target_cell_rows`` the corpus has
+    outgrown its cell count (per-query probed CPU and per-delta rebuild
+    work both scale with cell size) and the retrain must also re-size
+    n_cells via ``auto_n_cells`` — the moment mirrors how
+    max_shard_rows bounds sub-shards, but cell count can only change
+    at a retrain (cell membership is centroid-determined). The factor
+    gives hysteresis: a fresh auto-sized build sits at ~target rows
+    per cell, so triggering strictly above target would retrain on
+    every delta. The stat is one n_cells-row aggregate — cheap enough
+    to evaluate at every save/seal."""
     rows = ivf_cell_stats(index).collect()  # n_cells rows
     n = int(sum(r["n_rows"] for r in rows))
     occupied = len(rows)
@@ -808,10 +877,17 @@ def ivf_needs_retrain(
     mean = n / occupied
     skew = max(r["n_rows"] for r in rows) / mean
     stats["skew"] = round(float(skew), 3)
+    stats["mean_cell_rows"] = round(float(mean), 1)
     drained = (
         trained_cells is not None and occupied < 0.5 * trained_cells
     )
-    return skew > max_skew or drained, stats
+    overgrown = (
+        target_cell_rows is not None
+        and mean > growth_factor * max(1, target_cell_rows)
+    )
+    if overgrown:
+        stats["overgrown"] = True
+    return skew > max_skew or drained or overgrown, stats
 
 
 def nsw_knn_pruned(

@@ -313,10 +313,17 @@ def seed_assign_scaled(
         subs_df = emb.sparkSession.createDataFrame(
             sorted(subs.items()) or [(0, 1)], "grp int, subs int"
         )
-        # a group the sample missed is tiny: one slice (coalesce 1)
+        # a group the sample missed is not provably tiny — "tiny" is
+        # relative to the CORPUS, not to group_rows: at n=1e10 a group
+        # needs ~n/65536 ≈ 150k rows to show up in the sample once in
+        # expectation, several times the per-task cap. Fall back to the
+        # MEAN-based global split (what the small-corpus branch uses):
+        # over-splitting a genuinely tiny group just yields empty
+        # slices; under-splitting a missed hot group blows a task.
+        n_sub_mean = max(1, int(math.ceil((n * p / s) / max(1, group_rows))))
         probed = (
             probed.join(F.broadcast(subs_df), "grp", "left")
-            .withColumn("subs", F.coalesce("subs", F.lit(1)))
+            .withColumn("subs", F.coalesce("subs", F.lit(n_sub_mean)))
             .withColumn(
                 "sub",
                 F.pmod(F.xxhash64(F.col(id_col)), F.col("subs")).cast("int"),
@@ -325,7 +332,7 @@ def seed_assign_scaled(
         )
         seeds_rep = (
             seeds_g.join(F.broadcast(subs_df), "grp", "left")
-            .withColumn("subs", F.coalesce("subs", F.lit(1)))
+            .withColumn("subs", F.coalesce("subs", F.lit(n_sub_mean)))
             .withColumn(
                 "sub",
                 F.explode(F.sequence(F.lit(0), F.col("subs") - 1)),

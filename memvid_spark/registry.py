@@ -7898,6 +7898,7 @@ def q182_nsw_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exactly-once-by-determinism contract, checked in the sweep.",
 )
 def q183_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from .operators.hnsw import build_nsw_index_ivf, train_cell_centroids
@@ -7911,37 +7912,45 @@ def q183_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         [float(x) for x in c]
         for c in train_cell_centroids(emb, n_cells=8)
     ]
-    mt = StreamingAnnMaintainer(
-        tempfile.mkdtemp(prefix="mv2_q183_"), cents, m=8, ef_construction=60
-    )
-    dead = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") % 3 == 0)
-    for b in range(3):
-        batch = emb.filter(F.col("vec_id") % 3 == b).select(
-            "vec_id",
-            "embedding",
-            F.lit(False).alias("deleted"),
-            F.lit(b).cast("long").alias("seq"),
-        )
-        if b == 1:  # tombstone already-indexed ids mid-stream
-            batch = batch.unionByName(
-                emb.filter(dead)
-                .select(
-                    "vec_id",
-                    F.lit(None).cast("array<double>").alias("embedding"),
-                    F.lit(True).alias("deleted"),
-                    F.lit(b).cast("long").alias("seq"),
-                )
+    # every result below materializes to driver scalars before the
+    # store dir is removed (the returned frame is literals-only), so
+    # repeated sweep/bench invocations leak nothing in /tmp
+    store = tempfile.mkdtemp(prefix="mv2_q183_")
+    try:
+        mt = StreamingAnnMaintainer(store, cents, m=8, ef_construction=60)
+        dead = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") % 3 == 0)
+        for b in range(3):
+            batch = emb.filter(F.col("vec_id") % 3 == b).select(
+                "vec_id",
+                "embedding",
+                F.lit(False).alias("deleted"),
+                F.lit(b).cast("long").alias("seq"),
             )
-        mt.apply_batch(batch, b)  # foreachBatch hands exactly this DataFrame
-    streamed = mt.index(spark)
-    truth = build_nsw_index_ivf(
-        emb.filter(~dead), cents, m=8, ef_construction=60
-    ).localCheckpoint()
-    cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
-    a, b_ = streamed.select(*cols), truth.select(*cols)
-    equal = (a.exceptAll(b_).count() == 0) and (b_.exceptAll(a).count() == 0)
+            if b == 1:  # tombstone already-indexed ids mid-stream
+                batch = batch.unionByName(
+                    emb.filter(dead)
+                    .select(
+                        "vec_id",
+                        F.lit(None).cast("array<double>").alias("embedding"),
+                        F.lit(True).alias("deleted"),
+                        F.lit(b).cast("long").alias("seq"),
+                    )
+                )
+            mt.apply_batch(batch, b)  # foreachBatch hands exactly this frame
+        streamed = mt.index(spark)
+        truth = build_nsw_index_ivf(
+            emb.filter(~dead), cents, m=8, ef_construction=60
+        ).localCheckpoint()
+        cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
+        a, b_ = streamed.select(*cols), truth.select(*cols)
+        equal = (a.exceptAll(b_).count() == 0) and (
+            b_.exceptAll(a).count() == 0
+        )
+        n_indexed = streamed.count()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
     return spark.range(1).select(
-        F.lit(streamed.count()).cast("long").alias("n_indexed"),
+        F.lit(n_indexed).cast("long").alias("n_indexed"),
         F.lit(bool(equal)).alias("streamed_equals_rebuild"),
     )
 

@@ -25,7 +25,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.hnsw import CELL_GRAPH_SCHEMA, apply_delta_ivf, ivf_needs_retrain
+from ..operators.hnsw import (
+    CELL_GRAPH_SCHEMA,
+    apply_delta_ivf,
+    auto_n_cells,
+    ivf_needs_retrain,
+)
 
 # the CDC row contract: an upsert carries the new embedding; a
 # tombstone sets deleted=true (embedding ignored); ``seq`` orders
@@ -54,6 +59,7 @@ class StreamingAnnMaintainer:
         auto_retrain: bool = False,
         engage_rows: int = 1000,
         max_skew: float = 4.0,
+        target_cell_rows: int | None = 25000,
     ):
         self.store_dir = store_dir
         os.makedirs(store_dir, exist_ok=True)
@@ -64,6 +70,14 @@ class StreamingAnnMaintainer:
         self.auto_retrain = auto_retrain
         self.engage_rows = engage_rows
         self.max_skew = max_skew
+        # corpus-sized cells: a retrain RE-SIZES n_cells from the live
+        # row count (auto_n_cells) instead of pinning len(centroids)
+        # forever — at a fixed cell count mean cell size grows with the
+        # corpus and drags per-query probe CPU and per-delta rebuild
+        # wall with it. The drift policy triggers the retrain when mean
+        # occupancy outgrows this target (ivf_needs_retrain). None pins
+        # the trained cell count (legacy behavior).
+        self.target_cell_rows = target_cell_rows
 
     @property
     def index_path(self) -> str:
@@ -71,18 +85,47 @@ class StreamingAnnMaintainer:
 
     def index(self, spark: SparkSession) -> DataFrame:
         """The persisted serving index (empty graph before the first
-        batch) — read fresh each call so a swapped write is visible."""
+        batch) — read fresh each call so a swapped write is visible.
+        Recovers a crashed ``_swap`` first: a leftover ``.tmp``
+        (complete — it is fully written before any rename starts) or
+        ``.old`` directory with no live index promotes in place, so a
+        crash mid-swap can never present an EMPTY index and trick the
+        next trigger into a silent bootstrap rebuild from one batch.
+        Promoting ``.tmp`` over ``.old`` is safe either way: the
+        interrupted batch is uncommitted in the streaming checkpoint,
+        replays, and delta-apply is idempotent by determinism."""
+        self._recover_swap()
         if not os.path.exists(self.index_path):
             return spark.createDataFrame([], CELL_GRAPH_SCHEMA)
         spark.catalog.refreshByPath(self.index_path)
         return spark.read.parquet(self.index_path)
 
+    def _recover_swap(self) -> None:
+        import shutil
+
+        tmp, old = self.index_path + ".tmp", self.index_path + ".old"
+        if not os.path.exists(self.index_path):
+            if os.path.exists(tmp):
+                os.replace(tmp, self.index_path)
+            elif os.path.exists(old):
+                os.replace(old, self.index_path)
+        # live index present: stale leftovers are garbage from a crash
+        # after the promote step — clear them so the next swap is clean
+        for p in (tmp, old):
+            if os.path.exists(self.index_path) and os.path.exists(p):
+                shutil.rmtree(p)
+
     @staticmethod
     def _last_state(batch_df: DataFrame) -> DataFrame:
         """Collapse a micro-batch to one row per vec_id: highest seq
         wins; at equal seq a tombstone beats an upsert (delete-wins tie
-        rule — the conservative read for a dedup/index consumer). The
-        reduce is a map-side-combinable max_by, never a window sort."""
+        rule — the conservative read for a dedup/index consumer); two
+        UPSERTS at equal seq tie-break on an embedding hash — without
+        that final key max_by picks arbitrarily between equal-seq rows
+        with different embeddings, and a replayed micro-batch could
+        pick the other one, breaking the replay-is-a-no-op contract the
+        whole module rests on. The reduce is a map-side-combinable
+        max_by, never a window sort."""
         cols = batch_df.columns
         if "deleted" not in cols:
             batch_df = batch_df.withColumn("deleted", F.lit(False))
@@ -97,7 +140,9 @@ class StreamingAnnMaintainer:
                 F.max_by(
                     F.struct("deleted", "embedding"),
                     F.struct(
-                        F.col("seq"), F.col("deleted").cast("int")
+                        F.col("seq"),
+                        F.col("deleted").cast("int"),
+                        F.xxhash64(F.col("embedding")),
                     ),
                 ).alias("s")
             )
@@ -107,13 +152,22 @@ class StreamingAnnMaintainer:
     def _swap(self, spark: SparkSession, new_index: DataFrame) -> None:
         import shutil
 
-        tmp = self.index_path + ".tmp"
+        self._recover_swap()
+        tmp, old = self.index_path + ".tmp", self.index_path + ".old"
         # the tmp write materializes the new graph while the old files
-        # are still intact (the plan reads them); only then swap
+        # are still intact (the plan reads them); then RENAME-ASIDE —
+        # never rmtree the live index before its replacement is in
+        # place (a crash in that window would leave NO index and the
+        # next trigger would silently bootstrap from one batch; after a
+        # retrain it would lose the whole serving index, and the
+        # checkpoint won't replay committed batches to heal it).
+        # Every window of this sequence is recoverable by index().
         new_index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
         if os.path.exists(self.index_path):
-            shutil.rmtree(self.index_path)
+            os.replace(self.index_path, old)
         os.replace(tmp, self.index_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         spark.catalog.refreshByPath(self.index_path)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -186,12 +240,15 @@ class StreamingAnnMaintainer:
             self.retrain(spark)
 
     def drift(self, spark: SparkSession) -> tuple[bool, dict]:
-        """The centroid-drift retrain policy over the live index."""
+        """The centroid-drift retrain policy over the live index —
+        skew, drained cells, AND (with target_cell_rows set) mean
+        occupancy outgrowing the target: the resize moment."""
         return ivf_needs_retrain(
             self.index(spark),
             engage_rows=self.engage_rows,
             max_skew=self.max_skew,
             trained_cells=len(self.centroids),
+            target_cell_rows=self.target_cell_rows,
         )
 
     def retrain(self, spark: SparkSession) -> None:
@@ -199,13 +256,22 @@ class StreamingAnnMaintainer:
         rebuild — the reference's rebuild-from-scratch past its engage
         threshold (src/vec.rs:22-23) as a streaming-lifecycle policy.
         The index itself holds the surviving corpus, so no side channel
-        to the ingest source is needed."""
+        to the ingest source is needed. With ``target_cell_rows`` set
+        the retrain RE-SIZES the cell count from the live row count
+        (auto_n_cells), so continuous ingest grows the CELL COUNT, not
+        the cell size — the term that otherwise scales per-query and
+        per-delta work with the corpus."""
         from ..operators.hnsw import build_nsw_index_ivf, train_cell_centroids
 
         emb = self.index(spark).select("vec_id", "embedding").localCheckpoint()
+        n_cells = (
+            auto_n_cells(emb.count(), self.target_cell_rows)
+            if self.target_cell_rows is not None
+            else len(self.centroids)
+        )
         self.centroids = [
             [float(x) for x in c]
-            for c in train_cell_centroids(emb, n_cells=len(self.centroids))
+            for c in train_cell_centroids(emb, n_cells=n_cells)
         ]
         self._swap(
             spark,
