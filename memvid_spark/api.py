@@ -1211,20 +1211,65 @@ class MemvidSpark:
         )
         return cands, stats
 
-    def ask(self, question: str, top_k: int = 5, mask_pii: bool = False):
+    def ask(
+        self,
+        question: str,
+        top_k: int = 5,
+        mask_pii: bool = False,
+        query_vec: list[float] | None = None,
+        ann: bool | None = None,
+    ):
         """RAG pipeline: classify → retrieve → RRF → rerank → extractive
         answer (ask.rs:23-420). ``mask_pii`` masks emails/phones/SSNs at
         query time (pii.rs:30-71) — snippets and the stitched answer
         never expose raw identifiers; the scan-side regexp_replace stays
-        in codegen."""
+        in codegen.
+
+        ``query_vec`` adds the vector candidate list to the retrieval
+        fusion (ask.rs:211-297's semantic list). Routing mirrors the
+        reference's brute-vs-HNSW engage threshold (src/vec.rs:22-23,
+        57-60): below ANN_ENGAGE_ROWS — or when no serving tier is
+        built — the list is the exact cosine scan (the correctness
+        tier); past it the list comes from the IVF-cell NSW serving
+        tier (cell-pruned, recall-bounded by q182's sweep guard).
+        ``ann=False`` forces exact; ``ann=True`` requests the tier
+        (still falling through below the threshold, like
+        :meth:`search_embeddings`). RRF consumes ranks, so the L2
+        tier's distances negate into rank order without touching the
+        fusion. The route taken is recorded on
+        ``self._last_ask_vec_route`` ("ann" | "exact")."""
         d = self.docs()
         if mask_pii:
             from .functions.extract import mask_pii as mask
 
             d = d.withColumn(self.text_col, mask(self.text_col))
+        vec_list_fn = None
+        if query_vec is not None:
+            want_ann = True if ann is None else ann
+
+            def vec_list_fn(k: int) -> DataFrame:
+                routed = (
+                    want_ann
+                    and self.ann_enabled()
+                    and self._ann_meta["n_rows"] >= self.ANN_ENGAGE_ROWS
+                )
+                self._last_ask_vec_route = "ann" if routed else "exact"
+                hits = self.search_embeddings(query_vec, k=k, ann=routed)
+                score = (
+                    # serving tier scores are L2 distance (ascending);
+                    # rank fusion wants higher-is-better
+                    (-F.col("score")).alias("score")
+                    if routed
+                    else F.col("score")
+                )
+                return hits.select(
+                    F.col("vec_id").alias(self.id_col), score
+                )
+
         return ask_mod.ask(
             d, question, top_k=top_k,
             id_col=self.id_col, text_col=self.text_col,
+            vec_list_fn=vec_list_fn,
         )
 
     def audit(
@@ -2313,19 +2358,26 @@ class MemvidSpark:
         if self.ann_enabled():
             meta = self._ann_meta
             registry["ann_index"] = lambda: self.build_ann_serving(
-                n_cells=meta["n_cells"],
+                n_cells=(
+                    None if meta.get("auto_cells") else meta["n_cells"]
+                ),
                 m=meta["m"],
                 ef_construction=meta["ef_construction"],
                 ef_search=meta["ef_search"],
                 probes=meta["probes"],
                 max_shard_rows=meta["max_shard_rows"],
+                target_cell_rows=meta.get(
+                    "target_cell_rows", meta["max_shard_rows"]
+                ),
             )
+            registry["ann_entry_cover"] = self._refresh_ann_entry_cover
         registry.update(rebuilders or {})
         healed: set[str] = set()
         for row in heal_plan(rep).collect():  # findings table — tiny
             if row.action not in (
                 "rebuild_derived_table",
                 "vacuum_derived_table",
+                "refresh_entry_cover",
             ):
                 continue
             fix = registry.get(row.table_name)
@@ -2336,6 +2388,18 @@ class MemvidSpark:
             if isinstance(rebuilt, DataFrame):
                 derived[row.table_name] = rebuilt
         return self._doctor_report(derived)
+
+    def _refresh_ann_entry_cover(self) -> None:
+        """Heal action for ``stale_entry_cover`` findings: rewrite the
+        entry covers of the served graph in place (one O(V+E) pass per
+        sub-graph, hnsw.refresh_entry_cover) — no rebuild, no retrain.
+        Upgrades a pre-entry-cover index so a severed island regains
+        reachability immediately instead of at its next delta."""
+        from .operators.hnsw import refresh_entry_cover
+
+        self._ann_index = refresh_entry_cover(
+            self._ann_index
+        ).localCheckpoint()
 
     def _doctor_report(
         self, derived: dict[str, DataFrame] | None = None
@@ -2379,6 +2443,28 @@ class MemvidSpark:
                 covered, {"ann_index": indexed}, frame_key=self.id_col
             ).filter(F.col("table_name") != "frames")
             rep = rep.unionByName(ann_rep)
+            # entry-cover audit: a sub-graph with no entry=true row
+            # (any index persisted before the cover existed) searches
+            # on evenly spaced seeds alone and can return recall 0 on
+            # a directed-severed island — flag every such (cell, shard)
+            # so heal can rewrite covers WITHOUT a graph rebuild
+            idx = self._ann_index
+            if "entry" in idx.columns:
+                no_cover = (
+                    idx.groupBy("cell", "shard")
+                    .agg(F.max(F.col("entry").cast("int")).alias("e"))
+                    .filter(F.col("e") == 0)
+                )
+            else:  # legacy layout: the column itself is missing
+                no_cover = idx.select("cell", "shard").distinct()
+            rep = rep.unionByName(
+                no_cover.agg(F.count("*").cast("long").alias("n_affected"))
+                .select(
+                    F.lit("stale_entry_cover").alias("check"),
+                    F.lit("ann_entry_cover").alias("table_name"),
+                    "n_affected",
+                )
+            )
         ids = frames_df.select(F.col(self.id_col).alias("k")).distinct()
         for name, vals in (
             ("tombstones", self._tombstones),

@@ -82,9 +82,17 @@ def retrieve_lists(
     text_col: str = "text",
     embeddings: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    vec_list_fn=None,
 ) -> list[DataFrame]:
     """Candidate lists (ask.rs:211-297): BM25 base, OR-expanded lexical,
-    optional vector k-NN. Each list is (id, rank)."""
+    optional vector k-NN. Each list is (id, rank).
+
+    ``vec_list_fn(k) -> DataFrame(id_col, score)`` supplies the vector
+    list instead of the inline exact cosine scan — the hook the facade
+    uses to route through its ANN serving tier past the reference's
+    brute-vs-HNSW engage threshold (src/vec.rs:22-23, 57-60). RRF
+    consumes RANKS, so the callable only has to order higher-is-better
+    on ``score``; the retrieval fusion is metric-agnostic."""
     order = [F.col("score").desc(), F.col(id_col).asc()]
     lists = [
         rrf_mod.with_rank(
@@ -98,7 +106,9 @@ def retrieve_lists(
             id_col,
         ),
     ]
-    if embeddings is not None and query_vec is not None:
+    if vec_list_fn is not None:
+        lists.append(rrf_mod.with_rank(vec_list_fn(k), order, id_col))
+    elif embeddings is not None and query_vec is not None:
         vec_hits = (
             embeddings.select(
                 F.col("vec_id").alias(id_col),
@@ -410,17 +420,20 @@ def ask(
     embeddings: DataFrame | None = None,
     query_vec: list[float] | None = None,
     uri_col: str | None = None,
+    vec_list_fn=None,
 ) -> AskResult:
     """Full pipeline; returns hits DataFrame + extractive answer
     (synthesize_answer = top-3 snippets stitched, ask.rs:779-814).
     When ``uri_col`` is given, correction promotion runs LAST
-    (ask.rs:367-369): correction documents override every other rerank."""
+    (ask.rs:367-369): correction documents override every other rerank.
+    ``vec_list_fn`` — see :func:`retrieve_lists`."""
     kind = classify_question(question)
     k = effective_top_k(kind, top_k)
 
     def run(terms: list[str]):
         lists = retrieve_lists(
-            docs, terms, k * 4, id_col, text_col, embeddings, query_vec
+            docs, terms, k * 4, id_col, text_col, embeddings, query_vec,
+            vec_list_fn,
         )
         fused = rrf_mod.rrf_fuse(lists, id_col=id_col, k=k * 2)
         fused = token_presence_reorder(fused, docs, terms, id_col, text_col)

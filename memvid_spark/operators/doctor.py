@@ -85,6 +85,10 @@ def heal_plan(report: DataFrame) -> DataFrame:
     action = (
         F.when(F.col("check") == "missing", "rebuild_derived_table")
         .when(F.col("check") == "orphaned", "vacuum_derived_table")
+        # a graph sub-shard with no recorded entry cover (legacy
+        # pre-cover index) heals with a cover REWRITE, not a rebuild —
+        # the adjacency is fine, only the seed metadata is missing
+        .when(F.col("check") == "stale_entry_cover", "refresh_entry_cover")
         .otherwise("dedup_frames")
     )
     return report.filter(F.col("n_affected") > 0).select(

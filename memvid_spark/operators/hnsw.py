@@ -226,6 +226,41 @@ def _ensure_entry(index: DataFrame) -> DataFrame:
     return index.withColumn("entry", F.lit(False))
 
 
+def refresh_entry_cover(index: DataFrame) -> DataFrame:
+    """Recompute every sub-graph's entry cover IN PLACE — no graph
+    rebuild: one applyInPandas pass per (cell,) shard group runs the
+    same directed-BFS cover the builder records (``_entry_cover``)
+    over the EXISTING adjacency. This is the doctor heal for a legacy
+    pre-entry-cover index, which otherwise searches on evenly spaced
+    seeds alone and can silently return recall 0 on a directed-severed
+    island until its next delta happens to rebuild that sub-shard.
+    Cost: O(V+E) per sub-graph and one shuffle on the group key — no
+    beam searches, so orders cheaper than a rebuild. Works on both the
+    hash-sharded and the IVF-cell graph layouts."""
+    import numpy as np
+    import pandas as pd
+
+    has_cell = "cell" in index.columns
+    index = _ensure_entry(index)
+    keys = ["cell", "shard"] if has_cell else ["shard"]
+    schema = CELL_GRAPH_SCHEMA if has_cell else GRAPH_SCHEMA
+    out_cols = [c.split()[0] for c in schema.split(", ")]
+
+    def recover(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        pos = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+        adj = [
+            [pos[int(w)] for w in row if int(w) in pos]
+            for row in pdf["neighbors"]
+        ]
+        entry = np.zeros(len(pdf), dtype=bool)
+        entry[_entry_cover(adj)] = True
+        pdf = pdf.assign(entry=entry)
+        return pd.DataFrame({c: pdf[c] for c in out_cols})
+
+    return index.groupBy(*keys).applyInPandas(recover, schema)
+
+
 def _delete_ids(deletes: DataFrame | None, id_col: str) -> DataFrame | None:
     """Normalize a tombstone table to a distinct (vec_id bigint) set.
     Tiny by contract (the delete batch, not the corpus) — checkpointed

@@ -243,3 +243,120 @@ def test_search_embeddings_many_exact_below_engage(spark):
     single = [(r.vec_id, r.score, r.rank)
               for r in mv.search_embeddings(pairs[5][1], k=5).collect()]
     assert batch == single
+
+
+def test_build_ann_serving_auto_sizes_cells(spark):
+    """n_cells=None (the default) sizes the cell count from the corpus
+    (auto_n_cells): probes x cell_size stays constant as data grows
+    instead of cells fattening at a pinned count (VERDICT r8 #1)."""
+    from memvid_spark.operators.hnsw import auto_n_cells
+
+    pairs = _unit_blob_pairs()  # 1200 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(m=8, ef_construction=60, probes=4,
+                         target_cell_rows=200)
+    assert mv._ann_meta["n_cells"] == auto_n_cells(1200, 200) == 6
+    assert mv._ann_meta["auto_cells"] is True
+    q = _qvec(pairs, 3)
+    approx = {r.vec_id
+              for r in mv.search_embeddings(q, k=10, ann=True).collect()}
+    exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8
+    # explicit n_cells pins it (legacy posture), flagged in meta
+    mv2 = MemvidSpark(spark)
+    mv2.add_embeddings(pairs)
+    mv2.build_ann_serving(n_cells=4, m=8, ef_construction=60)
+    assert mv2._ann_meta["n_cells"] == 4
+    assert mv2._ann_meta["auto_cells"] is False
+
+
+def test_refresh_resizes_auto_tier_when_corpus_outgrows_cells(spark):
+    """An auto-sized tier whose corpus has outgrown target_cell_rows
+    retrains at refresh time with MORE cells; a pinned tier under the
+    same growth keeps its count (no surprise rebuild of a user-pinned
+    layout)."""
+    from memvid_spark.operators.hnsw import auto_n_cells
+
+    seed = _unit_blob_pairs(n_blobs=4, per_blob=300)  # 1200 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(seed)
+    mv.build_ann_serving(m=8, ef_construction=60, target_cell_rows=300)
+    n0 = mv._ann_meta["n_cells"]
+    assert n0 == auto_n_cells(1200, 300) == 4
+    # triple the corpus: mean occupancy 3600/4 = 900 > 2x300 -> resize
+    mv.add_embeddings(_unit_blob_pairs(n_blobs=4, per_blob=600,
+                                       start_id=10_000))
+    stats = mv.refresh_ann_index()
+    assert stats.get("retrained") is True
+    assert mv._ann_meta["n_cells"] == auto_n_cells(3600, 300) == 12
+    q = _qvec(seed, 3)
+    approx = {r.vec_id
+              for r in mv.search_embeddings(q, k=10, ann=True).collect()}
+    exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8
+
+
+def test_doctor_flags_and_heals_stale_entry_cover(spark):
+    """A legacy (pre-entry-cover) served index is a silent recall
+    hazard; doctor() now flags every cover-less sub-graph and heal
+    rewrites the covers in place — no rebuild, no retrain, index rows
+    otherwise untouched."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)
+    mv = MemvidSpark(spark)
+    mv.put("doc zero")
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    n_shards = mv._ann_index.select("cell", "shard").distinct().count()
+    rows_before = mv._ann_index.count()
+    clean = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert clean[("stale_entry_cover", "ann_entry_cover")] == 0
+    # simulate the legacy store: entry column absent entirely
+    mv._ann_index = mv._ann_index.drop("entry").localCheckpoint()
+    rep = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert rep[("stale_entry_cover", "ann_entry_cover")] == n_shards
+    healed = {
+        (r.check, r.table_name): r.n_affected
+        for r in mv.doctor(heal=True).collect()
+    }
+    assert healed[("stale_entry_cover", "ann_entry_cover")] == 0
+    assert "entry" in mv._ann_index.columns
+    assert mv._ann_index.count() == rows_before
+    assert mv._ann_index.filter(F.col("entry")).count() >= n_shards
+
+
+def test_ask_routes_vector_list_through_serving_tier(spark):
+    """ask(query_vec=...) mirrors the reference's brute-vs-HNSW engage
+    threshold (vec.rs:22-23, 57-60): past ANN_ENGAGE_ROWS the vector
+    candidate list comes from the IVF-NSW serving tier; below it — or
+    with ann=False — the exact cosine scan stays the correctness tier.
+    RRF consumes ranks, so the L2 tier negates into rank order."""
+    pairs = _unit_blob_pairs()  # 1200 rows >= engage threshold
+    mv = MemvidSpark(spark)
+    for i in range(6):
+        mv.put(f"alpha beta document number {i}")
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    q = _qvec(pairs, 3)
+    res = mv.ask("alpha beta", query_vec=q)
+    assert mv._last_ask_vec_route == "ann"
+    assert res.citations  # the fused pipeline still answers
+    res_exact = mv.ask("alpha beta", query_vec=q, ann=False)
+    assert mv._last_ask_vec_route == "exact"
+    assert res_exact.citations
+    # lexical-only ask is untouched (no vector list, no route marker)
+    mv._last_ask_vec_route = None
+    mv.ask("alpha beta")
+    assert mv._last_ask_vec_route is None
+    # below the engage threshold ann=True still routes exact
+    small_pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)  # 120 rows
+    mv2 = MemvidSpark(spark)
+    mv2.put("alpha beta tiny store")
+    mv2.add_embeddings(small_pairs)
+    mv2.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    mv2.ask("alpha beta", query_vec=_qvec(small_pairs, 5), ann=True)
+    assert mv2._last_ask_vec_route == "exact"

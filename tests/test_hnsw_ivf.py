@@ -604,3 +604,125 @@ def test_sub_granular_delta_rebuilds_only_changed_subs(spark):
         (F.col("vec_id") == poison_id) & (F.size("neighbors") == 0)
     ).count()
     assert bad == 0
+
+
+def test_auto_n_cells_clamps_and_scales():
+    """Corpus-sized cell count: ceil(n/target) clamped to [min, max] —
+    the term that keeps probes x cell_size constant as the corpus
+    grows (VERDICT r8: fixed n_cells made per-query CPU and delta wall
+    linear in corpus size)."""
+    from memvid_spark.operators.hnsw import auto_n_cells
+
+    assert auto_n_cells(0) == 4                       # min clamp
+    assert auto_n_cells(100, target_cell_rows=25000) == 4
+    assert auto_n_cells(250_000, target_cell_rows=25000) == 10
+    assert auto_n_cells(10**12, target_cell_rows=25000) == 4096  # max
+    assert auto_n_cells(60_000, target_cell_rows=2000) == 30
+    assert auto_n_cells(60_001, target_cell_rows=2000) == 31     # ceil
+
+
+def test_ivf_needs_retrain_occupancy_growth_trigger(spark):
+    """The RESIZE moment: mean occupancy outgrowing growth_factor x
+    target_cell_rows trips the retrain even with zero skew — the
+    policy hook that lets corpus-sized tiers re-size instead of
+    fattening their cells forever."""
+    from memvid_spark.operators.hnsw import ivf_needs_retrain
+
+    emb = _blob_emb(spark, n_blobs=4, per_blob=40)  # 160 rows
+    C = train_cell_centroids(emb, n_cells=4, train_sample=1000)
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    # mean = 40/cell; target 30 with factor 2 => bound 60: no trigger
+    needs, stats = ivf_needs_retrain(
+        index, engage_rows=100, target_cell_rows=30
+    )
+    assert needs is False and "overgrown" not in stats
+    # target 15 => bound 30 < mean 40: trigger, stats say why
+    needs, stats = ivf_needs_retrain(
+        index, engage_rows=100, target_cell_rows=15
+    )
+    assert needs is True and stats.get("overgrown") is True
+    assert stats["mean_cell_rows"] == 40.0
+    # pinned tiers (target None) never trip on growth
+    needs, _ = ivf_needs_retrain(index, engage_rows=100)
+    assert needs is False
+
+
+def test_delta_mismatched_shard_regime_falls_back_to_whole_cell(spark):
+    """A delta called with a max_shard_rows differing from the build's
+    must NOT mix sharding regimes inside a cell: the regime guard spots
+    that the on-disk shard ids don't match the caller's derivation and
+    demotes the cell to a whole-cell rebuild, which reshards
+    consistently — so delta == rebuild holds at the CALLER's regime
+    for every touched cell (ADVICE r8: silent divergence before)."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    rows = []
+    for i in range(150):
+        v = [0.0] * 6
+        v[i % 6] = 10.0
+        for d in range(6):
+            v[d] += ((i * (d + 3)) % 53) * 0.01
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = [[0.0] * 6]  # one cell
+    # build at msr=30 (5 subs); delta at msr=200 (1 sub either way —
+    # eligible under the caller's regime, but the on-disk shards say
+    # otherwise)
+    index = build_nsw_index_ivf(
+        emb, C, m=8, ef_construction=60, max_shard_rows=30
+    ).localCheckpoint()
+    up_id = 7
+    new_v = [x + 0.005 for x in dict(rows)[up_id]]
+    delta = spark.createDataFrame(
+        [(up_id, new_v)], "vec_id long, embedding array<double>"
+    )
+    out = apply_delta_ivf(
+        index, delta, C, m=8, ef_construction=60, max_shard_rows=200
+    )
+    emb2 = spark.createDataFrame(
+        [(i, new_v if i == up_id else v) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    truth = build_nsw_index_ivf(
+        emb2, C, m=8, ef_construction=60, max_shard_rows=200
+    )
+    got = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in truth.collect()
+    )
+    assert got == want
+
+
+def test_refresh_entry_cover_heals_legacy_island(spark):
+    """doctor-driven cover upgrade (VERDICT r8 #5): an index persisted
+    BEFORE the entry column searches with spaced seeds only — on the
+    severed-island fixture that is recall 0 until some delta happens to
+    rebuild the shard. refresh_entry_cover rewrites covers in place
+    (O(V+E) per sub-graph, no rebuild): recall 0 -> 1.0, and the pass
+    is idempotent on an already-covered graph."""
+    from memvid_spark.operators.hnsw import (
+        build_nsw_index,
+        nsw_knn,
+        refresh_entry_cover,
+    )
+
+    emb, island_ids, q = _island_emb(spark)
+    built = build_nsw_index(emb, n_shards=1, m=8, ef_construction=100)
+    legacy = built.drop("entry").localCheckpoint()
+    exact = {r.vec_id for r in knn(emb, q, k=10, metric="l2").collect()}
+    before = {r.vec_id for r in nsw_knn(legacy, q, k=10).collect()}
+    assert not (before & exact)  # precondition: the legacy failure mode
+    healed = refresh_entry_cover(legacy).localCheckpoint()
+    after = {r.vec_id for r in nsw_knn(healed, q, k=10).collect()}
+    assert after == exact  # recall 1.0 through the healed graph
+    # idempotent: covers recomputed from the same adjacency are equal
+    again = refresh_entry_cover(healed)
+    key = lambda df: sorted(  # noqa: E731
+        (r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+    assert key(again) == key(healed)

@@ -241,3 +241,116 @@ def test_partition_overwrite_clears_drained_cell(spark, tmp_path):
     )
     truth = build_nsw_index_ivf(truth_emb, cents, m=8, ef_construction=60)
     assert _graph_rows(mt.index(spark)) == _graph_rows(truth)
+
+
+def test_swap_crash_recovery_never_presents_empty_index(spark, tmp_path):
+    """A crash at ANY window of _swap must not leave the maintainer
+    looking at an empty index (which would silently bootstrap from the
+    next batch alone — after a retrain that loses the whole serving
+    index). Rename-aside sequence: (a) complete .tmp + live index
+    missing -> promote .tmp; (b) only .old left behind -> promote .old;
+    (c) stale leftovers next to a live index -> cleared."""
+    import shutil
+
+    rows = _vecs(spark, range(60))
+    cents = _cents(spark, rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    before = _graph_rows(mt.index(spark))
+    assert before  # populated
+
+    # window (b) of a crashed swap: live index renamed aside, the new
+    # .tmp fully written — recovery must promote .tmp
+    shutil.copytree(mt.index_path, mt.index_path + ".tmp")
+    import os
+
+    os.replace(mt.index_path, mt.index_path + ".old")
+    assert _graph_rows(mt.index(spark)) == before
+    assert not os.path.exists(mt.index_path + ".tmp")
+    assert not os.path.exists(mt.index_path + ".old")
+
+    # earlier window: only .old exists (crash between the two renames
+    # with no tmp — or tmp promoted then crashed) — promote .old
+    os.replace(mt.index_path, mt.index_path + ".old")
+    assert _graph_rows(mt.index(spark)) == before
+
+    # stale leftover next to a LIVE index is garbage: cleared, live wins
+    shutil.copytree(mt.index_path, mt.index_path + ".tmp")
+    assert _graph_rows(mt.index(spark)) == before
+    assert not os.path.exists(mt.index_path + ".tmp")
+
+
+def test_retrain_resizes_cell_count_from_corpus(spark, tmp_path):
+    """Continuous ingest grows the CELL COUNT, not the cell size: with
+    target_cell_rows set, drift() trips once mean occupancy outgrows
+    the target and retrain() re-sizes n_cells via auto_n_cells — the
+    r8 posture gap (retrain kept len(centroids) forever, so per-query
+    and per-delta work grew with the corpus)."""
+    from memvid_spark.operators.hnsw import auto_n_cells
+
+    rows = _vecs(spark, range(120))
+    cents = _cents(spark, rows)  # 3 trained cells -> mean 40 rows/cell
+    mt = StreamingAnnMaintainer(
+        str(tmp_path / "ann"), cents, m=8, ef_construction=60,
+        engage_rows=50, target_cell_rows=10,
+    )
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    needs, stats = mt.drift(spark)
+    assert needs is True and stats.get("overgrown") is True
+    mt.retrain(spark)
+    assert len(mt.centroids) == auto_n_cells(120, 10) == 12
+    # the resized index still serves: self-query returns itself first
+    got = nsw_knn(mt.index(spark), rows[7][1], k=1).head()
+    assert got.vec_id == 7
+    # pinned maintainer (target None) keeps the trained count
+    mt2 = StreamingAnnMaintainer(
+        str(tmp_path / "ann2"), cents, m=8, ef_construction=60,
+        engage_rows=50, target_cell_rows=None,
+    )
+    mt2.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    assert mt2.drift(spark)[0] is False
+    mt2.retrain(spark)
+    assert len(mt2.centroids) == 3
+
+
+def test_equal_seq_upsert_tiebreak_is_order_independent(spark, tmp_path):
+    """Two upserts for one vec_id at the SAME seq with different
+    embeddings: last-state must pick the same winner whatever order the
+    rows arrive in (ADVICE r8: bare max_by picked arbitrarily, so a
+    replayed micro-batch could flip the row and break replay-is-a-noop).
+    The tiebreak is the embedding hash — deterministic, content-based."""
+    mt = StreamingAnnMaintainer(
+        str(tmp_path / "ann"), [[0.0] * 4], m=8, ef_construction=60
+    )
+    va, vb = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    fwd = spark.createDataFrame(
+        [(1, va, False, 5), (1, vb, False, 5)], ANN_CDC_SCHEMA
+    )
+    rev = spark.createDataFrame(
+        [(1, vb, False, 5), (1, va, False, 5)], ANN_CDC_SCHEMA
+    )
+    pick_f = mt._last_state(fwd).head()
+    pick_r = mt._last_state(rev).head()
+    assert list(pick_f.embedding) == list(pick_r.embedding)
+    # delete-wins at equal seq still holds above the hash tiebreak
+    mixed = spark.createDataFrame(
+        [(1, va, False, 5), (1, None, True, 5), (1, vb, False, 5)],
+        ANN_CDC_SCHEMA,
+    )
+    assert mt._last_state(mixed).head().deleted is True
