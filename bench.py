@@ -2,8 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (the driver contract — it must fit the
+driver's stdout-tail capture window):
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "detail_file": "BENCH_DETAIL.json"}
+and writes the full record (scale probes, spreads, per-probe executor
+CPU-seconds) to BENCH_DETAIL.json at the repo root.
 
 Each query is materialized through the noop sink (full compute, no
 driver collect) and timed wall-clock. A warmup action runs first so JVM
@@ -135,6 +139,43 @@ def _ensure_blowup(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
             os.symlink(f"{sf_dir}/{name}.parquet", dst)
 
 
+def _spark_cpu_s() -> float:
+    """CPU-seconds consumed so far by every local Spark process: the
+    driver-launched JVM (SparkSubmit) plus the pyspark daemon/worker
+    fleet — utime+stime of each live process PLUS cutime+cstime so a
+    worker that exited between two samples still counts through its
+    reaper. This is the 100-TB currency the wall numbers keep hiding
+    on this shared VM: host load inflates WALL 2-4x run to run
+    (q161@100x: 16.7-43.8 s, identical code, three rounds of verdict
+    back-and-forth) but barely touches the CPU our processes actually
+    burned — so probes record cpu_s alongside wall. Local-mode only by
+    construction (on a real cluster read the same number from the
+    stage metrics API); /proc scan, no py4j."""
+    tck = os.sysconf("SC_CLK_TCK")
+    tot = 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if (
+                b"SparkSubmit" not in cmd
+                and b"pyspark.daemon" not in cmd
+                and b"pyspark.worker" not in cmd
+            ):
+                continue
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            tot += (
+                int(parts[11]) + int(parts[12])     # utime + stime
+                + int(parts[13]) + int(parts[14])   # reaped children
+            ) / tck
+        except (OSError, IndexError, ValueError):
+            continue
+    return tot
+
+
 def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
     """Probe runs must never cost the bench its one JSON output line: a
     failure (OOM on an undersized heap, a flaky executor) records -1.0
@@ -150,16 +191,19 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
     instead of concluding the plan is super-linear; a 1s cooldown
     between samples lets a transient host stall drain rather than
     bleed into the next sample."""
-    best = worst = None
+    best = worst = best_cpu = None
     for i in range(samples):
         if i:
             time.sleep(1.0)
+        c0 = _spark_cpu_s()
         t0 = time.perf_counter()
         try:
             fn(spark, data_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
+            dc = _spark_cpu_s() - c0
             best = dt if best is None else min(best, dt)
             worst = dt if worst is None else max(worst, dt)
+            best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         except Exception:
             if best is None:
                 best = -1.0
@@ -169,16 +213,28 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
     extras[key] = round(best, 3)
     if worst is not None and best > 0:
         extras[f"{key}:spread"] = round((worst - best) / best, 3)
+    if best_cpu is not None and best > 0:
+        extras[f"{key}:cpu_s"] = round(best_cpu, 1)
 
 
 # ANN probe knobs; encoded in the cached artifact names together with a
 # format version, so a later round changing the build params or the
 # graph/search semantics can NEVER silently time a stale index from a
 # previous run (the cache is keyed, not best-effort). v2 = round 8:
-# multi-seeded beam search + seeded centroid training sample.
-HNSW_FMT = "v3"  # v3: graph rows carry the build-time entry cover
+# multi-seeded beam search + seeded centroid training sample; v3:
+# graph rows carry the build-time entry cover.
+HNSW_FMT = "v4"  # v4: IVF probes size n_cells from the corpus
 HNSW_SHARDS = 32
-HNSW_CELLS = 32
+# Corpus-sized cells (auto_n_cells): the r8 probes pinned n_cells=32,
+# so cell size — and with it per-query probed CPU and per-delta
+# rebuild work — grew 10x per decade (hnsw_delta 3.6 -> 6.9 -> 11.2 s
+# for the SAME 10-row upsert; VERDICT r8 #1). The target is 2000 rows
+# per cell so the sizing BINDS inside the probe corpus band (2k / 20k
+# / 200k vectors — production default 25000 would leave every probe
+# corpus under the min-cells clamp and measure nothing); what the flat
+# 10x -> 100x numbers then certify is the mechanism: cell count grows
+# with the corpus, cell size and per-request work do not.
+HNSW_TARGET_CELL_ROWS = 2000
 HNSW_PROBES = 4
 
 
@@ -232,18 +288,24 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
     # 1000-executor serving tier pays; hnsw_query above is the
     # un-pruned control on the same corpus.
     from memvid_spark.operators.hnsw import (
+        auto_n_cells,
         build_nsw_index_ivf,
         nsw_knn_pruned,
         train_cell_centroids,
     )
 
-    key = f"{HNSW_FMT}_c{HNSW_CELLS}"
-    ivf_path = os.path.join(cache_dir, f"hnsw_ivf_index_{key}.parquet")
-    cents_path = os.path.join(cache_dir, f"hnsw_ivf_centroids_{key}.json")
     try:
+        emb = spark.read.parquet(emb_path)
+        n_cells = auto_n_cells(
+            emb.count(), target_cell_rows=HNSW_TARGET_CELL_ROWS
+        )
+        key = f"{HNSW_FMT}_t{HNSW_TARGET_CELL_ROWS}_c{n_cells}"
+        ivf_path = os.path.join(cache_dir, f"hnsw_ivf_index_{key}.parquet")
+        cents_path = os.path.join(
+            cache_dir, f"hnsw_ivf_centroids_{key}.json"
+        )
         if not os.path.exists(cents_path):
-            emb = spark.read.parquet(emb_path)
-            cents = train_cell_centroids(emb, n_cells=HNSW_CELLS)
+            cents = train_cell_centroids(emb, n_cells=n_cells)
             build_nsw_index_ivf(emb, cents).write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(ivf_path)
@@ -251,6 +313,7 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
                 json.dump([[float(x) for x in c] for c in cents], f)
         with open(cents_path) as f:
             cents = json.load(f)
+        extras[f"{prefix}:hnsw_n_cells"] = float(len(cents))
     except Exception:
         extras[f"{prefix}:hnsw_query_pruned"] = -1.0
         return
@@ -375,7 +438,8 @@ def main() -> None:
         "q126_video_manifest", "q128_jpeg_pixels",
         "q163_flac_roundtrip", "q166_tiff_pixels", "q172_tar_ingest",
         "q173_pdf_table_extract",
-        "q144_semdedup", "q179_semdedup_autok", "q145_passage_dedup",
+        "q144_semdedup", "q179_semdedup_autok",
+        "q184_semdedup_scaled_agreement", "q145_passage_dedup",
         "q146_dedup_survivors", "q147_dsir_weights",
         "q148_shard_assign", "q149_length_quantiles",
         "q150_mojibake_repair", "q151_xls_extract", "q152_heavy_hitters",
@@ -567,8 +631,19 @@ def main() -> None:
         else:
             extras["probe100x_budget_hit"] = 1.0
 
-    print(
-        json.dumps(
+    # Output discipline (VERDICT r8 #2): the driver captures only a
+    # TAIL of stdout and parses the last JSON line — r5-r8's single
+    # line (headline + ~120 extras entries) outgrew that window and
+    # every BENCH_r{N}.json landed "parsed": null. The LAST line is
+    # now the compact contract object (headline + per-query medians,
+    # well under the tail window); the full per-probe detail (extras:
+    # scale probes, spreads, cpu_s) goes to BENCH_DETAIL.json next to
+    # this script and is committed with the round's evidence.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
@@ -576,6 +651,21 @@ def main() -> None:
                 "queries": times,
                 "extras": extras,
                 "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -459,6 +459,26 @@ def semdedup(
             emb, k=k, id_col=id_col, vec_col=vec_col, probes=probes,
             n_hint=n_hint,
         )
+    return mark_cluster_dups(
+        assigned, tau=tau, id_col=id_col, max_cluster=max_cluster
+    )
+
+
+def mark_cluster_dups(
+    assigned: DataFrame,
+    tau: float = SEM_TAU,
+    id_col: str = "vec_id",
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """The semdedup pairwise stage over a PRECOMPUTED (id, v, cluster)
+    assignment — factored out so quality probes can run the identical
+    dup kernel over different assignment paths (q184 compares the
+    duplicate mass the scaled two-level assignment induces against the
+    exact broadcast-join assignment). See :func:`semdedup` for the
+    kernel and mega-cluster-guard semantics."""
+    import numpy as np
+    import pandas as pd
+
     if max_cluster and max_cluster > 0:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_m"))
         n_sub = F.greatest(

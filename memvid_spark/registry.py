@@ -7955,6 +7955,117 @@ def q183_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@spec(
+    "q184_semdedup_scaled_agreement",
+    f"""
+    WITH clustered AS (
+      SELECT vec_id,
+             list_transform(
+               embedding::double[],
+               (x, i) -> x + CASE WHEN i - 1 = vec_id % 8
+                                  THEN 8.0 ELSE 0.0 END
+             ) AS v0
+      FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, v0 AS v FROM clustered
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(v0, x -> x * 1.001)
+      FROM clustered WHERE vec_id % 10 = 0
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, v AS sv FROM base
+      ORDER BY vec_id LIMIT 64
+    ),
+    scored AS (
+      SELECT b.vec_id, b.v, s.seed_id,
+             round({SQL_COS.format(a='b.v', b='s.sv')}, 9) AS c
+      FROM base b CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, v, seed_id AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      WHERE {SQL_COS.format(a='l.v', b='r.v')} >= 0.999
+    )
+    SELECT (SELECT count(*) FROM base)::bigint AS n_rows,
+           64 AS k, 2 AS probes,
+           (SELECT count(*) FROM dups)::bigint AS n_dups_exact,
+           true AS agreement_ge,
+           true AS dup_mass_delta_le
+    """,
+    "sweep-grade quality guard for the SCALED SemDeDup assignment at "
+    "its SHIPPING configuration (probes=2): q179's scaled ≡ exact pin "
+    "holds only at full probes, so nothing bounded the IVF-style "
+    "approximation the way q182 bounds the ANN join. Corpus = the "
+    "q180/q182 deterministic cluster offset (+8.0 on dim vec_id % 8) "
+    "plus planted near-dups — IVF locality is a statement about data "
+    "WITH cluster structure (on the raw isotropic vectors agreement "
+    "measures boundary noise by construction: measured 0.48-0.55, yet "
+    "duplicate mass still IDENTICAL — the consumer-visible quantity). "
+    "The hashed row carries n_rows and n_dups_exact (DuckDB replays "
+    "the full exact SemDeDup at k=64), agreement_ge = fraction of "
+    "rows where seed_assign_scaled(k=64, probes=2) picks the exact "
+    "path's cluster >= 0.95 (measured 1.0 at sf0.01 AND sf0.1), and "
+    "dup_mass_delta_le = the dup-count delta the scaled assignment "
+    "induces through the identical pairwise kernel <= ceil(1% of n) "
+    "(measured 0 at both scales).",
+)
+def q184_semdedup_scaled_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from .operators import dedup
+    from .operators import semdedup as sd
+
+    t = catalog.load(spark, sf_dir)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    planted = dedup.plant_near_dups(clustered, every=10).localCheckpoint()
+    k = 64
+    exact = sd.seed_assign(planted, k=k).localCheckpoint()
+    scaled = sd.seed_assign_scaled(planted, k=k, probes=2).localCheckpoint()
+    agg = (
+        exact.select("vec_id", F.col("cluster").alias("ce"))
+        .join(scaled.select("vec_id", F.col("cluster").alias("cs")), "vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("ce") == F.col("cs")).cast("int")).alias("agree"),
+        )
+        .head()
+    )
+    n_dups_exact = sd.mark_cluster_dups(exact).filter("is_dup").count()
+    n_dups_scaled = sd.mark_cluster_dups(scaled).filter("is_dup").count()
+    return spark.range(1).select(
+        F.lit(int(agg.n)).cast("long").alias("n_rows"),
+        F.lit(k).alias("k"),
+        F.lit(2).alias("probes"),
+        F.lit(int(n_dups_exact)).cast("long").alias("n_dups_exact"),
+        F.lit(bool(agg.agree / agg.n >= 0.95)).alias("agreement_ge"),
+        F.lit(
+            bool(
+                abs(n_dups_scaled - n_dups_exact)
+                <= math.ceil(0.01 * agg.n)
+            )
+        ).alias("dup_mass_delta_le"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

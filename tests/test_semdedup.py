@@ -332,3 +332,74 @@ def test_seed_assign_scaled_per_group_split_under_skew(spark):
             for r in sd.seed_assign_scaled(
                 emb, k=k, probes=10**6, group_rows=8).collect()}
     assert full == exact
+
+
+def _rand_rows(n, dim=6):
+    return [
+        (i, [((i * (d + 3)) % 23) * 0.1 + (3.0 if d == i % dim else 0.0)
+             for d in range(dim)])
+        for i in range(n)
+    ]
+
+
+def test_mark_cluster_dups_factors_semdedup_kernel(spark):
+    """mark_cluster_dups over a precomputed assignment IS semdedup's
+    pairwise stage (q184 runs it over both assignment paths): semdedup
+    == seed_assign |> mark_cluster_dups row-for-row."""
+    from memvid_spark.operators.dedup import plant_near_dups
+    from memvid_spark.operators.semdedup import (
+        mark_cluster_dups,
+        seed_assign,
+        semdedup,
+    )
+
+    emb = plant_near_dups(_emb(spark, _rand_rows(120)), every=10)
+    a = semdedup(emb, k=8, tau=0.999)
+    b = mark_cluster_dups(seed_assign(emb, k=8), tau=0.999)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.cluster, r.is_dup) for r in df.collect()
+    )
+    assert rows(a) == rows(b)
+
+
+def test_scaled_assignment_preserves_dup_mass_at_shipping_probes(spark):
+    """The q184 invariant at test scale: on a corpus WITH cluster
+    structure the probes=2 scaled assignment agrees with exact
+    everywhere; on the raw isotropic corpus agreement degrades to
+    boundary noise by construction, but the DUPLICATE MASS the
+    pipeline consumes stays intact (planted near-dup pairs move
+    between clusters together)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.operators.dedup import plant_near_dups
+    from memvid_spark.operators.semdedup import (
+        mark_cluster_dups,
+        seed_assign,
+        seed_assign_scaled,
+    )
+
+    base = _emb(spark, _rand_rows(200))
+    clustered = base.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 4).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    planted = plant_near_dups(clustered, every=10).localCheckpoint()
+    exact = seed_assign(planted, k=16).localCheckpoint()
+    scaled = seed_assign_scaled(planted, k=16, probes=2).localCheckpoint()
+    j = exact.select("vec_id", F.col("cluster").alias("ce")).join(
+        scaled.select("vec_id", F.col("cluster").alias("cs")), "vec_id"
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("ce") == F.col("cs")).cast("int")).alias("agree"),
+    ).head()
+    assert agg.agree / agg.n >= 0.95
+    de = mark_cluster_dups(exact).filter("is_dup").count()
+    ds = mark_cluster_dups(scaled).filter("is_dup").count()
+    assert de == ds and de >= 20  # every planted copy marked either way
