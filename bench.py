@@ -408,17 +408,25 @@ def main() -> None:
     # regressions; the median of three back-to-back runs is stable
     # enough to compare round over round
     times: dict[str, float] = {}
+    cpu_times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         samples = []
+        cpus = []
         for _ in range(3):
+            c0 = _spark_cpu_s()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
+            cpus.append(_spark_cpu_s() - c0)
             _release_checkpoints(spark)
         times[name] = round(sorted(samples)[1], 3)
+        # min across samples: CPU is stable under host load (the point
+        # of recording it); the first sample can carry one-time codegen
+        cpu_times[name] = round(min(cpus), 1)
 
     total = round(sum(times.values()), 3)
+    total_cpu = round(sum(cpu_times.values()), 1)
 
     # bench-only extras (kept OUT of the headline set/total so
     # round-over-round comparison of the 19 stays apples-to-apples),
@@ -648,7 +656,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "cpu_s": total_cpu,
                 "queries": times,
+                "queries_cpu_s": cpu_times,
                 "extras": extras,
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
@@ -663,6 +673,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "cpu_s": total_cpu,
                 "queries": times,
                 "sf": sf,
                 "detail_file": "BENCH_DETAIL.json",

@@ -446,7 +446,7 @@ def train_cell_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
-    train_sample: int = 65536,
+    train_sample: int | None = None,
     id_col: str = "vec_id",
 ):
     """Coarse cell centroids via Lloyd's on a BOUNDED Arrow sample —
@@ -458,10 +458,20 @@ def train_cell_centroids(
     (time-partitioned embeddings, sorted ingests) still trains on a
     uniform draw instead of whatever rows arrive first. Returns an
     (n_cells, dim) float64 ndarray; may return fewer rows than n_cells
-    on degenerate data (see lloyd_kmeans)."""
+    on degenerate data (see lloyd_kmeans).
+
+    ``train_sample=None`` (default) sizes the sample WITH the cell
+    count: max(65536, 32 · n_cells) — corpus-sized tiers can ask for
+    thousands of cells (auto_n_cells), and a fixed 65536-row sample
+    leaves <32 training rows per centroid past 2048 cells, placing
+    centroids on sampling noise. Identical to the old fixed default
+    for every n_cells ≤ 2048, so existing trained artifacts replay."""
     import numpy as np
 
     from ..functions.vector import lloyd_kmeans
+
+    if train_sample is None:
+        train_sample = max(65536, 32 * n_cells)
 
     X = np.asarray(
         list(
