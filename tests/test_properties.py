@@ -27,11 +27,24 @@ def test_stem_is_idempotent_enough(w):
 @given(st.lists(words, min_size=1, max_size=6))
 def test_plural_expansion_preserves_and_dedups(terms):
     out = expand_plural_variants(terms)
-    # originals (len>1) survive, order of first appearance kept, no dups
+    # contract (ask.rs:959-997 / the docstring): FIRST-SEEN emission
+    # order over (term, its variants) pairs, deduped, len>1 only.
+    # NOT asserted: originals keep their relative order — hypothesis
+    # found ['d', 'aa', 'ds'], where an earlier term's VARIANT ('d' ->
+    # 'ds') collides with a later original, so that stronger invariant
+    # conflicts with first-seen emission by construction.
     assert len(out) == len(set(out))
-    survivors = [t for t in terms if len(t) > 1]
-    idx = [out.index(t) for t in dict.fromkeys(survivors)]
-    assert idx == sorted(idx)
+    survivors = {t for t in terms if len(t) > 1}
+    assert survivors <= set(out)
+    assert all(len(t) > 1 for t in out)
+    assert out == expand_plural_variants(terms)  # deterministic
+    # the one order fact that IS invariant: a len>1 first term is
+    # emitted before anything else (it is the very first add); general
+    # original-relative-order fails whenever an earlier term's variant
+    # collides with a later original (['aa', 'bb', 'aas'] -> aas jumps
+    # bb), so it is deliberately not asserted
+    if terms and len(terms[0]) > 1:
+        assert out[0] == terms[0]
 
 
 @settings(max_examples=100, deadline=None)
