@@ -203,7 +203,12 @@ def _timed_probe(extras, key, fn, spark, data_dir, samples: int = 2) -> None:
             dc = _spark_cpu_s() - c0
             best = dt if best is None else min(best, dt)
             worst = dt if worst is None else max(worst, dt)
-            best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+            # a NEGATIVE delta means a worker daemon died mid-probe and
+            # its accumulated /proc time vanished with it (the reaper
+            # chain only preserves cutime while the reaper lives) —
+            # drop the sample rather than record an impossible number
+            if dc >= 0:
+                best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         except Exception:
             if best is None:
                 best = -1.0
