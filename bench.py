@@ -147,9 +147,14 @@ def _spark_cpu_s() -> float:
     reaper. This is the 100-TB currency the wall numbers keep hiding
     on this shared VM: host load inflates WALL 2-4x run to run
     (q161@100x: 16.7-43.8 s, identical code, three rounds of verdict
-    back-and-forth) but barely touches the CPU our processes actually
-    burned — so probes record cpu_s alongside wall. Local-mode only by
-    construction (on a real cluster read the same number from the
+    back-and-forth) — so probes record cpu_s alongside wall. Measured
+    caveat (r9 runs A/B): co-tenant contention inflates CPU-time too
+    on this box (SMT siblings / frequency throttling: q161@100x burned
+    468 vs 1794 cpu_s on identical code), so cpu_s is a BAND narrower
+    than wall, not a constant — compare MIN across runs for both. A
+    probe during which a worker daemon dies records no cpu_s (the
+    /proc delta would go negative; see _timed_probe). Local-mode only
+    by construction (on a real cluster read the same number from the
     stage metrics API); /proc scan, no py4j."""
     tck = os.sysconf("SC_CLK_TCK")
     tot = 0.0
@@ -350,7 +355,10 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
         ]
         dd = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
-        )
+        ).repartition(1)  # 10 rows: 32 near-empty Arrow tasks cost
+        # more worker overhead than the assignment itself (repartition
+        # not coalesce — coalescing parallelize slices folds 32 python
+        # deserialization overheads into one 3.8 s task)
         return apply_delta_ivf_parts(
             spark.read.parquet(ivf_path), dd, cents
         )[0]
