@@ -428,13 +428,16 @@ def auto_n_cells(
     per-commit delta kernel) CONSTANT as data grows — the same
     bounding discipline max_shard_rows applies to build tasks.
 
-    ``max_cells`` caps the driver-side k-means (lloyd_kmeans trains on
-    a 65536-row sample; past ~4096 cells the sample is too thin to
-    place centroids meaningfully and the distance matrix stops being
-    cheap). Beyond max_cells × target_cell_rows rows (~100M at the
-    defaults) cells fatten again — raise max_cells AND train_sample
-    together, or add a coarser first level; max_shard_rows still
-    bounds every build/delta task either way."""
+    ``max_cells`` is a conservative default, not a hard architecture
+    bound: the trainer sample already scales with the cell count
+    (train_cell_centroids), and past TWO_LEVEL_MIN_CELLS the
+    assignment routes through the two-level form
+    (``_with_cell_two_level``, O(sqrt(k)·probes·d) per row), so
+    raising max_cells for a >100M-row corpus costs only the O(k·d)
+    centroid broadcast (~300 MB at k=50k, d=768) and driver k-means
+    time. Beyond max_cells × target_cell_rows rows cells fatten again
+    — raise max_cells first; max_shard_rows still bounds every
+    build/delta task either way."""
     import math
 
     return max(min_cells, min(max_cells, math.ceil(max(1, n_rows) / max(1, target_cell_rows))))
@@ -489,15 +492,30 @@ def train_cell_centroids(
     return lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
 
 
+# Past this many cells the flat assignment matmul (O(n_cells · d) per
+# row) stops being the cheap part of the build: a corpus-sized tier at
+# 100 TB wants ~10^5-10^6 cells, and the flat form would burn
+# n · n_cells · d flops in one pass. _with_cell then routes through the
+# two-level form below — O(sqrt(n_cells) · probes · d) per row, the
+# same IVF-of-the-centroids shape as semdedup.seed_assign_scaled.
+TWO_LEVEL_MIN_CELLS = 1024
+TWO_LEVEL_PROBES = 2
+
+
 def _with_cell(
     emb: DataFrame, centroids, id_col: str, vec_col: str
 ) -> DataFrame:
     """(cell, vec_id, embedding): nearest-centroid assignment, one
     Arrow-batched NumPy matmul per batch, no shuffle. Ties break to the
-    lowest cell id (argmin takes the first minimum)."""
+    lowest cell id (argmin takes the first minimum). Above
+    ``TWO_LEVEL_MIN_CELLS`` cells the assignment is two-level (see
+    ``_with_cell_two_level``) — still a pure deterministic function of
+    (row, centroids), so build / delta / rebuild all agree."""
     import numpy as np
 
     C = np.asarray(centroids, dtype="float64")
+    if len(C) > TWO_LEVEL_MIN_CELLS:
+        return _with_cell_two_level(emb, C, id_col, vec_col)
     bc = emb.sparkSession.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -513,6 +531,108 @@ def _with_cell(
             yield pd.DataFrame(
                 {
                     "cell": d2.argmin(axis=1).astype("int32"),
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "embedding": [
+                        [float(x) for x in v] for v in pdf[vec_col]
+                    ],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, "cell int, vec_id bigint, embedding array<double>"
+    )
+
+
+def _with_cell_two_level(
+    emb: DataFrame, C, id_col: str, vec_col: str
+) -> DataFrame:
+    """Two-level nearest-centroid assignment for LARGE cell counts: an
+    IVF over the centroids themselves. The flat matmul is O(n_cells·d)
+    per row — at the 10^5-10^6 cells a 100 TB corpus-sized tier wants,
+    that multiplies the whole build by n_cells. Here ~sqrt(k)
+    super-centroids are trained ON the centroid array (driver-side,
+    k·sqrt(k)·d flops — bounded), each centroid joins its nearest
+    super-group, and a row probes its TWO_LEVEL_PROBES nearest
+    super-groups and takes the argmin over only those groups' members:
+    O((sqrt(k) + probes·sqrt(k))·d) per row. Same shape as
+    semdedup.seed_assign_scaled, and the same trade — a row whose true
+    nearest centroid lives in an unprobed super-group lands in its
+    best PROBED cell, which for an IVF coarse quantizer only shifts a
+    cell boundary (search recall is governed by query-time probes, not
+    assignment exactness; pinned on the clustered fixtures).
+
+    Determinism contract: a pure function of (row, centroids) — super
+    k-means is seeded, super/group argmins take the first minimum, and
+    cross-group ties break to the LOWEST cell id (the exact path's
+    rule) — so build, delta-apply, and a full rebuild assign every row
+    identically and delta == rebuild survives the routing. The
+    broadcast is O(k·d) doubles (the centroid table itself) — the one
+    remaining size bound; raise target_cell_rows before it hurts."""
+    import math
+
+    import numpy as np
+
+    from ..functions.vector import lloyd_kmeans
+
+    s = max(1, int(math.ceil(math.sqrt(len(C)))))
+    S = lloyd_kmeans(C, s, seed=42)
+    d2cs = (
+        (C * C).sum(axis=1)[:, None]
+        - 2.0 * (C @ S.T)
+        + (S * S).sum(axis=1)[None, :]
+    )
+    grp = d2cs.argmin(axis=1)
+    members = [np.flatnonzero(grp == g) for g in range(len(S))]
+    p = max(1, min(TWO_LEVEL_PROBES, len(S)))
+    bc = emb.sparkSession.sparkContext.broadcast((C, S, members, p))
+
+    def assign(batches):
+        import pandas as pd
+
+        C, S, members, p = bc.value
+        ss = (S * S).sum(axis=1)[None, :]
+        subs = [
+            (C[m], (C[m] * C[m]).sum(axis=1)[None, :]) if len(m) else None
+            for m in members
+        ]
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            x2 = (X * X).sum(axis=1)[:, None]
+            dS = x2 - 2.0 * (X @ S.T) + ss
+            # stable sort: equal super distances break to the lower id
+            top = np.argsort(dS, axis=1, kind="stable")[:, :p]
+            best_d = np.full(b, np.inf)
+            best_c = np.zeros(b, dtype="int64")
+            for g in range(len(S)):
+                if subs[g] is None:
+                    continue
+                mask = (top == g).any(axis=1)
+                if not mask.any():
+                    continue
+                Xg = X[mask]
+                Cg, cc = subs[g]
+                d2 = (
+                    (Xg * Xg).sum(axis=1)[:, None]
+                    - 2.0 * (Xg @ Cg.T)
+                    + cc
+                )
+                j = d2.argmin(axis=1)  # first min = lowest id in-group
+                dmin = d2[np.arange(len(Xg)), j]
+                cells = members[g][j]
+                cur_d, cur_c = best_d[mask], best_c[mask]
+                upd = (dmin < cur_d) | ((dmin == cur_d) & (cells < cur_c))
+                cur_d[upd], cur_c[upd] = dmin[upd], cells[upd]
+                best_d[mask], best_c[mask] = cur_d, cur_c
+            # a row all of whose probed groups were empty (possible
+            # only when k-means drained supers) falls back to cell 0 —
+            # deterministic, and search still finds it (cell 0 exists
+            # whenever the index is non-empty)
+            yield pd.DataFrame(
+                {
+                    "cell": best_c.astype("int32"),
                     "vec_id": pdf[id_col].astype("int64"),
                     "embedding": [
                         [float(x) for x in v] for v in pdf[vec_col]

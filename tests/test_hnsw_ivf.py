@@ -726,3 +726,83 @@ def test_refresh_entry_cover_heals_legacy_island(spark):
         for r in df.collect()
     )
     assert key(again) == key(healed)
+
+
+def test_two_level_assignment_matches_exact_on_clustered(spark, monkeypatch):
+    """Above TWO_LEVEL_MIN_CELLS the cell assignment routes through the
+    IVF-of-the-centroids two-level form (O(sqrt(k)·d) per row — the
+    10^5-cell regime a 100 TB corpus-sized tier needs). On data with
+    cluster structure it equals the exact flat argmin; it is
+    deterministic across invocations either way."""
+    from memvid_spark.operators import hnsw
+    from memvid_spark.operators.hnsw import _with_cell, train_cell_centroids
+
+    emb = _blob_emb(spark, n_blobs=6, per_blob=60)
+    C = train_cell_centroids(emb, n_cells=12, train_sample=1000)
+    exact = {
+        r.vec_id: r.cell
+        for r in _with_cell(emb, C, "vec_id", "embedding").collect()
+    }
+    monkeypatch.setattr(hnsw, "TWO_LEVEL_MIN_CELLS", 4)
+    two = {
+        r.vec_id: r.cell
+        for r in _with_cell(emb, C, "vec_id", "embedding").collect()
+    }
+    assert two == exact
+    again = {
+        r.vec_id: r.cell
+        for r in _with_cell(emb, C, "vec_id", "embedding").collect()
+    }
+    assert again == two
+
+
+def test_two_level_delta_equals_rebuild_and_recall(spark, monkeypatch):
+    """The routing is transparent to every downstream contract: with
+    the two-level path forced, delta-apply still equals a full rebuild
+    row-for-row (assignment is a pure function of (row, centroids), so
+    build and delta agree), and the batch-join search keeps the 0.8
+    recall bound on the clustered corpus."""
+    from memvid_spark.operators import hnsw
+    from memvid_spark.operators.hnsw import (
+        apply_delta_ivf,
+        nsw_knn_join,
+    )
+    from memvid_spark.operators.knn import knn_join
+
+    monkeypatch.setattr(hnsw, "TWO_LEVEL_MIN_CELLS", 4)
+    t_emb = _blob_emb(spark, n_blobs=6, per_blob=50)  # 300 rows
+    C = train_cell_centroids(t_emb, n_cells=12, train_sample=1000)
+    base = t_emb.filter(F.col("vec_id") % 7 != 0)
+    delta = t_emb.filter(F.col("vec_id") % 7 == 0)
+    index = build_nsw_index_ivf(base, C, m=8, ef_construction=60)
+    applied = apply_delta_ivf(index, delta, C, m=8, ef_construction=60)
+    truth = build_nsw_index_ivf(t_emb, C, m=8, ef_construction=60)
+    key = lambda df: sorted(  # noqa: E731
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+    assert key(applied) == key(truth)
+    queries = t_emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = nsw_knn_join(
+        truth, C, queries, k=5, probes=4, exclude_same_id=True
+    )
+    exact = knn_join(
+        t_emb,
+        queries.select(
+            F.col("query_id").alias("q_id"),
+            F.col("query_vec").alias("q_vec"),
+        ),
+        k=5,
+        metric="l2",
+    ).select(F.col("q_id").alias("query_id"), "vec_id")
+    hits = (
+        batch.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    per_q = [r.n / 5.0 for r in hits.collect()]
+    assert per_q and min(per_q) >= 0.8
