@@ -1347,6 +1347,55 @@ class MemvidSpark:
         "frame_id long, embedding array<float>, provider string, model string"
     )
 
+    # Python-side vector-buffer bound: past this many buffered rows the
+    # session buffer spills to a parquet side-track and the ANN pending
+    # delta auto-applies. WITHOUT the bound a bulk session ingest of
+    # millions of vectors holds them ALL as Python lists on the driver
+    # (and, with the ANN tier built, a second copy in _ann_pending) —
+    # the driver-side corpus-proportional state this engine bans
+    # everywhere else. Interactive sessions never reach it.
+    EMB_SPILL_ROWS = 100_000
+
+    def _spill_emb_buffer(self) -> None:
+        """Drain the Python-side vector buffer into a session-scoped
+        spill parquet and re-seed the track as (original seed ∪ spill).
+        APPEND-writes per spill — O(total rows) across any number of
+        spills, where re-checkpointing the union would re-materialize
+        the whole track per spill (O(n²/threshold)). The spill dir dies
+        with save() (the track re-roots on the store parquet) or the
+        session."""
+        import tempfile
+
+        buf = self._emb_buffer
+        if not buf:
+            return
+        if getattr(self, "_emb_spill_dir", None) is None:
+            self._emb_spill_dir = tempfile.mkdtemp(prefix="mv2_embspill_")
+            # the pre-spill seed (an opened store's parquet) stays
+            # where it is — only session adds land in the spill dir
+            self._emb_spill_base = self._emb_seed
+        self.spark.createDataFrame(buf, self.EMB_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._emb_spill_dir)
+        buf.clear()
+        self.spark.catalog.refreshByPath(self._emb_spill_dir)
+        spilled = self.spark.read.parquet(self._emb_spill_dir)
+        base = self._emb_spill_base
+        self._emb_seed = (
+            spilled if base is None else base.unionByName(spilled)
+        )
+
+    def _drop_emb_spill(self) -> None:
+        """Forget the session spill dir (after save() re-roots the
+        track on the store parquet)."""
+        import shutil
+
+        d = getattr(self, "_emb_spill_dir", None)
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
+            self._emb_spill_dir = None
+            self._emb_spill_base = None
+
     def embeddings(self) -> DataFrame:
         """The vector track: (frame_id, embedding, provider, model)."""
         buf = self._emb_buffer
@@ -1401,6 +1450,17 @@ class MemvidSpark:
         self._vec_dim = new_dim
         for fid, _ in pairs:
             self.mark_frame_enriched(fid)
+        # bulk-session bound: spill the Python buffer to parquet and
+        # apply the buffered ANN delta once either crosses the
+        # threshold — driver memory stays O(EMB_SPILL_ROWS), work stays
+        # incremental (delta-apply touches only the delta's cells)
+        if len(self._emb_buffer) >= self.EMB_SPILL_ROWS:
+            self._spill_emb_buffer()
+        if (
+            self.ann_enabled()
+            and len(getattr(self, "_ann_pending", ())) >= self.EMB_SPILL_ROWS
+        ):
+            self.refresh_ann_index()
         return len(pairs)
 
     def put_with_embedding(
@@ -2614,6 +2674,7 @@ class MemvidSpark:
                 self.embeddings(), os.path.join(path, "embeddings.parquet")
             )
             self._emb_puts = []
+            self._drop_emb_spill()  # track re-rooted on the store
         if getattr(self, "_chunk_emb_puts", None) or (
             getattr(self, "_chunk_emb_seed", None) is not None
         ):

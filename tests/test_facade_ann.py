@@ -360,3 +360,39 @@ def test_ask_routes_vector_list_through_serving_tier(spark):
     mv2.build_ann_serving(n_cells=3, m=8, ef_construction=60)
     mv2.ask("alpha beta", query_vec=_qvec(small_pairs, 5), ann=True)
     assert mv2._last_ask_vec_route == "exact"
+
+
+def test_bulk_ingest_spills_buffer_and_flushes_ann(spark, tmp_path, monkeypatch):
+    """Driver memory stays bounded through a bulk session ingest: past
+    EMB_SPILL_ROWS the Python-side vector buffer spills to a session
+    parquet (append per spill — O(total rows) across spills) and the
+    buffered ANN delta auto-applies. Without the bound both lists grow
+    with every put — the driver-side corpus-proportional state this
+    engine bans everywhere else."""
+    monkeypatch.setattr(MemvidSpark, "EMB_SPILL_ROWS", 100)
+    pairs = _unit_blob_pairs(n_blobs=4, per_blob=300)  # 1200 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs[:1100])
+    mv.build_ann_serving(n_cells=4, m=8, ef_construction=60, probes=2)
+    # feed the rest in batches: buffer and pending must stay bounded
+    for i in range(1100, 1200, 20):
+        mv.add_embeddings(pairs[i:i + 20])
+        assert len(mv._emb_buffer) < 100 + 20
+        assert len(mv._ann_pending) < 100 + 20
+    assert mv.embeddings().count() == 1200
+    # the auto-flushed ANN delta serves the late adds without an
+    # explicit refresh/save
+    mv.refresh_ann_index()
+    q = _qvec(pairs, 1195)
+    got = mv.search_embeddings(q, k=1, ann=True).head()
+    assert got.vec_id == 1195
+    # save() re-roots the track and drops the spill dir
+    spill = mv._emb_spill_dir
+    assert spill is not None
+    path = str(tmp_path / "store")
+    mv.save(path)
+    import os
+
+    assert mv._emb_spill_dir is None and not os.path.exists(spill)
+    re = MemvidSpark.open(spark, path)
+    assert re.embeddings().count() == 1200
