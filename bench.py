@@ -435,8 +435,14 @@ def main() -> None:
             _release_checkpoints(spark)
         times[name] = round(sorted(samples)[1], 3)
         # min across samples: CPU is stable under host load (the point
-        # of recording it); the first sample can carry one-time codegen
-        cpu_times[name] = round(min(cpus), 1)
+        # of recording it); the first sample can carry one-time codegen.
+        # NEGATIVE deltas (a worker daemon died mid-sample and took its
+        # /proc-accumulated time with it) are dropped, mirroring
+        # _timed_probe — a query whose every sample died records no
+        # cpu_s rather than an impossible number
+        valid_cpus = [c for c in cpus if c >= 0]
+        if valid_cpus:
+            cpu_times[name] = round(min(valid_cpus), 1)
 
     total = round(sum(times.values()), 3)
     total_cpu = round(sum(cpu_times.values()), 1)

@@ -1255,13 +1255,17 @@ class MemvidSpark:
                 )
                 self._last_ask_vec_route = "ann" if routed else "exact"
                 hits = self.search_embeddings(query_vec, k=k, ann=routed)
-                score = (
+                if routed:
                     # serving tier scores are L2 distance (ascending);
                     # rank fusion wants higher-is-better
-                    (-F.col("score")).alias("score")
-                    if routed
-                    else F.col("score")
-                )
+                    score = (-F.col("score")).alias("score")
+                elif self.vector_compression() != "none":
+                    # the sq8/pq exact scans emit approx_dist
+                    # (ascending-is-better) instead of a cosine score —
+                    # negate into rank order like the L2 tier
+                    score = (-F.col("approx_dist")).alias("score")
+                else:
+                    score = F.col("score")
                 return hits.select(
                     F.col("vec_id").alias(self.id_col), score
                 )
@@ -1604,6 +1608,8 @@ class MemvidSpark:
         probes: int = 4,
         max_shard_rows: int = 25000,
         target_cell_rows: int = 25000,
+        min_cells: int = 4,
+        max_cells: int = 4096,
     ) -> None:
         """Build (or retrain) the IVF-cell NSW serving tier over the
         ACTIVE vector track: coarse centroids from a bounded seeded
@@ -1624,7 +1630,19 @@ class MemvidSpark:
         CPU / per-delta rebuild wall grow with it; corpus-sized cells
         keep both constant as data grows, and drift retrains RE-size
         (refresh_ann_index). Pass an explicit n_cells to pin it (the
-        pinned count then survives retrains — the legacy posture)."""
+        pinned count then survives retrains — the legacy posture).
+
+        ``min_cells`` / ``max_cells`` bound the auto sizing (the
+        auto_n_cells clamp). The default max_cells=4096 is conservative
+        — a >100M-row corpus at the default target wants more cells,
+        and raising the clamp needs no code fork: past 4096 cells the
+        centroid TRAINER goes distributed (per-super-group k-means,
+        train_cell_centroids_scaled) and the ASSIGNMENT is already
+        two-level, so the remaining bound is the O(n_cells · dim)
+        centroid broadcast each assignment/search task reads (~300 MB
+        at 50k cells × 768 dims as float64) — raise target_cell_rows
+        before that broadcast hurts. The clamp survives retrains
+        (refresh_ann_index re-sizes within the same bounds)."""
         self._ensure_writable()
         from .operators.hnsw import (
             auto_n_cells,
@@ -1638,7 +1656,10 @@ class MemvidSpark:
             raise ValueError("no embeddings to index: add vectors first")
         auto = n_cells is None
         if auto:
-            n_cells = auto_n_cells(n_rows, target_cell_rows)
+            n_cells = auto_n_cells(
+                n_rows, target_cell_rows,
+                min_cells=min_cells, max_cells=max_cells,
+            )
         cents = train_cell_centroids(
             emb, n_cells=n_cells, id_col="vec_id"
         )
@@ -1653,6 +1674,8 @@ class MemvidSpark:
             "n_rows": int(n_rows),
             "auto_cells": bool(auto),
             "target_cell_rows": int(target_cell_rows),
+            "min_cells": int(min_cells),
+            "max_cells": int(max_cells),
         }
         self._ann_index = build_nsw_index_ivf(
             emb,
@@ -1807,6 +1830,8 @@ class MemvidSpark:
                 probes=meta["probes"],
                 max_shard_rows=meta["max_shard_rows"],
                 target_cell_rows=tcr,
+                min_cells=int(meta.get("min_cells", 4)),
+                max_cells=int(meta.get("max_cells", 4096)),
             )
             stats["retrained"] = True
             stats["n_cells"] = self._ann_meta["n_cells"]

@@ -429,15 +429,19 @@ def auto_n_cells(
     bounding discipline max_shard_rows applies to build tasks.
 
     ``max_cells`` is a conservative default, not a hard architecture
-    bound: the trainer sample already scales with the cell count
-    (train_cell_centroids), and past TWO_LEVEL_MIN_CELLS the
-    assignment routes through the two-level form
-    (``_with_cell_two_level``, O(sqrt(k)·probes·d) per row), so
-    raising max_cells for a >100M-row corpus costs only the O(k·d)
-    centroid broadcast (~300 MB at k=50k, d=768) and driver k-means
-    time. Beyond max_cells × target_cell_rows rows cells fatten again
-    — raise max_cells first; max_shard_rows still bounds every
-    build/delta task either way."""
+    bound: the trainer sample scales with the cell count
+    (train_cell_centroids), past SCALED_TRAIN_MIN_CELLS the TRAINER
+    itself goes distributed (per-super-group k-means,
+    ``train_cell_centroids_scaled`` — driver flops stay O(√k), never
+    O(k·sample·d)), and past TWO_LEVEL_MIN_CELLS the assignment routes
+    through the two-level form (``_with_cell_two_level``,
+    O(sqrt(k)·probes·d) per row). So raising max_cells for a
+    >100M-row corpus costs only the O(k·d) centroid broadcast
+    (~300 MB at k=50k, d=768) each assignment/search task reads —
+    raise target_cell_rows before that hurts. Beyond
+    max_cells × target_cell_rows rows cells fatten again — raise
+    max_cells first; max_shard_rows still bounds every build/delta
+    task either way."""
     import math
 
     return max(min_cells, min(max_cells, math.ceil(max(1, n_rows) / max(1, target_cell_rows))))
@@ -500,6 +504,31 @@ def train_cell_centroids(
 # same IVF-of-the-centroids shape as semdedup.seed_assign_scaled.
 TWO_LEVEL_MIN_CELLS = 1024
 TWO_LEVEL_PROBES = 2
+
+
+def _flat_fallback(X, C, best_d, best_c):
+    """Resolve rows the two-level probe could NOT assign (every probed
+    super-group memberless — possible only when k-means drained supers,
+    so tiny by construction): a flat argmin over ALL centroids, exactly
+    the exact path's rule. Parking such rows in a fixed cell would be
+    wrong, not just suboptimal — query-time probing selects cells by
+    centroid DISTANCE, so a row far from that cell's centroid is found
+    only when the cell happens to be probed. Mutates (best_d, best_c)
+    in place for the unresolved rows; returns them."""
+    import numpy as np
+
+    miss = ~np.isfinite(best_d)
+    if miss.any():
+        Xm = X[miss]
+        d2 = (
+            (Xm * Xm).sum(axis=1)[:, None]
+            - 2.0 * (Xm @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        j = d2.argmin(axis=1)  # first min = lowest cell id (tie rule)
+        best_c[miss] = j.astype("int64")
+        best_d[miss] = d2[np.arange(len(Xm)), j]
+    return best_d, best_c
 
 
 def _with_cell(
@@ -626,10 +655,12 @@ def _with_cell_two_level(
                 upd = (dmin < cur_d) | ((dmin == cur_d) & (cells < cur_c))
                 cur_d[upd], cur_c[upd] = dmin[upd], cells[upd]
                 best_d[mask], best_c[mask] = cur_d, cur_c
-            # a row all of whose probed groups were empty (possible
-            # only when k-means drained supers) falls back to cell 0 —
-            # deterministic, and search still finds it (cell 0 exists
-            # whenever the index is non-empty)
+            # a row all of whose probed groups were memberless
+            # (possible only when k-means drained supers) falls back to
+            # the FLAT argmin over all centroids — the exact path's
+            # rule, still deterministic, and the row stays findable at
+            # query time (probing ranks cells by centroid distance)
+            _flat_fallback(X, C, best_d, best_c)
             yield pd.DataFrame(
                 {
                     "cell": best_c.astype("int32"),

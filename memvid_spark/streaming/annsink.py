@@ -86,11 +86,14 @@ class StreamingAnnMaintainer:
     def index(self, spark: SparkSession) -> DataFrame:
         """The persisted serving index (empty graph before the first
         batch) — read fresh each call so a swapped write is visible.
-        Recovers a crashed ``_swap`` first: a leftover ``.tmp``
-        (complete — it is fully written before any rename starts) or
-        ``.old`` directory with no live index promotes in place, so a
-        crash mid-swap can never present an EMPTY index and trick the
-        next trigger into a silent bootstrap rebuild from one batch.
+        Recovers a crashed ``_swap`` first: a leftover COMMITTED
+        ``.tmp`` (``_SUCCESS`` marker — fully written before any rename
+        starts) or ``.old`` directory with no live index promotes in
+        place, so a crash mid-swap can never present an EMPTY index and
+        trick the next trigger into a silent bootstrap rebuild from one
+        batch; an UNcommitted ``.tmp`` (a crash during the first-ever
+        bootstrap write) is deleted and the checkpoint replay
+        re-bootstraps.
         Promoting ``.tmp`` over ``.old`` is safe either way: the
         interrupted batch is uncommitted in the streaming checkpoint,
         replays, and delta-apply is idempotent by determinism."""
@@ -105,10 +108,21 @@ class StreamingAnnMaintainer:
 
         tmp, old = self.index_path + ".tmp", self.index_path + ".old"
         if not os.path.exists(self.index_path):
-            if os.path.exists(tmp):
+            # promote .tmp only if its Spark write COMMITTED (_SUCCESS
+            # marker): '.tmp is complete before any rename starts' holds
+            # for every swap of an existing index, but a crash DURING
+            # the very first bootstrap write leaves a partial parquet
+            # dir with no live index to shadow it — promoting that
+            # would serve a torn index. Delete it instead; the
+            # interrupted batch is uncommitted in the streaming
+            # checkpoint and replays the bootstrap.
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
                 os.replace(tmp, self.index_path)
-            elif os.path.exists(old):
-                os.replace(old, self.index_path)
+            else:
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                if os.path.exists(old):
+                    os.replace(old, self.index_path)
         # live index present: stale leftovers are garbage from a crash
         # after the promote step — clear them so the next swap is clean
         for p in (tmp, old):

@@ -396,3 +396,22 @@ def test_bulk_ingest_spills_buffer_and_flushes_ann(spark, tmp_path, monkeypatch)
     assert mv._emb_spill_dir is None and not os.path.exists(spill)
     re = MemvidSpark.open(spark, path)
     assert re.embeddings().count() == 1200
+
+
+def test_ask_query_vec_exact_fallback_on_compressed_store(spark):
+    """ADVICE r9 (medium): with vector compression declared, the exact
+    fallback of ask(query_vec=...) routes through the sq8/pq scans,
+    whose output column is approx_dist (ascending-is-better) — the old
+    select of F.col("score") raised AnalysisException. The fix negates
+    approx_dist into rank order, so the vector list still fuses and the
+    query's own frame ranks first on both quantized tiers."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)  # 120 < engage
+    mv = MemvidSpark(spark)
+    for fid, _v in pairs[:6]:
+        mv.put(f"memo about topic {fid}")
+    mv.add_embeddings(pairs)
+    for comp in ("sq8", "pq"):
+        mv.set_vector_compression(comp)
+        res = mv.ask("memo topic", top_k=3, query_vec=_qvec(pairs, 2))
+        assert mv._last_ask_vec_route == "exact"
+        assert res.answer is not None

@@ -806,3 +806,30 @@ def test_two_level_delta_equals_rebuild_and_recall(spark, monkeypatch):
     )
     per_q = [r.n / 5.0 for r in hits.collect()]
     assert per_q and min(per_q) >= 0.8
+
+
+def test_flat_fallback_assigns_nearest_not_cell_zero():
+    """ADVICE r9: a row whose probed super-groups are ALL memberless
+    (k-means-drained supers — degenerate but reachable) must fall back
+    to the flat argmin over every centroid, not park in cell 0: query-
+    time probing ranks cells by centroid distance, so a row far from
+    centroid 0 parked there would only be found when cell 0 happens to
+    be probed. The helper is the exact path's rule: first-min tie-break
+    to the lowest cell id."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import _flat_fallback
+
+    C = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.array([[9.0, 1.0], [0.1, 9.5], [0.2, 0.2]])
+    best_d = np.array([np.inf, np.inf, 0.08])  # row 2 already resolved
+    best_c = np.array([0, 0, 0], dtype="int64")
+    _flat_fallback(X, C, best_d, best_c)
+    assert list(best_c) == [1, 2, 0]
+    assert np.isfinite(best_d).all()
+    # tie: equidistant between cells 1 and 2 -> lowest id wins
+    Xt = np.array([[6.0, 6.0]])
+    d = np.array([np.inf])
+    c = np.array([7], dtype="int64")
+    _flat_fallback(Xt, C, d, c)
+    assert c[0] == 1

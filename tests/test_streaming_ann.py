@@ -354,3 +354,36 @@ def test_equal_seq_upsert_tiebreak_is_order_independent(spark, tmp_path):
         ANN_CDC_SCHEMA,
     )
     assert mt._last_state(mixed).head().deleted is True
+
+
+def test_partial_bootstrap_tmp_is_not_promoted(spark, tmp_path):
+    """ADVICE r9: a crash DURING the first-ever bootstrap .tmp write
+    (before any live index exists) leaves a partial, uncommitted
+    parquet dir — recovery must DELETE it (the checkpoint replays the
+    bootstrap), never promote it as the live index. Commit is judged
+    by the Spark _SUCCESS marker; a committed .tmp still promotes."""
+    import os
+
+    rows = _vecs(spark, range(40))
+    cents = _cents(spark, rows)
+    mt = StreamingAnnMaintainer(str(tmp_path / "ann"), cents, m=8,
+                                ef_construction=60)
+    # simulate the torn bootstrap write: a .tmp dir with data files but
+    # NO _SUCCESS marker, and no live index
+    tmp = mt.index_path + ".tmp"
+    os.makedirs(os.path.join(tmp, "cell=0"))
+    with open(os.path.join(tmp, "cell=0", "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    idx = mt.index(spark)
+    assert idx.count() == 0  # empty bootstrap state, not the torn dir
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(mt.index_path)
+    # the replayed bootstrap batch then builds the real index
+    mt.apply_batch(
+        spark.createDataFrame(
+            [(i, v, False, 0) for i, v in rows], ANN_CDC_SCHEMA
+        ),
+        0,
+    )
+    assert os.path.exists(os.path.join(mt.index_path, "_SUCCESS"))
+    assert nsw_knn(mt.index(spark), rows[3][1], k=1).head().vec_id == 3
