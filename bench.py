@@ -366,6 +366,33 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
     _timed_probe(extras, f"{prefix}:hnsw_delta", delta, spark, data_dir)
 
 
+def _hnsw_scaled_train_probe(extras, prefix, spark, data_dir) -> None:
+    """Time the DISTRIBUTED coarse-quantizer trainer (round 10: the
+    max_cells=4096 lift) at a raised clamp: n_cells=8192 over this
+    corpus forces train_cell_centroids past SCALED_TRAIN_MIN_CELLS, so
+    the number records what the per-super-group cogroup path costs —
+    driver flops stay O(√k) while the 8192 sub-models train in
+    parallel. The model is training-only (nothing cached): the probe
+    certifies the TRAINER scales, the serving numbers stay the
+    _hnsw_split_probe entries at the auto-sized cell count."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import train_cell_centroids
+
+    emb_path = os.path.join(data_dir, "embeddings.parquet")
+
+    def train(spark, d):
+        emb = spark.read.parquet(emb_path)
+        C = train_cell_centroids(emb, n_cells=8192, n_hint=emb.count())
+        extras[f"{prefix}:hnsw_train_scaled_cells"] = float(len(C))
+        # a 1-row frame so _timed_probe's noop write has a plan to run
+        return spark.createDataFrame(
+            [(int(np.asarray(C).shape[0]),)], "n int"
+        )
+
+    _timed_probe(extras, f"{prefix}:hnsw_train_scaled", train, spark, data_dir)
+
+
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
     the same treatment the headline gets. Single samples on this VM
@@ -655,6 +682,10 @@ def main() -> None:
         # decomposition of q115's 100x wall (see the 10x section)
         if time.perf_counter() - section0 <= budget:
             _hnsw_split_probe(extras, "probe100x", spark, probe100_dir)
+            # round 10: the distributed coarse-trainer at a raised
+            # clamp (8192 cells > SCALED_TRAIN_MIN_CELLS) over the
+            # 200k-vector corpus — the trained-distributed path's cost
+            _hnsw_scaled_train_probe(extras, "probe100x", spark, probe100_dir)
         else:
             extras["probe100x_budget_hit"] = 1.0
 

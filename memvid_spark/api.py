@@ -471,17 +471,129 @@ class MemvidSpark:
             df = df.filter(F.col("mime").startswith(modality + "/"))
         return df
 
-    def search_images(self, text: str, k: int = 10) -> DataFrame:
+    def search_images(
+        self, text: str, k: int = 10, ann: bool | None = None
+    ) -> DataFrame:
         """Text→image kNN over REAL decoded pixels in the shared
         cross-modal space (search/api.rs:165-257, clip.rs:297-380):
         stdlib decode (PNG/BMP/GIF/baseline JPEG) → pixel features →
         shared-space projection, exact squared-L2 retrieval
-        (operators/crossmodal.py)."""
+        (operators/crossmodal.py).
+
+        Routing mirrors the text tier's engage threshold
+        (src/vec.rs:22-23): with an image serving tier built
+        (:meth:`build_image_ann_serving`) and ≥ ANN_ENGAGE_ROWS images
+        indexed, retrieval is cell-pruned ANN over the PERSISTED
+        image-embedding graph — below it (or ``ann=False``) the exact
+        scan (which re-decodes every payload per query — the linear
+        term the tier removes at multimodal corpus scale). The ANN
+        route EXACT-RESCORES its candidate set: the k graph hits join
+        back to their stored integer embeddings and rank by the same
+        integer squared-L2 total order as the exact path, so the
+        output schema and scoring semantics are identical
+        (media_id, dist2, rank); only the candidate set is
+        approximate (recall bound pinned in tests). The route taken
+        is recorded on ``self._last_image_search_route``."""
         from .operators import crossmodal
 
+        meta = getattr(self, "_img_ann_meta", None)
+        routed = (
+            ann is not False
+            and self.image_ann_enabled()
+            and meta["n_rows"] >= self.ANN_ENGAGE_ROWS
+        )
+        self._last_image_search_route = "ann" if routed else "exact"
+        if routed:
+            # the exact path filters tombstones via media(); the served
+            # graph updates at the next build — exclude frames deleted
+            # since (session-bounded set)
+            return crossmodal.crossmodal_knn_ann(
+                self._img_ann_index,
+                self._img_ann_cents,
+                text,
+                k=k,
+                ef_search=meta["ef_search"],
+                probes=meta["probes"],
+                exclude_ids=sorted(self._tombstones),
+            )
         return crossmodal.crossmodal_knn(
             crossmodal.embed_images(self.media("image")), text, k=k
         )
+
+    def image_ann_enabled(self) -> bool:
+        return getattr(self, "_img_ann_index", None) is not None
+
+    def build_image_ann_serving(
+        self,
+        n_cells: int | None = None,
+        m: int = 16,
+        ef_construction: int = 100,
+        ef_search: int = 50,
+        probes: int = 4,
+        max_shard_rows: int = 25000,
+        target_cell_rows: int = 25000,
+        min_cells: int = 4,
+        max_cells: int = 4096,
+    ) -> None:
+        """Build (or rebuild) the IVF-cell NSW serving tier over the
+        CROSS-MODAL IMAGE space — the reference's second ANN space
+        (clip.rs:297-380 searches image vectors with the same HNSW it
+        uses for text, src/vec.rs). Without it every
+        :meth:`search_images` call decodes and scores the whole image
+        corpus — at multimodal corpus scale, the exact linear term the
+        text tier eliminated. Payload decode runs ONCE here (the
+        embed_images mapInPandas pass — the index stores only the
+        small integer vectors, payloads never shuffle); searches then
+        serve cell-pruned from the persisted graph. Same auto-sizing,
+        clamp, and engage-threshold semantics as
+        :meth:`build_ann_serving`; derived and rebuildable, persists
+        with the store on :meth:`save` (rebuild after media mutations
+        — the reference's rebuild-indexes-at-commit lifecycle)."""
+        self._ensure_writable()
+        from .operators import crossmodal
+        from .operators.hnsw import (
+            auto_n_cells,
+            build_nsw_index_ivf,
+            train_cell_centroids,
+        )
+
+        emb = crossmodal.embed_images(self.media("image")).select(
+            F.col("media_id").alias("vec_id"),
+            F.col("emb").cast("array<double>").alias("embedding"),
+        ).localCheckpoint()  # one decode pass feeds count+train+build
+        n_rows = emb.count()
+        if n_rows == 0:
+            raise ValueError("no image media to index: put images first")
+        auto = n_cells is None
+        if auto:
+            n_cells = auto_n_cells(
+                n_rows, target_cell_rows,
+                min_cells=min_cells, max_cells=max_cells,
+            )
+        cents = train_cell_centroids(
+            emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+        )
+        self._img_ann_cents = [[float(x) for x in c] for c in cents]
+        self._img_ann_meta = {
+            "n_cells": len(self._img_ann_cents),
+            "m": m,
+            "ef_construction": ef_construction,
+            "ef_search": ef_search,
+            "probes": probes,
+            "max_shard_rows": max_shard_rows,
+            "n_rows": int(n_rows),
+            "auto_cells": bool(auto),
+            "target_cell_rows": int(target_cell_rows),
+            "min_cells": int(min_cells),
+            "max_cells": int(max_cells),
+        }
+        self._img_ann_index = build_nsw_index_ivf(
+            emb,
+            self._img_ann_cents,
+            m=m,
+            ef_construction=ef_construction,
+            max_shard_rows=max_shard_rows,
+        ).localCheckpoint()
 
     def media_features(self) -> DataFrame:
         """Modality-routed feature vectors over every retained payload:
@@ -1661,7 +1773,7 @@ class MemvidSpark:
                 min_cells=min_cells, max_cells=max_cells,
             )
         cents = train_cell_centroids(
-            emb, n_cells=n_cells, id_col="vec_id"
+            emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
         )
         self._ann_cents = [[float(x) for x in c] for c in cents]
         self._ann_meta = {
@@ -2727,6 +2839,18 @@ class MemvidSpark:
                 # centroid table would persist as parquet like the index
                 json.dump(self._ann_cents, f)
             os.replace(tmp, os.path.join(path, "ann_centroids.json"))
+        # the cross-modal image tier persists the same way (the decode
+        # pass it saves per query is even pricier than vector scoring)
+        if self.image_ann_enabled():
+            self._img_ann_index = self._write_swap(
+                self._img_ann_index,
+                os.path.join(path, "img_ann_index.parquet"),
+                partition_by="cell",
+            )
+            tmp = os.path.join(path, "img_ann_centroids.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(self._img_ann_cents, f)
+            os.replace(tmp, os.path.join(path, "img_ann_centroids.json"))
         # the sketch track persists with the store (the reference ships
         # it inside the .mv2 container, sketch_track.rs) — unlike
         # postings it is maintained incrementally, not rebuilt per open
@@ -2775,6 +2899,9 @@ class MemvidSpark:
             "unenriched": sorted(self._unenriched),
             "enrich_queue": [int(x) for x in self._enrich_queue],
             "ann": self._ann_meta if self.ann_enabled() else None,
+            "img_ann": (
+                self._img_ann_meta if self.image_ann_enabled() else None
+            ),
         }
         tmp = os.path.join(path, "manifest.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -2892,6 +3019,16 @@ class MemvidSpark:
             ) as f:
                 mv._ann_cents = json.load(f)
             mv._ann_pending = []
+        img_ann_path = os.path.join(path, "img_ann_index.parquet")
+        if man.get("img_ann") and os.path.exists(img_ann_path):
+            spark.catalog.refreshByPath(img_ann_path)
+            mv._img_ann_meta = man["img_ann"]
+            mv._img_ann_index = spark.read.parquet(img_ann_path)
+            with open(
+                os.path.join(path, "img_ann_centroids.json"),
+                encoding="utf-8",
+            ) as f:
+                mv._img_ann_cents = json.load(f)
         if rebuild_dedup:
             # dedup registry stays DISTRIBUTED (mutation.rs:3302-3316
             # semantics, zero collect on the open path): a lazily

@@ -179,6 +179,50 @@ def clip_tower_factories(model: str = "clip-ViT-B-32"):
     return image_factory, text_encoder
 
 
+def crossmodal_knn_ann(
+    index: DataFrame,
+    centroids,
+    text: str,
+    k: int = 10,
+    ef_search: int = 50,
+    probes: int = 4,
+    id_col: str = "media_id",
+    exclude_ids=None,
+) -> DataFrame:
+    """Cell-pruned ANN retrieval in the shared cross-modal space — the
+    serving-tier route for text→image search (the reference's second
+    ANN space: clip.rs:297-380 runs the same HNSW over image vectors).
+    ``index`` is a ``build_nsw_index_ivf`` graph over the integer image
+    embeddings (stored as array<double>; values are exact integers).
+    The graph walk proposes the top-k CANDIDATES; those k rows then
+    join back to their stored embeddings and re-rank by the exact
+    integer squared-L2 total order of :func:`crossmodal_knn` — so the
+    output schema (id, dist2, rank) and the scoring semantics are
+    identical to the exact path, and only the candidate SET is
+    approximate (recall governed by ``probes``, bound pinned in
+    tests). ``exclude_ids`` drops served hits post-walk (session
+    tombstones — a dropped hit may leave fewer than k rows until the
+    next index rebuild)."""
+    from .hnsw import nsw_knn_pruned
+
+    qv = [float(x) for x in text_vec(text)]
+    hits = nsw_knn_pruned(
+        index, centroids, qv, k=k, ef_search=ef_search, probes=probes
+    )
+    cand = index.select(
+        F.col("vec_id").alias(id_col),
+        # lossless: the tier stores exact integers in double form
+        F.col("embedding").cast("array<long>").alias("emb"),
+    ).join(
+        F.broadcast(hits.select(F.col("vec_id").alias(id_col))), id_col
+    )
+    if exclude_ids:
+        cand = cand.filter(
+            ~F.col(id_col).isin([int(t) for t in exclude_ids])
+        )
+    return crossmodal_knn(cand, text, k=k, id_col=id_col)
+
+
 def crossmodal_knn(
     image_vecs: DataFrame, text: str, k: int = 10, id_col: str = "media_id"
 ) -> DataFrame:

@@ -447,6 +447,17 @@ def auto_n_cells(
     return max(min_cells, min(max_cells, math.ceil(max(1, n_rows) / max(1, target_cell_rows))))
 
 
+# Past this many requested cells the DRIVER trainer stops being the
+# cheap part: lloyd_kmeans burns O(sample · k · d) flops per iteration
+# on one core (sample itself scales 32·k), so at the 10^5-10^6 cells a
+# 100 TB corpus-sized tier wants, training — not assignment — becomes
+# the driver-side bottleneck. train_cell_centroids then routes through
+# the distributed per-super-group form (train_cell_centroids_scaled).
+# 4096 matches the auto_n_cells default clamp, so every existing
+# artifact and pin trains on the byte-identical driver path.
+SCALED_TRAIN_MIN_CELLS = 4096
+
+
 def train_cell_centroids(
     emb: DataFrame,
     n_cells: int = 32,
@@ -455,6 +466,7 @@ def train_cell_centroids(
     max_iter: int = 10,
     train_sample: int | None = None,
     id_col: str = "vec_id",
+    n_hint: int | None = None,
 ):
     """Coarse cell centroids via Lloyd's on a BOUNDED Arrow sample —
     the same trainer discipline as train_ivfpq (no count pre-scan, the
@@ -472,11 +484,23 @@ def train_cell_centroids(
     thousands of cells (auto_n_cells), and a fixed 65536-row sample
     leaves <32 training rows per centroid past 2048 cells, placing
     centroids on sampling noise. Identical to the old fixed default
-    for every n_cells ≤ 2048, so existing trained artifacts replay."""
+    for every n_cells ≤ 2048, so existing trained artifacts replay.
+
+    Above ``SCALED_TRAIN_MIN_CELLS`` cells the training itself is
+    DISTRIBUTED (``train_cell_centroids_scaled``): driver k-means
+    handles √k super-centroids, each super-group's sub-centroids train
+    in parallel executor-side — lifting the max_cells clamp without a
+    driver flop bottleneck. Every n_cells at or below the bound keeps
+    the byte-identical driver path (existing artifacts replay)."""
     import numpy as np
 
     from ..functions.vector import lloyd_kmeans
 
+    if n_cells > SCALED_TRAIN_MIN_CELLS:
+        return train_cell_centroids_scaled(
+            emb, n_cells, vec_col=vec_col, seed=seed, max_iter=max_iter,
+            id_col=id_col, n_hint=n_hint,
+        )
     if train_sample is None:
         train_sample = max(65536, 32 * n_cells)
 
@@ -494,6 +518,167 @@ def train_cell_centroids(
         dtype="float64",
     )
     return lloyd_kmeans(X, n_cells, seed=seed, max_iter=max_iter)
+
+
+# Per-super-group training batches are bounded: a group's sample share
+# is ~32 rows per sub-centroid by proportional allocation, but hash
+# sampling is proportional only in expectation — cap the rows one
+# k-means task may hold so a skew surprise degrades training quality
+# (subsampled group), never a task (OOM).
+SCALED_TRAIN_GROUP_ROWS = 262144
+
+
+def train_cell_centroids_scaled(
+    emb: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    n_hint: int | None = None,
+):
+    """DISTRIBUTED coarse-quantizer training for LARGE cell counts —
+    the trainer mirror of ``_with_cell_two_level``'s assignment shape
+    (and semdedup.seed_assign_scaled's cogroup discipline). The driver
+    path (``lloyd_kmeans`` over a 32·k-row sample) is O(sample·k·d)
+    flops per iteration ON ONE CORE — the last driver-side bottleneck
+    on the 100 TB path: at the ~10^5-10^6 cells a corpus-sized tier
+    wants, driver training is hours while the cluster idles. Here the
+    driver trains only s = ceil(√k) SUPER-centroids on a bounded
+    sample (O(sample·√k·d) — the same cost class as before), then each
+    super-group's k_g sub-centroids train IN PARALLEL executor-side:
+
+    1. supers = driver lloyd_kmeans over a 32·s-row hash-ranked sample
+       (byte-identical discipline to the ≤4096-cell path).
+    2. a ~32·k-row training sample is drawn DISTRIBUTED (seeded-hash
+       rate filter — never sorted, never collected) and each sample
+       row maps to its nearest super in one Arrow matmul against the
+       broadcast s×d block.
+    3. per-super sub-centroid budgets k_g allocate proportionally to
+       super-group sample mass (largest-remainder, every non-empty
+       group ≥ 1, Σk_g = n_cells) — proportionality hands every group
+       ~32 sample rows per sub-centroid automatically.
+    4. one applyInPandas task per super-group runs lloyd_kmeans(rows_g,
+       k_g) — per-task flops O(32·k_g²·d), bounded by allocation; rows
+       sort by (hash, id) inside the task so the trained model is
+       independent of partitioning.
+    5. centroids concatenate in (super, sub) order — deterministic.
+
+    Returns an (≤ n_cells, dim) float64 ndarray like the driver path
+    (fewer on degenerate data: drained supers, tiny groups). The final
+    O(k·d) collect IS the model — the same size bound as the broadcast
+    every assignment task reads; raise target_cell_rows before either
+    hurts. The model differs numerically from the driver path (k-means
+    from different init), which is fine: centroids are a partitioning
+    device — search recall is governed by query-time probes, and the
+    delta ≡ rebuild contract only needs assignment to be a pure
+    function of (row, centroids), which it stays."""
+    import math
+
+    import numpy as np
+
+    from ..functions.vector import lloyd_kmeans
+
+    s = max(1, int(math.ceil(math.sqrt(n_cells))))
+    S = np.asarray(
+        train_cell_centroids(
+            emb, n_cells=s, vec_col=vec_col, seed=seed,
+            max_iter=max_iter, id_col=id_col,
+        ),
+        dtype="float64",
+    )
+    dim = S.shape[1]
+    # (2) distributed training sample: seeded-hash rate filter — the
+    # order-independent draw of the driver path without the TakeOrdered
+    # (a multi-million-row global top-k would funnel vectors through
+    # one partition). Size variance of the rate form is noise at 32
+    # rows per centroid.
+    want = 32 * n_cells
+    n = n_hint if n_hint is not None else emb.count()
+    srate = max(1, n // max(1, want))
+    base = emb.select(
+        F.col(id_col).cast("bigint").alias("_i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    )
+    samp = base if srate == 1 else base.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(srate)) == 0
+    )
+    bc = emb.sparkSession.sparkContext.broadcast(S)
+
+    def to_super(batches):
+        import pandas as pd
+
+        SS = bc.value
+        ss = (SS * SS).sum(axis=1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype="float64")
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
+            yield pd.DataFrame(
+                {
+                    "grp": d2.argmin(axis=1).astype("int32"),
+                    "_i": pdf["_i"],
+                    "_h": pdf["_h"],
+                    "v": pdf["v"],
+                }
+            )
+
+    assigned = samp.mapInPandas(
+        to_super, "grp int, _i long, _h long, v array<double>"
+    ).localCheckpoint()  # feeds the count agg AND the per-group trainer
+    cnt = {
+        int(r["grp"]): int(r["c"])
+        for r in assigned.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    if not cnt:
+        raise ValueError("train_cell_centroids_scaled: empty training sample")
+    # (3) largest-remainder proportional allocation, non-empty ≥ 1
+    total = sum(cnt.values())
+    quota = max(0, n_cells - len(cnt))
+    flo = {g: (quota * c) // total for g, c in cnt.items()}
+    rem = quota - sum(flo.values())
+    order = sorted(
+        cnt, key=lambda g: ((quota * cnt[g]) % total, -g), reverse=True
+    )
+    kg = {
+        g: 1 + flo[g] + (1 if i < rem else 0)
+        for i, g in enumerate(order)
+    }
+    kg_df = emb.sparkSession.createDataFrame(
+        sorted(kg.items()), "grp int, kg int"
+    )
+
+    def train_group(pdf):
+        import pandas as pd
+
+        # sort inside the task: grouped-map input order depends on the
+        # partitioning; the trained model must not
+        pdf = pdf.sort_values(["_h", "_i"]).reset_index(drop=True)
+        if len(pdf) > SCALED_TRAIN_GROUP_ROWS:
+            pdf = pdf.iloc[:SCALED_TRAIN_GROUP_ROWS]
+        X = np.asarray([list(v) for v in pdf["v"]], dtype="float64")
+        C = lloyd_kmeans(X, int(pdf["kg"].iloc[0]), seed=seed,
+                         max_iter=max_iter)
+        g = int(pdf["grp"].iloc[0])
+        return pd.DataFrame(
+            {
+                "grp": [g] * len(C),
+                "sub": list(range(len(C))),
+                "centroid": [list(map(float, c)) for c in C],
+            }
+        )
+
+    rows = (
+        assigned.join(F.broadcast(kg_df), "grp")
+        .groupBy("grp")
+        .applyInPandas(train_group, "grp int, sub int, centroid array<double>")
+        .orderBy("grp", "sub")
+        .collect()  # the O(k·d) model itself — the documented bound
+    )
+    out = np.asarray([r["centroid"] for r in rows], dtype="float64")
+    return out.reshape(len(rows), dim) if len(rows) else S[:0]
 
 
 # Past this many cells the flat assignment matmul (O(n_cells · d) per

@@ -152,3 +152,95 @@ class TestMediaFacadeModality:
         man = mv.media_manifests().collect()
         assert len(man) == 1
         assert (man[0].n_samples, man[0].n_keyframes) == (4, 2)
+
+
+class TestImageAnnServing:
+    """The cross-modal image space routed through the ANN serving tier
+    (VERDICT r9 #4): the reference's SECOND ANN space (clip.rs:297-380
+    runs the same HNSW over image vectors). Exact-only search re-decodes
+    the whole image corpus per query — the linear term the text tier
+    already eliminated."""
+
+    N = 1200  # >= the facade's ANN_ENGAGE_ROWS
+
+    @pytest.fixture(scope="class")
+    def store(self, spark):
+        from memvid_spark.api import MemvidSpark
+
+        mv = MemvidSpark(spark)
+        rng = np.random.default_rng(23)
+        # 4 size-blobs of PNGs; per-member pixel noise varies the sum
+        # features so embeddings are unique inside a blob
+        for i in range(self.N):
+            b = i % 4
+            px = rng.integers(
+                b * 60, b * 60 + 40, (4 + b, 5 + b, 3), dtype=np.uint8
+            )
+            mv.put_bytes(bytes(png_encode(px)), uri=f"mv2://img/{i}.png",
+                         dedup=False)
+        mv.build_image_ann_serving(m=8, ef_construction=60, probes=2,
+                                   target_cell_rows=300)
+        return mv
+
+    def test_routes_and_recall_above_engage(self, spark, store):
+        exact = [
+            (r.media_id, r.dist2, r.rank)
+            for r in store.search_images(
+                "bright wide image", k=10, ann=False
+            ).collect()
+        ]
+        assert store._last_image_search_route == "exact"
+        got = [
+            (r.media_id, r.dist2, r.rank)
+            for r in store.search_images("bright wide image", k=10).collect()
+        ]
+        assert store._last_image_search_route == "ann"
+        # identical schema + integer rescore; candidate set approximate
+        overlap = len({g[0] for g in got} & {e[0] for e in exact})
+        assert overlap / 10 >= 0.8  # src/vec.rs:645-650 bound
+        # the rescore is the exact integer metric: any shared hit
+        # carries the identical dist2
+        ed = dict((e[0], e[1]) for e in exact)
+        assert all(d == ed[m] for m, d, _ in got if m in ed)
+
+    def test_below_engage_falls_through_to_exact(self, spark):
+        from memvid_spark.api import MemvidSpark
+
+        mv = MemvidSpark(spark)
+        rng = np.random.default_rng(29)
+        for i in range(8):
+            px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+            mv.put_bytes(bytes(png_encode(px)), uri=f"mv2://s/{i}.png",
+                         dedup=False)
+        mv.build_image_ann_serving(m=8, ef_construction=60)
+        got = mv.search_images("bright wide image", k=3).collect()
+        assert mv._last_image_search_route == "exact"
+        assert len(got) == 3
+
+    def test_persists_and_reopens_with_pruned_plan(self, spark, store,
+                                                   tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("imgann") / "store")
+        store.save(path)
+        from memvid_spark.api import MemvidSpark
+
+        re = MemvidSpark.open(spark, path)
+        assert re.image_ann_enabled()
+        res = re.search_images("bright wide image", k=5)
+        assert re._last_image_search_route == "ann"
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        assert len(res.collect()) == 5
+
+    def test_tombstoned_image_leaves_served_hits(self, spark, store):
+        top = store.search_images("bright wide image", k=3).collect()
+        victim = int(top[0].media_id)
+        try:
+            store.delete(victim)
+            after = {
+                r.media_id
+                for r in store.search_images("bright wide image", k=3).collect()
+            }
+            assert store._last_image_search_route == "ann"
+            assert victim not in after
+        finally:
+            store._tombstones.discard(victim)

@@ -415,3 +415,29 @@ def test_ask_query_vec_exact_fallback_on_compressed_store(spark):
         res = mv.ask("memo topic", top_k=3, query_vec=_qvec(pairs, 2))
         assert mv._last_ask_vec_route == "exact"
         assert res.answer is not None
+
+
+def test_build_ann_serving_raised_clamp_trains_distributed(spark):
+    """VERDICT r9 #6 + #1 through the facade: a 100 TB operator raises
+    the auto-size clamp (max_cells) without forking code — past 4096
+    cells the coarse trainer goes distributed (per-super-group k-means)
+    and assignment routes two-level; the tier still serves with the
+    recall bound, and the clamp survives in the tier meta (so drift
+    retrains re-size within the caller's bounds)."""
+    pairs = _unit_blob_pairs(n_blobs=5, per_blob=1000)  # 5000 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(
+        m=8, ef_construction=60, probes=16,
+        target_cell_rows=1, max_cells=8192,
+    )
+    meta = mv._ann_meta
+    # the trainer may return slightly fewer than asked (a group whose
+    # largest-remainder budget exceeds its sample rows trains what it
+    # has) — the contract is: past the old clamp, exactly bounded
+    assert 4096 < meta["n_cells"] <= 5000
+    assert meta["max_cells"] == 8192
+    q = _qvec(pairs, 7)
+    approx = {r.vec_id for r in mv.search_embeddings(q, k=10, ann=True).collect()}
+    exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8

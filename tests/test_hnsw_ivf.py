@@ -833,3 +833,100 @@ def test_flat_fallback_assigns_nearest_not_cell_zero():
     c = np.array([7], dtype="int64")
     _flat_fallback(Xt, C, d, c)
     assert c[0] == 1
+
+
+def _unique_blob_emb(spark, n_blobs, per_blob, dim=6, scale=10.0):
+    """Well-separated blobs with UNIQUE vectors (jitter period 53 is
+    coprime to the axis cycle — coincident points make zero-distance
+    tie clouds that blur recall comparisons at ~1 row per cell)."""
+    rows = []
+    for b in range(n_blobs):
+        for i in range(per_blob):
+            gid = b * per_blob + i
+            v = [0.0] * dim
+            v[b % dim] = scale
+            for d in range(dim):
+                v[d] += ((gid * (d + 3)) % 53) * 0.01
+            rows.append((gid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_scaled_trainer_is_deterministic_and_exactly_sized(spark):
+    """train_cell_centroids_scaled (the distributed coarse-quantizer
+    trainer): returns exactly n_cells centroids on healthy data, is
+    deterministic across invocations (per-group rows sort by (hash,id)
+    before k-means, so partitioning can't leak into the model), and
+    places centroids on the actual cluster structure."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import train_cell_centroids_scaled
+
+    emb = _unique_blob_emb(spark, n_blobs=6, per_blob=80)
+    C = np.asarray(train_cell_centroids_scaled(emb, 24, n_hint=480))
+    assert C.shape == (24, 6)
+    C2 = np.asarray(train_cell_centroids_scaled(emb, 24, n_hint=480))
+    assert np.array_equal(C, C2)
+    # every blob center has a centroid within its own jitter radius —
+    # the coarse model found the structure, not sampling noise
+    for b in range(6):
+        center = np.zeros(6)
+        center[b % 6] = 10.0
+        d2 = ((C - center) ** 2).sum(axis=1).min()
+        assert d2 < 1.0, f"blob {b} has no nearby centroid (d2={d2})"
+
+
+def test_train_dispatch_goes_distributed_above_bound(spark, monkeypatch):
+    """train_cell_centroids routes through the distributed trainer
+    above SCALED_TRAIN_MIN_CELLS and stays on the byte-identical
+    driver path at or below it (existing artifacts replay)."""
+    import numpy as np
+
+    from memvid_spark.operators import hnsw
+
+    emb = _unique_blob_emb(spark, n_blobs=4, per_blob=50)
+    before = np.asarray(train_cell_centroids(emb, n_cells=8))
+    calls = []
+    real = hnsw.train_cell_centroids_scaled
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(hnsw, "train_cell_centroids_scaled", spy)
+    same = np.asarray(hnsw.train_cell_centroids(emb, n_cells=8))
+    assert np.array_equal(same, before) and not calls  # driver path
+    monkeypatch.setattr(hnsw, "SCALED_TRAIN_MIN_CELLS", 4)
+    routed = np.asarray(hnsw.train_cell_centroids(emb, n_cells=8))
+    assert calls and routed.shape == (8, 6)
+
+
+def test_above_clamp_cells_delta_equals_rebuild_and_recall(spark):
+    """The max_cells=4096 lift end-to-end (VERDICT r9 #1): >4096 cells
+    train DISTRIBUTED (per-super-group k-means — no driver O(k·sample)
+    bottleneck), assignment routes two-level, and every load-bearing
+    contract survives at ~1.5 rows/cell: delta-apply equals a full
+    rebuild row-for-row, and the pruned search keeps the 0.8 recall
+    bound vs exact ground truth."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    emb = _unique_blob_emb(spark, n_blobs=12, per_blob=500)  # 6000 rows
+    C = train_cell_centroids(emb, n_cells=4100, n_hint=6000)
+    assert len(C) == 4100  # the distributed path, exactly sized
+    base = emb.filter(F.col("vec_id") % 11 != 0)
+    delta = emb.filter(F.col("vec_id") % 11 == 0)
+    index = build_nsw_index_ivf(base, C, m=8, ef_construction=60)
+    applied = apply_delta_ivf(index, delta, C, m=8, ef_construction=60)
+    truth = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    key = lambda df: sorted(  # noqa: E731
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+    assert key(applied) == key(truth)
+    truth = truth.localCheckpoint()
+    q = [10.2, 0.3, 0.2, 0.1, 0.0, 0.1]  # near blob 0's center
+    approx = {
+        r.vec_id
+        for r in nsw_knn_pruned(truth, C, q, k=10, probes=16).collect()
+    }
+    exact = {r.vec_id for r in knn(emb, q, k=10, metric="l2").collect()}
+    assert len(approx & exact) / 10 >= 0.8  # src/vec.rs:645-650 bound
