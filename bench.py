@@ -348,17 +348,25 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
     from memvid_spark.operators.hnsw import apply_delta_ivf_parts
 
     def delta(spark, d):
+        import pandas as pd
+
         dim = len(qvec)
-        rows = [
-            (900_000_000 + i, [float((i * 7 + j) % 13) for j in range(dim)])
-            for i in range(10)
-        ]
+        # Arrow-path createDataFrame (pandas input): a plain python-list
+        # createDataFrame parallelizes across 32 PYTHON slices and every
+        # action on the frame re-pays ~5 cpu_s of worker roundtrips
+        # (measured round 10); the Arrow form is one JVM-side batch
         dd = spark.createDataFrame(
-            rows, "vec_id long, embedding array<double>"
-        ).repartition(1)  # 10 rows: 32 near-empty Arrow tasks cost
-        # more worker overhead than the assignment itself (repartition
-        # not coalesce — coalescing parallelize slices folds 32 python
-        # deserialization overheads into one 3.8 s task)
+            pd.DataFrame(
+                {
+                    "vec_id": [900_000_000 + i for i in range(10)],
+                    "embedding": [
+                        [float((i * 7 + j) % 13) for j in range(dim)]
+                        for i in range(10)
+                    ],
+                }
+            ),
+            "vec_id long, embedding array<double>",
+        )
         return apply_delta_ivf_parts(
             spark.read.parquet(ivf_path), dd, cents
         )[0]

@@ -1894,21 +1894,24 @@ class MemvidSpark:
             # array<float>, NOT double: the track stores float32
             # (EMB_SCHEMA), and the delta must round-trip through the
             # same precision or tie-adjacent neighbor orders diverge
-            # from a rebuild over the persisted track. Repartition the
-            # driver-list delta to a few real partitions: parallelize
-            # splits it across default parallelism, and 32 near-empty
-            # Arrow tasks cost more worker overhead than the whole
-            # assignment kernel (measured ~12 cpu_s for a 10-row
-            # delta). repartition, NOT coalesce: coalescing parallelize
-            # slices folds 32 per-slice python deserialization
-            # overheads into one task (measured 3.8 s vs 0.5 s for the
-            # same 10 rows)
-            import math as _math
+            # from a rebuild over the persisted track. Arrow-path
+            # createDataFrame (pandas input): the python-list form
+            # parallelizes across 32 PYTHON slices and every delta-
+            # planning action re-pays ~5 cpu_s of worker roundtrips
+            # (measured round 10); the Arrow form is JVM-side batches
+            import pandas as _pd
 
             delta = self.spark.createDataFrame(
-                [(int(fid), [float(x) for x in v]) for fid, v in pending],
+                _pd.DataFrame(
+                    {
+                        "vec_id": [int(fid) for fid, _ in pending],
+                        "embedding": [
+                            [float(x) for x in v] for _, v in pending
+                        ],
+                    }
+                ),
                 "vec_id long, embedding array<float>",
-            ).repartition(max(1, min(32, _math.ceil(len(pending) / 5000))))
+            )
             self._ann_index = apply_delta_ivf(
                 self._ann_index,
                 delta,

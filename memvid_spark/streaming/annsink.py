@@ -232,7 +232,7 @@ class StreamingAnnMaintainer:
                 ),
             )
         else:
-            rebuilt, touched = apply_delta_ivf_parts(
+            rebuilt, touched, built = apply_delta_ivf_parts(
                 self.index(spark),
                 ups,
                 self.centroids,
@@ -242,13 +242,10 @@ class StreamingAnnMaintainer:
                 deletes=dels,
             )
             if touched:
-                # pin the rebuilt rows once: the distinct-cells probe
-                # and the write must not recompute the build kernel
-                rebuilt = rebuilt.localCheckpoint()
-                built = {
-                    int(r["cell"])
-                    for r in rebuilt.select("cell").distinct().collect()
-                }
+                # the non-drained (built) set is driver-known from the
+                # delta's planning agg — the write runs the kernel
+                # exactly once with no checkpoint pin and no
+                # distinct-cells probe over the rebuilt rows
                 (
                     rebuilt.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")

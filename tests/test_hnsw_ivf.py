@@ -930,3 +930,62 @@ def test_above_clamp_cells_delta_equals_rebuild_and_recall(spark):
     }
     exact = {r.vec_id for r in knn(emb, q, k=10, metric="l2").collect()}
     assert len(approx & exact) / 10 >= 0.8  # src/vec.rs:645-650 bound
+
+
+def test_append_fast_path_equals_rebuild_and_reuses_graph(spark):
+    """Round-10 delta kernel: an append-only delta (every new id above
+    the cell's stored max, nothing removed) must (a) still equal a full
+    rebuild row-for-row — the stored sub-graph is the rebuild's
+    construction prefix, so resuming the insert loop is exact — and
+    (b) actually REUSE the stored adjacency instead of rebuilding:
+    pinned structurally with a poisoned neighbor list that an append
+    must propagate and a rebuild would heal. A delete demotes to the
+    rebuild path (same poison heals)."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    emb = _unique_blob_emb(spark, n_blobs=4, per_blob=60)  # ids 0..239
+    C = train_cell_centroids(emb, n_cells=4, train_sample=1000)
+    base = emb.filter(F.col("vec_id") < 200)
+    delta = emb.filter(F.col("vec_id") >= 200)  # all above stored max
+    index = build_nsw_index_ivf(base, C, m=8, ef_construction=60)
+    applied = apply_delta_ivf(index, delta, C, m=8, ef_construction=60)
+    truth = build_nsw_index_ivf(emb, C, m=8, ef_construction=60)
+    key = lambda df: sorted(  # noqa: E731
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+    assert key(applied) == key(truth)
+
+    # structural reuse pin: truncate one stored row's neighbor list in
+    # a cell the delta appends to; the append path must carry the
+    # poison through (it resumes on the stored adjacency)
+    victim = int(
+        index.filter(F.size("neighbors") >= 3)
+        .orderBy("vec_id").head().vec_id
+    )
+    poisoned = index.withColumn(
+        "neighbors",
+        F.when(
+            F.col("vec_id") == victim, F.slice("neighbors", 1, 1)
+        ).otherwise(F.col("neighbors")),
+    ).localCheckpoint()
+    ap = apply_delta_ivf(poisoned, delta, C, m=8, ef_construction=60)
+    row = ap.filter(F.col("vec_id") == victim).head()
+    # the victim's OLD-id links must still be the poisoned singleton
+    # (appended backlinks carry ids >= 200); a rebuild would restore
+    # the >= 3 original links
+    kept = int(
+        poisoned.filter(F.col("vec_id") == victim).head().neighbors[0]
+    )
+    old_links = {int(x) for x in row.neighbors if x < 200}
+    assert old_links <= {kept}
+    # a delete in the same delta demotes the cell to whole rebuild:
+    # the poison heals back to the truth graph of the surviving set
+    dels = spark.createDataFrame([(victim,)], "vec_id long")
+    healed = apply_delta_ivf(
+        poisoned, delta, C, m=8, ef_construction=60, deletes=dels
+    )
+    truth2 = build_nsw_index_ivf(
+        emb.filter(F.col("vec_id") != victim), C, m=8, ef_construction=60
+    )
+    assert key(healed) == key(truth2)
