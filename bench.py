@@ -509,6 +509,7 @@ def main() -> None:
         "q158_lm_perplexity", "q161_quality_classifier",
         "q176_sketch_entries", "q177_sketch_candidates",
         "q183_streaming_ann_maintenance",
+        "q185_hnsw_scaled_train", "q186_crossmodal_ann_route",
     ):
         fn = qs[name]
         extras[name] = _timed_median(

@@ -8066,6 +8066,172 @@ def q184_semdedup_scaled_agreement(
     )
 
 
+@spec(
+    "q185_hnsw_scaled_train",
+    """
+    SELECT 16 AS n_cells_trained, count(*)::bigint AS n_indexed,
+           true AS delta_equals_rebuild, true AS min_recall_ge
+    FROM embeddings
+    """,
+    "sweep-grade guard for the DISTRIBUTED coarse-quantizer trainer "
+    "(round 10 — the max_cells=4096 lift): train_cell_centroids_scaled "
+    "trains sqrt(k) super-centroids on the driver and each super-"
+    "group's sub-centroids in parallel executor-side (the two-level "
+    "assignment's shape applied to TRAINING, so the 100 TB tier has no "
+    "O(k·sample·d) driver k-means bottleneck). The hashed row pins: "
+    "n_cells_trained = the exact centroid count the distributed path "
+    "returned (proportional largest-remainder allocation must hit the "
+    "ask on healthy clustered data), n_indexed = rows in the built "
+    "index (DuckDB replays the count), delta_equals_rebuild = "
+    "apply_delta_ivf over the scaled-trained model equals one full "
+    "build row-for-row (neighbors + entry cover, exceptAll both ways "
+    "— the load-bearing contract survives the trainer swap), and "
+    "min_recall_ge = pruned recall@10 >= 0.8 vs exact L2 ground truth "
+    "(src/vec.rs:645-650) on the planted-cluster corpus. The "
+    ">4096-cell forced path itself is pytest-pinned "
+    "(test_above_clamp_cells_delta_equals_rebuild_and_recall).",
+)
+def q185_hnsw_scaled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import (
+        apply_delta_ivf,
+        build_nsw_index_ivf,
+        nsw_knn_pruned,
+        train_cell_centroids_scaled,
+    )
+    from .operators.knn import knn
+
+    t = catalog.load(spark, sf_dir)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).localCheckpoint()  # feeds train, two builds, delta, ground truth
+    n = clustered.count()
+    cents = train_cell_centroids_scaled(clustered, 16, n_hint=n)
+    trained = len(cents)
+    base = clustered.filter(F.col("vec_id") % 7 != 0)
+    delta = clustered.filter(F.col("vec_id") % 7 == 0)
+    applied = apply_delta_ivf(
+        build_nsw_index_ivf(base, cents, m=16), delta, cents, m=16
+    )
+    truth = build_nsw_index_ivf(clustered, cents, m=16).localCheckpoint()
+    cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
+    a, b = applied.select(*cols).localCheckpoint(), truth.select(*cols)
+    equal = a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    qvec = [
+        float(x)
+        for x in clustered.filter(F.col("vec_id") == 3).head().embedding
+    ]
+    approx = {
+        r.vec_id
+        for r in nsw_knn_pruned(truth, cents, qvec, k=10, probes=4).collect()
+    }
+    exact = {
+        r.vec_id for r in knn(clustered, qvec, k=10, metric="l2").collect()
+    }
+    recall = len(approx & exact) / 10.0
+    return spark.range(1).select(
+        F.lit(trained).cast("int").alias("n_cells_trained"),
+        F.lit(int(n)).cast("long").alias("n_indexed"),
+        F.lit(bool(equal)).alias("delta_equals_rebuild"),
+        F.lit(bool(recall >= 0.8)).alias("min_recall_ge"),
+    )
+
+
+@spec(
+    "q186_crossmodal_ann_route",
+    """
+    SELECT 10 AS k, count(*)::bigint AS n_images,
+           true AS overlap_ge, true AS shared_dist2_exact
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+    "the cross-modal image space routed through the ANN serving tier "
+    "(round 10 — the reference's SECOND ANN space: clip.rs:297-380 "
+    "runs the same HNSW over image vectors; exact-only search decodes "
+    "and scores the whole image corpus per query, the linear term the "
+    "text tier already eliminated). Formula images → real PNG bytes → "
+    "stdlib decode → integer features → IVF-NSW graph over the image "
+    "embeddings; crossmodal_knn_ann walks the probed cells for the "
+    "candidate set and EXACT-RESCORES it with the integer squared-L2 "
+    "total order of the exact path. The hashed row pins: n_images = "
+    "corpus size (DuckDB replays the selection), overlap_ge = top-10 "
+    "overlap with the exact scan >= 0.8 (the recall bound), "
+    "shared_dist2_exact = every hit returned by BOTH routes carries "
+    "the IDENTICAL integer dist2 (the rescore is the same metric — "
+    "only the candidate set is approximate). Facade routing / engage "
+    "threshold / persistence are pytest-pinned (test_crossmodal "
+    "TestImageAnnServing).",
+)
+def q186_crossmodal_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import crossmodal
+    from .operators.hnsw import (
+        auto_n_cells,
+        build_nsw_index_ivf,
+        train_cell_centroids,
+    )
+    from .sources.image import png_encode
+
+    t = catalog.load(spark, sf_dir)
+    sel = t.documents.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 11 + 4
+                ch = {0: 1, 1: 3, 2: 4}[mid % 3]
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+                )
+                px = ((mid * 31 + x * 7 + y * 13 + c * 101) % 256).astype(
+                    np.uint8
+                )
+                rows.append((mid, png_encode(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = fan_out(sel).mapInPandas(gen, "media_id long, payload binary")
+    # one decode pass feeds the exact control, the count, the trainer
+    # and the graph build
+    vecs = crossmodal.embed_images(media).localCheckpoint()
+    n = vecs.count()
+    emb = vecs.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("emb").cast("array<double>").alias("embedding"),
+    )
+    cents = train_cell_centroids(
+        emb, n_cells=auto_n_cells(n, target_cell_rows=64), n_hint=n
+    )
+    index = build_nsw_index_ivf(emb, cents, m=16).localCheckpoint()
+    ann = crossmodal.crossmodal_knn_ann(
+        index, cents, _XM_QUERY, k=10, probes=8
+    ).localCheckpoint()
+    exact = crossmodal.crossmodal_knn(vecs, _XM_QUERY, k=10).localCheckpoint()
+    a = {(r.media_id, r.dist2) for r in ann.collect()}
+    e = {(r.media_id, r.dist2) for r in exact.collect()}
+    overlap = len({m for m, _ in a} & {m for m, _ in e}) / 10.0
+    shared = {m for m, _ in a} & {m for m, _ in e}
+    d_a = {m: d for m, d in a}
+    d_e = {m: d for m, d in e}
+    dist_ok = all(d_a[m] == d_e[m] for m in shared)
+    return spark.range(1).select(
+        F.lit(10).alias("k"),
+        F.lit(int(n)).cast("long").alias("n_images"),
+        F.lit(bool(overlap >= 0.8)).alias("overlap_ge"),
+        F.lit(bool(dist_ok)).alias("shared_dist2_exact"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""
