@@ -2581,6 +2581,23 @@ class MemvidSpark:
                 ),
             )
             registry["ann_entry_cover"] = self._refresh_ann_entry_cover
+        if self.image_ann_enabled():
+            imeta = self._img_ann_meta
+            registry["img_ann_index"] = lambda: self.build_image_ann_serving(
+                n_cells=(
+                    None if imeta.get("auto_cells") else imeta["n_cells"]
+                ),
+                m=imeta["m"],
+                ef_construction=imeta["ef_construction"],
+                ef_search=imeta["ef_search"],
+                probes=imeta["probes"],
+                max_shard_rows=imeta["max_shard_rows"],
+                target_cell_rows=imeta.get(
+                    "target_cell_rows", imeta["max_shard_rows"]
+                ),
+                min_cells=int(imeta.get("min_cells", 4)),
+                max_cells=int(imeta.get("max_cells", 4096)),
+            )
         registry.update(rebuilders or {})
         healed: set[str] = set()
         for row in heal_plan(rep).collect():  # findings table — tiny
@@ -2675,6 +2692,22 @@ class MemvidSpark:
                     "n_affected",
                 )
             )
+        if self.image_ann_enabled() and "img_ann_index" not in derived:
+            # the image tier covers exactly the retained image media:
+            # a missing row = an un-indexed image (a put since the last
+            # build), an orphan = a deleted one — the drift signal that
+            # schedules a rebuild (the tier is point-in-time by design)
+            img_indexed = self._img_ann_index.select(
+                F.col("vec_id").alias(self.id_col)
+            )
+            img_covered = self.media("image").select(
+                F.col("media_id").alias(self.id_col)
+            )
+            img_rep = doctor_report(
+                img_covered, {"img_ann_index": img_indexed},
+                frame_key=self.id_col,
+            ).filter(F.col("table_name") != "frames")
+            rep = rep.unionByName(img_rep)
         ids = frames_df.select(F.col(self.id_col).alias("k")).distinct()
         for name, vals in (
             ("tombstones", self._tombstones),

@@ -244,3 +244,46 @@ class TestImageAnnServing:
             assert victim not in after
         finally:
             store._tombstones.discard(victim)
+
+
+def test_doctor_audits_and_heals_image_ann_index(spark):
+    """doctor() audits the image ANN tier against the retained image
+    media (missing = un-indexed put since the last build, orphaned =
+    deleted image still served) and heal=True routes through the
+    registered rebuilder — the same drop-then-heal contract as the
+    text tier (doctor_recovery.rs:194-717)."""
+    from pyspark.sql import functions as F
+
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    rng = np.random.default_rng(31)
+    ids = []
+    for i in range(6):
+        px = rng.integers(0, 256, (4 + i % 3, 5, 3), dtype=np.uint8)
+        ids.append(
+            mv.put_bytes(bytes(png_encode(px)), uri=f"mv2://d/{i}.png",
+                         dedup=False)
+        )
+    mv.build_image_ann_serving(m=8, ef_construction=60)
+    rep = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert rep[("missing", "img_ann_index")] == 0
+    assert rep[("orphaned", "img_ann_index")] == 0
+    # a put AFTER the build is a missing row; heal rebuilds the tier
+    extra = mv.put_bytes(
+        bytes(png_encode(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))),
+        uri="mv2://d/extra.png", dedup=False,
+    )
+    assert extra is not None
+    rep = {
+        (r.check, r.table_name): r.n_affected for r in mv.doctor().collect()
+    }
+    assert rep[("missing", "img_ann_index")] == 1
+    healed = {
+        (r.check, r.table_name): r.n_affected
+        for r in mv.doctor(heal=True).collect()
+    }
+    assert healed[("missing", "img_ann_index")] == 0
+    assert mv._img_ann_index.filter(F.col("vec_id") == extra).count() > 0
