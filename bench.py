@@ -366,7 +366,8 @@ def _hnsw_split_probe(extras, prefix, spark, data_dir, cache_dir=None) -> None:
                 }
             ),
             "vec_id long, embedding array<double>",
-        )
+        ).coalesce(1)  # Arrow slices 10 rows into 10 partitions; one
+        # python task beats ten (JVM-side narrow coalesce, no shuffle)
         return apply_delta_ivf_parts(
             spark.read.parquet(ivf_path), dd, cents
         )[0]

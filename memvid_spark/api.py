@@ -1911,7 +1911,9 @@ class MemvidSpark:
                     }
                 ),
                 "vec_id long, embedding array<float>",
-            )
+            ).coalesce(max(1, min(32, len(pending) // 5000)))
+            # Arrow slices small frames into per-row partitions; a
+            # handful of python tasks beats 32 near-empty ones
             self._ann_index = apply_delta_ivf(
                 self._ann_index,
                 delta,

@@ -1248,6 +1248,7 @@ def _delta_ivf_parts(
         new = old - rem_cnt.get(c, 0) + add_cnt.get(c, 0)
         if old > 0 and new > 0 and math.ceil(old / msr) == math.ceil(new / msr):
             elig[c] = math.ceil(old / msr)
+    gone_subs: set[tuple[int, int]] = set()
     if elig:
         # regime guard: sub-granular pass-through assumes the caller's
         # (max_shard_rows, stride) match the build's — otherwise kept
@@ -1257,30 +1258,46 @@ def _delta_ivf_parts(
         # doesn't). Recompute each touched row's expected shard under
         # the caller's regime and demote any cell with a mismatch to
         # the whole-cell rebuild, which reshards consistently. One scan
-        # over the pinned touched rows — delta-local, not corpus.
+        # over the pinned touched rows — delta-local, not corpus —
+        # that ALSO surfaces the (cell, shard) pairs holding gone ids
+        # (the other half of the touched-sub-shard set; the separate
+        # union+distinct plan for it cost ~6 AQE stage jobs). The
         # literal map instead of a broadcast join: a computed build
-        # side costs an AQE stage job; an inline map costs none
+        # side costs an AQE stage job; an inline map costs none.
         nsubs_col = F.create_map(
             *[F.lit(x) for cn in sorted(elig.items()) for x in cn]
         )[F.col("cell")]
-        mismatched = {
-            int(r["cell"])
-            for r in touched_rows.filter(
-                nsubs_col.isNotNull()
-                & (
-                    F.col("shard")
-                    != (
-                        F.col("cell").cast("long") * F.lit(stride)
-                        + F.pmod(F.hash(F.col("vec_id")), nsubs_col)
-                    ).cast("int")
-                )
+        mm_col = nsubs_col.isNotNull() & (
+            F.col("shard")
+            != (
+                F.col("cell").cast("long") * F.lit(stride)
+                + F.pmod(F.hash(F.col("vec_id")), nsubs_col)
+            ).cast("int")
+        )
+        probe_rows = (
+            touched_rows.join(
+                F.broadcast(gone_ids.withColumn("_g", F.lit(1))),
+                "vec_id",
+                "left",
             )
-            .select("cell")
+            .select(
+                "cell",
+                "shard",
+                mm_col.alias("mm"),
+                F.coalesce(F.col("_g"), F.lit(0)).alias("g"),
+            )
+            .filter(F.col("mm") | (F.col("g") == 1))
             .distinct()
-            .collect()
-        }
+            .collect()  # delta-bounded: changed rows' (cell, shard)
+        )
+        mismatched = {int(r["cell"]) for r in probe_rows if r["mm"]}
         for c in mismatched:
             del elig[c]
+        gone_subs = {
+            (int(r["cell"]), int(r["shard"]))
+            for r in probe_rows
+            if r["g"] and int(r["cell"]) in elig
+        }
     # APPEND fast path (driver-verified, kernel-executed): an eligible
     # cell where nothing was removed or replaced (no gone id hit it)
     # and every delta id EXCEEDS the cell's max stored id. The stored
@@ -1360,19 +1377,16 @@ def _delta_ivf_parts(
     old_e = touched_rows.join(
         F.broadcast(elig_df.select("cell")), "cell", "left_semi"
     )
-    # bounded by the changed-id count — collected to a LOCAL relation:
-    # the same driver/executor memory bound as the old localCheckpoint,
-    # but broadcasts of a local relation cost no AQE stage job (the two
-    # join consumers below each paid one against the pinned form)
+    # bounded by the changed-id count — a LOCAL relation (broadcasts
+    # of a local relation cost no AQE stage job): gone-id sub-shards
+    # came out of the regime-probe scan above; the delta's own target
+    # sub-shards are one tiny distinct over the pinned assignment
     touched_subs = spark.createDataFrame(
         sorted(
-            {
+            gone_subs
+            | {
                 (int(r["cell"]), int(r["shard"]))
                 for r in delta_e.select("cell", "shard")
-                .unionByName(
-                    old_e.join(gone_ids, "vec_id", "left_semi")
-                    .select("cell", "shard")
-                )
                 .distinct()
                 .collect()
             }

@@ -40,9 +40,11 @@ spark.range(32, numPartitions=32).mapInPandas(lambda it: it, "id long").write.mo
 tracker = spark.sparkContext._jsc.sc().statusTracker()
 
 def delta_once():
-    rows = [(900_000_000 + i, [float((i * 7 + j) % 13) for j in range(dim)])
-            for i in range(10)]
-    dd = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(1)
+    import pandas as pd
+    dd = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [900_000_000 + i for i in range(10)],
+        "embedding": [[float((i * 7 + j) % 13) for j in range(dim)] for i in range(10)],
+    }), "vec_id long, embedding array<double>").coalesce(1)
     return apply_delta_ivf_parts(spark.read.parquet(ivf_path), dd, cents)[0]
 
 for s in range(4):
