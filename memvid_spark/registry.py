@@ -8087,8 +8087,12 @@ def q184_semdedup_scaled_agreement(
     "build row-for-row (neighbors + entry cover, exceptAll both ways "
     "— the load-bearing contract survives the trainer swap), and "
     "min_recall_ge = pruned recall@10 >= 0.8 vs exact L2 ground truth "
-    "(src/vec.rs:645-650) on the planted-cluster corpus. The "
-    ">4096-cell forced path itself is pytest-pinned "
+    "(src/vec.rs:645-650) on the planted-cluster corpus. The delta is "
+    "APPEND-SHAPED (every delta id above the stored max, no deletes) "
+    "so the sweep also exercises the round-10 append fast path — the "
+    "kernel resumes the stored sub-graph's insert loop — while q183's "
+    "interleaved batches + tombstones keep the rebuild fallback "
+    "sweep-covered. The >4096-cell forced path itself is pytest-pinned "
     "(test_above_clamp_cells_delta_equals_rebuild_and_recall).",
 )
 def q185_hnsw_scaled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8114,8 +8118,13 @@ def q185_hnsw_scaled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = clustered.count()
     cents = train_cell_centroids_scaled(clustered, 16, n_hint=n)
     trained = len(cents)
-    base = clustered.filter(F.col("vec_id") % 7 != 0)
-    delta = clustered.filter(F.col("vec_id") % 7 == 0)
+    # append-shaped split: every delta id exceeds the stored max, so
+    # eligible cells take the append fast path (q183 covers fallback)
+    cut = clustered.agg(
+        F.percentile_approx("vec_id", F.lit(0.9), F.lit(10000))
+    ).head()[0]
+    base = clustered.filter(F.col("vec_id") < cut)
+    delta = clustered.filter(F.col("vec_id") >= cut)
     applied = apply_delta_ivf(
         build_nsw_index_ivf(base, cents, m=16), delta, cents, m=16
     )
