@@ -511,6 +511,7 @@ def main() -> None:
         "q176_sketch_entries", "q177_sketch_candidates",
         "q183_streaming_ann_maintenance",
         "q185_hnsw_scaled_train", "q186_crossmodal_ann_route",
+        "q187_hnsw_centroid_frame",
     ):
         fn = qs[name]
         extras[name] = _timed_median(

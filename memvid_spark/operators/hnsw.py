@@ -581,6 +581,33 @@ def train_cell_centroids_scaled(
     device — search recall is governed by query-time probes, and the
     delta ≡ rebuild contract only needs assignment to be a pure
     function of (row, centroids), which it stays."""
+    import numpy as np
+
+    S, trained, dim = _train_groups(
+        emb, n_cells, vec_col, seed, max_iter, id_col, n_hint
+    )
+    rows = (
+        trained.orderBy("grp", "sub")
+        .collect()  # the O(k·d) model itself — the documented bound
+    )
+    out = np.asarray([r["centroid"] for r in rows], dtype="float64")
+    return out.reshape(len(rows), dim) if len(rows) else S[:0]
+
+
+def _train_groups(
+    emb: DataFrame,
+    n_cells: int,
+    vec_col: str,
+    seed: int,
+    max_iter: int,
+    id_col: str,
+    n_hint: int | None,
+):
+    """The distributed trainer's shared body: (supers S, trained
+    per-group centroid DataFrame (grp, sub, centroid) — PINNED, never
+    collected here — and dim). ``train_cell_centroids_scaled`` orders
+    and collects it (the ndarray model); ``train_cell_centroids_frame``
+    keeps it distributed (the past-broadcast-bound model)."""
     import math
 
     import numpy as np
@@ -678,15 +705,244 @@ def train_cell_centroids_scaled(
             }
         )
 
-    rows = (
+    trained = (
         assigned.join(F.broadcast(kg_df), "grp")
         .groupBy("grp")
         .applyInPandas(train_group, "grp int, sub int, centroid array<double>")
-        .orderBy("grp", "sub")
-        .collect()  # the O(k·d) model itself — the documented bound
+        .localCheckpoint()  # the model itself — k rows, distributed
     )
-    out = np.asarray([r["centroid"] for r in rows], dtype="float64")
-    return out.reshape(len(rows), dim) if len(rows) else S[:0]
+    return S, trained, dim
+
+
+class CentroidFrame:
+    """A coarse-quantizer model that NEVER visits the driver whole —
+    the path past the O(n_cells·dim) broadcast bound that the ndarray
+    model carries (at a 100 TB corpus the default target wants ~400k
+    cells × 768 dims ≈ 2.4 GB: too big to collect, too big to ship to
+    every task). Only the √k SUPER-centroid block (`supers`) and the
+    per-group (start, count) offsets live on the driver; the centroid
+    table itself stays a pinned DataFrame of (grp, cell, centroid)
+    rows, and assignment pairs rows with their probed groups' blocks
+    via a COGROUP (the seed_assign_scaled shape) — per-task memory is
+    one √k-row block plus a bounded row slice.
+
+    Accepted anywhere ``centroids`` is: ``_with_cell`` (so
+    build_nsw_index_ivf AND apply_delta_ivf route through
+    ``_with_cell_frame`` — delta ≡ rebuild holds within the path) and
+    ``nsw_knn_pruned`` (query-time probing collects only the nearest
+    supers' blocks — O(probes·√k·dim), never the table). Cell ids are
+    contiguous per group (offset + sub), assigned driver-side from the
+    tiny count agg. The batch join (nsw_knn_join) and the facade stay
+    on the ndarray model for now — the documented wiring residual."""
+
+    def __init__(self, supers, offsets, df: DataFrame, n_cells: int, dim: int):
+        self.supers = supers        # (s, dim) ndarray — √k, tiny
+        self.offsets = offsets      # {grp: (start_cell, count)}
+        self.df = df                # (grp int, cell int, centroid) — pinned
+        self.n_cells = int(n_cells)
+        self.dim = int(dim)
+
+    def probe_cells(self, query_vec, probes: int) -> list[int]:
+        """Top-``probes`` cells for ONE query: rank supers by distance
+        (driver flops O(s·d)), collect the nearest non-empty supers'
+        blocks until ≥ probes cells are in hand (O(probes·√k·d) rows —
+        the per-query model slice, never the table), exact-rank those
+        cells. The two-level approximation: a near cell inside a far
+        super is missed — the same trade assignment makes; raise
+        probes for recall."""
+        import numpy as np
+
+        q = np.asarray([float(x) for x in query_vec], dtype="float64")
+        S = self.supers
+        d = (S * S).sum(axis=1) - 2.0 * (S @ q) + float(q @ q)
+        order = np.lexsort((np.arange(len(S)), d))
+        take, have = [], 0
+        for g in order:
+            g = int(g)
+            if g not in self.offsets:
+                continue
+            take.append(g)
+            have += self.offsets[g][1]
+            if have >= max(1, probes):
+                break
+        block = self.df.filter(F.col("grp").isin(take)).collect()
+        C = np.asarray([r["centroid"] for r in block], dtype="float64")
+        cells = np.asarray([int(r["cell"]) for r in block])
+        d2 = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
+        o = np.lexsort((cells, d2))
+        return [int(cells[i]) for i in o[: max(1, probes)]]
+
+
+def train_cell_centroids_frame(
+    emb: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    n_hint: int | None = None,
+) -> CentroidFrame:
+    """Distributed trainer variant that returns the model AS A
+    DATAFRAME (:class:`CentroidFrame`) — identical training to
+    ``train_cell_centroids_scaled`` (same supers, same per-group
+    k-means), but the final O(k·d) collect never happens: the trained
+    (grp, sub, centroid) rows stay pinned executor-side and global
+    cell ids are assigned from the tiny per-group count agg
+    (cell = group offset + sub; contiguous per group)."""
+    S, trained, dim = _train_groups(
+        emb, n_cells, vec_col, seed, max_iter, id_col, n_hint
+    )
+    cnts = {
+        int(r["grp"]): int(r["c"])
+        for r in trained.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    offsets: dict[int, tuple[int, int]] = {}
+    start = 0
+    for g in sorted(cnts):
+        offsets[g] = (start, cnts[g])
+        start += cnts[g]
+    start_map = F.create_map(
+        *[F.lit(x) for g in sorted(cnts) for x in (g, offsets[g][0])]
+    )
+    df = trained.select(
+        "grp",
+        (start_map[F.col("grp")] + F.col("sub")).cast("int").alias("cell"),
+        "centroid",
+    ).localCheckpoint()
+    return CentroidFrame(S, offsets, df, start, dim)
+
+
+def _with_cell_frame(
+    emb: DataFrame, cf: CentroidFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment against a :class:`CentroidFrame`:
+    each row probes its TWO_LEVEL_PROBES nearest NON-EMPTY supers (one
+    Arrow matmul against the broadcast √k block — empty supers are
+    masked, so every row lands), replicates ×probes, and a cogroup on
+    grp pairs each super-group's centroid block (~√k rows) with the
+    rows probing it; one matmul per task finds the best cell in the
+    block, and a max_by reduce keeps each row's global best —
+    deterministic total order (d2 ascending, cell ascending on ties),
+    so build, delta and rebuild assign identically. The row side
+    hash-splits into ~SCALED_TRAIN_GROUP_ROWS slices so per-task
+    memory is one block + one slice.
+
+    Same output contract as ``_with_cell``: (cell, vec_id, embedding).
+    A pure function of (row, model) — the delta ≡ rebuild contract
+    holds WITHIN the CentroidFrame path (a tier built with a frame
+    model must delta with the same frame model, like any other
+    centroid change)."""
+    import math
+
+    import numpy as np
+
+    spark = emb.sparkSession
+    S = cf.supers
+    valid = np.zeros(len(S), dtype=bool)
+    for g in cf.offsets:
+        valid[g] = True
+    p = max(1, min(TWO_LEVEL_PROBES, int(valid.sum())))
+    bc = spark.sparkContext.broadcast((S, valid, p))
+
+    def probe(batches):
+        import pandas as pd
+
+        SS, ok, pp = bc.value
+        ss = (SS * SS).sum(axis=1)[None, :]
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            dS = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
+            dS[:, ~ok] = np.inf  # memberless supers never probed
+            order = np.argsort(dS, axis=1, kind="stable")[:, :pp]
+            yield pd.DataFrame(
+                {
+                    "grp": order.reshape(-1).astype("int32"),
+                    "vec_id": np.repeat(
+                        pdf[id_col].astype("int64").to_numpy(), pp
+                    ),
+                    "v": [
+                        [float(x) for x in v]
+                        for v in pdf[vec_col]
+                        for _ in range(pp)
+                    ],
+                }
+            )
+
+    probed = emb.select(id_col, vec_col).mapInPandas(
+        probe, "grp int, vec_id long, v array<double>"
+    )
+    # bound per-task rows: global mean split (the small-corpus branch
+    # of seed_assign_scaled); the block replicates per slice — √k rows
+    # next to the row traffic it rides with
+    n = emb.count()
+    n_sub = max(
+        1,
+        int(
+            math.ceil(
+                (n * p / max(1, len(cf.offsets))) / SCALED_TRAIN_GROUP_ROWS
+            )
+        ),
+    )
+    probed = probed.withColumn(
+        "sub", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_sub)).cast("int")
+    )
+    blocks = cf.df.withColumn(
+        "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+    )
+
+    def best_in_block(block_pdf, rows_pdf):
+        import pandas as pd
+
+        if len(block_pdf) == 0 or len(rows_pdf) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "d2": [], "v": []}
+            )
+        # sort the block by cell id: argmin's first-minimum then IS the
+        # lowest-cell tie rule, independent of partitioning
+        block_pdf = block_pdf.sort_values("cell").reset_index(drop=True)
+        C = np.stack(block_pdf["centroid"].to_numpy()).astype(np.float64)
+        cells = block_pdf["cell"].to_numpy()
+        X = np.asarray([list(v) for v in rows_pdf["v"]], dtype="float64")
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        j = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": rows_pdf["vec_id"].to_numpy(),
+                "cell": cells[j].astype("int32"),
+                "d2": d2[np.arange(len(X)), j],
+                "v": list(rows_pdf["v"]),
+            }
+        )
+
+    cand = (
+        blocks.groupby("grp", "sub")
+        .cogroup(probed.groupby("grp", "sub"))
+        .applyInPandas(
+            best_in_block,
+            "vec_id long, cell int, d2 double, v array<double>",
+        )
+    )
+    return (
+        cand.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("v")),
+                F.struct(F.col("d2"), F.col("cell")),
+            ).alias("b")
+        )
+        .select(
+            F.col("b.cell").alias("cell"),
+            "vec_id",
+            F.col("b.v").alias("embedding"),
+        )
+    )
 
 
 # Past this many cells the flat assignment matmul (O(n_cells · d) per
@@ -738,9 +994,13 @@ def _with_cell(
     lowest cell id (argmin takes the first minimum). Above
     ``TWO_LEVEL_MIN_CELLS`` cells the assignment is two-level (see
     ``_with_cell_two_level``) — still a pure deterministic function of
-    (row, centroids), so build / delta / rebuild all agree."""
+    (row, centroids), so build / delta / rebuild all agree. A
+    :class:`CentroidFrame` routes to the DataFrame-resident cogroup
+    form (``_with_cell_frame``) — the past-broadcast-bound path."""
     import numpy as np
 
+    if isinstance(centroids, CentroidFrame):
+        return _with_cell_frame(emb, centroids, id_col, vec_col)
     C = np.asarray(centroids, dtype="float64")
     if len(C) > TWO_LEVEL_MIN_CELLS:
         return _with_cell_two_level(emb, C, id_col, vec_col)
@@ -1515,9 +1775,18 @@ def nsw_knn_pruned(
     planning time, so a request reads O(probes/n_cells) of the corpus —
     the IVF trade: a true neighbor living in an unprobed cell is missed
     (raise ``probes`` for recall; probes >= n_cells degenerates to the
-    exact full-shard search). Cell ties break to the lowest cell id."""
+    exact full-shard search). Cell ties break to the lowest cell id.
+    With a :class:`CentroidFrame` model the probe collects only the
+    nearest supers' centroid blocks (O(probes·√k·d)) — the table
+    itself never visits the driver."""
     import numpy as np
 
+    if isinstance(centroids, CentroidFrame):
+        cells = centroids.probe_cells(query_vec, probes)
+        return nsw_knn(
+            index.filter(F.col("cell").isin(cells)), query_vec, k,
+            ef_search, exclude_id,
+        )
     C = np.asarray(centroids, dtype="float64")
     q = np.asarray([float(x) for x in query_vec], dtype="float64")
     # SAME expanded form as _with_cell / nsw_knn_join's probe_cells —

@@ -8241,6 +8241,80 @@ def q186_crossmodal_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q187_hnsw_centroid_frame",
+    """
+    SELECT 16 AS n_cells_trained, count(*)::bigint AS n_indexed,
+           true AS delta_equals_rebuild, true AS min_recall_ge
+    FROM embeddings
+    """,
+    "sweep-grade guard for the DATAFRAME-RESIDENT coarse-quantizer "
+    "model (round 10 — CentroidFrame, the path past the O(n_cells·dim) "
+    "centroid broadcast/collect bound: at 100 TB the default target "
+    "wants ~400k cells × 768 dims ≈ 2.4 GB, too big to ship to every "
+    "task). Only the sqrt(k) super block and the per-group offsets "
+    "live on the driver; the centroid table stays pinned rows and "
+    "assignment pairs corpus rows with their probed groups' blocks "
+    "via a cogroup (hnsw._with_cell_frame). The hashed row pins: "
+    "n_cells_trained = exact model size, n_indexed = index rows "
+    "(DuckDB replays), delta_equals_rebuild = apply_delta_ivf routed "
+    "through the frame model equals one full build row-for-row "
+    "(interleaved delta — the rebuild-fallback kernel shape), "
+    "min_recall_ge = pruned recall@10 >= 0.8 where query-time probing "
+    "collects only the nearest supers' blocks (CentroidFrame."
+    "probe_cells), never the table.",
+)
+def q187_hnsw_centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hnsw import (
+        apply_delta_ivf,
+        build_nsw_index_ivf,
+        nsw_knn_pruned,
+        train_cell_centroids_frame,
+    )
+    from .operators.knn import knn
+
+    t = catalog.load(spark, sf_dir)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    n = clustered.count()
+    cf = train_cell_centroids_frame(clustered, 16, n_hint=n)
+    base = clustered.filter(F.col("vec_id") % 7 != 0)
+    delta = clustered.filter(F.col("vec_id") % 7 == 0)
+    applied = apply_delta_ivf(
+        build_nsw_index_ivf(base, cf, m=16), delta, cf, m=16
+    )
+    truth = build_nsw_index_ivf(clustered, cf, m=16).localCheckpoint()
+    cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
+    a, b = applied.select(*cols).localCheckpoint(), truth.select(*cols)
+    equal = a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    qvec = [
+        float(x)
+        for x in clustered.filter(F.col("vec_id") == 3).head().embedding
+    ]
+    approx = {
+        r.vec_id
+        for r in nsw_knn_pruned(truth, cf, qvec, k=10, probes=4).collect()
+    }
+    exact = {
+        r.vec_id for r in knn(clustered, qvec, k=10, metric="l2").collect()
+    }
+    recall = len(approx & exact) / 10.0
+    return spark.range(1).select(
+        F.lit(int(cf.n_cells)).cast("int").alias("n_cells_trained"),
+        F.lit(int(n)).cast("long").alias("n_indexed"),
+        F.lit(bool(equal)).alias("delta_equals_rebuild"),
+        F.lit(bool(recall >= 0.8)).alias("min_recall_ge"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

@@ -989,3 +989,65 @@ def test_append_fast_path_equals_rebuild_and_reuses_graph(spark):
         emb.filter(F.col("vec_id") != victim), C, m=8, ef_construction=60
     )
     assert key(healed) == key(truth2)
+
+
+def test_centroid_frame_model_serves_without_driver_table(spark):
+    """CentroidFrame (round 10): the coarse model stays a DataFrame —
+    past the O(n_cells·dim) broadcast/collect bound of the ndarray
+    model. Same trainer math (per-super-group k-means), cell ids
+    assigned from the tiny count agg; assignment routes through the
+    cogroup form and must be deterministic and delta==rebuild-exact
+    (tombstones included); query-time probing collects only the
+    nearest supers' blocks and keeps the recall bound."""
+    from memvid_spark.operators.hnsw import (
+        apply_delta_ivf,
+        train_cell_centroids_frame,
+    )
+
+    emb = _unique_blob_emb(spark, n_blobs=8, per_blob=120)  # 960 rows
+    cf = train_cell_centroids_frame(emb, 16, n_hint=960)
+    assert cf.n_cells == 16 and len(cf.offsets) >= 2
+    assert cf.df.count() == 16  # the model lives as rows, not ndarray
+    from memvid_spark.operators.hnsw import _with_cell
+
+    a1 = sorted(
+        (r.cell, r.vec_id)
+        for r in _with_cell(emb, cf, "vec_id", "embedding").collect()
+    )
+    a2 = sorted(
+        (r.cell, r.vec_id)
+        for r in _with_cell(emb, cf, "vec_id", "embedding").collect()
+    )
+    assert a1 == a2 and len(a1) == 960  # pure function of (row, model)
+    base = emb.filter(F.col("vec_id") % 9 != 0)
+    delta = emb.filter(F.col("vec_id") % 9 == 0)
+    dels = spark.createDataFrame([(4,), (13,)], "vec_id long")
+    idx = build_nsw_index_ivf(base, cf, m=8, ef_construction=60)
+    ap = apply_delta_ivf(idx, delta, cf, m=8, ef_construction=60,
+                         deletes=dels)
+    truth = build_nsw_index_ivf(
+        emb.filter(~F.col("vec_id").isin(4, 13)), cf, m=8,
+        ef_construction=60,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+    assert key(ap) == key(truth)
+    truth = truth.localCheckpoint()
+    q = [10.2, 0.3, 0.2, 0.1, 0.0, 0.1]
+    approx = {
+        r.vec_id
+        for r in nsw_knn_pruned(truth, cf, q, k=10, probes=4).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in knn(
+            emb.filter(~F.col("vec_id").isin(4, 13)), q, k=10, metric="l2"
+        ).collect()
+    }
+    assert len(approx & exact) / 10 >= 0.8
+    # probe_cells never pulls the whole table: asking for 3 cells
+    # collects at most a few groups' blocks
+    cells = cf.probe_cells(q, 3)
+    assert len(cells) == 3 and len(set(cells)) == 3
