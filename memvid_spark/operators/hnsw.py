@@ -945,6 +945,125 @@ def _with_cell_frame(
     )
 
 
+def _probe_cells_frame(
+    queries: DataFrame,
+    cf: CentroidFrame,
+    probes: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Batch query→probed-cells against a :class:`CentroidFrame`
+    (the step nsw_knn_join's ndarray path does with one broadcast
+    matmul): queries probe their nearest non-empty supers (broadcast
+    √k block), a cogroup pairs each group's centroid block with its
+    query slice and emits the group's top-``probes`` cells per query,
+    and one window keeps each query's global top-``probes`` by
+    (d2, cell) — deterministic, the ndarray path's tie rule. Returns
+    (query_id, cell, q) like the broadcast probe."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    S = cf.supers
+    valid = np.zeros(len(S), dtype=bool)
+    for g in cf.offsets:
+        valid[g] = True
+    # probe enough supers that the candidate pool can cover `probes`
+    # cells even when the nearest groups are small
+    need = max(1, probes)
+    sizes = sorted(c for _, c in cf.offsets.values())
+    pp, have = 0, 0
+    for c in sizes:
+        pp += 1
+        have += c
+        if have >= need and pp >= min(TWO_LEVEL_PROBES, len(sizes)):
+            break
+    pp = max(1, min(max(pp, TWO_LEVEL_PROBES), int(valid.sum())))
+    bc = spark.sparkContext.broadcast((S, valid, pp))
+
+    def probe_supers(batches):
+        import pandas as pd
+
+        SS, ok, p_sup = bc.value
+        ss = (SS * SS).sum(axis=1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [list(v) for v in pdf[query_vec_col]], dtype="float64"
+            )
+            dS = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
+            dS[:, ~ok] = np.inf
+            order = np.argsort(dS, axis=1, kind="stable")[:, :p_sup]
+            yield pd.DataFrame(
+                {
+                    "grp": order.reshape(-1).astype("int32"),
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), p_sup
+                    ),
+                    "q": [
+                        [float(x) for x in v]
+                        for v in pdf[query_vec_col]
+                        for _ in range(p_sup)
+                    ],
+                }
+            )
+
+    q_probed = queries.select(query_id_col, query_vec_col).mapInPandas(
+        probe_supers, f"grp int, {query_id_col} long, q array<double>"
+    )
+
+    n_probe = max(1, probes)
+
+    def top_in_block(block_pdf, q_pdf):
+        import pandas as pd
+
+        if len(block_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], "cell": [], "d2": [], "q": []}
+            )
+        block_pdf = block_pdf.sort_values("cell").reset_index(drop=True)
+        C = np.stack(block_pdf["centroid"].to_numpy()).astype(np.float64)
+        cells = block_pdf["cell"].to_numpy()
+        X = np.asarray([list(v) for v in q_pdf["q"]], dtype="float64")
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        t = min(n_probe, d2.shape[1])
+        # block sorted by cell: stable argsort ties to the lowest cell
+        top = np.argsort(d2, axis=1, kind="stable")[:, :t]
+        rows = np.repeat(np.arange(len(X)), t)
+        cols = top.reshape(-1)
+        return pd.DataFrame(
+            {
+                query_id_col: q_pdf[query_id_col].to_numpy()[rows],
+                "cell": cells[cols].astype("int32"),
+                "d2": d2[rows, cols],
+                "q": [q_pdf["q"].iloc[i] for i in rows],
+            }
+        )
+
+    cand = (
+        cf.df.groupby("grp")
+        .cogroup(q_probed.groupby("grp"))
+        .applyInPandas(
+            top_in_block,
+            f"{query_id_col} long, cell int, d2 double, q array<double>",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, "cell", "q")
+    )
+
+
 # Past this many cells the flat assignment matmul (O(n_cells · d) per
 # row) stops being the cheap part of the build: a corpus-sized tier at
 # 100 TB wants ~10^5-10^6 cells, and the flat form would burn
@@ -1838,46 +1957,60 @@ def nsw_knn_join(
     round6, rank 1..k). ``exclude_same_id=True`` drops hits whose
     vec_id equals the query id (self-match, for corpus-vs-self joins).
     Determinism: cell ties break to the lowest cell id, candidate ties
-    to the lowest vec_id — reproducible across partitionings."""
+    to the lowest vec_id — reproducible across partitionings.
+
+    With a :class:`CentroidFrame` model, step (1) goes through the
+    same two-level cogroup as assignment (queries probe supers via the
+    broadcast √k block, each probed group's centroid block ranks its
+    own cells, a window keeps each query's global top-``probes`` by
+    (d2, cell)) — the centroid table never broadcasts. The probed-cell
+    set is two-level-approximate like everything else on the frame
+    path: cells inside unprobed supers are invisible (raise
+    TWO_LEVEL_PROBES-worth of coverage with more query probes)."""
     import numpy as np
 
-    C = np.asarray(centroids, dtype="float64")
-    n_cells = len(C)
-    p = max(1, min(probes, n_cells))
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast(C)
+    if isinstance(centroids, CentroidFrame):
+        probed = _probe_cells_frame(
+            queries, centroids, probes, query_id_col, query_vec_col
+        )
+    else:
+        C = np.asarray(centroids, dtype="float64")
+        n_cells = len(C)
+        p = max(1, min(probes, n_cells))
+        bc = spark.sparkContext.broadcast(C)
 
-    def probe_cells(batches):
-        import pandas as pd
+        def probe_cells(batches):
+            import pandas as pd
 
-        CC = bc.value
-        cc = (CC * CC).sum(axis=1)[None, :]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(
-                [list(v) for v in pdf[query_vec_col]], dtype="float64"
-            )
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * X @ CC.T + cc
-            # stable argsort: equal distances rank by cell id ascending
-            order = np.argsort(d2, axis=1, kind="stable")[:, :p]
-            yield pd.DataFrame(
-                {
-                    query_id_col: np.repeat(
-                        pdf[query_id_col].to_numpy(), p
-                    ),
-                    "cell": order.reshape(-1).astype("int32"),
-                    "q": [
-                        [float(x) for x in v]
-                        for v in pdf[query_vec_col]
-                        for _ in range(p)
-                    ],
-                }
-            )
+            CC = bc.value
+            cc = (CC * CC).sum(axis=1)[None, :]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(
+                    [list(v) for v in pdf[query_vec_col]], dtype="float64"
+                )
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * X @ CC.T + cc
+                # stable argsort: equal distances rank by cell id asc
+                order = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(
+                            pdf[query_id_col].to_numpy(), p
+                        ),
+                        "cell": order.reshape(-1).astype("int32"),
+                        "q": [
+                            [float(x) for x in v]
+                            for v in pdf[query_vec_col]
+                            for _ in range(p)
+                        ],
+                    }
+                )
 
-    probed = queries.select(query_id_col, query_vec_col).mapInPandas(
-        probe_cells, f"{query_id_col} long, cell int, q array<double>"
-    )
+        probed = queries.select(query_id_col, query_vec_col).mapInPandas(
+            probe_cells, f"{query_id_col} long, cell int, q array<double>"
+        )
     # (cell, shard) directory: one row per sub-shard — KB-scale next to
     # the index itself, safe to broadcast. localCheckpoint breaks the
     # lineage back to `index`, which the cogroup below also reads (the

@@ -1051,3 +1051,35 @@ def test_centroid_frame_model_serves_without_driver_table(spark):
     # collects at most a few groups' blocks
     cells = cf.probe_cells(q, 3)
     assert len(cells) == 3 and len(set(cells)) == 3
+    # the batch retrieval join routes its probe step through the same
+    # cogroup form — every query answered, recall bound held
+    from memvid_spark.operators.hnsw import nsw_knn_join
+    from memvid_spark.operators.knn import knn_join
+
+    live = emb.filter(~F.col("vec_id").isin(4, 13))
+    queries = live.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = nsw_knn_join(
+        truth, cf, queries, k=5, probes=4, exclude_same_id=True
+    )
+    exact_j = knn_join(
+        live,
+        queries.select(
+            F.col("query_id").alias("q_id"),
+            F.col("query_vec").alias("q_vec"),
+        ),
+        k=5,
+        metric="l2",
+    ).select(F.col("q_id").alias("query_id"), "vec_id")
+    hits = (
+        batch.select("query_id", "vec_id")
+        .join(exact_j, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    n_queries = queries.count()
+    per_q = [r.n / 5.0 for r in hits.collect()]
+    assert len(per_q) == n_queries  # every query came back
+    assert min(per_q) >= 0.8
