@@ -3302,4 +3302,23 @@ class MemvidSpark:
             "seq_no": self._ticket.seq_no or None,
             "ticket_verified": self._ticket.verified,
             "clip_image_count": clip_image_count,
+            # serving tiers (None when not built): mirrors the text
+            # tier's n_cells surfacing; a 100 TB operator reads these
+            # to schedule retrains next to the drift policy
+            "ann": (
+                {
+                    "n_cells": self._ann_meta["n_cells"],
+                    "n_rows": self._ann_meta["n_rows"],
+                }
+                if self.ann_enabled()
+                else None
+            ),
+            "img_ann": (
+                {
+                    "n_cells": self._img_ann_meta["n_cells"],
+                    "n_rows": self._img_ann_meta["n_rows"],
+                }
+                if self.image_ann_enabled()
+                else None
+            ),
         }

@@ -441,3 +441,19 @@ def test_build_ann_serving_raised_clamp_trains_distributed(spark):
     approx = {r.vec_id for r in mv.search_embeddings(q, k=10, ann=True).collect()}
     exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
     assert len(approx & exact) / 10 >= 0.8
+
+
+def test_stats_surfaces_serving_tier_meta(spark):
+    """stats() reports both serving tiers' (n_cells, n_rows) — the
+    numbers an operator reads next to the drift policy; None before a
+    tier is built."""
+    pairs = _unit_blob_pairs(n_blobs=3, per_blob=40)
+    mv = MemvidSpark(spark)
+    mv.put("one doc so the frame log has rows")
+    mv.add_embeddings(pairs)
+    st = mv.stats()
+    assert st["ann"] is None and st["img_ann"] is None
+    mv.build_ann_serving(n_cells=3, m=8, ef_construction=60)
+    st = mv.stats()
+    assert st["ann"] == {"n_cells": 3, "n_rows": 120}
+    assert st["img_ann"] is None
