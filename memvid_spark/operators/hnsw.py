@@ -263,20 +263,23 @@ def refresh_entry_cover(index: DataFrame) -> DataFrame:
 
 def _delete_ids(deletes: DataFrame | None, id_col: str) -> DataFrame | None:
     """Normalize a tombstone table to a distinct (vec_id bigint) set.
-    Tiny by contract (the delete batch, not the corpus) — collected to
+    Usually tiny (the delete batch, not the corpus) — then collected to
     a LOCAL relation: the same one job the old localCheckpoint paid,
     but the several broadcast joins that consume it then cost no AQE
-    stage each (a computed build side does; a local relation doesn't)."""
+    stage each (a computed build side does; a local relation doesn't).
+    A vacuum-scale batch (more than ``DRIVER_DELTA_IDS_MAX`` distinct
+    ids) keeps the DISTRIBUTED pinned form instead — the same guard the
+    upsert side applies, so a multi-million-row tombstone sweep never
+    materializes as a driver list / oversized serialized plan."""
     if deletes is None:
         return None
-    ids = sorted(
-        int(r["vec_id"])
-        for r in deletes.select(
-            F.col(id_col).cast("bigint").alias("vec_id")
-        )
-        .distinct()
-        .collect()
-    )
+    dis = deletes.select(
+        F.col(id_col).cast("bigint").alias("vec_id")
+    ).distinct()
+    head = dis.take(DRIVER_DELTA_IDS_MAX + 1)
+    if len(head) > DRIVER_DELTA_IDS_MAX:
+        return dis.localCheckpoint()
+    ids = sorted(int(r["vec_id"]) for r in head)
     return deletes.sparkSession.createDataFrame(
         [(i,) for i in ids], "vec_id bigint"
     )
@@ -728,12 +731,15 @@ class CentroidFrame:
 
     Accepted anywhere ``centroids`` is: ``_with_cell`` (so
     build_nsw_index_ivf AND apply_delta_ivf route through
-    ``_with_cell_frame`` — delta ≡ rebuild holds within the path) and
+    ``_with_cell_frame`` — delta ≡ rebuild holds within the path),
     ``nsw_knn_pruned`` (query-time probing collects only the nearest
-    supers' blocks — O(probes·√k·dim), never the table). Cell ids are
-    contiguous per group (offset + sub), assigned driver-side from the
-    tiny count agg. The batch join (nsw_knn_join) and the facade stay
-    on the ndarray model for now — the documented wiring residual."""
+    supers' blocks — O(probes·√k·dim), never the table), and
+    ``nsw_knn_join`` (batch probing via ``_probe_cells_frame``'s
+    cogroup). Cell ids are contiguous per group (offset + sub),
+    assigned driver-side from the tiny count agg. The model persists
+    as parquet + manifest (``save_centroid_frame`` /
+    ``load_centroid_frame``) so the facade and the streaming sink
+    round-trip it without ever collecting the table."""
 
     def __init__(self, supers, offsets, df: DataFrame, n_cells: int, dim: int):
         self.supers = supers        # (s, dim) ndarray — √k, tiny
@@ -812,8 +818,90 @@ def train_cell_centroids_frame(
     return CentroidFrame(S, offsets, df, start, dim)
 
 
+def save_centroid_frame(
+    cf: CentroidFrame, path: str, extra: dict | None = None
+) -> CentroidFrame:
+    """Persist a :class:`CentroidFrame` as ``centroids.parquet`` (the
+    (grp, cell, centroid) table — written by the cluster, never
+    collected) + ``manifest.json`` (the √k supers block, offsets,
+    n_cells, dim — the driver-resident KBs). Rename-aside atomic, the
+    same tmp+swap discipline as every other persisted track: a crash
+    leaves the old model live or none, never a torn one. ``extra``
+    merges caller fields into the manifest (e.g. a model id that a
+    sink cross-checks against its index for crash consistency).
+    Returns the frame RE-ROOTED on the persisted parquet, so the
+    session no longer depends on the trainer's checkpoint blocks."""
+    import json
+    import os
+    import shutil
+
+    spark = cf.df.sparkSession
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cf.df.write.mode("overwrite").parquet(
+        os.path.join(tmp, "centroids.parquet")
+    )
+    man = {
+        "supers": [[float(x) for x in s] for s in cf.supers],
+        "offsets": {
+            str(g): [int(a), int(b)] for g, (a, b) in cf.offsets.items()
+        },
+        "n_cells": int(cf.n_cells),
+        "dim": int(cf.dim),
+    }
+    if extra:
+        man.update(extra)
+    with open(os.path.join(tmp, "manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(man, f)
+    old = path + ".old"
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return load_centroid_frame(spark, path)
+
+
+def load_centroid_frame(spark, path: str) -> "CentroidFrame":
+    """Re-open a persisted :class:`CentroidFrame`: manifest KBs to the
+    driver, the centroid table as a LAZY parquet read (k rows — cheap
+    per use, and never pinned, so a reopened store holds no
+    checkpoint blocks for the model)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "manifest.json"), encoding="utf-8") as f:
+        man = json.load(f)
+    pq = os.path.join(path, "centroids.parquet")
+    spark.catalog.refreshByPath(pq)
+    df = spark.read.parquet(pq)
+    supers = np.asarray(man["supers"], dtype="float64")
+    offsets = {
+        int(g): (int(a), int(b)) for g, (a, b) in man["offsets"].items()
+    }
+    return CentroidFrame(
+        supers, offsets, df, int(man["n_cells"]), int(man["dim"])
+    )
+
+
+def centroid_frame_manifest(path: str) -> dict:
+    """The persisted model's manifest (driver KBs) without opening the
+    centroid table — sinks read it to cross-check crash consistency."""
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
 def _with_cell_frame(
-    emb: DataFrame, cf: CentroidFrame, id_col: str, vec_col: str
+    emb: DataFrame,
+    cf: CentroidFrame,
+    id_col: str,
+    vec_col: str,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against a :class:`CentroidFrame`:
     each row probes its TWO_LEVEL_PROBES nearest NON-EMPTY supers (one
@@ -876,8 +964,10 @@ def _with_cell_frame(
     )
     # bound per-task rows: global mean split (the small-corpus branch
     # of seed_assign_scaled); the block replicates per slice — √k rows
-    # next to the row traffic it rides with
-    n = emb.count()
+    # next to the row traffic it rides with. Callers that know the row
+    # count pass n_hint — the count() here is a full extra scan of
+    # possibly unpinned lineage, on the path designed for corpus scale
+    n = n_hint if n_hint is not None else emb.count()
     n_sub = max(
         1,
         int(
@@ -1079,6 +1169,15 @@ TWO_LEVEL_PROBES = 2
 # per-commit orchestration is serving overhead (VERDICT r9 #4).
 DRIVER_DELTA_IDS_MAX = 262144
 
+# Driver-LITERAL expressions over cell ids (isin pruning filters, the
+# regime-probe create_map, the append-cell isin) are cheap static
+# pruning for the per-commit norm, but their size is the expression
+# tree's size: a wide tombstone sweep touching 10^5-10^6 cells would
+# hand the analyzer/codegen a CreateMap/In with that many literals
+# (ADVICE r10). Above this bound the same sets ride broadcast joins
+# instead — one AQE stage job each, amortized by a delta that large.
+DRIVER_DELTA_CELLS_MAX = 4096
+
 
 def _flat_fallback(X, C, best_d, best_c):
     """Resolve rows the two-level probe could NOT assign (every probed
@@ -1106,7 +1205,11 @@ def _flat_fallback(X, C, best_d, best_c):
 
 
 def _with_cell(
-    emb: DataFrame, centroids, id_col: str, vec_col: str
+    emb: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """(cell, vec_id, embedding): nearest-centroid assignment, one
     Arrow-batched NumPy matmul per batch, no shuffle. Ties break to the
@@ -1115,11 +1218,13 @@ def _with_cell(
     ``_with_cell_two_level``) — still a pure deterministic function of
     (row, centroids), so build / delta / rebuild all agree. A
     :class:`CentroidFrame` routes to the DataFrame-resident cogroup
-    form (``_with_cell_frame``) — the past-broadcast-bound path."""
+    form (``_with_cell_frame``) — the past-broadcast-bound path;
+    ``n_hint`` (the row count, when the caller knows it) saves that
+    path's split-sizing count job."""
     import numpy as np
 
     if isinstance(centroids, CentroidFrame):
-        return _with_cell_frame(emb, centroids, id_col, vec_col)
+        return _with_cell_frame(emb, centroids, id_col, vec_col, n_hint)
     C = np.asarray(centroids, dtype="float64")
     if len(C) > TWO_LEVEL_MIN_CELLS:
         return _with_cell_two_level(emb, C, id_col, vec_col)
@@ -1263,6 +1368,7 @@ def build_nsw_index_ivf(
     vec_col: str = "embedding",
     max_shard_rows: int = 25000,
     stride: int = 1024,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Build the IVF-cell-sharded graph: (cell, shard, vec_id,
     neighbors, embedding).
@@ -1286,8 +1392,12 @@ def build_nsw_index_ivf(
     The assignment pass is localCheckpointed: the per-cell size count
     (one tiny agg — n_cells rows) and the graph build both read it,
     and re-running the NumPy assignment kernel twice would double the
-    one genuinely heavy map stage. Build is a once-per-corpus cost."""
-    assigned = _with_cell(emb, centroids, id_col, vec_col).localCheckpoint()
+    one genuinely heavy map stage. Build is a once-per-corpus cost.
+    ``n_hint`` (the corpus row count, when the caller knows it) saves
+    the frame-model path's split-sizing count job."""
+    assigned = _with_cell(
+        emb, centroids, id_col, vec_col, n_hint
+    ).localCheckpoint()
     return _build_cells(assigned, m, ef_construction, max_shard_rows, stride)
 
 
@@ -1448,6 +1558,7 @@ def apply_delta_ivf(
     max_shard_rows: int = 25000,
     stride: int = 1024,
     deletes: DataFrame | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Incremental IVF-index maintenance: assign the delta to cells
     (same centroids — the coarse model is immutable between retrains;
@@ -1467,10 +1578,13 @@ def apply_delta_ivf(
     At warehouse scale this is a partition overwrite of the touched
     ``cell=`` directories: O(delta-touched cells), not O(corpus) —
     ``apply_delta_ivf_parts`` exposes exactly the pieces such a sink
-    writes (streaming/annsink.py is one)."""
+    writes (streaming/annsink.py is one). ``n_hint`` is the delta's
+    row count when the caller knows it (skips the bounded planning
+    take on batches known to exceed the driver-id bound, and the
+    frame-model assignment's split-sizing count)."""
     keep, rebuilt, _, _ = _delta_ivf_parts(
         index, new_emb, centroids, m, ef_construction, id_col, vec_col,
-        max_shard_rows, stride, deletes,
+        max_shard_rows, stride, deletes, n_hint,
     )
     return keep.unionByName(rebuilt)
 
@@ -1486,6 +1600,7 @@ def apply_delta_ivf_parts(
     max_shard_rows: int = 25000,
     stride: int = 1024,
     deletes: DataFrame | None = None,
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, list[int], list[int]]:
     """``apply_delta_ivf`` decomposed for partition-overwrite sinks:
     returns (rebuilt rows of the touched cells, touched cell ids,
@@ -1500,7 +1615,7 @@ def apply_delta_ivf_parts(
     rows to learn which directories drained)."""
     _, rebuilt, touched, built = _delta_ivf_parts(
         index, new_emb, centroids, m, ef_construction, id_col, vec_col,
-        max_shard_rows, stride, deletes,
+        max_shard_rows, stride, deletes, n_hint,
     )
     return rebuilt, sorted(touched), sorted(built)
 
@@ -1516,6 +1631,7 @@ def _delta_ivf_parts(
     max_shard_rows: int,
     stride: int,
     deletes: DataFrame | None,
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[int], list[int]]:
     """(keep = untouched cells, rebuilt = cell-complete new content of
     every touched cell, touched = the tiny cell-id LIST, built = the
@@ -1537,59 +1653,90 @@ def _delta_ivf_parts(
     subs ride along), so a partition-overwrite sink can still write
     whole ``cell=`` directories.
 
-    Orchestration discipline (VERDICT r9 #4): a delta is per-COMMIT
-    serving overhead, so the PLANNING must not cost more jobs than the
-    kernel. One corpus-scan aggregate yields per-cell (rows, gone
-    rows) — touched-cell discovery AND the eligibility accounting in
-    a single pass (the old path spent three index scans: semi-join
-    discovery, the touched-row pin via broadcast join, the accounting
-    agg); the touched-row pin then reads via a driver-literal
-    ``isin`` so a cell-partitioned parquet index prunes at PLANNING
-    time (the join form relied on runtime DPP); the tiny derived sets
-    (gone ids, touched sub-shards, small-delta id sets) become LOCAL
-    relations so their broadcast joins cost no AQE build-stage job.
-    Measured at base scale (10-row delta, sf0.1): 44 → 21 Spark jobs,
-    wall 4.7 → ~3.0 s (same-window A/B; ~2 s planning + ~1 s write),
-    cpu_s at parity-or-better under host noise; delta ≡ rebuild,
-    tombstone, resharding, regime, and append pins all green."""
+    Orchestration discipline (VERDICT r9 #4, r10 #3): a delta is
+    per-COMMIT serving overhead, so the PLANNING must not cost more
+    jobs than the kernel. One corpus-scan aggregate yields per-cell
+    (rows, gone rows, max id, observed shard set, gone shard set) —
+    touched-cell discovery, the eligibility accounting, the APPEND
+    verification, the shard-REGIME check, and the gone-sub-shard set
+    in a single pass; the delta side is ONE bounded take (ids, cells,
+    shard hashes — add counts, the upsert id set, and the target
+    sub-shards are driver arithmetic from it); the touched-row pin
+    reads via a driver-literal ``isin`` so a cell-partitioned parquet
+    index prunes at PLANNING time (above ``DRIVER_DELTA_CELLS_MAX``
+    touched cells the literal forms fall back to broadcast joins —
+    a 10^5-literal In/CreateMap is a plan-analysis/codegen blowup);
+    the tiny derived sets (gone ids, touched sub-shards, small-delta
+    id sets) become LOCAL relations so their broadcast joins cost no
+    AQE build-stage job. The per-row regime probe runs ONLY for
+    eligible multi-sub cells whose observed shard set passed the
+    driver range check but can't prove per-row membership (nsubs ≥ 2)
+    — at single-sub cell sizes the range check is exact and the probe
+    job disappears. Delta ≡ rebuild, tombstone, resharding, regime,
+    and append pins all green across both forms."""
     import math
 
     # checkpoint: the assignment matmul feeds touched-cell discovery,
     # the upsert anti-join AND the rebuild source — don't run it thrice
     spark = index.sparkSession
     index = _ensure_entry(index)
-    new_assigned = _with_cell(new_emb, centroids, id_col, vec_col).localCheckpoint()
-    adds = new_assigned.groupBy("cell").agg(
-        F.count("*").alias("c"), F.min("vec_id").alias("mn")
-    ).collect()
-    add_cnt = {int(r["cell"]): int(r["c"]) for r in adds}
-    add_min = {int(r["cell"]): int(r["mn"]) for r in adds}
+    new_assigned = _with_cell(
+        new_emb, centroids, id_col, vec_col, n_hint
+    ).localCheckpoint()
     del_ids = _delete_ids(deletes, id_col)
-    if sum(add_cnt.values()) <= DRIVER_DELTA_IDS_MAX:
-        # small delta: pull the distinct id set to the driver (8 bytes
-        # an id, ≤2 MB at the bound) and rebuild it as a LOCAL relation
-        # — its several broadcast-join consumers (the corpus agg build
-        # side, the upsert anti-joins, the gone-sub semi-join) then
-        # cost no AQE stage job each. A large batch keeps the lazy
-        # plan form: job overhead amortizes over real work there.
+    # ONE delta-side job: a bounded take of (vec_id, cell, shard-hash).
+    # Small deltas (the per-commit norm) then compute per-cell add
+    # counts/mins, the distinct upsert id set AND the delta's target
+    # sub-shards as driver arithmetic — the three separate collect jobs
+    # the old plan paid. n_hint (when the caller knows the delta size)
+    # skips the take entirely on batches known to exceed the bound.
+    head = None
+    if n_hint is None or n_hint <= DRIVER_DELTA_IDS_MAX:
+        head = new_assigned.select(
+            "vec_id", "cell", F.hash("vec_id").alias("_h")
+        ).take(DRIVER_DELTA_IDS_MAX + 1)
+        if len(head) > DRIVER_DELTA_IDS_MAX:
+            head = None
+    if head is not None:
+        add_cnt: dict[int, int] = {}
+        add_min: dict[int, int] = {}
+        add_hash: dict[int, list[int]] = {}
+        id_set: set[int] = set()
+        for r in head:
+            c, v = int(r["cell"]), int(r["vec_id"])
+            add_cnt[c] = add_cnt.get(c, 0) + 1
+            if c not in add_min or v < add_min[c]:
+                add_min[c] = v
+            add_hash.setdefault(c, []).append(int(r["_h"]))
+            id_set.add(v)
+        # LOCAL relation: its several broadcast-join consumers (the
+        # corpus agg build side, the upsert anti-joins) cost no AQE
+        # stage job each. A large batch keeps the lazy plan form —
+        # job overhead amortizes over real work there.
         new_ids = spark.createDataFrame(
-            [
-                (int(r["vec_id"]),)
-                for r in new_assigned.select("vec_id").distinct().collect()
-            ],
-            "vec_id bigint",
+            [(i,) for i in sorted(id_set)], "vec_id bigint"
         )
     else:
+        add_hash = None
+        adds = new_assigned.groupBy("cell").agg(
+            F.count("*").alias("c"), F.min("vec_id").alias("mn")
+        ).collect()
+        add_cnt = {int(r["cell"]): int(r["c"]) for r in adds}
+        add_min = {int(r["cell"]): int(r["mn"]) for r in adds}
         new_ids = new_assigned.select("vec_id").distinct()
-    # del_ids is always a local relation, so this stays local for small
-    # deltas (the union of two local relations is a LocalRelation)
+    # del_ids is always a local relation for small batches, so this
+    # stays local for small deltas (a union of local relations is a
+    # LocalRelation); vacuum-scale deletes keep the distributed form
     gone_ids = (
         new_ids if del_ids is None else new_ids.unionByName(del_ids)
     ).distinct()
-    # ONE corpus scan: per-cell (row count, gone-id count). Cells with
-    # g > 0 hold a re-inserted (possibly moved) or deleted id; cells
-    # receiving delta rows come from the (tiny) assignment agg above.
-    # n_cells rows to the driver — the same bound as ivf_cell_stats.
+    # ONE corpus scan: per-cell (row count, gone-id count, max id,
+    # observed shard set, gone-id shard set). Cells with g > 0 hold a
+    # re-inserted (possibly moved) or deleted id; cells receiving delta
+    # rows come from the delta take above. The shard sets are bounded
+    # by each cell's sub-shard count (map-side combined), so the
+    # driver receives the same volume as the (cell, shard) directory
+    # nsw_knn_join already broadcasts — KB per thousand cells.
     both = (
         index.join(
             F.broadcast(gone_ids.withColumn("_g", F.lit(1))),
@@ -1601,12 +1748,20 @@ def _delta_ivf_parts(
             F.count("*").alias("c"),
             F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("g"),
             F.max("vec_id").alias("mx"),
+            F.collect_set("shard").alias("sh"),
+            F.collect_set(
+                F.when(F.col("_g") == 1, F.col("shard"))
+            ).alias("gsh"),
         )
         .collect()
     )
     old_cnt = {int(r["cell"]): int(r["c"]) for r in both}
     rem_cnt = {int(r["cell"]): int(r["g"]) for r in both if int(r["g"])}
     old_max = {int(r["cell"]): int(r["mx"]) for r in both}
+    shard_sets = {int(r["cell"]): {int(s) for s in r["sh"]} for r in both}
+    gone_shards = {
+        int(r["cell"]): {int(s) for s in r["gsh"]} for r in both if r["gsh"]
+    }
     touched = sorted(set(add_cnt) | set(rem_cnt))
     if not touched:
         return index, spark.createDataFrame([], CELL_GRAPH_SCHEMA), [], []
@@ -1618,10 +1773,18 @@ def _delta_ivf_parts(
     # same volume the rebuild shuffles anyway); every consumer below
     # reads the pinned copy instead of rescanning the corpus index.
     # Driver-literal isin: static partition pruning against a
-    # cell-partitioned parquet index, no runtime DPP needed.
-    touched_rows = index.filter(
-        F.col("cell").isin(touched)
-    ).localCheckpoint()
+    # cell-partitioned parquet index, no runtime DPP needed. Above the
+    # literal bound (a wide tombstone sweep touching 10^5+ cells) the
+    # broadcast-join form avoids the In-expression blowup and relies
+    # on runtime DPP instead.
+    if len(touched) <= DRIVER_DELTA_CELLS_MAX:
+        touched_rows = index.filter(
+            F.col("cell").isin(touched)
+        ).localCheckpoint()
+    else:
+        touched_rows = index.join(
+            F.broadcast(touched_df), "cell", "left_semi"
+        ).localCheckpoint()
     msr = max(1, max_shard_rows)
     elig: dict[int, int] = {}
     for c in touched:
@@ -1629,56 +1792,66 @@ def _delta_ivf_parts(
         new = old - rem_cnt.get(c, 0) + add_cnt.get(c, 0)
         if old > 0 and new > 0 and math.ceil(old / msr) == math.ceil(new / msr):
             elig[c] = math.ceil(old / msr)
-    gone_subs: set[tuple[int, int]] = set()
-    if elig:
-        # regime guard: sub-granular pass-through assumes the caller's
-        # (max_shard_rows, stride) match the build's — otherwise kept
-        # sub-shards retain the OLD sharding while rebuilt ones use the
-        # caller's, mixing regimes in one cell and silently breaking
-        # delta ≡ rebuild (search stays correct; the equality contract
-        # doesn't). Recompute each touched row's expected shard under
-        # the caller's regime and demote any cell with a mismatch to
-        # the whole-cell rebuild, which reshards consistently. One scan
-        # over the pinned touched rows — delta-local, not corpus —
-        # that ALSO surfaces the (cell, shard) pairs holding gone ids
-        # (the other half of the touched-sub-shard set; the separate
-        # union+distinct plan for it cost ~6 AQE stage jobs). The
-        # literal map instead of a broadcast join: a computed build
-        # side costs an AQE stage job; an inline map costs none.
-        nsubs_col = F.create_map(
-            *[F.lit(x) for cn in sorted(elig.items()) for x in cn]
-        )[F.col("cell")]
-        mm_col = nsubs_col.isNotNull() & (
-            F.col("shard")
-            != (
-                F.col("cell").cast("long") * F.lit(stride)
-                + F.pmod(F.hash(F.col("vec_id")), nsubs_col)
-            ).cast("int")
-        )
-        probe_rows = (
-            touched_rows.join(
-                F.broadcast(gone_ids.withColumn("_g", F.lit(1))),
-                "vec_id",
-                "left",
+    # regime guard: sub-granular pass-through assumes the caller's
+    # (max_shard_rows, stride) match the build's — otherwise kept
+    # sub-shards retain the OLD sharding while rebuilt ones use the
+    # caller's, mixing regimes in one cell and silently breaking
+    # delta ≡ rebuild (search stays correct; the equality contract
+    # doesn't). The corpus agg's observed shard SET gives the driver a
+    # free range check: every stored shard of an eligible cell must
+    # lie in [cell·stride, cell·stride + nsubs). A cell failing it
+    # demotes to the whole-cell rebuild, which reshards consistently.
+    # At nsubs == 1 the range check IS per-row-exact (the only legal
+    # sub is 0), so the common facade-scale delta verifies with NO
+    # extra job; only multi-sub cells that PASSED the range check
+    # still need the per-row membership probe (pmod(hash, nsubs) can
+    # differ between two regimes whose shard ranges overlap).
+    need_probe: dict[int, int] = {}
+    for c in list(elig):
+        nsubs = elig[c]
+        base = c * stride
+        if any(
+            s - base < 0 or s - base >= nsubs for s in shard_sets.get(c, ())
+        ):
+            del elig[c]
+        elif nsubs >= 2:
+            need_probe[c] = nsubs
+    if need_probe:
+        # delta-local scan of the pinned touched rows, restricted to
+        # the multi-sub eligible cells; literal forms below the cell
+        # bound, broadcast-join above it (ADVICE r10: no 10^5-literal
+        # CreateMap/In in the plan)
+        if len(need_probe) <= DRIVER_DELTA_CELLS_MAX:
+            cand_rows = touched_rows.filter(
+                F.col("cell").isin(sorted(need_probe))
             )
-            .select(
-                "cell",
-                "shard",
-                mm_col.alias("mm"),
-                F.coalesce(F.col("_g"), F.lit(0)).alias("g"),
+            nsubs_col = F.create_map(
+                *[F.lit(x) for cn in sorted(need_probe.items()) for x in cn]
+            )[F.col("cell")]
+        else:
+            np_df = spark.createDataFrame(
+                sorted(need_probe.items()), "cell int, nsubs int"
             )
-            .filter(F.col("mm") | (F.col("g") == 1))
+            cand_rows = touched_rows.join(F.broadcast(np_df), "cell")
+            nsubs_col = F.col("nsubs")
+        mm_col = F.col("shard") != (
+            F.col("cell").cast("long") * F.lit(stride)
+            + F.pmod(F.hash(F.col("vec_id")), nsubs_col)
+        ).cast("int")
+        mismatched = {
+            int(r["cell"])
+            for r in cand_rows.filter(mm_col)
+            .select("cell")
             .distinct()
-            .collect()  # delta-bounded: changed rows' (cell, shard)
-        )
-        mismatched = {int(r["cell"]) for r in probe_rows if r["mm"]}
+            .collect()
+        }
         for c in mismatched:
             del elig[c]
-        gone_subs = {
-            (int(r["cell"]), int(r["shard"]))
-            for r in probe_rows
-            if r["g"] and int(r["cell"]) in elig
-        }
+    gone_subs: set[tuple[int, int]] = {
+        (c, s)
+        for c in elig
+        for s in gone_shards.get(c, ())
+    }
     # APPEND fast path (driver-verified, kernel-executed): an eligible
     # cell where nothing was removed or replaced (no gone id hit it)
     # and every delta id EXCEEDS the cell's max stored id. The stored
@@ -1760,37 +1933,52 @@ def _delta_ivf_parts(
     )
     # bounded by the changed-id count — a LOCAL relation (broadcasts
     # of a local relation cost no AQE stage job): gone-id sub-shards
-    # came out of the regime-probe scan above; the delta's own target
-    # sub-shards are one tiny distinct over the pinned assignment
+    # came out of the ONE corpus agg; the delta's own target sub-shards
+    # are driver arithmetic over the planning take's (cell, hash) pairs
+    # (Python % equals pmod for positive nsubs), so the small-delta
+    # path pays NO distinct-collect job here. A take-exceeding batch
+    # recomputes them with the one distinct the old plan paid.
+    if add_hash is not None:
+        delta_subs = {
+            (c, c * stride + (h % elig[c]))
+            for c, hs in add_hash.items()
+            if c in elig
+            for h in hs
+        }
+    else:
+        delta_subs = {
+            (int(r["cell"]), int(r["shard"]))
+            for r in delta_e.select("cell", "shard").distinct().collect()
+        }
     touched_subs = spark.createDataFrame(
-        sorted(
-            gone_subs
-            | {
-                (int(r["cell"]), int(r["shard"]))
-                for r in delta_e.select("cell", "shard")
-                .distinct()
-                .collect()
-            }
-        ),
-        "cell int, shard int",
+        sorted(gone_subs | delta_subs), "cell int, shard int"
     )
     sub_keep = old_e.join(
         F.broadcast(touched_subs), ["cell", "shard"], "left_anti"
     )
     # append cells keep their stored adjacency (the kernel resumes the
-    # insert loop on it); everything else nulls it and rebuilds
-    keep_nbrs = (
-        F.col("cell").isin(sorted(append_cells))
-        if append_cells
-        else F.lit(False)
-    )
-    old_e_src = (
-        old_e.join(F.broadcast(touched_subs), ["cell", "shard"], "left_semi")
-        .join(new_ids, "vec_id", "left_anti")
-        .select(
-            "cell", "shard", "vec_id", "embedding",
-            F.when(keep_nbrs, F.col("neighbors")).alias("neighbors"),
+    # insert loop on it); everything else nulls it and rebuilds. The
+    # literal isin is bounded like every other cell-literal expression
+    # (DRIVER_DELTA_CELLS_MAX); a wider append set rides a broadcast
+    # join flag instead.
+    old_e_kept = old_e.join(
+        F.broadcast(touched_subs), ["cell", "shard"], "left_semi"
+    ).join(new_ids, "vec_id", "left_anti")
+    if append_cells and len(append_cells) > DRIVER_DELTA_CELLS_MAX:
+        app_df = spark.createDataFrame(
+            [(c, True) for c in sorted(append_cells)], "cell int, _app boolean"
         )
+        old_e_kept = old_e_kept.join(F.broadcast(app_df), "cell", "left")
+        keep_nbrs = F.coalesce(F.col("_app"), F.lit(False))
+    else:
+        keep_nbrs = (
+            F.col("cell").isin(sorted(append_cells))
+            if append_cells
+            else F.lit(False)
+        )
+    old_e_src = old_e_kept.select(
+        "cell", "shard", "vec_id", "embedding",
+        F.when(keep_nbrs, F.col("neighbors")).alias("neighbors"),
     )
     if del_ids is not None:
         old_e_src = old_e_src.join(del_ids, "vec_id", "left_anti")

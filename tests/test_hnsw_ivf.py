@@ -1083,3 +1083,149 @@ def test_centroid_frame_model_serves_without_driver_table(spark):
     per_q = [r.n / 5.0 for r in hits.collect()]
     assert len(per_q) == n_queries  # every query came back
     assert min(per_q) >= 0.8
+
+
+def _graph_key(df):
+    return sorted(
+        (r.cell, r.shard, r.vec_id, tuple(r.neighbors), bool(r.entry))
+        for r in df.collect()
+    )
+
+
+def test_regime_probe_catches_overlapping_shard_ranges(spark):
+    """Round-11 planning fold: the regime guard is now a driver range
+    check over the corpus agg's observed shard SET (exact at
+    nsubs == 1) plus a per-row probe ONLY for multi-sub eligible
+    cells. This pins the case the range check alone cannot catch:
+    build at nsubs=1 (all shards == cell*stride, inside the caller's
+    [0, 4) range), delta at a max_shard_rows giving nsubs=4 — per-row
+    membership differs even though every observed shard is in range,
+    so the probe must demote the cell to a whole-cell rebuild."""
+    from memvid_spark.operators.hnsw import apply_delta_ivf
+
+    rows = []
+    for i in range(80):
+        v = [0.0] * 6
+        v[i % 6] = 10.0
+        for d in range(6):
+            v[d] += ((i * (d + 3)) % 53) * 0.01
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = [[0.0] * 6]  # one cell
+    index = build_nsw_index_ivf(
+        emb, C, m=8, ef_construction=60, max_shard_rows=80
+    ).localCheckpoint()  # nsubs = 1: every stored shard is 0
+    up_id = 7
+    new_v = [x + 0.005 for x in dict(rows)[up_id]]
+    delta = spark.createDataFrame(
+        [(up_id, new_v)], "vec_id long, embedding array<double>"
+    )
+    out = apply_delta_ivf(
+        index, delta, C, m=8, ef_construction=60, max_shard_rows=20
+    )  # caller regime: nsubs = 4, range [0, 4) covers the stored 0
+    emb2 = spark.createDataFrame(
+        [(i, new_v if i == up_id else v) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    truth = build_nsw_index_ivf(
+        emb2, C, m=8, ef_construction=60, max_shard_rows=20
+    )
+    assert _graph_key(out) == _graph_key(truth)
+
+
+def test_driver_bounds_fall_back_to_distributed_forms(spark, monkeypatch):
+    """ADVICE r10: above DRIVER_DELTA_IDS_MAX the delete-id set stays a
+    distributed pinned frame (no driver list), the planning take yields
+    to the lazy agg path, and above DRIVER_DELTA_CELLS_MAX every
+    cell-literal expression (touched isin, regime create_map, append
+    isin) rides a broadcast join instead. Shrinking both bounds to
+    force every fallback must leave delta == rebuild byte-identical."""
+    from memvid_spark.operators import hnsw as H
+
+    monkeypatch.setattr(H, "DRIVER_DELTA_IDS_MAX", 2)
+    monkeypatch.setattr(H, "DRIVER_DELTA_CELLS_MAX", 0)
+    emb = _blob_emb(spark, n_blobs=4, per_blob=50)
+    C = train_cell_centroids(emb, n_cells=4, train_sample=1000)
+    index = build_nsw_index_ivf(emb, C, m=8, ef_construction=60).localCheckpoint()
+    # 6 upserts (> ids bound), 5 deletes (> ids bound), plus an append
+    # batch later — every guarded path engages
+    ups = emb.filter(F.col("vec_id") % 31 == 3).withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.004))
+    )
+    assert ups.count() > 2
+    dels = spark.createDataFrame([(i,) for i in (1, 11, 21, 31, 41)], "vec_id long")
+    out = H.apply_delta_ivf(index, ups, C, m=8, ef_construction=60, deletes=dels)
+    gone = {1, 11, 21, 31, 41}
+    up_ids = {r.vec_id for r in ups.select("vec_id").collect()}
+    # deletes apply to the pre-delta index; an id in both lands as the
+    # delta row (none here overlap)
+    truth = build_nsw_index_ivf(
+        emb.filter(~F.col("vec_id").isin(sorted(gone - up_ids)))
+        .filter(~F.col("vec_id").isin(sorted(up_ids)))
+        .unionByName(ups),
+        C, m=8, ef_construction=60,
+    )
+    assert _graph_key(out) == _graph_key(truth)
+    # append-shaped batch under the shrunken bounds (join-flag path)
+    app = spark.createDataFrame(
+        [(1000 + i, [0.1 * i, 10.0, 0.2, 0.0, 0.0, 0.3]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = H.apply_delta_ivf(
+        index, app, C, m=8, ef_construction=60
+    )
+    truth2 = build_nsw_index_ivf(
+        emb.unionByName(app), C, m=8, ef_construction=60
+    )
+    assert _graph_key(out2) == _graph_key(truth2)
+
+
+def test_centroid_frame_save_load_round_trip(spark, tmp_path):
+    """Round-11 serving wiring: a CentroidFrame persists as parquet +
+    manifest and reloads equivalently — same supers/offsets/n_cells,
+    identical assignment and probe decisions, and delta == rebuild
+    stays exact when build and delta run on the two copies (the
+    path-consistency contract across a save/open boundary)."""
+    from memvid_spark.operators.hnsw import (
+        apply_delta_ivf,
+        load_centroid_frame,
+        save_centroid_frame,
+        train_cell_centroids_frame,
+    )
+
+    emb = _unique_blob_emb(spark, n_blobs=6, per_blob=60)  # 360 rows
+    cf = train_cell_centroids_frame(emb, 12, n_hint=360)
+    path = str(tmp_path / "model.frame")
+    cf2 = save_centroid_frame(cf, path, extra={"model_id": "m-1"})
+    from memvid_spark.operators.hnsw import centroid_frame_manifest
+
+    assert centroid_frame_manifest(path)["model_id"] == "m-1"
+    cf3 = load_centroid_frame(spark, path)
+    for other in (cf2, cf3):
+        assert other.n_cells == cf.n_cells and other.dim == cf.dim
+        assert other.offsets == cf.offsets
+        assert (
+            sorted(map(tuple, other.supers.tolist()))
+            == sorted(map(tuple, cf.supers.tolist()))
+        )
+    from memvid_spark.operators.hnsw import _with_cell
+
+    a_mem = sorted(
+        (r.cell, r.vec_id)
+        for r in _with_cell(emb, cf, "vec_id", "embedding").collect()
+    )
+    a_disk = sorted(
+        (r.cell, r.vec_id)
+        for r in _with_cell(emb, cf3, "vec_id", "embedding").collect()
+    )
+    assert a_mem == a_disk
+    q = [10.2, 0.3, 0.2, 0.1, 0.0, 0.1]
+    assert cf.probe_cells(q, 3) == cf3.probe_cells(q, 3)
+    # delta == rebuild across the persistence boundary: build with the
+    # in-session model, delta with the reloaded one
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = build_nsw_index_ivf(base, cf, m=8, ef_construction=60)
+    ap = apply_delta_ivf(idx, delta, cf3, m=8, ef_construction=60)
+    truth = build_nsw_index_ivf(emb, cf3, m=8, ef_construction=60)
+    assert _graph_key(ap) == _graph_key(truth)
