@@ -1722,6 +1722,7 @@ class MemvidSpark:
         target_cell_rows: int = 25000,
         min_cells: int = 4,
         max_cells: int = 4096,
+        frame_model_min_cells: int | None = None,
     ) -> None:
         """Build (or retrain) the IVF-cell NSW serving tier over the
         ACTIVE vector track: coarse centroids from a bounded seeded
@@ -1748,18 +1749,25 @@ class MemvidSpark:
         auto_n_cells clamp). The default max_cells=4096 is conservative
         — a >100M-row corpus at the default target wants more cells,
         and raising the clamp needs no code fork: past 4096 cells the
-        centroid TRAINER goes distributed (per-super-group k-means,
-        train_cell_centroids_scaled) and the ASSIGNMENT is already
-        two-level, so the remaining bound is the O(n_cells · dim)
-        centroid broadcast each assignment/search task reads (~300 MB
-        at 50k cells × 768 dims as float64) — raise target_cell_rows
-        before that broadcast hurts. The clamp survives retrains
-        (refresh_ann_index re-sizes within the same bounds)."""
+        centroid TRAINER goes distributed (per-super-group k-means)
+        and the ASSIGNMENT is already two-level; past
+        ``frame_model_min_cells`` (default: the same 4096 bound) the
+        coarse model itself stays a DATAFRAME (hnsw.CentroidFrame —
+        trained by ``train_cell_centroids_frame``, persisted as
+        parquet + manifest on :meth:`save`), so no facade entry point
+        collects or broadcasts the O(n_cells · dim) centroid table:
+        assignment, deltas and searches route through the cogroup /
+        super-block forms. At or below the bound the ndarray model is
+        byte-identical to previous rounds (existing stores replay).
+        The clamp survives retrains (refresh_ann_index re-sizes within
+        the same bounds)."""
         self._ensure_writable()
         from .operators.hnsw import (
+            SCALED_TRAIN_MIN_CELLS,
             auto_n_cells,
             build_nsw_index_ivf,
             train_cell_centroids,
+            train_cell_centroids_frame,
         )
 
         emb = self._ann_active_track()
@@ -1772,12 +1780,27 @@ class MemvidSpark:
                 n_rows, target_cell_rows,
                 min_cells=min_cells, max_cells=max_cells,
             )
-        cents = train_cell_centroids(
-            emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+        fmb = (
+            frame_model_min_cells
+            if frame_model_min_cells is not None
+            else SCALED_TRAIN_MIN_CELLS
         )
-        self._ann_cents = [[float(x) for x in c] for c in cents]
+        if n_cells > fmb:
+            # past the broadcast bound: the model never visits the
+            # driver whole — train, assign, search all DataFrame-side
+            cf = train_cell_centroids_frame(
+                emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+            )
+            self._ann_cents = cf
+            model_kind, model_cells = "frame", int(cf.n_cells)
+        else:
+            cents = train_cell_centroids(
+                emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+            )
+            self._ann_cents = [[float(x) for x in c] for c in cents]
+            model_kind, model_cells = "ndarray", len(self._ann_cents)
         self._ann_meta = {
-            "n_cells": len(self._ann_cents),
+            "n_cells": model_cells,
             "m": m,
             "ef_construction": ef_construction,
             "ef_search": ef_search,
@@ -1788,6 +1811,8 @@ class MemvidSpark:
             "target_cell_rows": int(target_cell_rows),
             "min_cells": int(min_cells),
             "max_cells": int(max_cells),
+            "model": model_kind,
+            "frame_model_min_cells": int(fmb),
         }
         self._ann_index = build_nsw_index_ivf(
             emb,
@@ -1795,6 +1820,7 @@ class MemvidSpark:
             m=m,
             ef_construction=ef_construction,
             max_shard_rows=max_shard_rows,
+            n_hint=int(n_rows),
         ).localCheckpoint()
         self._ann_pending = []
 
@@ -1922,6 +1948,7 @@ class MemvidSpark:
                 ef_construction=meta["ef_construction"],
                 max_shard_rows=meta["max_shard_rows"],
                 deletes=dels,
+                n_hint=len(pending),
             ).localCheckpoint()
             self._ann_pending = []
         auto = bool(meta.get("auto_cells", False))
@@ -1949,6 +1976,7 @@ class MemvidSpark:
                 target_cell_rows=tcr,
                 min_cells=int(meta.get("min_cells", 4)),
                 max_cells=int(meta.get("max_cells", 4096)),
+                frame_model_min_cells=meta.get("frame_model_min_cells"),
             )
             stats["retrained"] = True
             stats["n_cells"] = self._ann_meta["n_cells"]
@@ -2581,6 +2609,7 @@ class MemvidSpark:
                 target_cell_rows=meta.get(
                     "target_cell_rows", meta["max_shard_rows"]
                 ),
+                frame_model_min_cells=meta.get("frame_model_min_cells"),
             )
             registry["ann_entry_cover"] = self._refresh_ann_entry_cover
         if self.image_ann_enabled():
@@ -2871,12 +2900,32 @@ class MemvidSpark:
                 os.path.join(path, "ann_index.parquet"),
                 partition_by="cell",
             )
-            tmp = os.path.join(path, "ann_centroids.json.tmp")
-            with open(tmp, "w", encoding="utf-8") as f:
-                # KB–MB scale at facade sizes; at warehouse n_cells the
-                # centroid table would persist as parquet like the index
-                json.dump(self._ann_cents, f)
-            os.replace(tmp, os.path.join(path, "ann_centroids.json"))
+            from .operators.hnsw import CentroidFrame, save_centroid_frame
+
+            cents_json = os.path.join(path, "ann_centroids.json")
+            frame_dir = os.path.join(path, "ann_centroids.frame")
+            if isinstance(self._ann_cents, CentroidFrame):
+                # past the broadcast bound the model persists the same
+                # way the index does: the (grp, cell, centroid) table
+                # as parquet written by the cluster + a KB manifest —
+                # never collected to the driver. The returned frame is
+                # re-rooted on the persisted files (releases trainer
+                # checkpoint blocks, same as every other saved track).
+                self._ann_cents = save_centroid_frame(
+                    self._ann_cents, frame_dir
+                )
+                if os.path.exists(cents_json):
+                    os.remove(cents_json)
+            else:
+                tmp = os.path.join(path, "ann_centroids.json.tmp")
+                with open(tmp, "w", encoding="utf-8") as f:
+                    # KB–MB scale below the frame bound (the ndarray
+                    # model); larger tiers persist as parquet above
+                    json.dump(self._ann_cents, f)
+                os.replace(tmp, cents_json)
+                import shutil as _sh
+
+                _sh.rmtree(frame_dir, ignore_errors=True)
         # the cross-modal image tier persists the same way (the decode
         # pass it saves per query is even pricier than vector scoring)
         if self.image_ann_enabled():
@@ -3052,10 +3101,18 @@ class MemvidSpark:
             spark.catalog.refreshByPath(ann_path)
             mv._ann_meta = man["ann"]
             mv._ann_index = spark.read.parquet(ann_path)
-            with open(
-                os.path.join(path, "ann_centroids.json"), encoding="utf-8"
-            ) as f:
-                mv._ann_cents = json.load(f)
+            if man["ann"].get("model") == "frame":
+                from .operators.hnsw import load_centroid_frame
+
+                mv._ann_cents = load_centroid_frame(
+                    spark, os.path.join(path, "ann_centroids.frame")
+                )
+            else:
+                with open(
+                    os.path.join(path, "ann_centroids.json"),
+                    encoding="utf-8",
+                ) as f:
+                    mv._ann_cents = json.load(f)
             mv._ann_pending = []
         img_ann_path = os.path.join(path, "img_ann_index.parquet")
         if man.get("img_ann") and os.path.exists(img_ann_path):

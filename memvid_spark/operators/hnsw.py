@@ -987,8 +987,16 @@ def _with_cell_frame(
         import pandas as pd
 
         if len(block_pdf) == 0 or len(rows_pdf) == 0:
+            # the array column must be OBJECT dtype even when empty —
+            # pandas infers float64 for a bare [], and Arrow cannot
+            # convert a numeric ndarray column to list<double>
             return pd.DataFrame(
-                {"vec_id": [], "cell": [], "d2": [], "v": []}
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int32"),
+                    "d2": pd.Series([], dtype="float64"),
+                    "v": pd.Series([], dtype="object"),
+                }
             )
         # sort the block by cell id: argmin's first-minimum then IS the
         # lowest-cell tie rule, independent of partitioning
@@ -1108,8 +1116,15 @@ def _probe_cells_frame(
         import pandas as pd
 
         if len(block_pdf) == 0 or len(q_pdf) == 0:
+            # object dtype for the array column: Arrow cannot convert
+            # an empty NUMERIC ndarray column to list<double>
             return pd.DataFrame(
-                {query_id_col: [], "cell": [], "d2": [], "q": []}
+                {
+                    query_id_col: pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int32"),
+                    "d2": pd.Series([], dtype="float64"),
+                    "q": pd.Series([], dtype="object"),
+                }
             )
         block_pdf = block_pdf.sort_values("cell").reset_index(drop=True)
         C = np.stack(block_pdf["centroid"].to_numpy()).astype(np.float64)

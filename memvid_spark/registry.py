@@ -8315,6 +8315,140 @@ def q187_hnsw_centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "q188_facade_frame_model",
+    """
+    SELECT count(*)::bigint * 2 + 2 AS n_tracked,
+           true AS model_is_frame,
+           true AS reopen_identical,
+           true AS delta_equals_rebuild,
+           true AS min_recall_ge
+    FROM embeddings
+    """,
+    "sweep-grade guard for the FACADE's frame-model serving wiring "
+    "(round 11 — VERDICT r10 #1: the operators could run on a "
+    "DataFrame-resident coarse model since round 10, but every serving "
+    "entry point still held the O(n_cells·dim) model as a driver "
+    "ndarray/list). build_ann_serving past frame_model_min_cells now "
+    "trains hnsw.CentroidFrame, save() persists it as parquet + "
+    "manifest (no json model file), open() reloads it, and "
+    "search/delta route through the cogroup forms. The hashed row "
+    "pins: n_tracked = the doubled vector track (DuckDB replays), "
+    "model_is_frame = the built AND reopened model are CentroidFrame "
+    "with no ann_centroids.json on disk, reopen_identical = the same "
+    "query returns identical (vec_id, score, rank) before/after the "
+    "save/open round trip, delta_equals_rebuild = a save-time "
+    "upsert+tombstone delta on the frame path equals one fresh build "
+    "over the surviving track row-for-row (exceptAll both ways), "
+    "min_recall_ge = ANN recall@10 vs exact >= 0.8 on the planted-"
+    "cluster track.",
+)
+def q188_facade_frame_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .api import MemvidSpark
+    from .operators.hnsw import (
+        CentroidFrame,
+        build_nsw_index_ivf,
+        nsw_knn,
+    )
+    from .operators.knn import knn
+
+    t = catalog.load(spark, sf_dir)
+    # planted clusters (the q187 recipe) + a shifted twin of every row
+    # so the track crosses the >=1000-vector ANN engage threshold at
+    # sf0.01 (500 base vectors)
+    clustered = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 8).cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    twin = clustered.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(0.125)
+        ).alias("embedding"),
+    )
+    track = clustered.unionByName(twin).localCheckpoint()
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in track.collect()
+    ]
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(
+        n_cells=16, m=16, probes=4, frame_model_min_cells=8
+    )
+    is_frame = isinstance(mv._ann_cents, CentroidFrame)
+    qvec = dict(pairs)[3]
+    before = [
+        (r.vec_id, r.score, r.rank)
+        for r in mv.search_embeddings(qvec, k=10, ann=True).collect()
+    ]
+    exact = {
+        r["vec_id"]
+        for r in knn(track, qvec, k=10, metric="l2").collect()
+    }
+    recall = len({v for v, _, _ in before} & exact) / 10.0
+    store = tempfile.mkdtemp(prefix="mv2_q188_")
+    try:
+        mv.save(store)
+        import os
+
+        no_json = not os.path.exists(
+            os.path.join(store, "ann_centroids.json")
+        )
+        mv2 = MemvidSpark.open(spark, store)
+        is_frame = is_frame and isinstance(mv2._ann_cents, CentroidFrame)
+        after = [
+            (r.vec_id, r.score, r.rank)
+            for r in mv2.search_embeddings(qvec, k=10, ann=True).collect()
+        ]
+        reopen_identical = before == after
+        # save-time delta on the frame path: 3 new vectors + one
+        # tombstone, then compare the maintained index to a fresh
+        # build over the surviving track with the SAME persisted model
+        # (the track is append-only, so delta upserts use fresh ids)
+        moved = [
+            (2_000_000 + fid, [x + 0.25 for x in vec])
+            for fid, vec in pairs[:3]
+        ]
+        mv2.add_embeddings(moved)
+        mv2.delete(int(pairs[5][0]))
+        mv2.save(store)
+        mv3 = MemvidSpark.open(spark, store)
+        cols = ["cell", "shard", "vec_id", "neighbors", "embedding", "entry"]
+        maintained = mv3._ann_index.select(*cols).localCheckpoint()
+        meta = mv3._ann_meta
+        truth = build_nsw_index_ivf(
+            mv3._ann_active_track(),
+            mv3._ann_cents,
+            m=meta["m"],
+            ef_construction=meta["ef_construction"],
+            max_shard_rows=meta["max_shard_rows"],
+        ).select(*cols).localCheckpoint()
+        equal = (
+            maintained.exceptAll(truth).count() == 0
+            and truth.exceptAll(maintained).count() == 0
+        )
+        n_tracked = int(maintained.count())  # 2·base + 3 added − 1 gone
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(int(n_tracked)).cast("long").alias("n_tracked"),
+        F.lit(bool(is_frame and no_json)).alias("model_is_frame"),
+        F.lit(bool(reopen_identical)).alias("reopen_identical"),
+        F.lit(bool(equal)).alias("delta_equals_rebuild"),
+        F.lit(bool(recall >= 0.8)).alias("min_recall_ge"),
+    )
+
+
 def _computed_oracles() -> None:
     """Fill in oracles that are assembled from shared Python constants
     (regex/rule catalogs) so engine and oracle can't drift."""

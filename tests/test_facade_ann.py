@@ -457,3 +457,101 @@ def test_stats_surfaces_serving_tier_meta(spark):
     st = mv.stats()
     assert st["ann"] == {"n_cells": 3, "n_rows": 120}
     assert st["img_ann"] is None
+
+
+def test_frame_model_facade_round_trip(spark, tmp_path):
+    """Round-11 serving wiring: above ``frame_model_min_cells`` the
+    facade's coarse model is a hnsw.CentroidFrame — trained, assigned,
+    searched and persisted WITHOUT ever collecting the centroid table
+    to the driver. Pins: (1) the tier builds and serves with the
+    recall bound; (2) save() persists the model as parquet + manifest
+    (no ann_centroids.json) and open() serves IDENTICAL results;
+    (3) save-time deltas (add_embeddings + delete) keep delta ==
+    rebuild semantics on the frame path; (4) the batch join serves
+    through the frame probe."""
+    import os
+
+    from memvid_spark.operators.hnsw import CentroidFrame
+
+    pairs = _unit_blob_pairs(n_blobs=6, per_blob=250)  # 1500 rows
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(
+        n_cells=12, m=8, ef_construction=60, probes=4,
+        frame_model_min_cells=8,  # force the frame path at test scale
+    )
+    assert isinstance(mv._ann_cents, CentroidFrame)
+    assert mv._ann_meta["model"] == "frame"
+    assert mv._ann_meta["n_cells"] == mv._ann_cents.n_cells
+    q = _qvec(pairs, 3)
+    approx = {
+        r.vec_id for r in mv.search_embeddings(q, k=10, ann=True).collect()
+    }
+    exact = {r.vec_id for r in mv.search_embeddings(q, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.8
+    # batch join routes through _probe_cells_frame
+    qdf = spark.createDataFrame(
+        [(1, q)], "query_id long, query_vec array<double>"
+    )
+    batch = mv.search_embeddings_many(qdf, k=10, ann=True).collect()
+    assert len(batch) == 10
+    # save: parquet + manifest, no json model; reopened store identical
+    path = str(tmp_path / "store")
+    mv.save(path)
+    assert os.path.exists(
+        os.path.join(path, "ann_centroids.frame", "manifest.json")
+    )
+    assert not os.path.exists(os.path.join(path, "ann_centroids.json"))
+    before = [
+        (r.vec_id, r.score, r.rank)
+        for r in mv.search_embeddings(q, k=10, ann=True).collect()
+    ]
+    mv2 = MemvidSpark.open(spark, path)
+    assert isinstance(mv2._ann_cents, CentroidFrame)
+    after = [
+        (r.vec_id, r.score, r.rank)
+        for r in mv2.search_embeddings(q, k=10, ann=True).collect()
+    ]
+    assert before == after
+    # incremental maintenance on the frame path: upsert + tombstone at
+    # save time must equal a fresh rebuild over the surviving track
+    extra = _unit_blob_pairs(n_blobs=1, per_blob=40, start_id=100000)
+    mv2.add_embeddings(extra)
+    mv2.delete(7)
+    mv2.save(path)  # routes refresh_ann_index -> apply_delta_ivf
+    served = {r.vec_id for r in mv2.search_embeddings(q, k=20, ann=True).collect()}
+    assert 7 not in served
+    # truth: a fresh store + fresh frame-path build over the same rows
+    mv3 = MemvidSpark.open(spark, path)
+    assert isinstance(mv3._ann_cents, CentroidFrame)
+    got = {
+        r.vec_id
+        for r in mv3.search_embeddings(q, k=10, ann=True).collect()
+    }
+    exact2 = {
+        r.vec_id for r in mv3.search_embeddings(q, k=10).collect()
+    }
+    assert len(got & exact2) / 10 >= 0.8
+
+
+def test_frame_model_drift_retrain_stays_frame(spark):
+    """A drift retrain of a frame-model tier re-enters
+    build_ann_serving with the persisted frame_model_min_cells — the
+    model kind survives the retrain (auto-resize included)."""
+    from memvid_spark.operators.hnsw import CentroidFrame
+
+    pairs = _unit_blob_pairs(n_blobs=4, per_blob=300)
+    mv = MemvidSpark(spark)
+    mv.add_embeddings(pairs)
+    mv.build_ann_serving(
+        n_cells=10, m=8, ef_construction=60, probes=4,
+        frame_model_min_cells=8,
+    )
+    assert mv._ann_meta["model"] == "frame"
+    # force the retrain branch via the facade's own policy entry
+    mv.build_ann_serving(
+        n_cells=10, m=8, ef_construction=60, probes=4,
+        frame_model_min_cells=mv._ann_meta["frame_model_min_cells"],
+    )
+    assert isinstance(mv._ann_cents, CentroidFrame)
+    assert mv._ann_meta["model"] == "frame"

@@ -444,3 +444,134 @@ def test_out_of_band_retrain_and_swap_between_triggers(spark, tmp_path):
         mt.centroids, m=8, ef_construction=60,
     )
     assert _graph_rows(mt.index(spark)) == _graph_rows(truth)
+
+
+def _frame_cents(spark, rows, n_cells=6):
+    from memvid_spark.operators.hnsw import train_cell_centroids_frame
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return train_cell_centroids_frame(emb, n_cells, n_hint=len(rows))
+
+
+def test_frame_mode_sink_streams_retrains_and_restarts(spark, tmp_path):
+    """Round-11 serving wiring: a sink running past
+    frame_model_min_cells holds the coarse model as a CentroidFrame —
+    deltas and retrains never collect the O(k·d) table. Pins:
+    (1) streamed batches ≡ one rebuild over the surviving corpus on
+    the frame path; (2) the first batch persists the model next to the
+    index (parquet + manifest + index marker); (3) a FORCED retrain
+    routes through _retrain_frame (model id advances, marker matches,
+    self.centroids stays a frame); (4) a RESTARTED supervisor
+    (centroids=None) reloads the persisted model and its next delta
+    still equals the rebuild."""
+    import json
+    import os
+
+    from memvid_spark.operators.hnsw import CentroidFrame
+
+    all_rows = _vecs(spark, range(90))
+    cf = _frame_cents(spark, all_rows)
+    store = str(tmp_path / "ann")
+    mt = StreamingAnnMaintainer(
+        store, cf, m=8, ef_construction=60, frame_model_min_cells=2,
+        target_cell_rows=None,
+    )
+
+    def cdc(rows, deleted=(), seq=0):
+        data = [(i, v, False, seq) for i, v in rows]
+        data += [(i, None, True, seq) for i in deleted]
+        return spark.createDataFrame(data, ANN_CDC_SCHEMA)
+
+    mt.apply_batch(cdc(all_rows[:40]), 0)
+    # (2) model persisted, index marker names it
+    assert os.path.exists(os.path.join(mt.model_path, "manifest.json"))
+    marker = os.path.join(mt.index_path, "_MODEL_ID")
+    assert os.path.exists(marker)
+    with open(os.path.join(mt.model_path, "manifest.json")) as f:
+        mid0 = json.load(f)["model_id"]
+    assert open(marker).read().strip() == mid0
+    mt.apply_batch(cdc(all_rows[40:80], deleted=[3, 17], seq=1), 1)
+    # (4) restart: a new maintainer with centroids=None reloads
+    mt2 = StreamingAnnMaintainer(
+        store, None, m=8, ef_construction=60, frame_model_min_cells=2,
+        target_cell_rows=None,
+    )
+    moved = _vecs(spark, [5], shift=4.0)
+    mt2.apply_batch(cdc(all_rows[80:] + moved, seq=2), 2)
+    assert isinstance(mt2.centroids, CentroidFrame)
+    surviving = {i: v for i, v in all_rows if i not in (3, 17)}
+    surviving[5] = moved[0][1]
+    truth_emb = spark.createDataFrame(
+        sorted(surviving.items()), "vec_id long, embedding array<double>"
+    )
+    # (1) the SAME persisted frame model must rebuild to the same graph
+    model = mt2._coarse_model(spark)
+    truth = build_nsw_index_ivf(truth_emb, model, m=8, ef_construction=60)
+    assert _graph_rows(mt2.index(spark)) == _graph_rows(truth)
+    # (3) forced retrain: frame lifecycle end to end
+    stats = mt2.retrain_and_swap(spark, force=True)
+    assert stats["retrained"] is True
+    assert isinstance(mt2.centroids, CentroidFrame)
+    with open(os.path.join(mt2.model_path, "manifest.json")) as f:
+        mid1 = json.load(f)["model_id"]
+    assert mid1 != mid0
+    assert open(marker).read().strip() == mid1
+    assert not os.path.exists(mt2.model_path + ".next")
+    # the retrained index serves: k=1 self-lookup on a surviving id
+    hit = nsw_knn(
+        mt2.index(spark).filter(F.col("cell") >= 0), surviving[8], k=1
+    ).collect()
+    assert hit[0].vec_id == 8
+
+
+def test_frame_model_crash_window_promotes_matching_next(spark, tmp_path):
+    """Crash between the index swap and the model promote: the live
+    index's marker names a model that still sits in ``.next`` while
+    the live model dir holds the PREVIOUS generation. The next
+    index()/recovery must promote the matching ``.next`` forward and
+    reload the in-memory model — serving and delta assignment stay on
+    the generation the index was built with."""
+    import json
+    import os
+    import shutil
+
+    from memvid_spark.operators.hnsw import CentroidFrame
+
+    rows = _vecs(spark, range(60))
+    cf = _frame_cents(spark, rows)
+    store = str(tmp_path / "ann")
+    mt = StreamingAnnMaintainer(
+        store, cf, m=8, ef_construction=60, frame_model_min_cells=2,
+        target_cell_rows=None,
+    )
+    data = [(i, v, False, 0) for i, v in rows]
+    mt.apply_batch(spark.createDataFrame(data, ANN_CDC_SCHEMA), 0)
+    mt.retrain_and_swap(spark, force=True)
+    with open(os.path.join(mt.model_path, "manifest.json")) as f:
+        live_id = json.load(f)["model_id"]
+    # reconstruct the crash window: live model becomes .next (the
+    # not-yet-promoted new generation); a stale older model sits live
+    nxt = mt.model_path + ".next"
+    shutil.move(mt.model_path, nxt)
+    shutil.copytree(nxt, mt.model_path)
+    man_p = os.path.join(mt.model_path, "manifest.json")
+    man = json.load(open(man_p))
+    man["model_id"] = "stale-previous-generation"
+    json.dump(man, open(man_p, "w"))
+    # a fresh supervisor restarts on the crashed state
+    mt3 = StreamingAnnMaintainer(
+        store, None, m=8, ef_construction=60, frame_model_min_cells=2,
+        target_cell_rows=None,
+    )
+    idx = mt3.index(spark)  # recovery runs here
+    with open(man_p) as f:
+        assert json.load(f)["model_id"] == live_id  # .next promoted
+    assert not os.path.exists(nxt)
+    model = mt3._coarse_model(spark)
+    assert isinstance(model, CentroidFrame)
+    # the healed pair still equals a rebuild over the corpus
+    truth_emb = spark.createDataFrame(
+        sorted(dict(rows).items()), "vec_id long, embedding array<double>"
+    )
+    truth = build_nsw_index_ivf(truth_emb, model, m=8, ef_construction=60)
+    assert _graph_rows(idx) == _graph_rows(truth)
