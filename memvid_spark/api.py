@@ -211,6 +211,7 @@ class MemvidSpark:
             )
             self._payload_tail += len(payload)
             self._media_puts.append((doc_id, mime, bytes(payload)))
+            self._note_media_put(doc_id, mime)
         if doc_id is not None and fmt in ("pdf", "docx"):
             self._extract_embedded_images(doc_id, fmt, payload, uri)
         return doc_id
@@ -242,6 +243,7 @@ class MemvidSpark:
             if child is not None:
                 self._payload_tail += len(img)
                 self._media_puts.append((child, mime, img))
+                self._note_media_put(child, mime)
 
     # -- stored tables (src/table/storage.rs, mod.rs extract_tables) -------
 
@@ -523,6 +525,96 @@ class MemvidSpark:
     def image_ann_enabled(self) -> bool:
         return getattr(self, "_img_ann_index", None) is not None
 
+    def _note_media_put(self, media_id: int, mime: str) -> None:
+        """Track image puts landing AFTER the image ANN tier was built
+        — the pending set :meth:`refresh_image_ann_index` embeds and
+        delta-applies (only those payloads decode again; the rest of
+        the corpus never re-embeds). Session-bounded like the text
+        tier's ``_ann_pending``."""
+        if self.image_ann_enabled() and mime.startswith("image/"):
+            if not hasattr(self, "_img_ann_pending"):
+                self._img_ann_pending = []
+            self._img_ann_pending.append(int(media_id))
+
+    def refresh_image_ann_index(self) -> dict:
+        """Apply buffered image puts and tombstones to the IMAGE ANN
+        serving tier INCREMENTALLY (apply_delta_ivf — only touched
+        cells rebuild), replacing the round-10 point-in-time posture
+        (any media mutation invalidated the tier until a full
+        decode+rebuild). Decode stays once-per-payload: ONLY the
+        pending puts' payloads run the embed pass; tombstones drop
+        straight from their cells. The drift policy then mirrors the
+        text tier (``ivf_needs_retrain`` — skew / drained / resize
+        triggers a retrain + full rebuild). Returns the policy stats.
+        Called by :meth:`save` and :meth:`vacuum`; safe any time."""
+        if not self.image_ann_enabled():
+            raise ValueError(
+                "image ANN tier not built: call build_image_ann_serving"
+            )
+        from .operators import crossmodal
+        from .operators.hnsw import apply_delta_ivf, ivf_needs_retrain
+
+        meta = self._img_ann_meta
+        pending = sorted(set(getattr(self, "_img_ann_pending", ())))
+        dels = None
+        if self._tombstones:
+            dels = self.spark.createDataFrame(
+                [(int(t),) for t in sorted(self._tombstones)], "vec_id long"
+            )
+        if pending or dels is not None:
+            delta_emb = None
+            if pending:
+                # media() already excludes tombstones, so a pending put
+                # deleted before the refresh lands only as a delete
+                media_delta = self.media("image").filter(
+                    F.col("media_id").isin(pending)
+                )
+                delta_emb = crossmodal.embed_images(media_delta).select(
+                    F.col("media_id").alias("vec_id"),
+                    F.col("emb").cast("array<double>").alias("embedding"),
+                )
+            else:
+                delta_emb = self.spark.createDataFrame(
+                    [], "vec_id long, embedding array<double>"
+                )
+            self._img_ann_index = apply_delta_ivf(
+                self._img_ann_index,
+                delta_emb,
+                self._img_ann_cents,
+                m=meta["m"],
+                ef_construction=meta["ef_construction"],
+                max_shard_rows=meta["max_shard_rows"],
+                deletes=dels,
+                n_hint=len(pending),
+            ).localCheckpoint()
+            self._img_ann_pending = []
+        auto = bool(meta.get("auto_cells", False))
+        tcr = int(meta.get("target_cell_rows", meta["max_shard_rows"]))
+        needs, stats = ivf_needs_retrain(
+            self._img_ann_index,
+            trained_cells=meta["n_cells"],
+            target_cell_rows=tcr if auto else None,
+        )
+        if needs:
+            # drift crossed the bound: retrain + full rebuild (the one
+            # remaining whole-corpus decode moment, now policy-gated
+            # instead of per-mutation)
+            self.build_image_ann_serving(
+                n_cells=None if auto else meta["n_cells"],
+                m=meta["m"],
+                ef_construction=meta["ef_construction"],
+                ef_search=meta["ef_search"],
+                probes=meta["probes"],
+                max_shard_rows=meta["max_shard_rows"],
+                target_cell_rows=tcr,
+                min_cells=int(meta.get("min_cells", 4)),
+                max_cells=int(meta.get("max_cells", 4096)),
+            )
+            stats["retrained"] = True
+            stats["n_cells"] = self._img_ann_meta["n_cells"]
+        meta["n_rows"] = int(stats["n_rows"])
+        return stats
+
     def build_image_ann_serving(
         self,
         n_cells: int | None = None,
@@ -547,8 +639,12 @@ class MemvidSpark:
         serve cell-pruned from the persisted graph. Same auto-sizing,
         clamp, and engage-threshold semantics as
         :meth:`build_ann_serving`; derived and rebuildable, persists
-        with the store on :meth:`save` (rebuild after media mutations
-        — the reference's rebuild-indexes-at-commit lifecycle)."""
+        with the store on :meth:`save`. Media mutations after the
+        build apply INCREMENTALLY (:meth:`refresh_image_ann_index` —
+        only the pending payloads decode+embed, tombstones drop from
+        their cells; a full rebuild happens only when the drift policy
+        trips — the reference's rebuild-indexes-at-commit lifecycle as
+        a policy, not a per-mutation cost)."""
         self._ensure_writable()
         from .operators import crossmodal
         from .operators.hnsw import (
@@ -593,7 +689,9 @@ class MemvidSpark:
             m=m,
             ef_construction=ef_construction,
             max_shard_rows=max_shard_rows,
+            n_hint=int(n_rows),
         ).localCheckpoint()
+        self._img_ann_pending = []
 
     def media_features(self) -> DataFrame:
         """Modality-routed feature vectors over every retained payload:
@@ -800,6 +898,10 @@ class MemvidSpark:
         rebuild unless the drift policy trips."""
         if self.ann_enabled() and not getattr(self, "_read_only", False):
             self.refresh_ann_index()
+        if self.image_ann_enabled() and not getattr(
+            self, "_read_only", False
+        ):
+            self.refresh_image_ann_index()
         return self.docs()
 
     def _union_docs(self) -> DataFrame:
@@ -2928,7 +3030,10 @@ class MemvidSpark:
                 _sh.rmtree(frame_dir, ignore_errors=True)
         # the cross-modal image tier persists the same way (the decode
         # pass it saves per query is even pricier than vector scoring)
+        # — pending puts/tombstones apply incrementally first, exactly
+        # like the text tier above
         if self.image_ann_enabled():
+            self.refresh_image_ann_index()
             self._img_ann_index = self._write_swap(
                 self._img_ann_index,
                 os.path.join(path, "img_ann_index.parquet"),
