@@ -519,8 +519,37 @@ class MemvidSpark:
                 exclude_ids=sorted(self._tombstones),
             )
         return crossmodal.crossmodal_knn(
-            crossmodal.embed_images(self.media("image")), text, k=k
+            self._embed_images_cached(), text, k=k
         )
+
+    def _embed_images_cached(self) -> DataFrame:
+        """The exact path's (media_id, emb) frame, persisted and keyed
+        on the media mutation state — repeated exact queries below the
+        ANN engage threshold (or with ann=False) otherwise re-decode
+        EVERY payload per query. ``persist()`` (not localCheckpoint):
+        LRU-evictable, and the retained lineage just re-decodes on
+        eviction — correctness never depends on the cache. The key
+        covers the three ways the retained image set changes (seed
+        re-rooted on save/open, session puts, tombstones), so a stale
+        frame is never served."""
+        from .operators import crossmodal
+
+        key = (
+            id(self._media_seed),
+            len(self._media_puts),
+            hash(frozenset(self._tombstones)),
+        )
+        cur = getattr(self, "_img_embed_cache", None)
+        if cur is not None and cur[0] == key:
+            return cur[1]
+        if cur is not None:
+            try:
+                cur[1].unpersist()
+            except Exception:
+                pass
+        df = crossmodal.embed_images(self.media("image")).persist()
+        self._img_embed_cache = (key, df)
+        return df
 
     def image_ann_enabled(self) -> bool:
         return getattr(self, "_img_ann_index", None) is not None

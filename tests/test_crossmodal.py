@@ -378,3 +378,48 @@ def test_image_ann_save_applies_delta_and_reopens(spark, tmp_path):
     served = {int(r.vec_id) for r in re._img_ann_index.select("vec_id").collect()}
     assert late in served and ids[2] not in served
     assert re._img_ann_meta["n_rows"] == 12
+
+
+def test_exact_image_search_caches_embed_pass(spark, monkeypatch):
+    """Round-11 (VERDICT r10 #5): repeated EXACT image searches reuse
+    one persisted embed frame instead of re-decoding every payload per
+    query; any media mutation (put / tombstone / save re-root) keys a
+    fresh frame. Results stay identical either way (the cache retains
+    lineage — eviction just re-decodes)."""
+    from memvid_spark.api import MemvidSpark
+
+    mv = MemvidSpark(spark)
+    rng = np.random.default_rng(43)
+    for i in range(10):
+        mv.put_bytes(
+            bytes(png_encode(
+                rng.integers(0, 256, (4 + i % 2, 5, 3), dtype=np.uint8)
+            )),
+            uri=f"mv2://c/{i}.png", dedup=False,
+        )
+    calls = {"n": 0}
+    orig = xm.embed_images
+
+    def counting(media, *a, **kw):
+        calls["n"] += 1
+        return orig(media, *a, **kw)
+
+    monkeypatch.setattr(xm, "embed_images", counting)
+    first = [(r.media_id, r.dist2) for r in mv.search_images("q", k=3).collect()]
+    assert mv._last_image_search_route == "exact"
+    assert calls["n"] == 1
+    assert mv._img_embed_cache[1].storageLevel.useMemory
+    second = [(r.media_id, r.dist2) for r in mv.search_images("q", k=3).collect()]
+    assert calls["n"] == 1  # same frame, no new embed plan
+    assert first == second
+    # a mutation invalidates: new put -> fresh frame covering it
+    new_id = mv.put_bytes(
+        bytes(png_encode(rng.integers(0, 256, (7, 7, 3), dtype=np.uint8))),
+        uri="mv2://c/new.png", dedup=False,
+    )
+    got = {r.media_id for r in mv.search_images("q", k=11).collect()}
+    assert calls["n"] == 2 and new_id in got
+    # a tombstone invalidates too
+    mv.delete(new_id)
+    got = {r.media_id for r in mv.search_images("q", k=11).collect()}
+    assert calls["n"] == 3 and new_id not in got
