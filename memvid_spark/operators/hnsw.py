@@ -261,27 +261,32 @@ def refresh_entry_cover(index: DataFrame) -> DataFrame:
     return index.groupBy(*keys).applyInPandas(recover, schema)
 
 
-def _delete_ids(deletes: DataFrame | None, id_col: str) -> DataFrame | None:
-    """Normalize a tombstone table to a distinct (vec_id bigint) set.
-    Usually tiny (the delete batch, not the corpus) — then collected to
-    a LOCAL relation: the same one job the old localCheckpoint paid,
-    but the several broadcast joins that consume it then cost no AQE
-    stage each (a computed build side does; a local relation doesn't).
-    A vacuum-scale batch (more than ``DRIVER_DELTA_IDS_MAX`` distinct
-    ids) keeps the DISTRIBUTED pinned form instead — the same guard the
-    upsert side applies, so a multi-million-row tombstone sweep never
-    materializes as a driver list / oversized serialized plan."""
+def _delete_ids(
+    deletes: DataFrame | None, id_col: str
+) -> tuple[DataFrame | None, list[int] | None]:
+    """Normalize a tombstone table to a distinct (vec_id bigint) set:
+    (frame, driver_ids). Usually tiny (the delete batch, not the
+    corpus) — then collected to a LOCAL relation (the same one job the
+    old localCheckpoint paid, but the several broadcast joins that
+    consume it cost no AQE stage each) and the id LIST rides along so
+    the caller can fold further driver set algebra over it. A
+    vacuum-scale batch (more than ``DRIVER_DELTA_IDS_MAX`` distinct
+    ids) keeps the DISTRIBUTED pinned form instead (driver_ids None) —
+    the same guard the upsert side applies, so a multi-million-row
+    tombstone sweep never materializes as a driver list / oversized
+    serialized plan."""
     if deletes is None:
-        return None
+        return None, None
     dis = deletes.select(
         F.col(id_col).cast("bigint").alias("vec_id")
     ).distinct()
     head = dis.take(DRIVER_DELTA_IDS_MAX + 1)
     if len(head) > DRIVER_DELTA_IDS_MAX:
-        return dis.localCheckpoint()
+        return dis.localCheckpoint(), None
     ids = sorted(int(r["vec_id"]) for r in head)
-    return deletes.sparkSession.createDataFrame(
-        [(i,) for i in ids], "vec_id bigint"
+    return (
+        _local_frame(deletes.sparkSession, "vec_id bigint", vec_id=ids),
+        ids,
     )
 
 
@@ -313,7 +318,7 @@ def apply_delta(
     index = _ensure_entry(index)
     new_sharded = _with_shard(new_emb, n_shards, id_col, vec_col)
     new_ids = new_sharded.select("vec_id").distinct()
-    del_ids = _delete_ids(deletes, id_col)
+    del_ids, _ = _delete_ids(deletes, id_col)
     # re-inserted ids hash to their original shard, so the delta's own
     # shard set already covers them; deleted ids' shards come from the
     # index rows that hold them
@@ -1194,6 +1199,28 @@ DRIVER_DELTA_IDS_MAX = 262144
 DRIVER_DELTA_CELLS_MAX = 4096
 
 
+def _local_frame(spark, schema: str, **cols) -> DataFrame:
+    """Tiny driver-built frame via the ARROW path, one partition.
+    The python-list createDataFrame parallelizes over 32 PYTHON slices
+    — measured (r10) ~5 cpu_s of worker roundtrips per action, and on
+    the delta path each broadcast consumer of such a frame scheduled a
+    32-task build stage that was pure per-job floor. The Arrow form is
+    JVM-side batches (~0.2 cpu_s); schema casts apply during
+    conversion. Columns arrive as keyword lists; dtype pins keep empty
+    frames convertible (pandas infers float64 for a bare [])."""
+    import pandas as pd
+
+    def _series(v):
+        if v and isinstance(v[0], bool):  # before int: bool ⊂ int
+            return pd.Series(v, dtype="bool")
+        if v and isinstance(v[0], (list, tuple)):
+            return pd.Series(v, dtype="object")
+        return pd.Series(v, dtype="int64")
+
+    data = {k: _series(list(v)) for k, v in cols.items()}
+    return spark.createDataFrame(pd.DataFrame(data), schema).coalesce(1)
+
+
 def _flat_fallback(X, C, best_d, best_c):
     """Resolve rows the two-level probe could NOT assign (every probed
     super-group memberless — possible only when k-means drained supers,
@@ -1452,8 +1479,9 @@ def _build_cells(
             "raise stride or max_shard_rows"
         )
     spark = assigned.sparkSession
-    subs_df = spark.createDataFrame(
-        [(c, s) for c, s in sorted(subs.items())], "cell int, subs int"
+    subs_df = _local_frame(
+        spark, "cell int, subs int",
+        cell=sorted(subs), subs=[subs[c] for c in sorted(subs)],
     )
     sharded = (
         assigned.join(F.broadcast(subs_df), "cell")
@@ -1466,6 +1494,16 @@ def _build_cells(
         )
         .drop("subs")
     )
+    if cell_counts is not None:
+        # delta-path caller: the build-task count is driver-known
+        # (Σ sub-shards of the cells being rebuilt) — size the kernel
+        # shuffle from it instead of spark.sql.shuffle.partitions so a
+        # small delta's rebuild doesn't schedule a fleet of empty
+        # reduce tasks (clustering-only requirement: no extra exchange)
+        total_subs = sum(subs.values())
+        sharded = sharded.repartition(
+            max(1, min(2048, total_subs)), "cell", "shard"
+        )
     return sharded.groupBy("cell", "shard").applyInPandas(
         _cell_shard_builder(m, ef_construction), CELL_GRAPH_SCHEMA
     )
@@ -1691,28 +1729,30 @@ def _delta_ivf_parts(
     and append pins all green across both forms."""
     import math
 
-    # checkpoint: the assignment matmul feeds touched-cell discovery,
-    # the upsert anti-join AND the rebuild source — don't run it thrice
     spark = index.sparkSession
     index = _ensure_entry(index)
-    new_assigned = _with_cell(
-        new_emb, centroids, id_col, vec_col, n_hint
-    ).localCheckpoint()
-    del_ids = _delete_ids(deletes, id_col)
-    # ONE delta-side job: a bounded take of (vec_id, cell, shard-hash).
-    # Small deltas (the per-commit norm) then compute per-cell add
-    # counts/mins, the distinct upsert id set AND the delta's target
-    # sub-shards as driver arithmetic — the three separate collect jobs
-    # the old plan paid. n_hint (when the caller knows the delta size)
-    # skips the take entirely on batches known to exceed the bound.
+    assigned_plan = _with_cell(new_emb, centroids, id_col, vec_col, n_hint)
+    del_ids, del_list = _delete_ids(deletes, id_col)
+    # ONE delta-side job: a bounded take of the FULL assigned delta
+    # (cell, id, embedding, shard-hash). Small deltas (the per-commit
+    # norm) then derive everything driver-side — per-cell add
+    # counts/mins, the distinct upsert id set, the target sub-shards,
+    # AND the delta rows themselves re-materialize as a local frame, so
+    # neither the assignment checkpoint job nor the three collect jobs
+    # of the old plan run. n_hint (when the caller knows the delta
+    # size) skips the take entirely on batches known to exceed the
+    # bound; those keep the checkpoint + lazy agg form, whose job
+    # overhead amortizes over real work.
     head = None
     if n_hint is None or n_hint <= DRIVER_DELTA_IDS_MAX:
-        head = new_assigned.select(
-            "vec_id", "cell", F.hash("vec_id").alias("_h")
+        head = assigned_plan.select(
+            "cell", "vec_id", "embedding", F.hash("vec_id").alias("_h")
         ).take(DRIVER_DELTA_IDS_MAX + 1)
         if len(head) > DRIVER_DELTA_IDS_MAX:
             head = None
     if head is not None:
+        import pandas as pd
+
         add_cnt: dict[int, int] = {}
         add_min: dict[int, int] = {}
         add_hash: dict[int, list[int]] = {}
@@ -1724,27 +1764,50 @@ def _delta_ivf_parts(
                 add_min[c] = v
             add_hash.setdefault(c, []).append(int(r["_h"]))
             id_set.add(v)
-        # LOCAL relation: its several broadcast-join consumers (the
-        # corpus agg build side, the upsert anti-joins) cost no AQE
-        # stage job each. A large batch keeps the lazy plan form —
-        # job overhead amortizes over real work there.
-        new_ids = spark.createDataFrame(
-            [(i,) for i in sorted(id_set)], "vec_id bigint"
+        # Arrow-path local frames (measured r10: ~0.2 cpu_s per action
+        # vs ~5 for the 32-slice python-list form); float64 embeddings
+        # round-trip exactly (collected doubles ARE python floats)
+        new_assigned = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": [int(r["cell"]) for r in head],
+                    "vec_id": [int(r["vec_id"]) for r in head],
+                    "embedding": [
+                        [float(x) for x in r["embedding"]] for r in head
+                    ],
+                }
+            ),
+            "cell int, vec_id bigint, embedding array<double>",
+        ).coalesce(1)
+        new_ids = _local_frame(
+            spark, "vec_id bigint", vec_id=sorted(id_set)
         )
+        if del_list is not None:
+            # both sides driver-resident: the distinct union is driver
+            # set algebra, not a 2-job AQE aggregate over local rows
+            gone_ids = _local_frame(
+                spark, "vec_id bigint",
+                vec_id=sorted(id_set | set(del_list)),
+            )
+        elif del_ids is not None:
+            gone_ids = new_ids.unionByName(del_ids).distinct()
+        else:
+            gone_ids = new_ids  # distinct by construction
     else:
         add_hash = None
+        # checkpoint: the assignment matmul feeds touched-cell
+        # discovery, the upsert anti-join AND the rebuild source —
+        # don't run it thrice
+        new_assigned = assigned_plan.localCheckpoint()
         adds = new_assigned.groupBy("cell").agg(
             F.count("*").alias("c"), F.min("vec_id").alias("mn")
         ).collect()
         add_cnt = {int(r["cell"]): int(r["c"]) for r in adds}
         add_min = {int(r["cell"]): int(r["mn"]) for r in adds}
         new_ids = new_assigned.select("vec_id").distinct()
-    # del_ids is always a local relation for small batches, so this
-    # stays local for small deltas (a union of local relations is a
-    # LocalRelation); vacuum-scale deletes keep the distributed form
-    gone_ids = (
-        new_ids if del_ids is None else new_ids.unionByName(del_ids)
-    ).distinct()
+        gone_ids = (
+            new_ids if del_ids is None else new_ids.unionByName(del_ids)
+        ).distinct()
     # ONE corpus scan: per-cell (row count, gone-id count, max id,
     # observed shard set, gone-id shard set). Cells with g > 0 hold a
     # re-inserted (possibly moved) or deleted id; cells receiving delta
@@ -1780,9 +1843,7 @@ def _delta_ivf_parts(
     touched = sorted(set(add_cnt) | set(rem_cnt))
     if not touched:
         return index, spark.createDataFrame([], CELL_GRAPH_SCHEMA), [], []
-    touched_df = spark.createDataFrame(
-        [(c,) for c in touched], "cell int"
-    )
+    touched_df = _local_frame(spark, "cell int", cell=touched)
     keep = index.join(F.broadcast(touched_df), "cell", "left_anti")
     # pin the touched cells' rows ONCE (delta-locality-bounded — the
     # same volume the rebuild shuffles anyway); every consumer below
@@ -1844,8 +1905,10 @@ def _delta_ivf_parts(
                 *[F.lit(x) for cn in sorted(need_probe.items()) for x in cn]
             )[F.col("cell")]
         else:
-            np_df = spark.createDataFrame(
-                sorted(need_probe.items()), "cell int, nsubs int"
+            np_df = _local_frame(
+                spark, "cell int, nsubs int",
+                cell=sorted(need_probe),
+                nsubs=[need_probe[c] for c in sorted(need_probe)],
             )
             cand_rows = touched_rows.join(F.broadcast(np_df), "cell")
             nsubs_col = F.col("nsubs")
@@ -1910,8 +1973,9 @@ def _delta_ivf_parts(
             cell_counts=new_sizes,
         )
         return keep, rebuilt, touched, built
-    elig_df = spark.createDataFrame(
-        sorted(elig.items()), "cell int, nsubs int"
+    elig_df = _local_frame(
+        spark, "cell int, nsubs int",
+        cell=sorted(elig), nsubs=[elig[c] for c in sorted(elig)],
     )
     # ---- ineligible touched cells: whole-cell rebuild --------------
     inelig_cells = [c for c in touched if c not in elig]
@@ -1965,8 +2029,10 @@ def _delta_ivf_parts(
             (int(r["cell"]), int(r["shard"]))
             for r in delta_e.select("cell", "shard").distinct().collect()
         }
-    touched_subs = spark.createDataFrame(
-        sorted(gone_subs | delta_subs), "cell int, shard int"
+    _ts = sorted(gone_subs | delta_subs)
+    touched_subs = _local_frame(
+        spark, "cell int, shard int",
+        cell=[c for c, _ in _ts], shard=[sh for _, sh in _ts],
     )
     sub_keep = old_e.join(
         F.broadcast(touched_subs), ["cell", "shard"], "left_anti"
@@ -1980,8 +2046,10 @@ def _delta_ivf_parts(
         F.broadcast(touched_subs), ["cell", "shard"], "left_semi"
     ).join(new_ids, "vec_id", "left_anti")
     if append_cells and len(append_cells) > DRIVER_DELTA_CELLS_MAX:
-        app_df = spark.createDataFrame(
-            [(c, True) for c in sorted(append_cells)], "cell int, _app boolean"
+        app_df = _local_frame(
+            spark, "cell int, _app boolean",
+            cell=sorted(append_cells),
+            _app=[True] * len(append_cells),
         )
         old_e_kept = old_e_kept.join(F.broadcast(app_df), "cell", "left")
         keep_nbrs = F.coalesce(F.col("_app"), F.lit(False))
@@ -2004,6 +2072,14 @@ def _delta_ivf_parts(
             F.lit(None).cast("array<bigint>").alias("neighbors"),
         )
     )
+    # size the kernel's shuffle from the driver-known changed-sub count
+    # instead of spark.sql.shuffle.partitions: groupBy().applyInPandas
+    # only requires CLUSTERING by the keys, which an explicit
+    # repartition(k, keys) satisfies with no extra exchange — a 10-row
+    # delta otherwise schedules 32-partition reduce stages whose empty
+    # tasks are pure per-job floor (the delta is per-commit overhead)
+    n_sub_parts = max(1, min(1024, len(gone_subs | delta_subs)))
+    src_e = src_e.repartition(n_sub_parts, "cell", "shard")
     rebuilt_e = src_e.groupBy("cell", "shard").applyInPandas(
         _cell_shard_delta_builder(m, ef_construction), CELL_GRAPH_SCHEMA
     )
