@@ -746,42 +746,78 @@ class CentroidFrame:
     ``load_centroid_frame``) so the facade and the streaming sink
     round-trip it without ever collecting the table."""
 
-    def __init__(self, supers, offsets, df: DataFrame, n_cells: int, dim: int):
+    def __init__(
+        self, supers, offsets, df: DataFrame, n_cells: int, dim: int,
+        radii=None,
+    ):
         self.supers = supers        # (s, dim) ndarray — √k, tiny
         self.offsets = offsets      # {grp: (start_cell, count)}
         self.df = df                # (grp int, cell int, centroid) — pinned
         self.n_cells = int(n_cells)
         self.dim = int(dim)
+        # {grp: max ||member centroid − super||} — the triangle-
+        # inequality bound that makes single-query probing EXACT
+        self.radii = radii
 
     def probe_cells(self, query_vec, probes: int) -> list[int]:
-        """Top-``probes`` cells for ONE query: rank supers by distance
-        (driver flops O(s·d)), collect the nearest non-empty supers'
-        blocks until ≥ probes cells are in hand (O(probes·√k·d) rows —
-        the per-query model slice, never the table), exact-rank those
-        cells. The two-level approximation: a near cell inside a far
-        super is missed — the same trade assignment makes; raise
-        probes for recall."""
+        """Top-``probes`` cells for ONE query — EXACT (the same cell
+        set the ndarray model's full ranking returns, ties to the
+        lowest cell id) without the table ever visiting the driver.
+        Branch-and-bound on the group radii: a cell in group g is at
+        least ``(‖q−S_g‖ − r_g)²`` away, so after ranking an initial
+        pool (nearest groups by that lower bound until ≥ probes cells
+        are in hand), every remaining group whose bound exceeds the
+        probes-th best cell distance is provably outside the answer.
+        Phase 2 collects the (usually empty) set of groups whose bound
+        ties or beats the threshold and re-ranks. Worst case two
+        collect jobs of O(probed-groups·√k·d) rows; a frame loaded
+        from a pre-radius manifest (radii=None) degrades to the
+        two-level heuristic with the batch path's
+        ``TWO_LEVEL_PROBES`` floor."""
         import numpy as np
 
         q = np.asarray([float(x) for x in query_vec], dtype="float64")
         S = self.supers
         d = (S * S).sum(axis=1) - 2.0 * (S @ q) + float(q @ q)
-        order = np.lexsort((np.arange(len(S)), d))
+        if self.radii is not None:
+            lb = {
+                g: max(0.0, float(np.sqrt(max(float(d[g]), 0.0)))
+                       - float(self.radii[g])) ** 2
+                for g in self.offsets
+            }
+        else:
+            lb = {g: float(d[g]) for g in self.offsets}
+        order = sorted(self.offsets, key=lambda g: (lb[g], g))
+        need = max(1, probes)
+        floor = min(TWO_LEVEL_PROBES, len(order))
         take, have = [], 0
         for g in order:
-            g = int(g)
-            if g not in self.offsets:
-                continue
             take.append(g)
             have += self.offsets[g][1]
-            if have >= max(1, probes):
+            if have >= need and len(take) >= floor:
                 break
+
+        def _rank(block):
+            C = np.asarray([r["centroid"] for r in block], dtype="float64")
+            cells = np.asarray([int(r["cell"]) for r in block])
+            d2 = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
+            return cells, d2, np.lexsort((cells, d2))
+
         block = self.df.filter(F.col("grp").isin(take)).collect()
-        C = np.asarray([r["centroid"] for r in block], dtype="float64")
-        cells = np.asarray([int(r["cell"]) for r in block])
-        d2 = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
-        o = np.lexsort((cells, d2))
-        return [int(cells[i]) for i in o[: max(1, probes)]]
+        cells, d2, o = _rank(block)
+        rest = order[len(take):]
+        if self.radii is not None and rest:
+            thr = (
+                float(d2[o[min(need, len(o)) - 1]])
+                if len(o) >= need else float("inf")
+            )
+            more = [g for g in rest if lb[g] <= thr]
+            if more:
+                block = block + self.df.filter(
+                    F.col("grp").isin(more)
+                ).collect()
+                cells, d2, o = _rank(block)
+        return [int(cells[i]) for i in o[:need]]
 
 
 def train_cell_centroids_frame(
@@ -800,13 +836,30 @@ def train_cell_centroids_frame(
     (grp, sub, centroid) rows stay pinned executor-side and global
     cell ids are assigned from the tiny per-group count agg
     (cell = group offset + sub; contiguous per group)."""
+    import numpy as np
+
     S, trained, dim = _train_groups(
         emb, n_cells, vec_col, seed, max_iter, id_col, n_hint
     )
-    cnts = {
-        int(r["grp"]): int(r["c"])
-        for r in trained.groupBy("grp").agg(F.count("*").alias("c")).collect()
-    }
+    bcS = emb.sparkSession.sparkContext.broadcast(S)
+
+    def grp_stats(pdf):
+        import pandas as pd
+
+        g = int(pdf["grp"].iloc[0])
+        C = np.asarray([list(v) for v in pdf["centroid"]], dtype="float64")
+        r = float(
+            np.sqrt(((C - bcS.value[g][None, :]) ** 2).sum(axis=1)).max()
+        )
+        return pd.DataFrame({"grp": [g], "c": [len(pdf)], "radius": [r]})
+
+    # one √k-row collect: per-group count (cell-id offsets) AND radius
+    # (probe_cells' exactness bound) from the same pass over the model
+    stats = trained.groupBy("grp").applyInPandas(
+        grp_stats, "grp int, c long, radius double"
+    ).collect()
+    cnts = {int(r["grp"]): int(r["c"]) for r in stats}
+    radii = {int(r["grp"]): float(r["radius"]) for r in stats}
     offsets: dict[int, tuple[int, int]] = {}
     start = 0
     for g in sorted(cnts):
@@ -820,7 +873,7 @@ def train_cell_centroids_frame(
         (start_map[F.col("grp")] + F.col("sub")).cast("int").alias("cell"),
         "centroid",
     ).localCheckpoint()
-    return CentroidFrame(S, offsets, df, start, dim)
+    return CentroidFrame(S, offsets, df, start, dim, radii=radii)
 
 
 def save_centroid_frame(
@@ -854,6 +907,8 @@ def save_centroid_frame(
         "n_cells": int(cf.n_cells),
         "dim": int(cf.dim),
     }
+    if cf.radii is not None:
+        man["radii"] = {str(g): float(r) for g, r in cf.radii.items()}
     if extra:
         man.update(extra)
     with open(os.path.join(tmp, "manifest.json"), "w", encoding="utf-8") as f:
@@ -886,8 +941,34 @@ def load_centroid_frame(spark, path: str) -> "CentroidFrame":
     offsets = {
         int(g): (int(a), int(b)) for g, (a, b) in man["offsets"].items()
     }
+    if "radii" in man:
+        radii = {int(g): float(r) for g, r in man["radii"].items()}
+    else:
+        # pre-radius manifest: back-fill the exactness bound with one
+        # √k-row pass over the persisted table (next save records it)
+        bcS = spark.sparkContext.broadcast(supers)
+
+        def grp_rad(pdf):
+            import pandas as pd
+
+            g = int(pdf["grp"].iloc[0])
+            C = np.asarray(
+                [list(v) for v in pdf["centroid"]], dtype="float64"
+            )
+            r = float(
+                np.sqrt(((C - bcS.value[g][None, :]) ** 2).sum(axis=1)).max()
+            )
+            return pd.DataFrame({"grp": [g], "radius": [r]})
+
+        radii = {
+            int(r["grp"]): float(r["radius"])
+            for r in df.groupBy("grp").applyInPandas(
+                grp_rad, "grp int, radius double"
+            ).collect()
+        }
     return CentroidFrame(
-        supers, offsets, df, int(man["n_cells"]), int(man["dim"])
+        supers, offsets, df, int(man["n_cells"]), int(man["dim"]),
+        radii=radii,
     )
 
 
