@@ -402,6 +402,49 @@ def _hnsw_scaled_train_probe(extras, prefix, spark, data_dir) -> None:
     _timed_probe(extras, f"{prefix}:hnsw_train_scaled", train, spark, data_dir)
 
 
+def _hnsw_frame_probe(extras, prefix, spark, data_dir) -> None:
+    """Time coarse ASSIGNMENT against the DataFrame-resident model
+    (round 11: CentroidFrame through the serving stack). The model is
+    trained once at the raised clamp (8192 cells — past the frame
+    engage bound), persisted via save_centroid_frame, and RELOADED from
+    parquet before timing, exactly what a serving/ingest pass sees: the
+    probe's samples run off the persisted model (a lazy k-row parquet
+    read), never the trainer's checkpoint blocks (which _timed_probe's
+    checkpoint release would evict between samples). What the number
+    certifies: routing the corpus into cells with the model as a
+    DataFrame — no O(n_cells·dim) collect or broadcast anywhere in the
+    plan — costs about what the broadcast-ndarray assignment does."""
+    from memvid_spark.operators.hnsw import (
+        assign_cells,
+        load_centroid_frame,
+        save_centroid_frame,
+        train_cell_centroids_frame,
+    )
+
+    emb_path = os.path.join(data_dir, "embeddings.parquet")
+    model_path = os.path.join(
+        data_dir, f"hnsw_frame_model_{HNSW_FMT}_c8192"
+    )
+    try:
+        emb = spark.read.parquet(emb_path)
+        n = emb.count()
+        if not os.path.exists(os.path.join(model_path, "manifest.json")):
+            cf = train_cell_centroids_frame(emb, n_cells=8192, n_hint=n)
+            save_centroid_frame(cf, model_path)
+        cf = load_centroid_frame(spark, model_path)
+        extras[f"{prefix}:hnsw_frame_cells"] = float(cf.n_cells)
+    except Exception:
+        extras[f"{prefix}:hnsw_frame_assign"] = -1.0
+        return
+
+    def assign(spark, d):
+        return assign_cells(
+            spark.read.parquet(emb_path), cf, n_hint=n
+        )
+
+    _timed_probe(extras, f"{prefix}:hnsw_frame_assign", assign, spark, data_dir)
+
+
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
     the same treatment the headline gets. Single samples on this VM
@@ -697,6 +740,10 @@ def main() -> None:
             # clamp (8192 cells > SCALED_TRAIN_MIN_CELLS) over the
             # 200k-vector corpus — the trained-distributed path's cost
             _hnsw_scaled_train_probe(extras, "probe100x", spark, probe100_dir)
+            # round 11: assignment against the persisted DataFrame-
+            # resident model at the same raised clamp — the serving
+            # stack's frame path rowed at 100x vectors
+            _hnsw_frame_probe(extras, "probe100x", spark, probe100_dir)
         else:
             extras["probe100x_budget_hit"] = 1.0
 

@@ -990,16 +990,22 @@ def _with_cell_frame(
     n_hint: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against a :class:`CentroidFrame`:
-    each row probes its TWO_LEVEL_PROBES nearest NON-EMPTY supers (one
-    Arrow matmul against the broadcast √k block — empty supers are
-    masked, so every row lands), replicates ×probes, and a cogroup on
-    grp pairs each super-group's centroid block (~√k rows) with the
-    rows probing it; one matmul per task finds the best cell in the
-    block, and a max_by reduce keeps each row's global best —
-    deterministic total order (d2 ascending, cell ascending on ties),
-    so build, delta and rebuild assign identically. The row side
-    hash-splits into ~SCALED_TRAIN_GROUP_ROWS slices so per-task
-    memory is one block + one slice.
+    each row probes its TWO_LEVEL_PROBES nearest NON-EMPTY supers (a
+    scalar-iterator pandas udf against the broadcast √k block — empty
+    supers are masked, so every row lands — that emits ONLY the probed
+    group ids; a JVM explode does the ×probes fan-out, so vectors are
+    never rebuilt as Python lists), and a cogroup on grp pairs each
+    super-group's centroid block (~√k rows) with the rows probing it;
+    one matmul per task finds the best cell in the block and emits the
+    tiny (vec_id, cell, d2) verdict. A min_by reduce over those KBs
+    keeps each row's global best — deterministic total order (d2
+    ascending, cell ascending on ties), so build, delta and rebuild
+    assign identically — and one equi-join re-attaches the embeddings
+    from ``emb``. The row side hash-splits into
+    ~SCALED_TRAIN_GROUP_ROWS slices so per-task memory is one block +
+    one slice. ``emb`` is read twice (probe branch + re-attach
+    branch); callers on expensive lineage should pin it first (build
+    and delta paths pass parquet scans or local frames).
 
     Same output contract as ``_with_cell``: (cell, vec_id, embedding).
     A pure function of (row, model) — the delta ≡ rebuild contract
@@ -1018,35 +1024,44 @@ def _with_cell_frame(
     p = max(1, min(TWO_LEVEL_PROBES, int(valid.sum())))
     bc = spark.sparkContext.broadcast((S, valid, p))
 
-    def probe(batches):
-        import pandas as pd
+    import pandas as pd
+    from typing import Iterator
 
+    def _probe_grps(it):
         SS, ok, pp = bc.value
         ss = (SS * SS).sum(axis=1)[None, :]
-        for pdf in batches:
-            b = len(pdf)
-            if b == 0:
+        for v_ser in it:
+            if len(v_ser) == 0:
+                yield pd.Series([], dtype="object")
                 continue
-            X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            X = np.stack(
+                [np.asarray(v, dtype="float64") for v in v_ser]
+            )
             dS = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
             dS[:, ~ok] = np.inf  # memberless supers never probed
             order = np.argsort(dS, axis=1, kind="stable")[:, :pp]
-            yield pd.DataFrame(
-                {
-                    "grp": order.reshape(-1).astype("int32"),
-                    "vec_id": np.repeat(
-                        pdf[id_col].astype("int64").to_numpy(), pp
-                    ),
-                    "v": [
-                        [float(x) for x in v]
-                        for v in pdf[vec_col]
-                        for _ in range(pp)
-                    ],
-                }
-            )
+            yield pd.Series(list(order.astype("int32")))
 
-    probed = emb.select(id_col, vec_col).mapInPandas(
-        probe, "grp int, vec_id long, v array<double>"
+    # scalar-ITERATOR pandas udf; real typing objects (the module's
+    # `from __future__ import annotations` would stringify inline
+    # hints, which pyspark's eval-type inference can't resolve)
+    _probe_grps.__annotations__ = {
+        "it": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    probe_grps = F.pandas_udf(_probe_grps, "array<int>")
+
+    # vectors NEVER leave the JVM for replication: the udf reads them
+    # (the matmul must) but emits only the tiny probed-group arrays;
+    # the ×p fan-out is a JVM-side explode. Two selects — the explode
+    # lives apart from the udf so Generate can't re-evaluate it per
+    # output row (the r4 explode lesson).
+    probed = (
+        emb.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            probe_grps(vec_col).alias("_grps"),
+        )
+        .select("vec_id", "v", F.explode("_grps").alias("grp"))
     )
     # bound per-task rows: global mean split (the small-corpus branch
     # of seed_assign_scaled); the block replicates per slice — √k rows
@@ -1073,15 +1088,11 @@ def _with_cell_frame(
         import pandas as pd
 
         if len(block_pdf) == 0 or len(rows_pdf) == 0:
-            # the array column must be OBJECT dtype even when empty —
-            # pandas infers float64 for a bare [], and Arrow cannot
-            # convert a numeric ndarray column to list<double>
             return pd.DataFrame(
                 {
                     "vec_id": pd.Series([], dtype="int64"),
                     "cell": pd.Series([], dtype="int32"),
                     "d2": pd.Series([], dtype="float64"),
-                    "v": pd.Series([], dtype="object"),
                 }
             )
         # sort the block by cell id: argmin's first-minimum then IS the
@@ -1089,7 +1100,9 @@ def _with_cell_frame(
         block_pdf = block_pdf.sort_values("cell").reset_index(drop=True)
         C = np.stack(block_pdf["centroid"].to_numpy()).astype(np.float64)
         cells = block_pdf["cell"].to_numpy()
-        X = np.asarray([list(v) for v in rows_pdf["v"]], dtype="float64")
+        X = np.stack(
+            [np.asarray(v, dtype="float64") for v in rows_pdf["v"]]
+        )
         d2 = (
             (X * X).sum(axis=1)[:, None]
             - 2.0 * (X @ C.T)
@@ -1101,31 +1114,34 @@ def _with_cell_frame(
                 "vec_id": rows_pdf["vec_id"].to_numpy(),
                 "cell": cells[j].astype("int32"),
                 "d2": d2[np.arange(len(X)), j],
-                "v": list(rows_pdf["v"]),
             }
         )
 
+    # the cogroup emits only (vec_id, cell, d2) — tiny rows, so the
+    # winner reduce shuffles KBs instead of the ×p vector traffic, and
+    # the embeddings re-attach with one join whose small side (the
+    # winner table) AQE broadcasts. Vectors therefore cross Python once
+    # (the block matmul) and are never rebuilt as Python lists.
     cand = (
         blocks.groupby("grp", "sub")
         .cogroup(probed.groupby("grp", "sub"))
         .applyInPandas(
             best_in_block,
-            "vec_id long, cell int, d2 double, v array<double>",
+            "vec_id long, cell int, d2 double",
         )
     )
+    best = cand.groupBy("vec_id").agg(
+        F.min_by(
+            F.col("cell"), F.struct(F.col("d2"), F.col("cell"))
+        ).alias("cell")
+    )
     return (
-        cand.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col("v")),
-                F.struct(F.col("d2"), F.col("cell")),
-            ).alias("b")
+        emb.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
         )
-        .select(
-            F.col("b.cell").alias("cell"),
-            "vec_id",
-            F.col("b.v").alias("embedding"),
-        )
+        .join(best, "vec_id")
+        .select("cell", "vec_id", "embedding")
     )
 
 
@@ -1376,6 +1392,22 @@ def _with_cell(
     return emb.select(id_col, vec_col).mapInPandas(
         assign, "cell int, vec_id bigint, embedding array<double>"
     )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Public coarse-assignment entry: (cell, vec_id, embedding) for
+    every row of ``emb`` against any model form — ndarray (flat or
+    two-level past ``TWO_LEVEL_MIN_CELLS``) or :class:`CentroidFrame`
+    (the DataFrame-resident cogroup path). The step an ingest pipeline
+    runs to route vectors into serving cells; build/delta use the same
+    function, so external assignment agrees with the index's."""
+    return _with_cell(emb, centroids, id_col, vec_col, n_hint)
 
 
 def _with_cell_two_level(
