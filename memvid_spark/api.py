@@ -638,6 +638,7 @@ class MemvidSpark:
                 target_cell_rows=tcr,
                 min_cells=int(meta.get("min_cells", 4)),
                 max_cells=int(meta.get("max_cells", 4096)),
+                frame_model_min_cells=meta.get("frame_model_min_cells"),
             )
             stats["retrained"] = True
             stats["n_cells"] = self._img_ann_meta["n_cells"]
@@ -655,6 +656,7 @@ class MemvidSpark:
         target_cell_rows: int = 25000,
         min_cells: int = 4,
         max_cells: int = 4096,
+        frame_model_min_cells: int | None = None,
     ) -> None:
         """Build (or rebuild) the IVF-cell NSW serving tier over the
         CROSS-MODAL IMAGE space — the reference's second ANN space
@@ -666,20 +668,27 @@ class MemvidSpark:
         embed_images mapInPandas pass — the index stores only the
         small integer vectors, payloads never shuffle); searches then
         serve cell-pruned from the persisted graph. Same auto-sizing,
-        clamp, and engage-threshold semantics as
-        :meth:`build_ann_serving`; derived and rebuildable, persists
-        with the store on :meth:`save`. Media mutations after the
-        build apply INCREMENTALLY (:meth:`refresh_image_ann_index` —
-        only the pending payloads decode+embed, tombstones drop from
-        their cells; a full rebuild happens only when the drift policy
+        clamp, engage-threshold AND frame-model semantics as
+        :meth:`build_ann_serving`: past ``frame_model_min_cells`` the
+        image tier's coarse model stays a DATAFRAME too
+        (hnsw.CentroidFrame — a multimodal corpus sized for 10^5+
+        cells never collects or broadcasts the centroid table; the
+        delta, search and doctor paths all route on model type).
+        Derived and rebuildable, persists with the store on
+        :meth:`save`. Media mutations after the build apply
+        INCREMENTALLY (:meth:`refresh_image_ann_index` — only the
+        pending payloads decode+embed, tombstones drop from their
+        cells; a full rebuild happens only when the drift policy
         trips — the reference's rebuild-indexes-at-commit lifecycle as
         a policy, not a per-mutation cost)."""
         self._ensure_writable()
         from .operators import crossmodal
         from .operators.hnsw import (
+            SCALED_TRAIN_MIN_CELLS,
             auto_n_cells,
             build_nsw_index_ivf,
             train_cell_centroids,
+            train_cell_centroids_frame,
         )
 
         emb = crossmodal.embed_images(self.media("image")).select(
@@ -695,12 +704,25 @@ class MemvidSpark:
                 n_rows, target_cell_rows,
                 min_cells=min_cells, max_cells=max_cells,
             )
-        cents = train_cell_centroids(
-            emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+        fmb = (
+            frame_model_min_cells
+            if frame_model_min_cells is not None
+            else SCALED_TRAIN_MIN_CELLS
         )
-        self._img_ann_cents = [[float(x) for x in c] for c in cents]
+        if n_cells > fmb:
+            cf = train_cell_centroids_frame(
+                emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+            )
+            self._img_ann_cents = cf
+            model_kind, model_cells = "frame", int(cf.n_cells)
+        else:
+            cents = train_cell_centroids(
+                emb, n_cells=n_cells, id_col="vec_id", n_hint=int(n_rows)
+            )
+            self._img_ann_cents = [[float(x) for x in c] for c in cents]
+            model_kind, model_cells = "ndarray", len(self._img_ann_cents)
         self._img_ann_meta = {
-            "n_cells": len(self._img_ann_cents),
+            "n_cells": model_cells,
             "m": m,
             "ef_construction": ef_construction,
             "ef_search": ef_search,
@@ -711,6 +733,8 @@ class MemvidSpark:
             "target_cell_rows": int(target_cell_rows),
             "min_cells": int(min_cells),
             "max_cells": int(max_cells),
+            "model": model_kind,
+            "frame_model_min_cells": int(fmb),
         }
         self._img_ann_index = build_nsw_index_ivf(
             emb,
@@ -2759,6 +2783,7 @@ class MemvidSpark:
                 ),
                 min_cells=int(imeta.get("min_cells", 4)),
                 max_cells=int(imeta.get("max_cells", 4096)),
+                frame_model_min_cells=imeta.get("frame_model_min_cells"),
             )
         registry.update(rebuilders or {})
         healed: set[str] = set()
@@ -3068,10 +3093,26 @@ class MemvidSpark:
                 os.path.join(path, "img_ann_index.parquet"),
                 partition_by="cell",
             )
-            tmp = os.path.join(path, "img_ann_centroids.json.tmp")
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(self._img_ann_cents, f)
-            os.replace(tmp, os.path.join(path, "img_ann_centroids.json"))
+            from .operators.hnsw import CentroidFrame, save_centroid_frame
+
+            img_json = os.path.join(path, "img_ann_centroids.json")
+            img_frame_dir = os.path.join(path, "img_ann_centroids.frame")
+            if isinstance(self._img_ann_cents, CentroidFrame):
+                # the image tier's frame model persists like the text
+                # tier's: cluster-written parquet + KB manifest
+                self._img_ann_cents = save_centroid_frame(
+                    self._img_ann_cents, img_frame_dir
+                )
+                if os.path.exists(img_json):
+                    os.remove(img_json)
+            else:
+                tmp = os.path.join(path, "img_ann_centroids.json.tmp")
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(self._img_ann_cents, f)
+                os.replace(tmp, img_json)
+                import shutil as _sh
+
+                _sh.rmtree(img_frame_dir, ignore_errors=True)
         # the sketch track persists with the store (the reference ships
         # it inside the .mv2 container, sketch_track.rs) — unlike
         # postings it is maintained incrementally, not rebuilt per open
@@ -3253,11 +3294,18 @@ class MemvidSpark:
             spark.catalog.refreshByPath(img_ann_path)
             mv._img_ann_meta = man["img_ann"]
             mv._img_ann_index = spark.read.parquet(img_ann_path)
-            with open(
-                os.path.join(path, "img_ann_centroids.json"),
-                encoding="utf-8",
-            ) as f:
-                mv._img_ann_cents = json.load(f)
+            if man["img_ann"].get("model") == "frame":
+                from .operators.hnsw import load_centroid_frame
+
+                mv._img_ann_cents = load_centroid_frame(
+                    spark, os.path.join(path, "img_ann_centroids.frame")
+                )
+            else:
+                with open(
+                    os.path.join(path, "img_ann_centroids.json"),
+                    encoding="utf-8",
+                ) as f:
+                    mv._img_ann_cents = json.load(f)
         if rebuild_dedup:
             # dedup registry stays DISTRIBUTED (mutation.rs:3302-3316
             # semantics, zero collect on the open path): a lazily
