@@ -1152,86 +1152,125 @@ def _probe_cells_frame(
     query_id_col: str,
     query_vec_col: str,
 ) -> DataFrame:
-    """Batch query→probed-cells against a :class:`CentroidFrame`
-    (the step nsw_knn_join's ndarray path does with one broadcast
-    matmul): queries probe their nearest non-empty supers (broadcast
-    √k block), a cogroup pairs each group's centroid block with its
-    query slice and emits the group's top-``probes`` cells per query,
-    and one window keeps each query's global top-``probes`` by
-    (d2, cell) — deterministic, the ndarray path's tie rule. Returns
-    (query_id, cell, q) like the broadcast probe."""
+    """Batch query→probed-cells against a :class:`CentroidFrame` —
+    EXACT when the frame carries group radii (every trained/loaded
+    frame does): the probed (query, cell) set provably equals what
+    nsw_knn_join's ndarray path computes with its full broadcast
+    matmul, ties included. Per query the probe udf covers ≥ ``probes``
+    cells by the UPPER bound ``(‖q−S_g‖+r_g)²`` (every cell of g is
+    within r_g of its super), takes U = the worst cover bound — so at
+    least ``probes`` cells are ≤ U — and emits every group whose LOWER
+    bound ``(‖q−S_g‖−r_g)²`` ≤ U: a group outside that set cannot hold
+    a top-``probes`` cell. One pass, no thresholds to feed back. The
+    udf emits only group-id arrays (a JVM explode fans out — vectors
+    are never rebuilt as Python lists); a cogroup pairs each group's
+    centroid block with its query slice, emits the tiny per-group
+    top-``probes`` (query_id, cell, d2) verdicts, one window keeps the
+    global top-``probes`` by (d2, cell) — the ndarray path's tie rule
+    — and a join re-attaches the query vectors. A radius-less legacy
+    frame degrades to the two-level heuristic (nearest supers until ≥
+    probes cells, floor TWO_LEVEL_PROBES). Returns (query_id, cell, q)
+    like the broadcast probe."""
     import numpy as np
+    import pandas as pd
+    from typing import Iterator
 
     spark = queries.sparkSession
     S = cf.supers
     valid = np.zeros(len(S), dtype=bool)
-    for g in cf.offsets:
+    cnt = np.zeros(len(S), dtype="int64")
+    rad = np.zeros(len(S), dtype="float64")
+    for g, (_, c) in cf.offsets.items():
         valid[g] = True
-    # probe enough supers that the candidate pool can cover `probes`
-    # cells even when the nearest groups are small
+        cnt[g] = c
+        if cf.radii is not None:
+            rad[g] = float(cf.radii[g])
     need = max(1, probes)
-    sizes = sorted(c for _, c in cf.offsets.values())
-    pp, have = 0, 0
-    for c in sizes:
-        pp += 1
-        have += c
-        if have >= need and pp >= min(TWO_LEVEL_PROBES, len(sizes)):
-            break
-    pp = max(1, min(max(pp, TWO_LEVEL_PROBES), int(valid.sum())))
-    bc = spark.sparkContext.broadcast((S, valid, pp))
+    exact = cf.radii is not None
+    if not exact:
+        # legacy heuristic: fixed nearest-super count sized so the
+        # pool can cover `probes` cells even when groups are small
+        sizes = sorted(c for _, c in cf.offsets.values())
+        pp, have = 0, 0
+        for c in sizes:
+            pp += 1
+            have += c
+            if have >= need and pp >= min(TWO_LEVEL_PROBES, len(sizes)):
+                break
+        pp = max(1, min(max(pp, TWO_LEVEL_PROBES), int(valid.sum())))
+    else:
+        pp = 0
+    bc = spark.sparkContext.broadcast((S, valid, cnt, rad, exact, pp))
 
-    def probe_supers(batches):
-        import pandas as pd
-
-        SS, ok, p_sup = bc.value
+    def _probe_grps(it):
+        SS, ok, cc, rr, ex, p_sup = bc.value
         ss = (SS * SS).sum(axis=1)[None, :]
-        for pdf in batches:
-            if len(pdf) == 0:
+        for v_ser in it:
+            if len(v_ser) == 0:
+                yield pd.Series([], dtype="object")
                 continue
-            X = np.asarray(
-                [list(v) for v in pdf[query_vec_col]], dtype="float64"
+            X = np.stack(
+                [np.asarray(v, dtype="float64") for v in v_ser]
             )
             dS = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
             dS[:, ~ok] = np.inf
-            order = np.argsort(dS, axis=1, kind="stable")[:, :p_sup]
-            yield pd.DataFrame(
-                {
-                    "grp": order.reshape(-1).astype("int32"),
-                    query_id_col: np.repeat(
-                        pdf[query_id_col].to_numpy(), p_sup
-                    ),
-                    "q": [
-                        [float(x) for x in v]
-                        for v in pdf[query_vec_col]
-                        for _ in range(p_sup)
-                    ],
-                }
-            )
+            if not ex:
+                order = np.argsort(dS, axis=1, kind="stable")[:, :p_sup]
+                yield pd.Series(list(order.astype("int32")))
+                continue
+            sd = np.sqrt(np.maximum(dS, 0.0))
+            lb = np.maximum(sd - rr[None, :], 0.0) ** 2
+            ub = (sd + rr[None, :]) ** 2
+            lb[:, ~ok] = np.inf
+            ub[:, ~ok] = np.inf
+            # cover >= need cells by ub, then keep every group whose
+            # lb ties-or-beats the worst cover bound U (exactness: a
+            # group with lb > U cannot hold a top-`need` cell, since
+            # >= need cells already sit at distance <= U)
+            o = np.argsort(ub, axis=1, kind="stable")
+            csum = np.cumsum(cnt[o], axis=1)
+            m = np.argmax(csum >= need, axis=1)
+            short = csum[:, -1] < need  # fewer cells than probes
+            U = ub[np.arange(len(X))[:, None], o][
+                np.arange(len(X)), m
+            ]
+            U[short] = np.inf
+            out = []
+            for i in range(len(X)):
+                out.append(
+                    np.nonzero(lb[i] <= U[i])[0].astype("int32")
+                )
+            yield pd.Series(out)
 
-    q_probed = queries.select(query_id_col, query_vec_col).mapInPandas(
-        probe_supers, f"grp int, {query_id_col} long, q array<double>"
+    _probe_grps.__annotations__ = {
+        "it": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    probe_grps = F.pandas_udf(_probe_grps, "array<int>")
+
+    q_probed = (
+        queries.select(
+            F.col(query_id_col).cast("bigint").alias(query_id_col),
+            F.col(query_vec_col).cast("array<double>").alias("q"),
+            probe_grps(query_vec_col).alias("_grps"),
+        )
+        .select(query_id_col, "q", F.explode("_grps").alias("grp"))
     )
 
-    n_probe = max(1, probes)
+    n_probe = need
 
     def top_in_block(block_pdf, q_pdf):
-        import pandas as pd
-
         if len(block_pdf) == 0 or len(q_pdf) == 0:
-            # object dtype for the array column: Arrow cannot convert
-            # an empty NUMERIC ndarray column to list<double>
             return pd.DataFrame(
                 {
                     query_id_col: pd.Series([], dtype="int64"),
                     "cell": pd.Series([], dtype="int32"),
                     "d2": pd.Series([], dtype="float64"),
-                    "q": pd.Series([], dtype="object"),
                 }
             )
         block_pdf = block_pdf.sort_values("cell").reset_index(drop=True)
         C = np.stack(block_pdf["centroid"].to_numpy()).astype(np.float64)
         cells = block_pdf["cell"].to_numpy()
-        X = np.asarray([list(v) for v in q_pdf["q"]], dtype="float64")
+        X = np.stack([np.asarray(v, dtype="float64") for v in q_pdf["q"]])
         d2 = (
             (X * X).sum(axis=1)[:, None]
             - 2.0 * (X @ C.T)
@@ -1247,16 +1286,18 @@ def _probe_cells_frame(
                 query_id_col: q_pdf[query_id_col].to_numpy()[rows],
                 "cell": cells[cols].astype("int32"),
                 "d2": d2[rows, cols],
-                "q": [q_pdf["q"].iloc[i] for i in rows],
             }
         )
 
+    # tiny verdicts through the window (the ×groups vector replication
+    # never reaches the shuffle-out side); the query vectors re-attach
+    # with one equi-join at the end
     cand = (
         cf.df.groupby("grp")
         .cogroup(q_probed.groupby("grp"))
         .applyInPandas(
             top_in_block,
-            f"{query_id_col} long, cell int, d2 double, q array<double>",
+            f"{query_id_col} long, cell int, d2 double",
         )
     )
     from pyspark.sql import Window
@@ -1264,11 +1305,18 @@ def _probe_cells_frame(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("d2").asc(), F.col("cell").asc()
     )
-    return (
+    kept = (
         cand.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_probe)
-        .select(query_id_col, "cell", "q")
+        .select(query_id_col, "cell")
     )
+    return kept.join(
+        queries.select(
+            F.col(query_id_col).cast("bigint").alias(query_id_col),
+            F.col(query_vec_col).cast("array<double>").alias("q"),
+        ),
+        query_id_col,
+    ).select(query_id_col, "cell", "q")
 
 
 # Past this many cells the flat assignment matmul (O(n_cells · d) per
@@ -2351,14 +2399,14 @@ def nsw_knn_join(
     Determinism: cell ties break to the lowest cell id, candidate ties
     to the lowest vec_id — reproducible across partitionings.
 
-    With a :class:`CentroidFrame` model, step (1) goes through the
-    same two-level cogroup as assignment (queries probe supers via the
-    broadcast √k block, each probed group's centroid block ranks its
-    own cells, a window keeps each query's global top-``probes`` by
-    (d2, cell)) — the centroid table never broadcasts. The probed-cell
-    set is two-level-approximate like everything else on the frame
-    path: cells inside unprobed supers are invisible (raise
-    TWO_LEVEL_PROBES-worth of coverage with more query probes)."""
+    With a :class:`CentroidFrame` model, step (1) goes through
+    ``_probe_cells_frame``'s cogroup — and with group radii in the
+    frame (every trained/loaded frame) the probed-cell set is EXACT:
+    the radius branch-and-bound emits every group that could hold a
+    top-``probes`` cell, so the batch join probes the same cells this
+    ndarray path would, ties included, while the centroid table never
+    broadcasts. Only a radius-less legacy frame degrades to the
+    two-level heuristic (cells inside unprobed supers invisible)."""
     import numpy as np
 
     spark = queries.sparkSession

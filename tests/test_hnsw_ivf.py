@@ -1229,3 +1229,74 @@ def test_centroid_frame_save_load_round_trip(spark, tmp_path):
     ap = apply_delta_ivf(idx, delta, cf3, m=8, ef_construction=60)
     truth = build_nsw_index_ivf(emb, cf3, m=8, ef_construction=60)
     assert _graph_key(ap) == _graph_key(truth)
+
+
+def test_frame_probe_matches_ndarray_exactly(spark):
+    """Round-11 exactness: with group radii in the frame (every
+    trained/loaded frame), BOTH frame probes — single-query
+    branch-and-bound and the batch U-bound cogroup — pick the SAME
+    cells as the ndarray model's full ranking, ties included. Pinned
+    by reconstructing the equivalent ndarray (C[cell] = centroid) and
+    comparing nsw_knn_pruned / nsw_knn_join / probe_cells outputs for
+    strict equality across several probes settings."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import (
+        nsw_knn_join,
+        train_cell_centroids_frame,
+    )
+
+    emb = _unique_blob_emb(spark, n_blobs=8, per_blob=120)  # 960 rows
+    cf = train_cell_centroids_frame(emb, 24, n_hint=960)
+    assert cf.radii is not None and len(cf.radii) == len(cf.offsets)
+    C = np.zeros((cf.n_cells, cf.dim))
+    for r in cf.df.collect():
+        C[int(r["cell"])] = [float(x) for x in r["centroid"]]
+    idx = build_nsw_index_ivf(emb, cf, m=8, ef_construction=60)
+    idx = idx.localCheckpoint()
+    qs = [
+        [10.2, 0.3, 0.2, 0.1, 0.0, 0.1],
+        [0.0, 7.7, 0.1, 0.0, 0.2, 0.0],
+        [1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+    ]
+    for probes in (1, 3, 7):
+        for q in qs:
+            # single-query: identical probed cells...
+            want = np.lexsort(
+                (np.arange(len(C)),
+                 (C * C).sum(axis=1) - 2.0 * (C @ np.asarray(q))
+                 + float(np.asarray(q) @ np.asarray(q)))
+            )[:probes]
+            assert cf.probe_cells(q, probes) == [int(c) for c in want]
+            # ...and identical served results either model form
+            a = [
+                (r.vec_id, r.score, r.rank)
+                for r in nsw_knn_pruned(
+                    idx, cf, q, k=5, probes=probes
+                ).collect()
+            ]
+            b = [
+                (r.vec_id, r.score, r.rank)
+                for r in nsw_knn_pruned(
+                    idx, C, q, k=5, probes=probes
+                ).collect()
+            ]
+            assert a == b
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    for probes in (2, 5):
+        fa = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in nsw_knn_join(
+                idx, cf, queries, k=5, probes=probes
+            ).collect()
+        )
+        nb = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in nsw_knn_join(
+                idx, C, queries, k=5, probes=probes
+            ).collect()
+        )
+        assert fa == nb
