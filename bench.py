@@ -444,6 +444,47 @@ def _hnsw_frame_probe(extras, prefix, spark, data_dir) -> None:
 
     _timed_probe(extras, f"{prefix}:hnsw_frame_assign", assign, spark, data_dir)
 
+    # query through the frame model: cell-pruned search over a
+    # PERSISTED frame-built graph, probing via the exact radius
+    # branch-and-bound (round 11) — the per-request wall the serving
+    # stack pays when the model is too big to broadcast. The graph
+    # builds once and caches like every other ANN probe artifact.
+    from memvid_spark.operators.hnsw import (
+        build_nsw_index_ivf,
+        nsw_knn_pruned,
+    )
+
+    idx_path = os.path.join(
+        data_dir, f"hnsw_frame_index_{HNSW_FMT}_c8192.parquet"
+    )
+    try:
+        if not os.path.exists(idx_path):
+            build_nsw_index_ivf(
+                spark.read.parquet(emb_path), cf, n_hint=n
+            ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
+        qvec = (
+            spark.read.parquet(emb_path)
+            .orderBy("vec_id").select("embedding").head()[0]
+        )
+        # open ONCE like the facade does: an 8192-dir cell layout costs
+        # ~16 s of file listing on first plan (measured) — a serving
+        # tier pays that at open(), not per request, so the probe must
+        # not re-read per sample. (The listing cost itself is the
+        # documented metadata residual of cell-partitioned layouts at
+        # 10^5+ cells; see SWEEP_r11.)
+        idx_df = spark.read.parquet(idx_path)
+        idx_df.select("cell").head()  # materialize the file listing
+    except Exception:
+        extras[f"{prefix}:hnsw_frame_query"] = -1.0
+        return
+
+    def query(spark, d):
+        return nsw_knn_pruned(
+            idx_df, cf, qvec, k=10, ef_search=50, probes=HNSW_PROBES,
+        )
+
+    _timed_probe(extras, f"{prefix}:hnsw_frame_query", query, spark, data_dir)
+
 
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
