@@ -1300,3 +1300,94 @@ def test_frame_probe_matches_ndarray_exactly(spark):
             ).collect()
         )
         assert fa == nb
+
+
+def test_frame_probe_exactness_fuzz(spark):
+    """Property fuzz of the round-11 exactness claim: for CONSTRUCTED
+    frame models (random groupings, radii computed as the true
+    per-group max distance, integer coordinates to force exact
+    distance ties, degenerate shapes — one group, singleton groups,
+    probes >= n_cells) both probe paths must equal the flat ranking of
+    the full centroid table. Catches bound-arithmetic regressions the
+    clustered fixtures can't (ties at lb == U, memberless supers,
+    short-cover queries)."""
+    import random
+
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import (
+        CentroidFrame,
+        _probe_cells_frame,
+    )
+
+    rng = random.Random(1234)
+    for case in range(12):
+        d = rng.choice([2, 3, 5])
+        k = rng.choice([3, 7, 16, 33])
+        n_groups = rng.choice([1, 2, max(1, int(k ** 0.5)), k])
+        C = np.array(
+            [[rng.randint(-4, 4) for _ in range(d)] for _ in range(k)],
+            dtype="float64",
+        )
+        grp_of = [rng.randrange(n_groups) for _ in range(k)]
+        # supers = group means where occupied, random point otherwise
+        S = np.zeros((n_groups, d))
+        offsets, radii = {}, {}
+        rows = []
+        start = 0
+        for g in range(n_groups):
+            mem = [i for i in range(k) if grp_of[i] == g]
+            if not mem:
+                S[g] = [rng.randint(-4, 4) for _ in range(d)]
+                continue
+            S[g] = C[mem].mean(axis=0)
+            radii[g] = float(
+                np.sqrt(((C[mem] - S[g][None, :]) ** 2).sum(axis=1)).max()
+            )
+            offsets[g] = (start, len(mem))
+            for j, i in enumerate(mem):
+                rows.append((g, start + j, [float(x) for x in C[i]]))
+            start += len(mem)
+        cells_C = np.zeros((start, d))
+        for g, cell, cen in rows:
+            cells_C[cell] = cen
+        df = spark.createDataFrame(
+            rows, "grp int, cell int, centroid array<double>"
+        ).localCheckpoint()
+        cf = CentroidFrame(S, offsets, df, start, d, radii=radii)
+        qs = [
+            [float(rng.randint(-4, 4)) for _ in range(d)]
+            for _ in range(3)
+        ]
+        for probes in (1, 2, start, start + 3):
+            for q in qs:
+                qv = np.asarray(q)
+                flat = np.lexsort(
+                    (np.arange(start),
+                     (cells_C * cells_C).sum(axis=1)
+                     - 2.0 * (cells_C @ qv) + float(qv @ qv))
+                )[: max(1, probes)]
+                assert cf.probe_cells(q, probes) == [int(c) for c in flat], (
+                    case, probes, q
+                )
+        # batch path over the same queries in one job
+        qdf = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)],
+            "query_id long, query_vec array<double>",
+        )
+        for probes in (1, 2, start):
+            got = {}
+            for r in _probe_cells_frame(
+                qdf, cf, probes, "query_id", "query_vec"
+            ).collect():
+                got.setdefault(int(r["query_id"]), []).append(int(r["cell"]))
+            for i, q in enumerate(qs):
+                qv = np.asarray(q)
+                flat = np.lexsort(
+                    (np.arange(start),
+                     (cells_C * cells_C).sum(axis=1)
+                     - 2.0 * (cells_C @ qv) + float(qv @ qv))
+                )[: max(1, probes)]
+                assert sorted(got[i]) == sorted(int(c) for c in flat), (
+                    case, probes, i
+                )
