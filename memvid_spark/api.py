@@ -510,7 +510,9 @@ class MemvidSpark:
             # graph updates at the next build — exclude frames deleted
             # since (session-bounded set)
             return crossmodal.crossmodal_knn_ann(
-                self._img_ann_index,
+                # directory-pruned handle when the persisted layout is
+                # current (post-open/save); DataFrame otherwise
+                self.__dict__.get("_img_ann_handle") or self._img_ann_index,
                 self._img_ann_cents,
                 text,
                 k=k,
@@ -1832,7 +1834,9 @@ class MemvidSpark:
                 from .operators.hnsw import nsw_knn_pruned
 
                 return nsw_knn_pruned(
-                    self._ann_index,
+                    # directory-pruned handle when the persisted layout
+                    # is current (post-open/save); DataFrame otherwise
+                    self.__dict__.get("_ann_handle") or self._ann_index,
                     self._ann_cents,
                     query_vec,
                     k=k,
@@ -1862,6 +1866,33 @@ class MemvidSpark:
     #    mutation.rs:2999-3084) ------------------------------------------
 
     ANN_ENGAGE_ROWS = 1000  # brute-vs-ANN routing bound, vec.rs:22-23
+
+    # The serving indexes are exposed as properties so that EVERY
+    # assignment (build, delta apply, retrain, entry-cover refresh)
+    # invalidates the directory-pruned read handle (round 11): the
+    # handle short-circuits per-request file listing to the probed
+    # cells' directories (O(probes) instead of O(n_cells) — see
+    # operators/hnsw.py CellIndexHandle) and is only valid while the
+    # persisted layout IS the serving truth, i.e. right after open()
+    # or save(). Maintenance paths read the DataFrame as before.
+
+    @property
+    def _ann_index(self):
+        return self.__dict__.get("_ann_index_df")
+
+    @_ann_index.setter
+    def _ann_index(self, df) -> None:
+        self.__dict__["_ann_index_df"] = df
+        self.__dict__.pop("_ann_handle", None)
+
+    @property
+    def _img_ann_index(self):
+        return self.__dict__.get("_img_ann_index_df")
+
+    @_img_ann_index.setter
+    def _img_ann_index(self, df) -> None:
+        self.__dict__["_img_ann_index_df"] = df
+        self.__dict__.pop("_img_ann_handle", None)
 
     def ann_enabled(self) -> bool:
         return getattr(self, "_ann_index", None) is not None
@@ -3056,7 +3087,17 @@ class MemvidSpark:
                 os.path.join(path, "ann_index.parquet"),
                 partition_by="cell",
             )
-            from .operators.hnsw import CentroidFrame, save_centroid_frame
+            from .operators.hnsw import (
+                CellIndexHandle,
+                CentroidFrame,
+                save_centroid_frame,
+            )
+
+            # post-save the persisted layout is the serving truth again:
+            # re-arm the directory-pruned request handle
+            self._ann_handle = CellIndexHandle(
+                self.spark, os.path.join(path, "ann_index.parquet")
+            )
 
             cents_json = os.path.join(path, "ann_centroids.json")
             frame_dir = os.path.join(path, "ann_centroids.frame")
@@ -3093,7 +3134,15 @@ class MemvidSpark:
                 os.path.join(path, "img_ann_index.parquet"),
                 partition_by="cell",
             )
-            from .operators.hnsw import CentroidFrame, save_centroid_frame
+            from .operators.hnsw import (
+                CellIndexHandle,
+                CentroidFrame,
+                save_centroid_frame,
+            )
+
+            self._img_ann_handle = CellIndexHandle(
+                self.spark, os.path.join(path, "img_ann_index.parquet")
+            )
 
             img_json = os.path.join(path, "img_ann_centroids.json")
             img_frame_dir = os.path.join(path, "img_ann_centroids.frame")
@@ -3276,6 +3325,9 @@ class MemvidSpark:
             spark.catalog.refreshByPath(ann_path)
             mv._ann_meta = man["ann"]
             mv._ann_index = spark.read.parquet(ann_path)
+            from .operators.hnsw import CellIndexHandle
+
+            mv._ann_handle = CellIndexHandle(spark, ann_path)
             if man["ann"].get("model") == "frame":
                 from .operators.hnsw import load_centroid_frame
 
@@ -3294,6 +3346,9 @@ class MemvidSpark:
             spark.catalog.refreshByPath(img_ann_path)
             mv._img_ann_meta = man["img_ann"]
             mv._img_ann_index = spark.read.parquet(img_ann_path)
+            from .operators.hnsw import CellIndexHandle
+
+            mv._img_ann_handle = CellIndexHandle(spark, img_ann_path)
             if man["img_ann"].get("model") == "frame":
                 from .operators.hnsw import load_centroid_frame
 

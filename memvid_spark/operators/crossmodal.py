@@ -202,14 +202,22 @@ def crossmodal_knn_ann(
     approximate (recall governed by ``probes``, bound pinned in
     tests). ``exclude_ids`` drops served hits post-walk (session
     tombstones — a dropped hit may leave fewer than k rows until the
-    next index rebuild)."""
-    from .hnsw import nsw_knn_pruned
+    next index rebuild).
+
+    Round 11: the exact-rescore join reads only the PROBED cells'
+    slice of the index — every candidate the walk proposes lives
+    there, so the result is unchanged while the per-request scan (and,
+    through a :class:`~.hnsw.CellIndexHandle`, the per-request file
+    listing) drops from O(index) to O(probes) cells. Previously the
+    rescore re-scanned the whole graph per request just to attach k
+    embeddings."""
+    from .hnsw import _index_cells, nsw_knn, probe_cells_for
 
     qv = [float(x) for x in text_vec(text)]
-    hits = nsw_knn_pruned(
-        index, centroids, qv, k=k, ef_search=ef_search, probes=probes
-    )
-    cand = index.select(
+    cells = probe_cells_for(centroids, qv, probes)
+    sub = _index_cells(index, cells)
+    hits = nsw_knn(sub, qv, k=k, ef_search=ef_search)
+    cand = sub.select(
         F.col("vec_id").alias(id_col),
         # lossless: the tier stores exact integers in double form
         F.col("embedding").cast("array<long>").alias("emb"),

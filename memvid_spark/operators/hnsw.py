@@ -2317,6 +2317,90 @@ def ivf_needs_retrain(
     return skew > max_skew or drained or overgrown, stats
 
 
+class CellIndexHandle:
+    """Lazy handle on a ``partitionBy("cell")`` parquet index that reads
+    ONLY the probed cells' directories per request.
+
+    Why (round 11, guide §6 file listing): a directory-per-cell layout
+    pays O(n_cells) driver-side file listing the first time ANY plan
+    touches the root path — measured ~16 s at just 8192 one-file cells,
+    and the listing is driver-memory-resident. A serving tier that
+    reads the root (``spark.read.parquet(root)``) pays that at open();
+    at the 10^5-10^6 cells a 100 TB tier wants, it becomes a
+    multi-minute open and a GB-scale driver metadata block. A
+    cell-pruned REQUEST, though, only ever needs ``probes`` cells — so
+    this handle anchors the read at the probed ``cell=N`` directories
+    with ``basePath`` (partition column still materializes from the
+    directory name) and the per-request listing cost drops to
+    O(probes) directories, independent of n_cells. Maintenance paths
+    (delta/retrain/doctor/stats) still read the full index via
+    :meth:`full` — they touch every row anyway.
+
+    The handle must only be used while the on-disk index is the
+    serving truth: any in-session mutation that swaps the index
+    DataFrame (delta apply, retrain, rebuild) invalidates it — callers
+    (the facade) drop the handle on those events and fall back to
+    DataFrame filtering.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def full(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def for_cells(self, cells: Sequence[int]) -> DataFrame:
+        import os
+
+        dirs = [
+            d
+            for d in (f"{self.path}/cell={int(c)}" for c in cells)
+            if os.path.exists(d)
+        ]
+        if not dirs:
+            # every probed cell is empty/tombstoned-away (or a non-local
+            # filesystem where the existence probe is wrong): correct
+            # fallback through the full listing
+            return self.full().filter(
+                F.col("cell").isin([int(c) for c in cells])
+            )
+        return (
+            self.spark.read.option("basePath", self.path).parquet(*dirs)
+        )
+
+
+def _index_cells(index, cells: Sequence[int]) -> DataFrame:
+    """The probed-cell slice of an index: directory-pruned when the
+    caller holds a :class:`CellIndexHandle`, planning-time partition
+    pruning (isin over the hive layout) when it holds a DataFrame."""
+    cells = [int(c) for c in cells]
+    if isinstance(index, CellIndexHandle):
+        return index.for_cells(cells)
+    return index.filter(F.col("cell").isin(cells))
+
+
+def probe_cells_for(
+    centroids, query_vec: Sequence[float], probes: int
+) -> list[int]:
+    """The single-query probed-cell set — shared by every cell-pruned
+    consumer (``nsw_knn_pruned``, the cross-modal route) so they all
+    probe the SAME cells on tie-adjacent data."""
+    import numpy as np
+
+    if isinstance(centroids, CentroidFrame):
+        return centroids.probe_cells(query_vec, probes)
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    # SAME expanded form as _with_cell / nsw_knn_join's probe_cells —
+    # the two FP formulas can rank near-equal centroid distances
+    # differently, and the single-query path must probe the same cell
+    # set as the batch path on tie-adjacent data
+    d = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
+    order = np.lexsort((np.arange(len(C)), d))
+    return [int(c) for c in order[: max(1, probes)]]
+
+
 def nsw_knn_pruned(
     index: DataFrame,
     centroids,
@@ -2337,26 +2421,13 @@ def nsw_knn_pruned(
     exact full-shard search). Cell ties break to the lowest cell id.
     With a :class:`CentroidFrame` model the probe collects only the
     nearest supers' centroid blocks (O(probes·√k·d)) — the table
-    itself never visits the driver."""
-    import numpy as np
-
-    if isinstance(centroids, CentroidFrame):
-        cells = centroids.probe_cells(query_vec, probes)
-        return nsw_knn(
-            index.filter(F.col("cell").isin(cells)), query_vec, k,
-            ef_search, exclude_id,
-        )
-    C = np.asarray(centroids, dtype="float64")
-    q = np.asarray([float(x) for x in query_vec], dtype="float64")
-    # SAME expanded form as _with_cell / nsw_knn_join's probe_cells —
-    # the two FP formulas can rank near-equal centroid distances
-    # differently, and the single-query path must probe the same cell
-    # set as the batch path on tie-adjacent data
-    d = (C * C).sum(axis=1) - 2.0 * (C @ q) + float(q @ q)
-    order = np.lexsort((np.arange(len(C)), d))
-    cells = [int(c) for c in order[: max(1, probes)]]
+    itself never visits the driver. ``index`` may be a DataFrame or a
+    :class:`CellIndexHandle`; with the handle the request lists only
+    the probed cells' directories (O(probes) driver metadata instead
+    of O(n_cells) — the round-11 serving-open fix)."""
+    cells = probe_cells_for(centroids, query_vec, probes)
     return nsw_knn(
-        index.filter(F.col("cell").isin(cells)), query_vec, k, ef_search,
+        _index_cells(index, cells), query_vec, k, ef_search,
         exclude_id,
     )
 

@@ -121,42 +121,80 @@ def bm25_topk(
 ) -> DataFrame:
     """Exact BM25 over the corpus for a bag of query terms.
 
-    Plan shape: postings (1 shuffle) → filter to query terms (tiny) →
-    join broadcast df/N stats → per-doc sum (1 small shuffle) → top-k.
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson/Lucene form]
+
+    Plan shape (round 11, for query-sized term bags): ONE narrow corpus
+    pass computes per-doc (dl, tf per term) as array expressions — no
+    explode, no postings table, no join. A single scalar aggregation
+    over that pass yields N, avgdl AND every per-term df together; one
+    broadcast attach scores each doc in codegen and TakeOrdered keeps
+    k. The previous shape (postings explode → broadcast df join →
+    shuffle-join doc lengths → per-doc sum) shuffled the O(corpus)
+    doc-length table per query and re-scanned the corpus three times
+    (postings, lengths, N); at warehouse scale the lengths join alone
+    was a full-corpus exchange. Large vocabularies (beyond query size)
+    should use the postings-table form (``build_postings``), which
+    scales with matches, not terms x tokens.
+
+    Score equivalence: per-(doc, term) weights are the same IEEE
+    expression over the same exact inputs (integer tf/dl/N/df, one
+    avgdl double); the per-doc sum accumulates in fixed sorted-term
+    order instead of hash-agg arrival order — same set of addends, so
+    the 6-dp rounded score is unchanged (summation order was already
+    engine-arbitrary between Spark and the oracle).
     """
     terms_lc = sorted({t.lower() for t in terms})
-    # postings feed both the df stats and the scoring join; doc lengths
-    # feed both avgdl and the per-posting join. Recompute per consumer
-    # stays inside codegen (vocab-filtered explode is O(matches)); at
-    # warehouse scale these are the materialized postings/lengths tables.
-    post = build_postings(docs, id_col, text_col, vocab=terms_lc)
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
+    if not terms_lc:
+        # empty term bag: no doc matches (the postings form yielded an
+        # empty frame here); keep the (id, score) schema
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
+    toks = tokens(text_col)
+
+    def _count_of(term):
+        # NB: a two-parameter lambda would be handed (element, index)
+        # by F.filter — bind the term via closure, not a default arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_count_of(tt).alias(f"_tf{i}") for i, tt in enumerate(terms_lc)],
     )
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    df_tbl = post.groupBy("token").agg(F.count("*").alias("df"))
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms_lc))
+        ],
+    )
+    score = None
+    for i in range(len(terms_lc)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        wi = F.when(
+            F.col(f"_tf{i}") > 0,
+            idf
+            * (F.col(f"_tf{i}") * (k1 + 1))
+            / (F.col(f"_tf{i}") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        score = wi if score is None else score + wi
+    # only docs containing >= 1 query term rank — exactly the rows the
+    # postings form emitted (match on raw tf, not the rounded score, so
+    # a sub-1e-6 positive score still ranks like before)
+    any_match = None
+    for i in range(len(terms_lc)):
+        hit = F.col(f"_tf{i}") > 0
+        any_match = hit if any_match is None else (any_match | hit)
     scored = (
-        post.join(F.broadcast(df_tbl), "token")
-        .join(dl, id_col)
+        per.filter(any_match)
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avgdl))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .withColumn("score", F.round(score, 6))
+        .select(F.col(id_col), F.col("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -206,11 +244,20 @@ def bm25f_topk(
     infer_title_from_uri convention), body = the rest. df/idf stay
     per-term over whole docs (field-independent, the standard choice).
 
-    Plan shape identical to bm25_topk: vocab-filtered explodes,
-    broadcast stats, one scoring groupBy, top-k.
+    Plan shape (round 11): the same one-corpus-pass form as
+    ``bm25_topk`` — per-doc weighted tf per term and weighted dl as
+    array expressions, one scalar aggregation for N/avgdl/df, one
+    broadcast attach, TakeOrdered. The previous shape ran two
+    vocab-filtered explodes (title/body postings), a full outer join
+    between them, a shuffle join against the O(corpus) weighted-length
+    table and two scalar attaches; the weighted tf is integer algebra
+    either way, so the score expression is unchanged.
     """
     terms_lc = sorted({t.lower() for t in terms})
-    vset = F.array(*[F.lit(v) for v in terms_lc])
+    if not terms_lc:
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
     toks = tokens(text_col)
     title = F.slice(toks, 1, title_tokens)
     body = F.slice(
@@ -218,54 +265,51 @@ def bm25f_topk(
         F.greatest(F.size(toks) - title_tokens, F.lit(0)),
     )
 
-    def field_post(field_col, alias):
-        kept = F.filter(field_col, lambda x: F.array_contains(vset, x))
-        return (
-            docs.select(F.col(id_col), F.explode(kept).alias("token"))
-            .groupBy(id_col, "token")
-            .agg(F.count("*").alias(alias))
-        )
+    def occ(field_col, term):
+        # closure-bound term: a two-parameter lambda would be handed
+        # (element, index) by F.filter
+        return F.size(F.filter(field_col, lambda x: x == F.lit(term)))
 
-    tp = field_post(title, "tf_t")
-    bp = field_post(body, "tf_b")
-    post = (
-        tp.join(bp, [id_col, "token"], "full")
-        .fillna(0, ["tf_t", "tf_b"])
-        .withColumn(
-            "wtf", title_weight * F.col("tf_t") + F.col("tf_b")
-        )
-    )
-    # weighted doc length: same field weights over ALL tokens
-    wdl = docs.select(
+    per = docs.select(
         F.col(id_col),
         (
             title_weight * F.least(F.size(toks), F.lit(title_tokens))
             + F.greatest(F.size(toks) - title_tokens, F.lit(0))
         ).alias("wdl"),
+        *[
+            (title_weight * occ(title, tt) + occ(body, tt)).alias(f"_wtf{i}")
+            for i, tt in enumerate(terms_lc)
+        ],
     )
-    stats = docs.agg(F.count("*").alias("n_docs"))
-    avgdl = wdl.agg(F.avg("wdl").alias("avgdl"))
-    df_tbl = post.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (
-        post.join(F.broadcast(df_tbl), "token")
-        .join(wdl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avgdl))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("wdl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_wtf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms_lc))
+        ],
+    )
+    score = None
+    any_match = None
+    for i in range(len(terms_lc)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
         )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("wtf") * (k1 + 1))
-            / (F.col("wtf")
+        wi = F.when(
+            F.col(f"_wtf{i}") > 0,
+            idf
+            * (F.col(f"_wtf{i}") * (k1 + 1))
+            / (F.col(f"_wtf{i}")
                + k1 * (1 - b + b * F.col("wdl") / F.col("avgdl"))),
-        )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        ).otherwise(F.lit(0.0))
+        score = wi if score is None else score + wi
+        hit = F.col(f"_wtf{i}") > 0
+        any_match = hit if any_match is None else (any_match | hit)
+    scored = (
+        per.filter(any_match)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(score, 6))
+        .select(F.col(id_col), F.col("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

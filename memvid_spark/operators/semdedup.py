@@ -623,28 +623,41 @@ def passage_dup_stats(
 ) -> DataFrame:
     """Per-doc duplicated-window fraction (exact-substring dedup stats).
 
-    A window is duplicated iff its hash occurs in >1 distinct doc.
-    Returns (id, n_windows, n_dup_windows, dup_fraction, flagged);
-    docs with < w tokens yield zero windows and are not emitted.
+    A window is duplicated iff it occurs in >1 distinct doc (windows
+    compared by hash — an equality proxy for the w-gram string that
+    never surfaces in the output). Returns (id, n_windows,
+    n_dup_windows, dup_fraction, flagged); docs with < w tokens yield
+    zero windows and are not emitted.
+
+    One corpus pass (round 11): the previous shape consumed the window
+    explode THREE times (shared-hash mining, the dup-mark semi-join and
+    the per-doc totals each re-ran tokenize + window-hash over the
+    corpus — measured 3/4 of the query's 499 cpu_s at the 100x probe).
+    Now the explode feeds a single (whash, id) count, the >1-doc test
+    is a count window over the SAME whash partitioning, and both
+    per-doc sums ride one groupBy — 1 tokenize pass, 3 narrow
+    exchanges, no joins. The window hash is ``xxhash64`` (native
+    codegen, 64-bit) rather than the md5-backed portable hash64: the
+    hash is a pure within-engine equality key here (the oracle twin
+    mines its OWN hashes; outputs carry none), so cross-engine
+    replayability buys nothing and the md5 digest dominated the
+    remaining CPU (A/B at 100x: 488 -> 218 cpu_s). Collision odds drop
+    too (64-bit vs the 60-bit md5 slice).
     """
-    win = passage_windows(docs, w=w, id_col=id_col, text_col=text_col)
-    shared = (
-        win.select(id_col, "whash")
-        .distinct()
-        .groupBy("whash")
-        .agg(F.count("*").alias("ndocs"))
-        .filter(F.col("ndocs") > 1)
-        .select("whash")
+    from ..functions.text import ngram_rows
+
+    win = ngram_rows(docs, w, id_col, text_col).select(
+        F.col(id_col), F.xxhash64(F.col("gram")).alias("whash")
     )
-    marked = win.join(shared, "whash", "left_semi")
-    per_doc = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    dup = marked.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    per = win.groupBy("whash", id_col).agg(F.count("*").alias("cnt"))
+    ndocs = F.count("*").over(Window.partitionBy("whash"))
     out = (
-        per_doc.join(dup, id_col, "left")
-        .select(
-            id_col,
-            "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        per.withColumn("ndocs", ndocs)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("n_dup_windows"),
         )
         .withColumn(
             "dup_fraction",

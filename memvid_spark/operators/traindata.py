@@ -647,7 +647,7 @@ def lm_perplexity(
     Scale posture: the model tables are (distinct reference bigrams) and
     (reference vocab) rows — data-bounded, built with one map-side-
     combinable groupBy each. Scoring is one equi-join of corpus bigrams
-    against the model on a portable 60-bit gram hash (8-byte join keys,
+    against the model on an engine-internal 64-bit gram hash (8-byte join keys,
     AQE broadcasts the model side when it is small) collapsing straight
     into per-doc sums. Terciles are per-group windows — no global sort.
 
@@ -676,9 +676,19 @@ def lm_perplexity(
     )
 
     def _bigram_pass(src, *cols, strings: bool):
+        # Join-key hashes are xxhash64 (round 11), not the md5-backed
+        # portable hash64: bh/wh only ever join Spark-side rows against
+        # Spark-side rows (model lookup), the oracle twin joins on its
+        # OWN hashes, and no hash reaches the output — so cross-engine
+        # replayability buys nothing here while the md5 digest (hex
+        # format + string conv, 2 per bigram) dominated the corpus
+        # pass's CPU. Tokens are alnum-only (never contain spaces), so
+        # hashing the token pair directly preserves exactly the
+        # joined-string equality classes the oracle groups on; 64-bit
+        # keys also collide less than the 60-bit md5 slice.
         out = [
-            hash64(F.concat(F.col("z.t0"), F.lit(" "), F.col("z.t1"))).alias("bh"),
-            hash64(F.col("z.t1")).alias("wh"),
+            F.xxhash64(F.col("z.t0"), F.col("z.t1")).alias("bh"),
+            F.xxhash64(F.col("z.t1")).alias("wh"),
         ]
         if strings:
             out = [F.col("z.t0").alias("t0"), F.col("z.t1").alias("t1")] + out
