@@ -2346,6 +2346,7 @@ class CellIndexHandle:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
+        self._schema = None  # inferred once, reused per request
 
     def full(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -2365,9 +2366,15 @@ class CellIndexHandle:
             return self.full().filter(
                 F.col("cell").isin([int(c) for c in cells])
             )
-        return (
-            self.spark.read.option("basePath", self.path).parquet(*dirs)
-        )
+        reader = self.spark.read.option("basePath", self.path)
+        if self._schema is not None:
+            # skip per-request footer reads: the layout's schema is
+            # fixed between handle (in)validations
+            reader = reader.schema(self._schema)
+        df = reader.parquet(*dirs)
+        if self._schema is None:
+            self._schema = df.schema
+        return df
 
 
 def _index_cells(index, cells: Sequence[int]) -> DataFrame:

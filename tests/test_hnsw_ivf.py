@@ -1391,3 +1391,60 @@ def test_frame_probe_exactness_fuzz(spark):
                 assert sorted(got[i]) == sorted(int(c) for c in flat), (
                     case, probes, i
                 )
+
+
+def test_cell_index_handle_matches_dataframe_filtering(spark, tmp_path):
+    """CellIndexHandle (round 11) reads only the probed cells'
+    directories; results must equal the DataFrame isin-filter path
+    exactly, including through nsw_knn_pruned, and the handle must
+    never TOUCH an unprobed cell's directory (poison pin)."""
+    import os
+
+    from memvid_spark.operators.hnsw import CellIndexHandle
+
+    emb = _blob_emb(spark)
+    C = train_cell_centroids(emb, n_cells=6, train_sample=1000)
+    path = str(tmp_path / "nsw_ivf_handle")
+    build_nsw_index_ivf(emb, C, m=8, ef_construction=60).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    index_df = spark.read.parquet(path)
+    handle = CellIndexHandle(spark, path)
+
+    # slice equivalence for an arbitrary cell subset (schema cache
+    # kicks in on the second call — both calls must agree)
+    for cells in ([0, 2], [1, 3, 5]):
+        want = sorted(
+            tuple(r)
+            for r in index_df.filter(F.col("cell").isin(cells))
+            .select(sorted(index_df.columns)).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in handle.for_cells(cells)
+            .select(sorted(index_df.columns)).collect()
+        )
+        assert got == want
+
+    # pruned query equivalence (handle vs DataFrame), plus poison in a
+    # far cell's directory: the handle path must not open it
+    q = [10.0, 0.2, 0.1, 0.3, 0.0, 0.1]
+    import numpy as np
+
+    d = ((np.asarray(C) - np.asarray(q)) ** 2).sum(axis=1)
+    far_cell = int(np.argmax(d))
+    with open(os.path.join(path, f"cell={far_cell}", "poison.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    want = [tuple(r) for r in nsw_knn_pruned(
+        spark.read.schema(index_df.schema).parquet(path), C, q, k=10, probes=2
+    ).collect()]
+    got = [tuple(r) for r in nsw_knn_pruned(
+        handle, C, q, k=10, probes=2
+    ).collect()]
+    assert got == want
+
+    # empty/missing-cell fallback stays correct (fallback reads the
+    # root; the poison file would break parquet inference there, so
+    # drop it first)
+    os.remove(os.path.join(path, f"cell={far_cell}", "poison.parquet"))
+    assert handle.for_cells([9999]).count() == 0
