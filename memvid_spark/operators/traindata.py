@@ -52,11 +52,17 @@ def ngram_set(
     Docs shorter than ``n`` tokens yield zero rows (guarded — Spark's
     ``sequence(1, 0)`` is descending, not empty).
 
-    ``hashed=True`` replaces the gram string with its portable 60-bit
-    md5 hash BEFORE the distinct — the shuffle and any downstream join
-    move 8-byte ints instead of ~50-byte strings (the at-scale layout;
-    60 bits make collisions negligible, and the DuckDB oracle replays
-    the same hash).
+    ``hashed=True`` replaces the gram string with its 64-bit xxhash64
+    BEFORE the distinct — the shuffle and any downstream join move
+    8-byte ints instead of ~50-byte strings (the at-scale layout;
+    64 bits make collisions negligible). Round 11: the hash moved from
+    the md5-backed portable hash64 to native xxhash64 — it is a pure
+    within-engine equality key (the only consumer, decontaminate,
+    surfaces counts, never hashes; the oracle twin hashes with ITS OWN
+    md5 internally, so either way each engine only sees its own
+    hash space and outputs agree up to a ~2^-64-scale collision, now
+    rarer than the 60-bit md5 slice), and the md5 digest ran twice per
+    gram across decontaminate's two branches.
     """
     from ..functions.text import ngram_rows
 
@@ -64,7 +70,7 @@ def ngram_set(
     rows = ngram_rows(docs, n, id_col, text_col, keep_cols=keep)
     if hashed:
         rows = rows.select(
-            F.col(id_col), *keep, hash64(F.col("gram")).alias("gram")
+            F.col(id_col), *keep, F.xxhash64(F.col("gram")).alias("gram")
         )
     return rows.distinct()
 
@@ -488,23 +494,43 @@ def heavy_hitters(
         # vectorized pandas: the row-at-a-time MG loop this replaces ran
         # interpreted Python per token and measured ~4x slower at the
         # 100x probe. Memory is one partition's token column (bounded by
-        # the scan split size), counted once in C.
+        # the scan split size), counted once in C. A NULL-token row per
+        # partition carries the partition's token count, so the global
+        # N rides this same pass (round 11 — the standalone
+        # toks.count() was a third full tokenize+explode of the
+        # corpus).
         import pandas as pd
 
         parts = [pdf["token"] for pdf in batches]
         if not parts:
-            yield pd.DataFrame({"token": pd.Series([], dtype="object")})
+            yield pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
             return
-        counts = pd.concat(parts, ignore_index=True).value_counts()
-        yield pd.DataFrame({"token": counts.nlargest(k).index.to_numpy()})
+        col = pd.concat(parts, ignore_index=True)
+        counts = col.value_counts()
+        cand = counts.nlargest(k).index.to_numpy()
+        yield pd.DataFrame(
+            {"token": list(cand) + [None],
+             "cnt": [0] * len(cand) + [int(len(col))]}
+        )
 
-    candidates = toks.mapInPandas(mg, "token string").distinct()
+    # tiny (partitions x (k+1) rows): pin it once — candidates AND the
+    # total-N both read it, and without the pin each consumer would
+    # re-run the corpus sketch pass
+    sketch = toks.mapInPandas(mg, "token string, cnt long").localCheckpoint()
+    candidates = (
+        sketch.filter(F.col("token").isNotNull()).select("token").distinct()
+    )
     counted = (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    total = toks.agg(F.count("*").alias("_N"))
+    total = sketch.filter(F.col("token").isNull()).agg(
+        F.sum("cnt").alias("_N")
+    )
     return (
         counted.join(F.broadcast(total))
         .withColumn("threshold", F.ceil(F.lit(phi) * F.col("_N")).cast("long"))
