@@ -485,6 +485,29 @@ def _hnsw_frame_probe(extras, prefix, spark, data_dir) -> None:
 
     _timed_probe(extras, f"{prefix}:hnsw_frame_query", query, spark, data_dir)
 
+    # round 11 (opt): the same request routed through CellIndexHandle —
+    # the serving stack's directory-pruned read. Lists only the probed
+    # cells' directories per request (O(probes) driver metadata instead
+    # of O(n_cells)); the cold-open decomposition (first-plan listing
+    # 22.2 s via the root read vs 5.4 s via the handle at 8192 cells,
+    # fresh sessions) lives in scratch/cold_open_probe.py — inside this
+    # long-lived bench session the root listing above is already
+    # cached, so this entry rows the WARM per-request cost of the
+    # handle path for round-over-round comparison.
+    from memvid_spark.operators.hnsw import CellIndexHandle
+
+    handle = CellIndexHandle(spark, idx_path)
+
+    def query_handle(spark, d):
+        return nsw_knn_pruned(
+            handle, cf, qvec, k=10, ef_search=50, probes=HNSW_PROBES,
+        )
+
+    _timed_probe(
+        extras, f"{prefix}:hnsw_frame_query_handle", query_handle, spark,
+        data_dir,
+    )
+
 
 def _timed_median(run, spark, n: int = 3) -> float:
     """Median-of-n wall time with checkpoint release between samples —
