@@ -238,23 +238,29 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence check rides the label aggregation itself: ``labels``
+    # contributes exactly one row per node, so min("old") over each
+    # group (min skips the NULLs the neighbour rows carry) IS that
+    # node's previous cluster. The changed count is then a filter over
+    # the checkpointed output — the per-round join of two O(nodes)
+    # tables the old form paid for the same answer is gone.
+    old_t = labels.schema["cluster"].dataType.simpleString()
     for _ in range(max_iter):
         nbr = und.join(
             labels, und["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), F.col("cluster"))
-        new_labels = (
-            labels.unionByName(nbr)
+        merged = (
+            labels.withColumn("old", F.col("cluster"))
+            .unionByName(nbr.withColumn("old", F.lit(None).cast(old_t)))
             .groupBy("node")
-            .agg(F.min("cluster").alias("cluster"))
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min("old").alias("old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("cluster") != F.col("old")).count()
+        labels = merged.select("node", "cluster")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

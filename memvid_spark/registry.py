@@ -5611,14 +5611,38 @@ def q109_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = traindata.quality_gates(docs).filter(F.col("verdict") == "kept")
     w = Window.partitionBy(F.sha2("text", 256)).orderBy(F.col("doc_id").asc())
     dd = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    cand = dd.filter(F.col("source") != "src0")
+    # Pin the dedup survivors ONCE: the gram pass and the clean-side
+    # anti-join below would otherwise each re-run the gates
+    # tokenization AND the corpus-wide sha256 window shuffle (three
+    # full upstream computes in the old plan — guide §2.4/§5).
+    cand = dd.filter(F.col("source") != "src0").select(
+        "doc_id", "lang", "text", "n_tok"
+    ).localCheckpoint()
     bench = docs.filter(F.col("source") == "src0")
-    decon = traindata.decontaminate(
-        bench.unionByName(cand.select("doc_id", "source", "lang", "text")),
-        F.col("source") == "src0",
+    # The oracle's `dirty` CTE is a pure id set (candidate docs sharing
+    # an n-gram with the benchmark) — mine it directly. Equivalent to
+    # decontaminate(...).filter(contaminated == 0) consumed as ids
+    # (zero-gram docs hit nothing, so they stay clean in both forms)
+    # but skips decontaminate's per-doc stats aggregation, which
+    # re-shuffled every candidate gram to count hits q109 never
+    # surfaces; only the hit grams leave the semi-join here.
+    grams = traindata.ngram_set(
+        bench.select("doc_id", "text").withColumn("_is_bench", F.lit(True))
+        .unionByName(
+            cand.select("doc_id", "text").withColumn(
+                "_is_bench", F.lit(False)
+            )
+        ),
+        keep_cols=["_is_bench"], hashed=True,
     )
-    clean_ids = decon.filter(F.col("contaminated") == 0).select("doc_id")
-    clean = cand.join(clean_ids, "doc_id", "left_semi")
+    bench_grams = grams.filter(F.col("_is_bench")).select("gram").distinct()
+    dirty = (
+        grams.filter(~F.col("_is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = cand.join(dirty, "doc_id", "left_anti")
     labeled = traindata.split_assign(clean)
     return labeled.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
