@@ -480,6 +480,12 @@ def mark_cluster_dups(
     import pandas as pd
 
     if max_cluster and max_cluster > 0:
+        # Pin the assignment ONCE: the mega-cluster sizing agg and the
+        # kernel join below both consume it, and without the pin the
+        # entire upstream assignment (the n·k broadcast join, or the
+        # two-level matmul at scale) re-executes per consumer —
+        # measured as the 4x-duplicated corpus subtree in q179's plan.
+        assigned = assigned.localCheckpoint()
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_m"))
         n_sub = F.greatest(
             F.lit(1), F.ceil(F.col("_m") / F.lit(max_cluster))

@@ -230,6 +230,61 @@ def _q179_exp():
 EXPS["q179pin"] = _q179_exp
 
 
+
+
+# ------------------------------------------------------------ q161 feat
+def _q161_base(with_hash):
+    docs = t.documents.select("doc_id", "text")
+    from memvid_spark.functions.text import tokens as _tokens
+    toks = _tokens("text")
+    zipped = F.arrays_zip(
+        F.col("toks").alias("t0"),
+        F.slice("toks", 2, F.greatest(F.size(F.col("toks")) - 1, F.lit(0))).alias("t1"),
+    )
+    b = (
+        docs.select(F.col("doc_id"), toks.alias("toks"))
+        .select(F.col("doc_id"), F.explode(zipped).alias("z"))
+        .select(
+            F.col("doc_id"),
+            F.explode(F.array(
+                F.concat(F.lit("u#"), F.col("z.t0")),
+                F.when(F.col("z.t1").isNotNull(),
+                       F.concat(F.lit("b#"), F.col("z.t0"), F.lit(" "), F.col("z.t1"))),
+            )).alias("feat"),
+        )
+        .filter(F.col("feat").isNotNull())
+    )
+    if with_hash:
+        from memvid_spark.functions.hashing import hash64 as h64
+        b = b.withColumn("bucket", F.pmod(h64("feat"), F.lit(1024)))
+    return b
+
+
+def q161_fb_old():
+    return _q161_base(True).groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("n_occ"))
+
+
+def q161_fb_new():
+    from memvid_spark.functions.hashing import hash64 as h64
+    per_feat = _q161_base(False).groupBy("doc_id", "feat").agg(
+        F.count("*").alias("c"))
+    return (
+        per_feat.withColumn("bucket", F.pmod(h64("feat"), F.lit(1024)))
+        .groupBy("doc_id", "bucket").agg(F.sum("c").alias("n_occ"))
+    )
+
+
+def _q161_exp():
+    interleaved("q161_fb", q161_fb_old, q161_fb_new)
+    a = sorted(map(tuple, q161_fb_old().collect()))
+    b = sorted(map(tuple, q161_fb_new().collect()))
+    print("q161 fb equal:", a == b, flush=True)
+
+
+EXPS["q161feat"] = _q161_exp
+
+
 for name, fn in EXPS.items():
     if WHICH and name not in WHICH:
         continue
