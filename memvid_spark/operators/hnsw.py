@@ -1008,10 +1008,14 @@ def _with_cell_frame(
     and delta paths pass parquet scans or local frames).
 
     Same output contract as ``_with_cell``: (cell, vec_id, embedding).
-    A pure function of (row, model) — the delta ≡ rebuild contract
-    holds WITHIN the CentroidFrame path (a tier built with a frame
-    model must delta with the same frame model, like any other
-    centroid change)."""
+    A pure function of (row, model) — the probed set and the in-block
+    choice go through the near-tie rescue, and the emitted d2 is
+    always the fixed-order (einsum) distance of the chosen cell (the
+    min_by reduce compares d2 across independently computed blocks, so
+    a GEMM-batch-shaped ulp would leak straight into the winner; see
+    ``_TIE_REL``) — so the delta ≡ rebuild contract holds WITHIN the
+    CentroidFrame path (a tier built with a frame model must delta
+    with the same frame model, like any other centroid change)."""
     import math
 
     import numpy as np
@@ -1040,6 +1044,21 @@ def _with_cell_frame(
             dS = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ SS.T) + ss
             dS[:, ~ok] = np.inf  # memberless supers never probed
             order = np.argsort(dS, axis=1, kind="stable")[:, :pp]
+            # probed-SET rescue (see _TIE_REL): knife-edge boundary
+            # rows re-rank on the pure distances so the probed set is
+            # a pure function of (row, model) across batches
+            if pp < dS.shape[1]:
+                partS = np.partition(dS, (pp - 1, pp), axis=1)
+                thrS = _TIE_REL * (
+                    (X * X).sum(axis=1) + float(ss.max()) + 1.0
+                )
+                susS = (partS[:, pp] - partS[:, pp - 1]) <= thrS
+                if susS.any():
+                    dSp = _pure_d2(X[susS], SS, ss)
+                    dSp[:, ~ok] = np.inf
+                    order[susS] = np.argsort(
+                        dSp, axis=1, kind="stable"
+                    )[:, :pp]
             yield pd.Series(list(order.astype("int32")))
 
     # scalar-ITERATOR pandas udf; real typing objects (the module's
@@ -1103,17 +1122,22 @@ def _with_cell_frame(
         X = np.stack(
             [np.asarray(v, dtype="float64") for v in rows_pdf["v"]]
         )
-        d2 = (
-            (X * X).sum(axis=1)[:, None]
-            - 2.0 * (X @ C.T)
-            + (C * C).sum(axis=1)[None, :]
-        )
+        cc = (C * C).sum(axis=1)[None, :]
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cc
         j = d2.argmin(axis=1)
+        # near-tie rescue + pure emitted distance (see _TIE_REL): the
+        # in-block choice re-decides on the pure distances when the
+        # top-2 gap is inside the threshold band, and the d2 column is
+        # ALWAYS the einsum value of the chosen centroid — the min_by
+        # reduce compares these across independently computed blocks,
+        # so they must be pure functions of (row, model), not of this
+        # block's GEMM batch shape
+        j, d2x = _argmin_rescued(X, C, d2, j, cc, want_d2=True)
         return pd.DataFrame(
             {
                 "vec_id": rows_pdf["vec_id"].to_numpy(),
                 "cell": cells[j].astype("int32"),
-                "d2": d2[np.arange(len(X)), j],
+                "d2": d2x,
             }
         )
 
@@ -1366,6 +1390,71 @@ def _local_frame(spark, schema: str, **cols) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(data), schema).coalesce(1)
 
 
+# Near-tie rescue threshold for coarse assignment: decisions whose
+# winner-vs-runner-up d2 gap is below _TIE_REL x (row scale) are re-made
+# on the fixed-order (einsum) distances. BLAS GEMM blocks by matrix
+# SHAPE, so the same row in a different batch (delta vs rebuild, or a
+# different position after repartitioning) can come back with its last
+# ulps flipped — measured in scratch/blas_batch_determinism.py — and a
+# knife-edge argmin then breaks the bitwise delta == rebuild contract
+# (caught by test_above_clamp_cells_delta_equals_rebuild_and_recall at
+# ~1.5 rows/cell). The threshold sits ~4 decades above the GEMM
+# deviation (~d·eps ≈ 1e-13 relative) and far below any gap that could
+# legitimately flip, so EITHER branch decides identically in the
+# crossover band: gap > thr ⇒ GEMM's argmin is already batch-stable;
+# gap <= thr ⇒ the einsum recompute is a pure function of (row, model).
+_TIE_REL = 1e-9
+
+
+def _pure_d2(X, C, cc=None):
+    """Batch/position/thread-independent squared distances: np.einsum
+    (without optimize=True) never dispatches to BLAS, so every output
+    element is a fixed-order reduction over dim — a pure function of
+    (row, centroids), unlike the GEMM form (see _TIE_REL above). Slower
+    than GEMM; used for near-tie rescues and single rows only."""
+    import numpy as np
+
+    if cc is None:
+        cc = (C * C).sum(axis=1)[None, :]
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * np.einsum("ij,kj->ik", X, C)
+        + cc
+    )
+
+
+def _tie_thr(X, ccmax):
+    """Per-row absolute near-tie threshold (see _TIE_REL): scaled by
+    the row's squared norm + the largest centroid norm so it tracks the
+    magnitude of the d2 values being compared."""
+    return _TIE_REL * ((X * X).sum(axis=1) + float(ccmax) + 1.0)
+
+
+def _argmin_rescued(X, C, d2, cell, cc, want_d2=False):
+    """First-minimum argmin over GEMM distances with the near-tie
+    rescue applied in place: rows whose top-2 gap is inside the
+    threshold band re-decide on _pure_d2. With ``want_d2`` the second
+    return is the einsum distance of the chosen centroid — pure, so
+    callers may compare it across independently computed batches
+    (min_by over per-block verdicts); without it, None."""
+    import numpy as np
+
+    if C.shape[0] > 1:
+        part = np.partition(d2, 1, axis=1)
+        sus = (part[:, 1] - part[:, 0]) <= _tie_thr(X, cc.max())
+        if sus.any():
+            cell[sus] = _pure_d2(X[sus], C, cc).argmin(axis=1)
+    if not want_d2:
+        return cell, None
+    chosen = C[cell]
+    d2x = (
+        (X * X).sum(axis=1)
+        - 2.0 * np.einsum("ij,ij->i", X, chosen)
+        + cc.ravel()[cell]
+    )
+    return cell, d2x
+
+
 def _flat_fallback(X, C, best_d, best_c):
     """Resolve rows the two-level probe could NOT assign (every probed
     super-group memberless — possible only when k-means drained supers,
@@ -1380,14 +1469,12 @@ def _flat_fallback(X, C, best_d, best_c):
     miss = ~np.isfinite(best_d)
     if miss.any():
         Xm = X[miss]
-        d2 = (
-            (Xm * Xm).sum(axis=1)[:, None]
-            - 2.0 * (Xm @ C.T)
-            + (C * C).sum(axis=1)[None, :]
-        )
+        cc = (C * C).sum(axis=1)[None, :]
+        d2 = (Xm * Xm).sum(axis=1)[:, None] - 2.0 * (Xm @ C.T) + cc
         j = d2.argmin(axis=1)  # first min = lowest cell id (tie rule)
+        j, d2x = _argmin_rescued(Xm, C, d2, j, cc, want_d2=True)
         best_c[miss] = j.astype("int64")
-        best_d[miss] = d2[np.arange(len(Xm)), j]
+        best_d[miss] = d2x
     return best_d, best_c
 
 
@@ -1427,9 +1514,11 @@ def _with_cell(
                 continue
             X = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
             d2 = (X * X).sum(axis=1)[:, None] - 2.0 * X @ C.T + cc
+            cell = d2.argmin(axis=1)
+            cell, _ = _argmin_rescued(X, C, d2, cell, cc)
             yield pd.DataFrame(
                 {
-                    "cell": d2.argmin(axis=1).astype("int32"),
+                    "cell": cell.astype("int32"),
                     "vec_id": pdf[id_col].astype("int64"),
                     "embedding": [
                         [float(x) for x in v] for v in pdf[vec_col]
@@ -1477,10 +1566,14 @@ def _with_cell_two_level(
     assignment exactness; pinned on the clustered fixtures).
 
     Determinism contract: a pure function of (row, centroids) — super
-    k-means is seeded, super/group argmins take the first minimum, and
+    k-means is seeded, super/group argmins take the first minimum,
     cross-group ties break to the LOWEST cell id (the exact path's
-    rule) — so build, delta-apply, and a full rebuild assign every row
-    identically and delta == rebuild survives the routing. The
+    rule), and every knife-edge decision (probed-set boundary, winner
+    vs runner-up) is re-made on fixed-order distances via the near-tie
+    rescue (see ``_TIE_REL``: GEMM's shape-dependent blocking is NOT
+    batch-stable in the last ulps) — so build, delta-apply, and a full
+    rebuild assign every row identically and delta == rebuild survives
+    the routing. The
     broadcast is O(k·d) doubles (the centroid table itself) — the one
     remaining size bound; raise target_cell_rows before it hurts."""
     import math
@@ -1510,6 +1603,7 @@ def _with_cell_two_level(
             (C[m], (C[m] * C[m]).sum(axis=1)[None, :]) if len(m) else None
             for m in members
         ]
+        ccM = float((C * C).sum(axis=1).max())
         for pdf in batches:
             b = len(pdf)
             if b == 0:
@@ -1519,8 +1613,21 @@ def _with_cell_two_level(
             dS = x2 - 2.0 * (X @ S.T) + ss
             # stable sort: equal super distances break to the lower id
             top = np.argsort(dS, axis=1, kind="stable")[:, :p]
+            # probed-SET rescue (see _TIE_REL): a knife-edge gap at the
+            # p boundary could flip which supers a row probes between
+            # two GEMM batches; such rows re-rank on the pure distances
+            if p < dS.shape[1]:
+                partS = np.partition(dS, (p - 1, p), axis=1)
+                thrS = _TIE_REL * (x2[:, 0] + float(ss.max()) + 1.0)
+                susS = (partS[:, p] - partS[:, p - 1]) <= thrS
+                if susS.any():
+                    dSp = _pure_d2(X[susS], S, ss)
+                    top[susS] = np.argsort(
+                        dSp, axis=1, kind="stable"
+                    )[:, :p]
             best_d = np.full(b, np.inf)
             best_c = np.zeros(b, dtype="int64")
+            sec_d = np.full(b, np.inf)  # global runner-up distance
             for g in range(len(S)):
                 if subs[g] is None:
                     continue
@@ -1537,16 +1644,50 @@ def _with_cell_two_level(
                 j = d2.argmin(axis=1)  # first min = lowest id in-group
                 dmin = d2[np.arange(len(Xg)), j]
                 cells = members[g][j]
+                if d2.shape[1] > 1:
+                    g2 = np.partition(d2, 1, axis=1)[:, 1]
+                else:
+                    g2 = np.full(len(Xg), np.inf)
                 cur_d, cur_c = best_d[mask], best_c[mask]
+                cur_s = sec_d[mask]
                 upd = (dmin < cur_d) | ((dmin == cur_d) & (cells < cur_c))
+                # runner-up merge: when the group wins, the loser of
+                # the best comparison or the group's own second; when
+                # it loses, its min still bounds the runner-up
+                new_s = np.where(
+                    upd, np.minimum(cur_d, g2), np.minimum(cur_s, dmin)
+                )
                 cur_d[upd], cur_c[upd] = dmin[upd], cells[upd]
                 best_d[mask], best_c[mask] = cur_d, cur_c
+                sec_d[mask] = new_s
             # a row all of whose probed groups were memberless
             # (possible only when k-means drained supers) falls back to
             # the FLAT argmin over all centroids — the exact path's
             # rule, still deterministic, and the row stays findable at
             # query time (probing ranks cells by centroid distance)
             _flat_fallback(X, C, best_d, best_c)
+            # final near-tie rescue (see _TIE_REL): rows whose winner
+            # vs global runner-up gap is inside the threshold band
+            # re-decide lexicographically on the pure distances over
+            # every probed group's members — a pure function of
+            # (row, model), so delta/build/rebuild agree bitwise
+            fin_thr = _TIE_REL * (x2[:, 0] + ccM + 1.0)
+            sus = np.flatnonzero(
+                np.isfinite(sec_d) & ((sec_d - best_d) <= fin_thr)
+            )
+            for i in sus:
+                xi = X[i : i + 1]
+                bd, bc2 = np.inf, -1
+                for g in top[i]:
+                    if subs[g] is None:
+                        continue
+                    Cg, cc = subs[g]
+                    d2i = _pure_d2(xi, Cg, cc)[0]
+                    jj = int(d2i.argmin())
+                    di, ci = float(d2i[jj]), int(members[g][jj])
+                    if (di < bd) or (di == bd and ci < bc2):
+                        bd, bc2 = di, ci
+                best_d[i], best_c[i] = bd, bc2
             yield pd.DataFrame(
                 {
                     "cell": best_c.astype("int32"),

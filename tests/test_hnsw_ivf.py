@@ -1448,3 +1448,60 @@ def test_cell_index_handle_matches_dataframe_filtering(spark, tmp_path):
     # drop it first)
     os.remove(os.path.join(path, f"cell={far_cell}", "poison.parquet"))
     assert handle.for_cells([9999]).count() == 0
+
+
+def test_coarse_assignment_batch_independent(spark):
+    """Near-tie rescue pin (hnsw._TIE_REL): coarse assignment is a
+    bitwise-pure function of (row, centroids) — the same row assigns to
+    the same cell whether it rides in a small batch (a delta) or the
+    full corpus (a rebuild), even when its two nearest centroids are a
+    knife-edge (sub-1e-12) apart. BLAS GEMM is only shape-stable in the
+    last ulps; before the rescue this exact flip broke
+    test_above_clamp_cells_delta_equals_rebuild_and_recall."""
+    import numpy as np
+
+    from memvid_spark.operators.hnsw import assign_cells
+
+    rng = np.random.default_rng(11)
+
+    def mk_rows(C, n_knife, n_easy):
+        rows = []
+        vid = 0
+        # knife-edge rows: midpoint of a random centroid pair, nudged
+        # by ~1e-15 — inside the rescue band, outside exact-tie
+        for _ in range(n_knife):
+            a, b = rng.choice(len(C), size=2, replace=False)
+            v = (C[a] + C[b]) / 2.0 + rng.normal(scale=1e-15, size=C.shape[1])
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        for _ in range(n_easy):
+            c = rng.integers(len(C))
+            v = C[c] + rng.normal(scale=0.01, size=C.shape[1])
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        return rows
+
+    def check(C, label):
+        rows = mk_rows(np.asarray(C), 40, 200)
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        full = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(emb, C).collect()
+        }
+        part = {}
+        for m in (0, 1, 2):
+            sub = emb.filter(F.col("vec_id") % 3 == m)
+            part.update(
+                {r["vec_id"]: r["cell"]
+                 for r in assign_cells(sub, C).collect()}
+            )
+        assert part == full, label
+
+    # flat path (<= TWO_LEVEL_MIN_CELLS)
+    C_flat = rng.normal(size=(64, 8)).tolist()
+    check(C_flat, "flat")
+    # two-level path
+    C_two = rng.normal(size=(1100, 8)).tolist()
+    check(C_two, "two-level")
