@@ -41,6 +41,36 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
 
 
+def pin_expr(expr: Column) -> Column:
+    """Determinism-taint a Column WITHOUT changing its value, so the
+    optimizer can neither inline it into each consumer (CollapseProject
+    re-duplicates a non-cheap producer referenced once) nor substitute
+    it into a pushed-down filter predicate (PushDownPredicates inlines
+    the whole defining subtree into the condition, re-evaluating it at
+    the scan). The guide's §4.4 asNondeterministic() remedy, for a
+    builtin expression tree: spark_partition_id() is nondeterministic
+    to the optimizer but the branch is always taken, so the value is
+    identical. (A rand()-based probe does NOT survive: Spark 4 folds
+    rand() comparisons against out-of-range constants.)
+
+    Measured motive: higher-order functions (filter/exists/transform)
+    are CodegenFallback and excluded from subexpression elimination, so
+    every reference to a ``tokens()``-derived expression re-runs the
+    full regex split of the document — the bm25 'per' projection paid
+    it 4x per row and a pushed-down match filter 8x (see
+    scratch/plan_shape_tokenize.py; plans/r11)."""
+    return F.when(F.spark_partition_id() >= F.lit(-1), expr)
+
+
+def tokens_pinned(col: Column | str) -> Column:
+    """``tokens()`` wrapped in :func:`pin_expr` — alias it ONCE in a
+    narrow select, then derive every per-term/per-rule consumer from
+    the materialized column so the tokenizer runs once per row per
+    scan no matter how many expressions or downstream filters read
+    it."""
+    return pin_expr(tokens(col))
+
+
 def ngram_rows(
     docs,
     n: int,

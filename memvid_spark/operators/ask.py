@@ -127,14 +127,17 @@ def token_presence_reorder(
 ) -> DataFrame:
     """Prefer hits containing more distinct query tokens (ask.rs:308-324):
     stable re-sort by (n_present desc, rrf desc, id)."""
-    from ..functions.text import tokens
+    from ..functions.text import tokens_pinned
 
     present = None
-    toks = tokens(text_col)
     for t in terms:
-        this = F.array_contains(toks, t.lower()).cast("int")
+        this = F.array_contains(F.col("_toks"), t.lower()).cast("int")
         present = this if present is None else present + this
-    presence = docs.select(F.col(id_col), present.alias("n_present"))
+    # pinned tokenize: one regex split per row however many terms the
+    # per-term membership tests read (see functions.text.pin_expr)
+    presence = docs.select(
+        F.col(id_col), tokens_pinned(text_col).alias("_toks")
+    ).select(F.col(id_col), present.alias("n_present"))
     return (
         fused.join(presence, id_col, "left")
         .fillna({"n_present": 0})

@@ -39,7 +39,13 @@ def chunk_documents(
     chunk. chunk_index is 0-based; chunk_count repeats per chunk row
     (frame.rs:205-213 lineage).
     """
-    toks = tokens(text_col)
+    # pinned tokenize (round 11): the window transform's lambda slices
+    # the token array once per CHUNK — un-pinned, that re-ran the regex
+    # split per window (plus once each for n and n_chunks); pinning
+    # materializes the array once per row (functions.text.pin_expr)
+    from ..functions.text import tokens_pinned
+
+    toks = F.col("_toks")
     n = F.size(toks)
     # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
     n_chunks = (
@@ -60,6 +66,10 @@ def chunk_documents(
     return (
         docs.select(
             F.col(id_col).alias("parent_id"),
+            tokens_pinned(text_col).alias("_toks"),
+        )
+        .select(
+            "parent_id",
             n_chunks.alias("chunk_count"),
             F.explode(chunks).alias("c"),
         )

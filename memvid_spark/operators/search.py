@@ -27,11 +27,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import pin_expr, tokens, tokens_pinned
 
 PHRASE_BONUS = 1000.0  # src/lex.rs:281 — phrase hit adds 1000.0
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _eq_term(term: str):
+    """Single-parameter lambda factory for F.filter — a two-parameter
+    lambda (e.g. a default arg) would be handed (element, index)."""
+    return lambda x: x == F.lit(term)
 
 
 def build_postings(
@@ -76,11 +82,23 @@ def lex_topk(
 ) -> DataFrame:
     """Legacy lex scoring: total occurrences of query terms (+1000 if the
     exact phrase substring occurs), top-k. Only rows with score>0 rank.
-    """
-    toks = tokens(text_col)
+
+    Plan shape (round 11): the tokenizer materializes ONCE per row via
+    ``tokens_pinned`` and every per-term count reads the column —
+    un-pinned, each term's occurrence count re-ran the full regex
+    split (higher-order filter() is CodegenFallback, outside
+    subexpression elimination), and the score>0 filter re-inlined the
+    whole expression at the scan once more. The score column is pinned
+    too so the filter stays above the projection instead of
+    re-deriving the per-term array scans."""
+    pre = docs.select(
+        F.col(id_col), F.col(text_col), tokens_pinned(text_col).alias("_toks")
+    )
     occ = None
     for t in terms:
-        this = F.size(F.filter(toks, lambda x: x == F.lit(t.lower())))
+        this = F.size(
+            F.filter(F.col("_toks"), _eq_term(t.lower()))
+        )
         occ = this if occ is None else occ + this
     score = occ.cast("double")
     if phrase:
@@ -88,7 +106,7 @@ def lex_topk(
             F.lower(F.col(text_col)).contains(phrase.lower()), F.lit(PHRASE_BONUS)
         ).otherwise(F.lit(0.0))
     return (
-        docs.select(F.col(id_col), score.alias("score"))
+        pre.select(F.col(id_col), pin_expr(score).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
@@ -101,13 +119,17 @@ def implicit_and_match(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Docs whose token set contains EVERY query term (implicit AND)."""
-    toks = tokens(text_col)
+    """Docs whose token set contains EVERY query term (implicit AND).
+
+    The filter reads a pinned token column (one regex split per row);
+    the un-pinned form re-tokenized once per term inside the pushed
+    filter condition."""
+    pre = docs.select(F.col(id_col), tokens_pinned(text_col).alias("_toks"))
     pred = None
     for t in terms:
-        this = F.array_contains(toks, t.lower())
+        this = F.array_contains(F.col("_toks"), t.lower())
         pred = this if pred is None else (pred & this)
-    return docs.filter(pred).select(F.col(id_col))
+    return pre.filter(pred).select(F.col(id_col))
 
 
 def bm25_topk(
@@ -150,17 +172,22 @@ def bm25_topk(
         return docs.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).filter(F.lit(False))
-    toks = tokens(text_col)
-
-    def _count_of(term):
-        # NB: a two-parameter lambda would be handed (element, index)
-        # by F.filter — bind the term via closure, not a default arg
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
-
-    per = docs.select(
+    # One pinned tokenize per row per scan (round 11): `dl` plus every
+    # per-term tf reads the materialized `_toks` column. Un-pinned,
+    # each of those (t+1) higher-order expressions re-ran the regex
+    # split (CodegenFallback, no subexpression elimination), and the
+    # pushed-down match filter re-inlined them again at the scan —
+    # measured 8 split() evaluations per row for a 3-term query.
+    pre = docs.select(
+        F.col(id_col), tokens_pinned(text_col).alias("_toks")
+    )
+    per = pre.select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
-        *[_count_of(tt).alias(f"_tf{i}") for i, tt in enumerate(terms_lc)],
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _eq_term(tt))).alias(f"_tf{i}")
+            for i, tt in enumerate(terms_lc)
+        ],
     )
     stats = per.agg(
         F.count("*").alias("n_docs"),
@@ -185,13 +212,18 @@ def bm25_topk(
         score = wi if score is None else score + wi
     # only docs containing >= 1 query term rank — exactly the rows the
     # postings form emitted (match on raw tf, not the rounded score, so
-    # a sub-1e-6 positive score still ranks like before)
+    # a sub-1e-6 positive score still ranks like before). The match
+    # column is pinned so the filter reads the already-computed tf
+    # attributes instead of being pushed below `per` (which would
+    # re-derive every per-term array scan inside the filter).
     any_match = None
     for i in range(len(terms_lc)):
         hit = F.col(f"_tf{i}") > 0
         any_match = hit if any_match is None else (any_match | hit)
     scored = (
-        per.filter(any_match)
+        per.select("*", pin_expr(any_match).alias("_hit"))
+        .filter(F.col("_hit"))
+        .drop("_hit")
         .crossJoin(F.broadcast(stats))
         .withColumn("score", F.round(score, 6))
         .select(F.col(id_col), F.col("score"))
@@ -258,26 +290,41 @@ def bm25f_topk(
         return docs.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).filter(F.lit(False))
-    toks = tokens(text_col)
-    title = F.slice(toks, 1, title_tokens)
-    body = F.slice(
-        toks, title_tokens + 1,
-        F.greatest(F.size(toks) - title_tokens, F.lit(0)),
+    # pinned tokenize + materialized field slices (round 11): the
+    # un-pinned form re-ran the regex split for every one of the
+    # ~(2t+3) expressions touching the token array — see bm25_topk
+    pre = docs.select(
+        F.col(id_col), tokens_pinned(text_col).alias("_toks")
+    )
+    fields = pre.select(
+        F.col(id_col),
+        F.col("_toks"),
+        pin_expr(F.slice(F.col("_toks"), 1, title_tokens)).alias("_title"),
+        pin_expr(
+            F.slice(
+                F.col("_toks"), title_tokens + 1,
+                F.greatest(
+                    F.size(F.col("_toks")) - title_tokens, F.lit(0)
+                ),
+            )
+        ).alias("_body"),
     )
 
     def occ(field_col, term):
-        # closure-bound term: a two-parameter lambda would be handed
-        # (element, index) by F.filter
-        return F.size(F.filter(field_col, lambda x: x == F.lit(term)))
+        return F.size(F.filter(field_col, _eq_term(term)))
 
-    per = docs.select(
+    per = fields.select(
         F.col(id_col),
         (
-            title_weight * F.least(F.size(toks), F.lit(title_tokens))
-            + F.greatest(F.size(toks) - title_tokens, F.lit(0))
+            title_weight
+            * F.least(F.size(F.col("_toks")), F.lit(title_tokens))
+            + F.greatest(F.size(F.col("_toks")) - title_tokens, F.lit(0))
         ).alias("wdl"),
         *[
-            (title_weight * occ(title, tt) + occ(body, tt)).alias(f"_wtf{i}")
+            (
+                title_weight * occ(F.col("_title"), tt)
+                + occ(F.col("_body"), tt)
+            ).alias(f"_wtf{i}")
             for i, tt in enumerate(terms_lc)
         ],
     )
@@ -307,7 +354,9 @@ def bm25f_topk(
         hit = F.col(f"_wtf{i}") > 0
         any_match = hit if any_match is None else (any_match | hit)
     scored = (
-        per.filter(any_match)
+        per.select("*", pin_expr(any_match).alias("_hit"))
+        .filter(F.col("_hit"))
+        .drop("_hit")
         .crossJoin(F.broadcast(stats))
         .withColumn("score", F.round(score, 6))
         .select(F.col(id_col), F.col("score"))

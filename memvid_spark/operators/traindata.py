@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
-from ..functions.text import tokens
+from ..functions.text import tokens, tokens_pinned as _tokens_pinned
 
 DECON_N = 8  # industry-standard contamination n-gram size (8..13)
 PACK_BUDGET = 256  # tokens per context window at test scale
@@ -290,20 +290,35 @@ def quality_gates(
     prose). All rules are narrow Column arithmetic over the shared
     tokenizer — the full corpus is labeled in one scan, no shuffle;
     rejection stats are one map-side-combinable groupBy.
-    """
-    from ..functions.text import STOPWORDS, tokens
 
-    toks = tokens(text_col)
+    The tokenizer materializes ONCE per row (``tokens_pinned``) and
+    n_tok / n_stop / verdict derive from the pinned columns in layered
+    selects — the flat form re-ran the regex split for each of its 4
+    references, and a downstream ``verdict == 'kept'`` filter (the
+    clean-corpus pipelines) re-inlined the whole chain at the scan for
+    a 5th (measured in scratch/plan_shape_tokenize.py). ``verdict`` is
+    pinned so consumer filters read the computed column."""
+    from ..functions.text import STOPWORDS, pin_expr, tokens_pinned
+
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    toked = docs.withColumn("_toks", tokens_pinned(text_col))
+    counted = toked.withColumn(
+        "n_tok", F.size(F.col("_toks"))
+    ).withColumn(
+        "_n_stop",
+        F.size(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
+        ),
+    )
     verdict = (
-        F.when(n_tok < min_tokens, F.lit("too_short"))
-        .when(n_tok > max_tokens, F.lit("too_long"))
-        .when(n_stop == 0, F.lit("no_stopwords"))
+        F.when(F.col("n_tok") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tok") > max_tokens, F.lit("too_long"))
+        .when(F.col("_n_stop") == 0, F.lit("no_stopwords"))
         .otherwise(F.lit("kept"))
     )
-    return docs.withColumn("n_tok", n_tok).withColumn("verdict", verdict)
+    return counted.withColumn("verdict", pin_expr(verdict)).drop(
+        "_toks", "_n_stop"
+    )
 
 
 def vocabulary_size(
@@ -605,10 +620,17 @@ def budget_select(
     the corpus, set by the score resolution — pays a partitioned window
     to fill the remaining budget. Returns (id, n_toks, score_q).
     """
+    from ..functions.text import pin_expr, tokens_pinned
+
+    # one pinned tokenize per row: n_toks and n_uniq read the
+    # materialized array (the flat form split twice), and the pinned
+    # n_toks keeps the >0 filter from re-inlining the tokenizer
     scored = docs.select(
+        F.col(id_col), tokens_pinned(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_toks"),
-        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n_uniq"),
+        pin_expr(F.size(F.col("_toks"))).alias("n_toks"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("n_uniq"),
     ).filter(F.col("n_toks") > 0)
     scored = scored.select(
         id_col,
@@ -910,10 +932,11 @@ def nb_quality_classifier(
     """
     from ..functions.text import STOPWORDS
 
-    toks = tokens(text_col)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_tok = F.size(F.col("_toks"))
+    n_stop = F.size(
+        F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
+    )
     label = (
         (n_tok >= GATE_MIN_TOKENS)
         & (n_tok <= GATE_MAX_TOKENS)
@@ -948,7 +971,7 @@ def nb_quality_classifier(
         ).alias("t1"),
     )
     base = (
-        docs.select(F.col(id_col), toks.alias("toks"))
+        docs.select(F.col(id_col), _tokens_pinned(text_col).alias("toks"))
         .select(F.col(id_col), F.explode(zipped).alias("z"))
         .select(
             F.col(id_col),
@@ -967,7 +990,9 @@ def nb_quality_classifier(
         .filter(F.col("feat").isNotNull())
         .withColumn("bucket", F.pmod(hash64("feat"), F.lit(buckets)))
     )
-    meta = docs.select(
+    # pinned tokenize: label's three token-array references read one
+    # materialized column instead of re-splitting per reference
+    meta = docs.withColumn("_toks", _tokens_pinned(text_col)).select(
         F.col(id_col), label.alias("label"), split.alias("split")
     )
     # Collapse the feature stream ONCE to per-(doc, bucket) occurrence

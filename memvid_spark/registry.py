@@ -393,9 +393,14 @@ def q14_field_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_recency_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
     toks = T.tokens("text")
+    # pinned score: keeps the >0 filter from re-inlining the tokenizer
+    # at the scan (functions.text.pin_expr)
     hits = t.documents.select(
         "doc_id",
-        F.size(F.filter(toks, lambda x: x == F.lit("stream"))).cast("double").alias("score"),
+        T.pin_expr(
+            F.size(F.filter(toks, lambda x: x == F.lit("stream")))
+            .cast("double")
+        ).alias("score"),
         (F.col("doc_id") % 730).alias("ts_days"),
     ).filter(F.col("score") > 0)
     boosted = search.recency_boosted(hits, half_life_days=30.0)
@@ -5894,7 +5899,9 @@ def q116_elbow_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
     tf = F.size(F.filter(T.tokens("text"), lambda x: x == "data"))
     hits = (
-        t.documents.select("doc_id", tf.cast("double").alias("score"))
+        t.documents.select(
+            "doc_id", T.pin_expr(tf.cast("double")).alias("score")
+        )
         .filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(30)
