@@ -302,23 +302,22 @@ def quality_gates(
 
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     toked = docs.withColumn("_toks", tokens_pinned(text_col))
-    counted = toked.withColumn(
-        "n_tok", F.size(F.col("_toks"))
-    ).withColumn(
-        "_n_stop",
-        F.size(
-            F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
-        ),
+    counted = toked.withColumn("n_tok", F.size(F.col("_toks")))
+    # the stopword scan stays INSIDE the when-chain (not a column):
+    # CaseWhen evaluates lazily, so rows failing the length bounds —
+    # most of a raw corpus — never pay the O(|stopwords|·tokens)
+    # membership scan (materializing it as a column measured SLOWER
+    # than the unpinned form at the 100x probe: 49 vs 37 cpu_s)
+    n_stop = F.size(
+        F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
     )
     verdict = (
         F.when(F.col("n_tok") < min_tokens, F.lit("too_short"))
         .when(F.col("n_tok") > max_tokens, F.lit("too_long"))
-        .when(F.col("_n_stop") == 0, F.lit("no_stopwords"))
+        .when(n_stop == 0, F.lit("no_stopwords"))
         .otherwise(F.lit("kept"))
     )
-    return counted.withColumn("verdict", pin_expr(verdict)).drop(
-        "_toks", "_n_stop"
-    )
+    return counted.withColumn("verdict", pin_expr(verdict)).drop("_toks")
 
 
 def vocabulary_size(
