@@ -135,9 +135,7 @@ def embed_images_model(
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             vecs = vecs / norms
-            yield pd.DataFrame(
-                {id_col: ids, "embedding": [list(v) for v in vecs]}
-            )
+            yield pd.DataFrame({id_col: ids, "embedding": list(vecs)})
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 
