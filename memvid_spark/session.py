@@ -33,6 +33,28 @@ RUNTIME_CONFS = {
 }
 
 
+def _partition_discovery_threshold() -> str:
+    """Paths-per-listing bound below which partition discovery stays on
+    the driver instead of launching a Spark job (default 32).
+
+    Measured (r11, scratch/maint_listing_probe3.py): against the
+    8192-one-file-cell ANN index, the discovery JOB form costs
+    16-40 s per fresh ``spark.read.parquet(root)`` — one tiny task per
+    directory, pure scheduling floor on local mode where the executors
+    ARE the driver host — while driver-side sequential listing does the
+    same work in 1.6-5 s (python scandir covers the same tree in
+    0.09 s). Every full-index open (facade open(), annsink per-trigger
+    read, doctor/stats/retrain) pays this, so local mode raises the
+    bound to cover directory-per-cell layouts. On a cluster against an
+    object store the distributed listing amortizes RPC latency across
+    executors — deployments there should set
+    SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD back down (e.g. 32).
+    """
+    return os.environ.get(
+        "SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "65536"
+    )
+
+
 def _default_driver_mem() -> str:
     """Local-mode heap default: ~3/8 of physical RAM, clamped to
     [2g, 48g]. The ceiling is the measured sweet spot on a 128 GiB box
@@ -48,7 +70,11 @@ def _default_driver_mem() -> str:
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-supplied or ours)."""
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    confs["spark.sql.sources.parallelPartitionDiscovery.threshold"] = (
+        _partition_discovery_threshold()
+    )
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
