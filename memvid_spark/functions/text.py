@@ -36,9 +36,19 @@ def tokens(col: Column | str) -> Column:
     """Lowercased alnum tokens; empty strings dropped.
 
     Twin SQL: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t<>'')
-    """
+
+    Implementation (round 12): ``array_remove(split(lower(x), RE), '')``
+    instead of the higher-order ``filter(..., x -> x != '')``. The two
+    are value-identical here — with a ``+``-quantified separator regex,
+    ''-elements can only appear at the array ends, split never yields
+    null elements, and array_remove drops exactly the ''s — but filter()
+    is CodegenFallback (interpreted per element, excluded from
+    whole-stage codegen) while array_remove compiles. Measured on the
+    100x corpus, interleaved min-vs-min: explode-consumer 32.5 → 22.0
+    cpu_s, array-consumer wall 0.95 → 0.82 s (scratch/
+    ab_tokenize_ar_r12.py; 0 differing arrays over 500k docs)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_RE), "")
 
 
 def pin_expr(expr: Column) -> Column:
@@ -118,6 +128,17 @@ def ngram_rows(
             F.concat_ws(" ", *[f"_z.g{d}" for d in range(n)]).alias("gram"),
         )
     )
+
+
+def tf_count(arr: Column, term: str | Column) -> Column:
+    """Occurrences of ``term`` in a token array, in whole-stage codegen:
+    ``size(arr) - size(array_remove(arr, term))``. Value-identical to
+    ``size(filter(arr, x -> x == term))`` for null-free arrays (tokens
+    never contain nulls) — but filter() is CodegenFallback and runs the
+    interpreted lambda per element, measured 1.4x wall / 1.6x cpu
+    slower for the bm25 per-term tf shape at the 100x corpus (round 12).
+    NULL input arrays yield NULL either way."""
+    return F.size(arr) - F.size(F.array_remove(arr, term))
 
 
 def token_count(col: Column | str) -> Column:

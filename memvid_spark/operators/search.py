@@ -27,17 +27,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import pin_expr, tokens, tokens_pinned
+from ..functions.text import pin_expr, tf_count, tokens, tokens_pinned
 
 PHRASE_BONUS = 1000.0  # src/lex.rs:281 — phrase hit adds 1000.0
 BM25_K1 = 1.2
 BM25_B = 0.75
-
-
-def _eq_term(term: str):
-    """Single-parameter lambda factory for F.filter — a two-parameter
-    lambda (e.g. a default arg) would be handed (element, index)."""
-    return lambda x: x == F.lit(term)
 
 
 def build_postings(
@@ -96,9 +90,7 @@ def lex_topk(
     )
     occ = None
     for t in terms:
-        this = F.size(
-            F.filter(F.col("_toks"), _eq_term(t.lower()))
-        )
+        this = tf_count(F.col("_toks"), t.lower())
         occ = this if occ is None else occ + this
     score = occ.cast("double")
     if phrase:
@@ -185,7 +177,7 @@ def bm25_topk(
         F.col(id_col),
         F.size("_toks").alias("dl"),
         *[
-            F.size(F.filter(F.col("_toks"), _eq_term(tt))).alias(f"_tf{i}")
+            tf_count(F.col("_toks"), tt).alias(f"_tf{i}")
             for i, tt in enumerate(terms_lc)
         ],
     )
@@ -311,7 +303,7 @@ def bm25f_topk(
     )
 
     def occ(field_col, term):
-        return F.size(F.filter(field_col, _eq_term(term)))
+        return tf_count(field_col, term)
 
     per = fields.select(
         F.col(id_col),

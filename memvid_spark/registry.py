@@ -398,8 +398,7 @@ def q15_recency_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = t.documents.select(
         "doc_id",
         T.pin_expr(
-            F.size(F.filter(toks, lambda x: x == F.lit("stream")))
-            .cast("double")
+            T.tf_count(toks, "stream").cast("double")
         ).alias("score"),
         (F.col("doc_id") % 730).alias("ts_days"),
     ).filter(F.col("score") > 0)
@@ -5897,7 +5896,7 @@ def q116_elbow_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import adaptive
 
     t = catalog.load(spark, sf_dir)
-    tf = F.size(F.filter(T.tokens("text"), lambda x: x == "data"))
+    tf = T.tf_count(T.tokens("text"), "data")
     hits = (
         t.documents.select(
             "doc_id", T.pin_expr(tf.cast("double")).alias("score")

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/root/repo/plans/r11"
+OUT = os.environ.get("SPARK_GRAFT_PLAN_OUT", "/root/repo/plans/r12")
 
 from memvid_spark.session import get_spark  # noqa: E402
 from memvid_spark import registry  # noqa: E402
