@@ -75,25 +75,48 @@ def simhash_table(
 
     from ..functions.text import tokens
 
-    # One wide aggregation — `bits` sum expressions — instead of exploding
-    # a bit-position column (which would multiply shuffle volume by
-    # `bits`). Columnar partial aggregation handles 60 sums cheaply.
-    # Per-OCCURRENCE ±1 votes sum to exactly the tf-weighted per-token
-    # votes (sum over tf occurrences of ±1 = tf * ±1), so no (doc, token)
-    # posting aggregation is needed at all: the exploded token stream
-    # collapses map-side straight into 60 longs per doc — the corpus-wide
+    # One wide aggregation instead of exploding a bit-position column
+    # (which would multiply shuffle volume by `bits`). Per-OCCURRENCE
+    # votes sum to exactly the tf-weighted per-token votes (sum over tf
+    # occurrences of ±1 = tf * ±1), so no (doc, token) posting
+    # aggregation is needed at all: the exploded token stream collapses
+    # map-side straight into the per-doc vote state — the corpus-wide
     # shuffle of token strings the postings groupBy cost is gone.
+    #
+    # Round 12 — packed dual-lane counters: instead of `bits` sums of
+    # ±1, ceil(bits/2)+2 sums of (h >> j) & 0x100000001 accumulate, per
+    # doc, lane0 = count of occurrences with bit j set and lane32 = the
+    # same for bit j+32 (bits 60..63 of the 60-bit hash are always 0).
+    # Lanes cannot carry while a doc has < 2^32 token occurrences. The
+    # vote for bit j is 2*cnt_j - n (n = occurrence count), and the
+    # simhash bit is 1 iff 2*cnt_j > n — exactly the old sum(±1) > 0.
+    # Halves the aggregation state (60 -> 33 longs/doc: shuffle bytes,
+    # guide §2.3) and the per-row aggregate expression count; output
+    # verified bit-identical over the 500k-doc 100x corpus and q21/q29
+    # hash-match (scratch/ab_simhash_packed.py: interleaved cpu
+    # 116->108 s at 100x pre-tokenize-fix).
     ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     post = ex.select(F.col(id_col), hash64("token").alias("h"))
-    vote_aggs = [
-        F.sum(F.expr(f"(((h >> {j}) & 1) * 2 - 1)")).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_doc = post.groupBy(id_col).agg(*vote_aggs)
+    mask = (1 << 32) | 1
+    # lane0 of s{j} counts bit j (j in 0..min(bits,32)-1); lane32 of
+    # s{j-32} counts bit j for j in 32..bits-1 (so bits <= 64 only)
+    assert bits <= 64, "packed dual-lane vote counters assume bits <= 64"
+    n_packed = min(bits, 32)
+    cnt_aggs = [
+        F.sum(F.expr(f"(h >> {j}) & {mask}")).alias(f"s{j}")
+        for j in range(n_packed)
+    ] + [F.count(F.lit(1)).alias("n")]
+    per_doc = post.groupBy(id_col).agg(*cnt_aggs)
+
+    def cnt(j: int):
+        if j < n_packed:
+            return F.expr(f"s{j} & 4294967295")
+        return F.expr(f"(s{j - 32} >> 32) & 4294967295")
+
     sim = reduce(
         lambda a, b: a + b,
         [
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(cnt(j) * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
             for j in range(bits)
         ],
     )

@@ -441,3 +441,48 @@ def test_triangle_orientation_caps_hub_fanout(spark):
     assert wedges <= 3
     got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_simhash_packed_votes_match_reference_sum(spark):
+    """The packed dual-lane vote counters (round 12) must reproduce the
+    per-bit ±1-sum Charikar votes bit-for-bit — including exact vote
+    ties (2*cnt == n must yield bit 0, like sum(±1) == 0 did) and
+    repeated tokens (per-occurrence votes = tf-weighted votes)."""
+    from functools import reduce
+
+    from memvid_spark.functions.hashing import hash64
+    from memvid_spark.functions.text import tokens
+    from memvid_spark.operators.dedup import SIMHASH_BITS, simhash_table
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha alpha alpha beta"),          # tf weighting
+            (2, "zeta eta"),                        # 2 tokens: dense vote ties
+            (3, "single"),
+            (4, "x y x y x y x y"),                 # alternating repeats
+            (5, "the quick brown fox jumps over the lazy dog " * 20),
+        ],
+        "doc_id long, text string",
+    )
+
+    def reference(docs, bits=SIMHASH_BITS):
+        ex = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("t"))
+        post = ex.select(F.col("doc_id"), hash64("t").alias("h"))
+        votes = [
+            F.sum(F.expr(f"(((h >> {j}) & 1) * 2 - 1)")).alias(f"v{j}")
+            for j in range(bits)
+        ]
+        per_doc = post.groupBy("doc_id").agg(*votes)
+        sim = reduce(
+            lambda a, b: a + b,
+            [
+                F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(bits)
+            ],
+        )
+        return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+    got = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    want = {r.doc_id: r.simhash for r in reference(docs).collect()}
+    assert got == want
