@@ -307,14 +307,17 @@ def quality_gates(
     # CaseWhen evaluates lazily, so rows failing the length bounds —
     # most of a raw corpus — never pay the O(|stopwords|·tokens)
     # membership scan (materializing it as a column measured SLOWER
-    # than the unpinned form at the 100x probe: 49 vs 37 cpu_s)
-    n_stop = F.size(
-        F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
-    )
+    # than the unpinned form at the 100x probe: 49 vs 37 cpu_s).
+    # The gate only needs EXISTENCE of a stopword, not the count, so
+    # round 12 swaps size(filter(contains)) == 0 — an interpreted
+    # CodegenFallback lambda per element — for NOT arrays_overlap
+    # (whole-stage codegen, early-exits on the first hit; identical
+    # truth value on the null-free token arrays).
+    has_stop = F.arrays_overlap(F.col("_toks"), stop)
     verdict = (
         F.when(F.col("n_tok") < min_tokens, F.lit("too_short"))
         .when(F.col("n_tok") > max_tokens, F.lit("too_long"))
-        .when(n_stop == 0, F.lit("no_stopwords"))
+        .when(~has_stop, F.lit("no_stopwords"))
         .otherwise(F.lit("kept"))
     )
     return counted.withColumn("verdict", pin_expr(verdict)).drop("_toks")
@@ -933,13 +936,12 @@ def nb_quality_classifier(
 
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tok = F.size(F.col("_toks"))
-    n_stop = F.size(
-        F.filter(F.col("_toks"), lambda x: F.array_contains(stop, x))
-    )
+    # existence, not count: arrays_overlap is the codegen form of
+    # size(filter(x -> array_contains(stop, x))) > 0 (round 12)
     label = (
         (n_tok >= GATE_MIN_TOKENS)
         & (n_tok <= GATE_MAX_TOKENS)
-        & (n_stop > 0)
+        & F.arrays_overlap(F.col("_toks"), stop)
     ).cast("int")
     split = F.when(
         F.pmod(
