@@ -711,23 +711,38 @@ def sheet_tables(sheets: DataFrame, text_col: str = "sheet_text") -> DataFrame:
             F.posexplode(F.split(F.col("row"), ",")).alias("col_index", "cell"),
         )
     )
-    headers = cells.filter(F.col("rn") == 1).select(
-        "doc_id", "table_index", "col_index", F.col("cell").alias("header")
-    )
-    body = cells.filter(F.col("rn") > 1)
-    typed = body.groupBy("doc_id", "table_index", "col_index").agg(
-        F.count("*").alias("n_rows"),
-        F.min(F.col("cell").rlike(INT_RE).cast("int")).alias("all_int"),
-        F.min(F.col("cell").rlike(NUM_RE).cast("int")).alias("all_num"),
+    # ONE aggregation instead of headers ⋈ typed (round 12): the old
+    # shape consumed `cells` twice (the rn=1 header slice and the rn>1
+    # body typing), and Spark recomputed the whole scan + island window
+    # chain per branch — the corpus was scanned twice per query (plan
+    # evidence in plans/r12/q84_sheet_tables_before.txt: two Scan
+    # subtrees, 4 Exchanges, 6 Windows). Headers fold into the same
+    # per-(doc, table, col) aggregation: rn 1 contributes the header
+    # (unique per group — posexplode emits each col_index once per
+    # row), rn > 1 contribute the type votes and the row count. The
+    # old inner join kept exactly the groups with BOTH a header cell
+    # AND >= 1 body cell; the post-aggregation filter reproduces that.
+    agg = cells.groupBy("doc_id", "table_index", "col_index").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cell"))).alias("header"),
+        F.count(F.when(F.col("rn") > 1, F.lit(1))).alias("n_rows"),
+        F.min(
+            F.when(F.col("rn") > 1, F.col("cell").rlike(INT_RE).cast("int"))
+        ).alias("all_int"),
+        F.min(
+            F.when(F.col("rn") > 1, F.col("cell").rlike(NUM_RE).cast("int"))
+        ).alias("all_num"),
     )
     dtype = (
         F.when(F.col("all_int") == 1, "int")
         .when(F.col("all_num") == 1, "double")
         .otherwise("str")
     )
-    return headers.join(typed, ["doc_id", "table_index", "col_index"]).select(
-        "doc_id", "table_index", "col_index", "header",
-        dtype.alias("dtype"), "n_rows",
+    return (
+        agg.filter(F.col("header").isNotNull() & (F.col("n_rows") > 0))
+        .select(
+            "doc_id", "table_index", "col_index", "header",
+            dtype.alias("dtype"), "n_rows",
+        )
     )
 
 
