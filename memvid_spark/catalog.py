@@ -74,6 +74,29 @@ class Catalog:
 
 def load(spark: SparkSession, sf_dir: str) -> Catalog:
     """Configure the session (runtime confs incl. nanos-as-long) and
-    return a lazy catalog over ``sf_dir``."""
-    configure(spark)
-    return Catalog(spark=spark, sf_dir=sf_dir.rstrip("/"))
+    return a lazy catalog over ``sf_dir``.
+
+    The catalog is cached per (session, sf_dir) — round 12: every query
+    construction re-ran ~7 py4j conf.set round trips plus one
+    spark.read.parquet per touched table (~110-130 ms each: file
+    listing + footer/schema read), measured at 25-40% of a headline
+    sample's wall at sf0.1. Reuse is safe: the cached DataFrames are
+    lazy immutable plans over the driver's read-only test tables (a
+    warehouse catalog object is long-lived for exactly this reason).
+    The cache lives ON the session object, so a new session — the
+    correctness driver's, a fresh bench process — never sees another
+    session's plans, and dropping the session drops the cache."""
+    sf_dir = sf_dir.rstrip("/")
+    cache = getattr(spark, "_memvid_catalogs", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._memvid_catalogs = cache
+        except Exception:
+            pass  # exotic session proxy that rejects attributes
+    cat = cache.get(sf_dir)
+    if cat is None:
+        configure(spark)
+        cat = Catalog(spark=spark, sf_dir=sf_dir)
+        cache[sf_dir] = cat
+    return cat
