@@ -31,9 +31,37 @@ def _as_double_array(col) -> Column:
     return c.cast("array<double>")
 
 
+def _sql_operand(col) -> str | None:
+    """SQL text for a column name or a literal vector; None for Column
+    objects (no stable SQL extractor — those keep the Column path).
+    repr(float) is the shortest round-trip form and Spark's parser
+    (Java Double.parseDouble) is correctly rounded, so the parsed
+    literal is bit-identical to what F.lit would embed."""
+    if isinstance(col, (list, tuple)):
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in col) + ")"
+    if isinstance(col, str) and "`" not in col:
+        return f"CAST(`{col}` AS ARRAY<DOUBLE>)"
+    return None
+
+
+def _dot_sql(asql: str, bsql: str) -> str:
+    return (
+        f"aggregate(zip_with({asql}, {bsql}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot(a, b) -> Column:
     """Sequential-fold dot product (same accumulation order as a scalar
-    loop, so DuckDB's list_dot_product reproduces it)."""
+    loop, so DuckDB's list_dot_product reproduces it).
+
+    Built as ONE F.expr string when both operands are column names or
+    literal vectors (round 12): the stacked-Column zip_with/aggregate
+    lambdas cost tens of py4j round trips per call — pure driver-side
+    construction time; the parsed tree and runtime are identical."""
+    asql, bsql = _sql_operand(a), _sql_operand(b)
+    if asql is not None and bsql is not None:
+        return F.expr(_dot_sql(asql, bsql))
     av, bv = _as_double_array(a), _as_double_array(b)
     return F.aggregate(
         F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -41,11 +69,21 @@ def dot(a, b) -> Column:
 
 
 def norm(a) -> Column:
+    asql = _sql_operand(a)
+    if asql is not None:
+        return F.expr(f"sqrt({_dot_sql(asql, asql)})")
     return F.sqrt(dot(a, a))
 
 
 def cosine(a, b) -> Column:
     """cosine similarity; NULL when either norm is 0."""
+    asql, bsql = _sql_operand(a), _sql_operand(b)
+    if asql is not None and bsql is not None:
+        return F.expr(
+            f"{_dot_sql(asql, bsql)} / nullif("
+            f"sqrt({_dot_sql(asql, asql)}) * sqrt({_dot_sql(bsql, bsql)}),"
+            f" 0.0D)"
+        )
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 

@@ -95,6 +95,11 @@ def simhash_table(
     # verified bit-identical over the 500k-doc 100x corpus and q21/q29
     # hash-match (scratch/ab_simhash_packed.py: interleaved cpu
     # 116->108 s at 100x pre-tokenize-fix).
+    # Expressions are built as single F.expr strings, not stacked Column
+    # operators: each Column op is a py4j round trip, and this plan's
+    # ~90 aggregate/CASE expressions measured 0.9 s of pure driver-side
+    # construction per call (the one-string forms: 14 ms; values
+    # identical — same parsed expression tree).
     ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     post = ex.select(F.col(id_col), hash64("token").alias("h"))
     mask = (1 << 32) | 1
@@ -103,24 +108,22 @@ def simhash_table(
     assert bits <= 64, "packed dual-lane vote counters assume bits <= 64"
     n_packed = min(bits, 32)
     cnt_aggs = [
-        F.sum(F.expr(f"(h >> {j}) & {mask}")).alias(f"s{j}")
-        for j in range(n_packed)
-    ] + [F.count(F.lit(1)).alias("n")]
+        F.expr(f"sum((h >> {j}) & {mask}) AS s{j}") for j in range(n_packed)
+    ] + [F.expr("count(1) AS n")]
     per_doc = post.groupBy(id_col).agg(*cnt_aggs)
 
-    def cnt(j: int):
+    def cnt_sql(j: int) -> str:
         if j < n_packed:
-            return F.expr(f"s{j} & 4294967295")
-        return F.expr(f"(s{j - 32} >> 32) & 4294967295")
+            return f"(s{j} & 4294967295)"
+        return f"((s{j - 32} >> 32) & 4294967295)"
 
-    sim = reduce(
-        lambda a, b: a + b,
-        [
-            F.when(cnt(j) * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(bits)
-        ],
+    sim_sql = " + ".join(
+        f"(CASE WHEN {cnt_sql(j)} * 2 > n THEN {1 << j}L ELSE 0L END)"
+        for j in range(bits)
     )
-    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return per_doc.select(
+        F.col(id_col), F.expr(f"CAST(({sim_sql}) AS BIGINT) AS simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -242,30 +245,37 @@ def minhash_lsh_pairs(
     # multiset equals min over its set, so the signature path needs no
     # corpus-wide distinct shuffle at all (the oracle's DISTINCT shingle
     # CTE is matched exactly).
+    # Aggregates and band keys are single F.expr strings (round 12):
+    # the stacked-Column forms of the k min-affine aggregates + the
+    # band-struct array measured ~0.9 s of py4j-round-trip construction
+    # per call; the one-string forms parse JVM-side in ~10 ms and yield
+    # the same expression trees (hash64_affine_sql is the shared twin
+    # the oracle already replays).
+    from ..functions.hashing import hash64_affine_sql
+
     sh_all = shingles_with_dups(docs, id_col, text_col, n)
     hashed = sh_all.select(F.col(id_col), hash64(F.col("shingle")).alias("h"))
     wide = hashed.groupBy(id_col).agg(
-        *[F.min(hash64_affine(F.col("h"), s)).alias(f"mh{s}") for s in range(k)]
-    )
-    # every band key in one projection + explode (no bands× re-scan)
-    band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bk"),
-            )
-            for b in range(bands)
+            F.expr(f"min({hash64_affine_sql('h', s)}) AS mh{s}")
+            for s in range(k)
         ]
     )
+    # every band key in one projection + inline (no bands× re-scan)
+    band_parts = ", ".join(
+        "struct({b} AS band, concat_ws(',', {cols}) AS bk)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     band_key = (
-        wide.select(F.col(id_col), F.explode(band_structs).alias("x"))
-        .select(id_col, "x.band", "x.bk")
+        wide.select(
+            F.col(id_col), F.expr(f"inline(array({band_parts}))")
+        )
         .localCheckpoint()
     )
     left = band_key.select(F.col("band"), F.col("bk"), F.col(id_col).alias("a"))

@@ -27,7 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import pin_expr, tf_count, tokens, tokens_pinned
+from ..functions.text import pin_expr, tokens, tokens_pinned
 
 PHRASE_BONUS = 1000.0  # src/lex.rs:281 — phrase hit adds 1000.0
 BM25_K1 = 1.2
@@ -88,11 +88,13 @@ def lex_topk(
     pre = docs.select(
         F.col(id_col), F.col(text_col), tokens_pinned(text_col).alias("_toks")
     )
-    occ = None
-    for t in terms:
-        this = tf_count(F.col("_toks"), t.lower())
-        occ = this if occ is None else occ + this
-    score = occ.cast("double")
+    occ_sql = " + ".join(
+        "(size(_toks) - size(array_remove(_toks, '{}')))".format(
+            t.lower().replace("'", "''")
+        )
+        for t in terms
+    )
+    score = F.expr(f"CAST(({occ_sql}) AS DOUBLE)")
     if phrase:
         score = score + F.when(
             F.lower(F.col(text_col)).contains(phrase.lower()), F.lit(PHRASE_BONUS)
@@ -173,45 +175,53 @@ def bm25_topk(
     pre = docs.select(
         F.col(id_col), tokens_pinned(text_col).alias("_toks")
     )
+    # Wide per-term expression chains are single F.expr strings (round
+    # 12): the stacked-Column construction of per/stats/score measured
+    # ~0.2 s of py4j round trips per call; the strings parse JVM-side
+    # in a few ms into the SAME expression trees (operator order and
+    # literal values replicated exactly — k1+1, 1-b etc. are the same
+    # Python-computed doubles via repr round-trip; the oracle
+    # hash-match at both SFs pins the IEEE equivalence).
+    def esc(t: str) -> str:
+        return t.replace("'", "''")
+
     per = pre.select(
         F.col(id_col),
-        F.size("_toks").alias("dl"),
+        F.expr("size(_toks) AS dl"),
         *[
-            tf_count(F.col("_toks"), tt).alias(f"_tf{i}")
+            F.expr(
+                f"(size(_toks) - size(array_remove(_toks, '{esc(tt)}')))"
+                f" AS _tf{i}"
+            )
             for i, tt in enumerate(terms_lc)
         ],
     )
     stats = per.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("avg(dl) AS avgdl"),
         *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            F.expr(f"sum(CAST((_tf{i} > 0) AS BIGINT)) AS _df{i}")
             for i in range(len(terms_lc))
         ],
     )
-    score = None
+    wi_sqls = []
     for i in range(len(terms_lc)):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        idf = f"ln({1.0!r}D + (n_docs - _df{i} + 0.5D) / (_df{i} + 0.5D))"
+        wi_sqls.append(
+            f"(CASE WHEN _tf{i} > 0 THEN {idf} * (_tf{i} * {k1 + 1!r}D)"
+            f" / (_tf{i} + {k1!r}D * ({1 - b!r}D + {b!r}D * dl / avgdl))"
+            f" ELSE 0.0D END)"
         )
-        wi = F.when(
-            F.col(f"_tf{i}") > 0,
-            idf
-            * (F.col(f"_tf{i}") * (k1 + 1))
-            / (F.col(f"_tf{i}") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        ).otherwise(F.lit(0.0))
-        score = wi if score is None else score + wi
+    score = F.expr(" + ".join(wi_sqls))
     # only docs containing >= 1 query term rank — exactly the rows the
     # postings form emitted (match on raw tf, not the rounded score, so
     # a sub-1e-6 positive score still ranks like before). The match
     # column is pinned so the filter reads the already-computed tf
     # attributes instead of being pushed below `per` (which would
     # re-derive every per-term array scan inside the filter).
-    any_match = None
-    for i in range(len(terms_lc)):
-        hit = F.col(f"_tf{i}") > 0
-        any_match = hit if any_match is None else (any_match | hit)
+    any_match = F.expr(
+        " OR ".join(f"(_tf{i} > 0)" for i in range(len(terms_lc)))
+    )
     scored = (
         per.select("*", pin_expr(any_match).alias("_hit"))
         .filter(F.col("_hit"))
@@ -302,49 +312,48 @@ def bm25f_topk(
         ).alias("_body"),
     )
 
-    def occ(field_col, term):
-        return tf_count(field_col, term)
+    # single-string expressions like bm25_topk (round 12) — same py4j
+    # construction-cost motive, same exact operator order
+    def esc(t: str) -> str:
+        return t.replace("'", "''")
+
+    def occ_sql(field: str, tt: str) -> str:
+        return f"(size({field}) - size(array_remove({field}, '{esc(tt)}')))"
 
     per = fields.select(
         F.col(id_col),
-        (
-            title_weight
-            * F.least(F.size(F.col("_toks")), F.lit(title_tokens))
-            + F.greatest(F.size(F.col("_toks")) - title_tokens, F.lit(0))
-        ).alias("wdl"),
+        F.expr(
+            f"({title_weight} * least(size(_toks), {title_tokens})"
+            f" + greatest(size(_toks) - {title_tokens}, 0)) AS wdl"
+        ),
         *[
-            (
-                title_weight * occ(F.col("_title"), tt)
-                + occ(F.col("_body"), tt)
-            ).alias(f"_wtf{i}")
+            F.expr(
+                f"({title_weight} * {occ_sql('_title', tt)}"
+                f" + {occ_sql('_body', tt)}) AS _wtf{i}"
+            )
             for i, tt in enumerate(terms_lc)
         ],
     )
     stats = per.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("wdl").alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("avg(wdl) AS avgdl"),
         *[
-            F.sum((F.col(f"_wtf{i}") > 0).cast("long")).alias(f"_df{i}")
+            F.expr(f"sum(CAST((_wtf{i} > 0) AS BIGINT)) AS _df{i}")
             for i in range(len(terms_lc))
         ],
     )
-    score = None
-    any_match = None
+    wi_sqls = []
     for i in range(len(terms_lc)):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        idf = f"ln({1.0!r}D + (n_docs - _df{i} + 0.5D) / (_df{i} + 0.5D))"
+        wi_sqls.append(
+            f"(CASE WHEN _wtf{i} > 0 THEN {idf} * (_wtf{i} * {k1 + 1!r}D)"
+            f" / (_wtf{i} + {k1!r}D * ({1 - b!r}D + {b!r}D * wdl / avgdl))"
+            f" ELSE 0.0D END)"
         )
-        wi = F.when(
-            F.col(f"_wtf{i}") > 0,
-            idf
-            * (F.col(f"_wtf{i}") * (k1 + 1))
-            / (F.col(f"_wtf{i}")
-               + k1 * (1 - b + b * F.col("wdl") / F.col("avgdl"))),
-        ).otherwise(F.lit(0.0))
-        score = wi if score is None else score + wi
-        hit = F.col(f"_wtf{i}") > 0
-        any_match = hit if any_match is None else (any_match | hit)
+    score = F.expr(" + ".join(wi_sqls))
+    any_match = F.expr(
+        " OR ".join(f"(_wtf{i} > 0)" for i in range(len(terms_lc)))
+    )
     scored = (
         per.select("*", pin_expr(any_match).alias("_hit"))
         .filter(F.col("_hit"))
