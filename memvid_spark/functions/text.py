@@ -130,17 +130,6 @@ def ngram_rows(
     )
 
 
-def tf_count(arr: Column, term: str | Column) -> Column:
-    """Occurrences of ``term`` in a token array, in whole-stage codegen:
-    ``size(arr) - size(array_remove(arr, term))``. Value-identical to
-    ``size(filter(arr, x -> x == term))`` for null-free arrays (tokens
-    never contain nulls) — but filter() is CodegenFallback and runs the
-    interpreted lambda per element, measured 1.4x wall / 1.6x cpu
-    slower for the bm25 per-term tf shape at the 100x corpus (round 12).
-    NULL input arrays yield NULL either way."""
-    return F.size(arr) - F.size(F.array_remove(arr, term))
-
-
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

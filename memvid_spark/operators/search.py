@@ -89,7 +89,7 @@ def lex_topk(
         F.col(id_col), F.col(text_col), tokens_pinned(text_col).alias("_toks")
     )
     occ_sql = " + ".join(
-        "(size(_toks) - size(array_remove(_toks, '{}')))".format(
+        "size(filter(_toks, x -> x = '{}'))".format(
             t.lower().replace("'", "''")
         )
         for t in terms
@@ -185,13 +185,20 @@ def bm25_topk(
     def esc(t: str) -> str:
         return t.replace("'", "''")
 
+    # Per-term tf stays the higher-order filter form, NOT
+    # size-diff-of-array_remove: a measured round-12 NEGATIVE result.
+    # array_remove(tf) is 1.2-1.3x faster in steady state (it compiles;
+    # the lambda runs interpreted) but its generated code JIT-warms
+    # 2-3x SLOWER — fresh-session samples at the 10x corpus read
+    # 85-100 / 30-66 / 8 cpu_s (s0/s1/s2) vs the fallback's 50 / 17-20
+    # / 10-13 — and both the probe methodology (min of 2 early samples)
+    # and a service's first-request latency live in the early samples.
     per = pre.select(
         F.col(id_col),
         F.expr("size(_toks) AS dl"),
         *[
             F.expr(
-                f"(size(_toks) - size(array_remove(_toks, '{esc(tt)}')))"
-                f" AS _tf{i}"
+                f"size(filter(_toks, x -> x = '{esc(tt)}')) AS _tf{i}"
             )
             for i, tt in enumerate(terms_lc)
         ],
@@ -318,7 +325,9 @@ def bm25f_topk(
         return t.replace("'", "''")
 
     def occ_sql(field: str, tt: str) -> str:
-        return f"(size({field}) - size(array_remove({field}, '{esc(tt)}')))"
+        # HOF form by the same measured JIT-warmup negative result as
+        # bm25_topk's per-term tf
+        return f"size(filter({field}, x -> x = '{esc(tt)}'))"
 
     per = fields.select(
         F.col(id_col),

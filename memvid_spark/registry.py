@@ -392,13 +392,15 @@ def q14_field_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_recency_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
-    toks = T.tokens("text")
     # pinned score: keeps the >0 filter from re-inlining the tokenizer
     # at the scan (functions.text.pin_expr)
     hits = t.documents.select(
         "doc_id",
         T.pin_expr(
-            T.tf_count(toks, "stream").cast("double")
+            F.expr(
+                "CAST(size(filter(array_remove(split(lower(text),"
+                " '[^a-z0-9]+'), ''), x -> x = 'stream')) AS DOUBLE)"
+            )
         ).alias("score"),
         (F.col("doc_id") % 730).alias("ts_days"),
     ).filter(F.col("score") > 0)
@@ -5896,7 +5898,10 @@ def q116_elbow_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import adaptive
 
     t = catalog.load(spark, sf_dir)
-    tf = T.tf_count(T.tokens("text"), "data")
+    tf = F.expr(
+        "size(filter(array_remove(split(lower(text), '[^a-z0-9]+'), ''),"
+        " x -> x = 'data'))"
+    )
     hits = (
         t.documents.select(
             "doc_id", T.pin_expr(tf.cast("double")).alias("score")
